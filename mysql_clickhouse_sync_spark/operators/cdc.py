@@ -1,0 +1,187 @@
+"""CDC upsert semantics as pure DataFrame operators.
+
+This module is the Spark-first re-expression of the reference's entire
+CDC read/write model (SURVEY.md §2.9, A3):
+
+* the reference appends every change as a new row version —
+  insert/update after-images with ``_deleted=0``, delete tombstones
+  with ``_deleted=1`` (``/root/reference/src/cdc_replicator.py:157-212``);
+* resolution is deferred to read time via ClickHouse
+  ``ReplacingMergeTree(_version)`` + ``FINAL``
+  (``/root/reference/src/schema_converter.py:118``) — for each
+  primary-key group, the row with the max ``_version`` wins;
+* the generated ``<table>_live`` view filters tombstones and projects
+  away system columns
+  (``/root/reference/src/schema_converter.py:124-138``).
+
+Spark mapping: append = ``unionByName`` (no shuffle), resolution = one
+ranking window (a single hash-partition shuffle on the PK — the minimal
+possible data movement for a distributed argmax), live view = window +
+filter + project.  Merge-on-read exactly like ClickHouse, so replays
+are idempotent by construction (at-least-once tolerant,
+``/root/reference/README.md:478-497``).
+
+Scale notes (100 TB):
+
+* ``dedup_latest`` is one hash shuffle on the PK; with AQE skew-join
+  handling plus high-cardinality PKs this is embarrassingly parallel.
+  No state store, no driver involvement.
+* ``compact`` materializes the dedup so that downstream readers pay
+  the window cost once (≙ ClickHouse background merges); write it back
+  partitioned/sorted by PK so the next compaction's shuffle is cheap.
+* Determinism: ClickHouse keeps an *arbitrary* row on ``_version``
+  ties (``/root/reference/README.md:495-497``).  We pin a tiebreak
+  column (monotonic ``seq`` per changelog row) so results are
+  reproducible and oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..schema.mysql_types import DELETED_COL, VERSION_COL, validate_identifier
+
+_ROWNUM_COL = "__rn"
+SEQ_COL = "_seq"
+
+_OP_INSERT = "I"
+_OP_UPDATE = "U"
+_OP_DELETE = "D"
+
+
+def stamp_changelog(
+    changes: DataFrame,
+    op_col: str = "op",
+    version_col: str | None = None,
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Turn a raw changelog ``(op, ..., user cols)`` into versioned rows.
+
+    Parity: the reference stamps each decoded binlog event with
+    ``_version = int(now µs)`` and ``_deleted`` derived from the event
+    class (``/root/reference/src/cdc_replicator.py:147-212``).  We
+    derive ``_version`` from the event itself (a provided version or
+    sequence column), never wall clock, so replays stamp identically —
+    a strict improvement on the reference's wall-clock stamping that
+    preserves its last-writer-wins contract.
+
+    ``op`` values: 'I' (WriteRowsEvent), 'U' (UpdateRowsEvent
+    after-image), 'D' (DeleteRowsEvent tombstone).
+    """
+    src = version_col or seq_col
+    if src is None:
+        raise ValueError("need version_col or seq_col to derive _version")
+    out = changes.withColumn(VERSION_COL, F.col(src).cast("long")).withColumn(
+        DELETED_COL,
+        F.when(F.col(op_col) == _OP_DELETE, F.lit(1)).otherwise(F.lit(0)),
+    )
+    if seq_col is not None and seq_col != SEQ_COL:
+        out = out.withColumn(SEQ_COL, F.col(seq_col).cast("long")).drop(seq_col)
+    return out.drop(op_col)
+
+
+def cdc_apply(base: DataFrame, changes: DataFrame) -> DataFrame:
+    """Append stamped changelog rows onto the base table (bag union).
+
+    Parity: CDC apply is append-only — C1/C2/C3 all append new
+    versions; resolution is deferred to read
+    (``/root/reference/src/cdc_replicator.py:157-212``).  unionByName
+    is a zero-shuffle narrow op in Spark; missing columns (e.g. the
+    base snapshot lacking ``_seq``) are null-filled so snapshot +
+    changelog unions compose.
+    """
+    return base.unionByName(changes, allowMissingColumns=True)
+
+
+def dedup_latest(
+    df: DataFrame,
+    pks: Sequence[str],
+    version_col: str = VERSION_COL,
+    tiebreak_col: str | None = SEQ_COL,
+) -> DataFrame:
+    """Keep, per PK group, the single row with the highest version.
+
+    This is ClickHouse ``ReplacingMergeTree(_version) ... FINAL``
+    (``/root/reference/src/schema_converter.py:118,136``) as one
+    ranking window: row_number() OVER (PARTITION BY pks ORDER BY
+    _version DESC) = 1.  One hash shuffle on the PK — Catalyst plans a
+    single Exchange + WindowExec; with AQE the partition count adapts
+    to the actual data size.
+
+    ``tiebreak_col`` pins deterministic tie resolution where ClickHouse
+    keeps an arbitrary row (``/root/reference/README.md:495-497``).
+    """
+    if not pks:
+        raise ValueError("dedup_latest requires at least one key column")
+    order = [F.col(version_col).desc()]
+    if tiebreak_col and tiebreak_col in df.columns:
+        order.append(F.col(tiebreak_col).desc_nulls_last())
+    w = Window.partitionBy(*[F.col(k) for k in pks]).orderBy(*order)
+    return (
+        df.withColumn(_ROWNUM_COL, F.row_number().over(w))
+        .filter(F.col(_ROWNUM_COL) == 1)
+        .drop(_ROWNUM_COL)
+    )
+
+
+def live_view(
+    df: DataFrame,
+    pks: Sequence[str],
+    user_cols: Sequence[str] | None = None,
+    version_col: str = VERSION_COL,
+) -> DataFrame:
+    """The ``<table>_live`` relation: current state of the table.
+
+    Parity: ``CREATE VIEW t_live AS SELECT <user cols> FROM t FINAL
+    WHERE _deleted = 0`` (``/root/reference/src/schema_converter.py:124-138``)
+    = dedup-latest -> drop tombstones -> project away system columns.
+
+    Order matters: the tombstone filter must run AFTER the window (a
+    delete must shadow older live versions), which also means Catalyst
+    cannot push the ``_deleted`` predicate below the window — exactly
+    the FINAL semantics.
+    """
+    deduped = dedup_latest(df, pks, version_col=version_col)
+    live = deduped.filter(F.col(DELETED_COL) == 0)
+    if user_cols is None:
+        user_cols = [
+            c for c in df.columns if c not in (VERSION_COL, DELETED_COL, SEQ_COL)
+        ]
+    return live.select(*user_cols)
+
+
+def compact(
+    df: DataFrame,
+    pks: Sequence[str],
+    keep_tombstones: bool = True,
+) -> DataFrame:
+    """Eagerly materialize the dedup (≙ ClickHouse background merge).
+
+    ReplacingMergeTree collapses old versions in background merges; our
+    equivalent is a periodic job that rewrites the table as its deduped
+    form so readers stop paying the window.  Tombstones are kept by
+    default (they must continue to shadow any late-arriving older
+    versions under at-least-once delivery); drop them only when the
+    upstream guarantees no older duplicates remain.
+    """
+    out = dedup_latest(df, pks)
+    if not keep_tombstones:
+        out = out.filter(F.col(DELETED_COL) == 0)
+    return out
+
+
+def register_live_view(
+    df: DataFrame,
+    table: str,
+    pks: Sequence[str],
+    user_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Register ``<table>_live`` in the session catalog for SQL access
+    (parity: the view DDL sink S12, SURVEY.md §2.1)."""
+    validate_identifier(table, "table")
+    lv = live_view(df, pks, user_cols)
+    lv.createOrReplaceTempView(f"{table}_live")
+    return lv

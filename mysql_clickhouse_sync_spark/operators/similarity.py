@@ -1,0 +1,168 @@
+"""Vector similarity search over an embedding column (array<float>).
+
+Two paths, per the standard ANN playbook:
+
+* **brute-force top-k** — exact baseline: broadcast the (small) query
+  set against the corpus; per-pair cosine via higher-order functions
+  (``zip_with`` + ``aggregate`` — a sequential left fold, so the
+  float math is reproducible and oracle-comparable).  At 100 TB the
+  corpus side stays partitioned; work is |corpus| x |queries| narrow
+  compute followed by a per-query top-k window.
+* **LSH-bucketed (random hyperplanes)** — the scale path: an r-bit
+  signature from sign(v . h_i) with deterministic pseudo-random
+  hyperplanes derived from xxhash64, bucketed equi-join, cosine only
+  within buckets.  Sub-quadratic candidate generation like
+  MinHash-LSH for text.
+
+No Python UDFs anywhere — everything stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..util import spread
+
+
+def _to_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product (IEEE-deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, cosine_sim, rnk).  The query side
+    is broadcast (small by construction); the corpus is never
+    collected.  Top-k is a ranking window partitioned by query —
+    shuffle size is |corpus| x |queries| pair rows, bounded by
+    pre-filtering if the caller passes a candidate subset.
+    """
+    c = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        _to_double(F.col(vec_col)).alias("_cv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _to_double(F.col(vec_col)).alias("_qv"),
+    )
+    from pyspark.sql import Window
+
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("_qv"), F.col("_cv")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def _hyperplane(dim: int, plane_idx: int) -> Column:
+    """Deterministic pseudo-random hyperplane: component j is a
+    zero-centered double derived from xxhash64(plane, j)."""
+    return F.array(
+        *[
+            (
+                F.xxhash64(F.lit(f"hp-{plane_idx}-{j}")).cast("double")
+                / F.lit(float(1 << 63))
+            )
+            for j in range(dim)
+        ]
+    )
+
+
+def hyperplane_signature(
+    vec: Column, dim: int, n_planes: int = 16
+) -> Column:
+    """r-bit sign signature of a vector under n_planes hyperplanes."""
+    sig = F.lit(0).cast("long")
+    v = _to_double(vec)
+    for i in range(n_planes):
+        bit = F.when(dot(v, _hyperplane(dim, i)) > 0, F.lit(1)).otherwise(
+            F.lit(0)
+        )
+        sig = sig.bitwiseOR(
+            F.shiftleft(bit.cast("long"), i)
+        )
+    return sig
+
+
+def lsh_bucketed_pairs(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    n_bands: int = 4,
+    min_cosine: float = 0.0,
+) -> DataFrame:
+    """Candidate near-neighbor pairs via hyperplane-LSH band blocking.
+
+    Signature split into bands; equi-join on (band, band_bits) yields
+    candidates; exact cosine computed only within buckets.  Output:
+    (id_a, id_b, cosine_sim).
+    """
+    width = n_planes // n_bands
+    base = spread(df).select(
+        F.col(id_col).alias("_id"),
+        _to_double(F.col(vec_col)).alias("_v"),
+        hyperplane_signature(F.col(vec_col), dim, n_planes).alias("_sig"),
+    )
+    banded = base.select(
+        "_id",
+        "_v",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("_sig", i * width).bitwiseAND(
+                        F.lit((1 << width) - 1).cast("long")
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("_band", "_bv"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, on=["_band", "_bv"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            cosine(F.col("a._v"), F.col("b._v")).alias("cosine_sim"),
+        )
+        .distinct()
+        .filter(F.col("cosine_sim") >= min_cosine)
+    )

@@ -1,0 +1,136 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+All hot-path logic is built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage codegen) — no Python UDFs.  At 100 TB these are pure
+narrow map operators: no shuffle until the caller aggregates.
+
+Determinism: token counts / ratios are integer counts and single
+double divisions, so the DuckDB oracles match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic.  Deliberately small + public common words.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
+    "fr": ("le", "la", "de", "et", "un", "les", "des", "en", "du", "que"),
+    "de": ("der", "die", "und", "das", "von", "zu", "den", "mit", "ein", "im"),
+}
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization (regex split on runs of whitespace)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append n_tokens / n_distinct_tokens / avg token length."""
+    toks = tokens_col(F.col(text_col))
+    return (
+        df.withColumn("n_tokens", F.size(toks).cast("long"))
+        .withColumn(
+            "n_distinct_tokens", F.size(F.array_distinct(toks)).cast("long")
+        )
+        .withColumn(
+            "avg_token_len",
+            (F.length(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", ""))
+             .cast("double") / F.size(toks)),
+        )
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality components + a composite score.
+
+    Components (all exact-integer-ratio doubles):
+    * ``distinct_ratio``  — vocabulary diversity (near-0 = degenerate
+      repetition, a classic low-quality signal);
+    * ``alpha_ratio``     — alphabetic chars / all chars;
+    * ``digit_ratio``     — digits / all chars;
+    * ``mean_tok``        — mean token length (2..12 is "wordlike").
+    """
+    d = with_token_stats(df, text_col)
+    stripped = F.regexp_replace(F.col(text_col), r"\s+", "")
+    n_chars_nosp = F.length(stripped).cast("double")
+    d = (
+        d.withColumn(
+            "distinct_ratio",
+            F.col("n_distinct_tokens").cast("double") / F.col("n_tokens"),
+        )
+        .withColumn(
+            "alpha_ratio",
+            F.length(F.regexp_replace(stripped, r"[^a-zA-Z]", ""))
+            .cast("double") / n_chars_nosp,
+        )
+        .withColumn(
+            "digit_ratio",
+            F.length(F.regexp_replace(stripped, r"[^0-9]", ""))
+            .cast("double") / n_chars_nosp,
+        )
+    )
+    # Composite: floor to 4 dp so engines can't disagree on display
+    # rounding (floor of a positive double is exact).
+    score = (
+        F.col("distinct_ratio") * 0.5
+        + F.col("alpha_ratio") * 0.4
+        + (F.lit(1.0) - F.col("digit_ratio")) * 0.1
+    )
+    return d.withColumn(
+        "quality_score", F.floor(score * 10000).cast("long")
+    )
+
+
+def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-voting language ID (n-gram heuristic family).
+
+    Scores each language by stopword hits over the token array using
+    higher-order functions (no UDF); picks the argmax with a fixed
+    language order as tie-break; falls back to 'zh' when the text has
+    no ASCII-wordlike tokens at all (CJK text tokenizes into non-Latin
+    glyph runs).
+    """
+    toks = tokens_col(F.lower(F.col(text_col)))
+    d = df
+    for lang, words in STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        d = d.withColumn(
+            f"_hits_{lang}",
+            F.size(F.filter(toks, lambda t: F.array_contains(arr, t))),
+        )
+    latin = F.size(
+        F.filter(toks, lambda t: t.rlike("^[a-z]+$"))
+    )
+    best = F.greatest(*[F.col(f"_hits_{lang}") for lang in STOPWORDS])
+    pick = F.when(latin == 0, F.lit("zh"))
+    for lang in STOPWORDS:  # insertion order = fixed tie-break
+        pick = pick.when(F.col(f"_hits_{lang}") == best, F.lit(lang))
+    d = d.withColumn("lang_pred", pick)
+    return d.drop(*[f"_hits_{lang}" for lang in STOPWORDS])
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Polynomial rolling-hash document fingerprint over tokens.
+
+    fp = fold(tokens, 0, (acc, t) -> (acc * 1000003 + h31(t)) mod M31)
+    with M31 = 2^31 - 1 and h31 = xxhash64 reduced mod M31.  The
+    modular form keeps every intermediate below 2^52, so it is exact
+    under ANSI arithmetic (no 64-bit wraparound needed).  The hash is
+    order-sensitive (unlike a bag-of-words hash) and computed entirely
+    JVM-side via ``aggregate``.
+    """
+    m31 = F.lit((1 << 31) - 1).cast("long")
+    toks = tokens_col(F.col(text_col))
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(
+            acc * F.lit(1000003).cast("long") + F.pmod(F.xxhash64(t), m31),
+            m31,
+        ),
+    )
+    return df.withColumn("fingerprint", fp)

@@ -1,0 +1,138 @@
+"""Event-stream analytics over the ``events`` table (batch view of the
+stream the reference's CDC path would process; SURVEY.md §2.9).
+
+Time bucketing, sessionization (stateful logic expressed as windows —
+the batch twin of the streaming path in streaming/cdc_pipeline.py),
+share-of-total, and deterministic top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+from .registry import register
+
+_SESSION_GAP_US = 1800 * 1_000_000  # 30 min
+
+
+@register(
+    "events_daily_type_stats",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS total_value
+    FROM events
+    GROUP BY date_trunc('day', ts), event_type
+    """,
+    description="Tumbling daily window aggregate (batch twin of a "
+    "streaming windowed agg)",
+)
+def events_daily_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(12,4)"))
+        .cast("decimal(38,4)")
+        .alias("total_value"),
+    )
+
+
+@register(
+    "events_sessionization",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) > {_SESSION_GAP_US}
+                    OR lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM gaps GROUP BY user_id
+    """,
+    description="Sessionization (30-min gap) via lag window — the "
+    "session-window operator expressed relationally",
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is NTZ; unix_micros needs an instant — the session-TZ offset
+    # introduced by the cast cancels in the lag difference below.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(us).over(w)
+    new_session = (
+        F.when(prev.isNull() | (us - prev > _SESSION_GAP_US), 1).otherwise(0)
+    )
+    return (
+        ev.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "events_type_share",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) AS DOUBLE)
+               / (SELECT count(*) FROM events) AS share
+    FROM events GROUP BY event_type
+    """,
+    description="Share-of-total (global aggregate broadcast back)",
+)
+def events_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("n_events"))
+    return counts.select(
+        "event_type",
+        "n_events",
+        (
+            F.col("n_events").cast("double")
+            / F.sum("n_events").over(Window.partitionBy())
+        ).alias("share"),
+    )
+
+
+@register(
+    "events_top_users",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS total_value,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id
+    ORDER BY total_value DESC, user_id LIMIT 15
+    """,
+    description="Filtered deterministic top-k by exact decimal spend",
+)
+def events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(12,4)"))
+            .cast("decimal(38,4)")
+            .alias("total_value"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy(F.col("total_value").desc(), F.col("user_id"))
+        .limit(15)
+    )

@@ -1,0 +1,115 @@
+"""Similarity-search queries over ``embeddings`` (array<float>, dim 64).
+
+Exact brute-force top-k (oracle-checked against DuckDB list lambdas —
+both engines do the identical sequential-fold double arithmetic) plus
+the hyperplane-LSH scale path (rows-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import brute_force_topk, cosine, lsh_bucketed_pairs, _to_double
+from ..sources.parquet import load_table
+from .registry import register
+
+_DIM = 64
+
+# DuckDB: identical sequential left-fold dot product over
+# double-widened floats (list_reduce folds left like F.aggregate).
+_SQL_DOT = (
+    "list_reduce(list_transform(range(1, {d} + 1),"
+    " i -> ({a})[i] * ({b})[i]), (x, y) -> x + y)"
+)
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    dot = _SQL_DOT.format(d=_DIM, a=a, b=b)
+    na = _SQL_DOT.format(d=_DIM, a=a, b=a)
+    nb = _SQL_DOT.format(d=_DIM, a=b, b=b)
+    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+
+@register(
+    "emb_cosine_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id % 25 = 0
+    ), c AS (
+        SELECT vec_id AS neighbor_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        FROM embeddings
+    ), scored AS (
+        SELECT query_id, neighbor_id,
+               {_sql_cosine('qv', 'cv')} AS cosine_sim
+        FROM c, q WHERE neighbor_id <> query_id
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY cosine_sim DESC, neighbor_id
+        ) AS rnk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+    description="Exact brute-force cosine top-5 ANN baseline "
+    "(broadcast queries x partitioned corpus, no UDF)",
+)
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return brute_force_topk(emb, queries, k=5)
+
+
+@register(
+    "emb_label_near_pairs",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(a.label AS INT) AS label,
+           {_sql_cosine('a.v', 'b.v')} AS cosine_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_sql_cosine('a.v', 'b.v')} > 0.3
+    """,
+    description="Embedding near-dup pairs, label-blocked brute force "
+    "(blocking bounds the pair space like LSH buckets do at scale)",
+)
+def emb_label_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _to_double(F.col("embedding")).alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    sim = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.label").cast("int").alias("label"),
+            sim.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") > 0.3)
+    )
+
+
+@register(
+    "emb_lsh_pairs",
+    oracle=None,  # hyperplanes derived from xxhash64 -> rows-only check
+    description="Hyperplane-LSH bucketed candidate pairs (sub-quadratic "
+    "ANN scale path; 16 planes, 4 bands)",
+)
+def emb_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_bucketed_pairs(emb, dim=_DIM, min_cosine=0.3)

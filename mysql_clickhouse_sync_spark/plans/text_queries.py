@@ -1,0 +1,227 @@
+"""Text-analysis + deduplication queries over ``documents``.
+
+The LLM-training-data operator family (BASELINE.json north star):
+exact dedup, n-gram Jaccard near-dup, MinHash-LSH and SimHash
+candidates (rows-only checks — hash functions are engine-specific),
+token stats, quality scoring, language ID, fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    shingle_pairs_jaccard,
+    simhash_near_pairs,
+)
+from ..operators.text import (
+    STOPWORDS,
+    with_fingerprint,
+    with_language_id,
+    with_quality_score,
+    with_token_stats,
+)
+from ..sources.parquet import load_table
+from .registry import register
+
+# DuckDB equivalents of the Spark tokenization/shingling used by the
+# operators (operators/text.py, operators/dedup.py).
+_SQL_TOKS = r"string_split_regex(trim(text), '\s+')"
+_SQL_NOSPACE = r"regexp_replace(trim(text), '\s+', '', 'g')"
+_SQL_SHINGLES = (
+    f"list_distinct(list_transform("
+    f"range(1, greatest(len({_SQL_TOKS}) - 2, 1) + 1),"
+    f" i -> array_to_string(({_SQL_TOKS})[i:i+2], ' ')))"
+)
+
+
+@register(
+    "docs_exact_dedup",
+    oracle="""
+    SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_dups,
+           CAST(length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                AS BIGINT) AS n_chars_norm
+    FROM documents
+    GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+    """,
+    description="Exact dedup groups with deterministic min-id keeper "
+    "(hash-groupBy; scale path hashes content, not text)",
+)
+def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "docs_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct({_SQL_TOKS})) AS BIGINT) AS n_distinct_tokens,
+           CAST(length({_SQL_NOSPACE}) AS DOUBLE) / len({_SQL_TOKS}) AS avg_token_len
+    FROM documents
+    """,
+    description="Whitespace+regex token counting (narrow map, JVM-side)",
+)
+def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_token_stats(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "n_distinct_tokens", "avg_token_len"
+    )
+
+
+@register(
+    "docs_quality_score",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(list_distinct({_SQL_TOKS})) AS DOUBLE)
+                   / len({_SQL_TOKS}) AS distinct_ratio,
+               CAST(length(regexp_replace({_SQL_NOSPACE}, '[^a-zA-Z]', '', 'g'))
+                   AS DOUBLE) / length({_SQL_NOSPACE}) AS alpha_ratio,
+               CAST(length(regexp_replace({_SQL_NOSPACE}, '[^0-9]', '', 'g'))
+                   AS DOUBLE) / length({_SQL_NOSPACE}) AS digit_ratio
+        FROM documents
+    )
+    SELECT doc_id, distinct_ratio, alpha_ratio, digit_ratio,
+           CAST(floor((distinct_ratio * 0.5 + alpha_ratio * 0.4
+                 + (1.0 - digit_ratio) * 0.1) * 10000) AS BIGINT)
+               AS quality_score
+    FROM t
+    """,
+    description="Heuristic quality scoring (length/diversity/charset "
+    "ratios composited)",
+)
+def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_quality_score(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "distinct_ratio", "alpha_ratio", "digit_ratio",
+        "quality_score",
+    )
+
+
+def _sql_lang_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),"
+        f" t -> list_contains([{words}], t)))"
+    )
+
+
+@register(
+    "docs_language_id",
+    oracle=f"""
+    WITH hits AS (
+        SELECT doc_id, lang,
+               {_sql_lang_hits('en')} AS h_en,
+               {_sql_lang_hits('es')} AS h_es,
+               {_sql_lang_hits('fr')} AS h_fr,
+               {_sql_lang_hits('de')} AS h_de,
+               len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                   t -> regexp_full_match(t, '[a-z]+'))) AS latin
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN latin = 0 THEN 'zh'
+                WHEN h_en = greatest(h_en, h_es, h_fr, h_de) THEN 'en'
+                WHEN h_es = greatest(h_en, h_es, h_fr, h_de) THEN 'es'
+                WHEN h_fr = greatest(h_en, h_es, h_fr, h_de) THEN 'fr'
+                WHEN h_de = greatest(h_en, h_es, h_fr, h_de) THEN 'de'
+           END AS lang_pred
+    FROM hits
+    """,
+    description="Stopword-voting language ID (n-gram heuristic family; "
+    "higher-order functions, no UDF)",
+)
+def docs_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_language_id(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "lang_pred"
+    )
+
+
+@register(
+    "docs_top_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id AS _id, {_SQL_SHINGLES} AS _sh,
+               len({_SQL_SHINGLES}) AS _n
+        FROM documents
+    ), ex AS (
+        SELECT _id, _n, unnest(_sh) AS _shingle FROM sh
+    ), pairs AS (
+        SELECT a._id AS id_a, b._id AS id_b, a._n AS n_a, b._n AS n_b,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM ex a JOIN ex b ON a._shingle = b._shingle AND a._id < b._id
+        GROUP BY a._id, b._id, a._n, b._n
+    )
+    SELECT id_a, id_b, n_common,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
+    FROM pairs
+    ORDER BY jaccard DESC, id_a, id_b
+    LIMIT 20
+    """,
+    description="Exact word-3-gram Jaccard near-dup: top-20 most "
+    "similar doc pairs (shingle co-occurrence join)",
+)
+def docs_top_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = shingle_pairs_jaccard(load_table(spark, sf_dir, "documents"))
+    return pairs.orderBy(
+        F.col("jaccard").desc(), F.col("id_a"), F.col("id_b")
+    ).limit(20).select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+
+
+@register(
+    "docs_minhash_candidates",
+    oracle=None,  # engine-specific hash fns -> rows-only check
+    description="MinHash(32)+LSH(8 bands) near-dup candidate pairs "
+    "(sub-quadratic scale path for Jaccard dedup)",
+)
+def docs_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_candidates(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "docs_simhash_pairs",
+    oracle=None,  # engine-specific hash fns -> rows-only check
+    description="SimHash-64 near-dup pairs, Hamming <= 3 via pigeonhole "
+    "band blocking",
+)
+def docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "docs_fingerprints",
+    oracle=None,  # xxhash64-based rolling hash -> rows-only check
+    description="Order-sensitive rolling-hash document fingerprint "
+    "(aggregate fold, JVM-side)",
+)
+def docs_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_fingerprint(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint"
+    )
+
+
+@register(
+    "docs_lang_source_profile",
+    oracle="""
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang, source
+    """,
+    description="Corpus composition profile (lang x source matrix)",
+)
+def docs_lang_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+    )

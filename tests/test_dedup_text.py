@@ -1,0 +1,106 @@
+"""Dedup + text operator tests on constructed corpora where ground
+truth is known (the harness documents are all-distinct, so true dups
+are synthesized here)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from mysql_clickhouse_sync_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    shingle_pairs_jaccard,
+    simhash_near_pairs,
+)
+from mysql_clickhouse_sync_spark.operators.text import (
+    with_fingerprint,
+    with_language_id,
+    with_quality_score,
+    with_token_stats,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+
+
+BASE = "the quick brown fox jumps over the lazy dog near the river bank today"
+
+
+def test_exact_dedup_normalizes_case_and_space(spark):
+    df = _docs(spark, [BASE, BASE.upper(), "  " + BASE + "  ", "other text here"])
+    out = exact_dedup(df).collect()
+    groups = {r["doc_id"]: r["n_dups"] for r in out}
+    assert groups == {0: 3, 3: 1}  # min-id keeper, deterministic
+
+
+def test_shingle_jaccard_identical_and_disjoint(spark):
+    df = _docs(spark, [BASE, BASE, "completely different words entirely now"])
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in shingle_pairs_jaccard(df).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) not in pairs  # no shared shingles
+
+
+def test_minhash_lsh_finds_near_duplicates(spark):
+    near = BASE.replace("today", "tonight")
+    df = _docs(spark, [BASE, near, "unrelated corpus of totally distinct tokens"])
+    cands = {(r["id_a"], r["id_b"])
+             for r in minhash_lsh_candidates(df).collect()}
+    assert (0, 1) in cands
+    assert (0, 2) not in cands
+
+
+def test_simhash_near_pairs(spark):
+    near = BASE + " extra"
+    df = _docs(spark, [BASE, near,
+                       "zq wv xk jj qq pp zz mm nn oo aa bb cc dd ee ff"])
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_near_pairs(df, max_hamming=10).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs
+
+
+def test_token_stats(spark):
+    df = _docs(spark, ["one two  three", "single"])
+    rows = {r["doc_id"]: r for r in with_token_stats(df).collect()}
+    assert rows[0]["n_tokens"] == 3
+    assert rows[0]["n_distinct_tokens"] == 3
+    assert rows[1]["n_tokens"] == 1
+    assert rows[0]["avg_token_len"] == 11 / 3
+
+
+def test_quality_score_components(spark):
+    df = _docs(spark, ["abc abc abc abc", "a1 b2 c3 d4"])
+    rows = {r["doc_id"]: r for r in with_quality_score(df).collect()}
+    assert rows[0]["distinct_ratio"] == 0.25
+    assert rows[0]["digit_ratio"] == 0.0
+    assert rows[1]["digit_ratio"] == 0.5
+    assert rows[0]["quality_score"] == int(
+        (0.25 * 0.5 + 1.0 * 0.4 + 1.0 * 0.1) * 10000
+    )
+
+
+def test_language_id_votes(spark):
+    df = _docs(
+        spark,
+        [
+            "the cat sat on the mat and it is happy",
+            "el perro corre por la calle y los gatos",
+            "le chien et le chat sont dans les jardins du parc",
+            "der hund und die katze sind mit den kindern im park",
+        ],
+    )
+    rows = {r["doc_id"]: r["lang_pred"] for r in with_language_id(df).collect()}
+    assert rows == {0: "en", 1: "es", 2: "fr", 3: "de"}
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = _docs(spark, ["alpha beta gamma", "gamma beta alpha", "alpha beta gamma"])
+    fps = [r["fingerprint"]
+           for r in with_fingerprint(df).orderBy("doc_id").collect()]
+    assert fps[0] == fps[2]
+    assert fps[0] != fps[1]

@@ -1,0 +1,67 @@
+"""Vector-similarity operator tests with hand-checkable geometry."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+
+from mysql_clickhouse_sync_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_bucketed_pairs,
+)
+
+
+def _vecs(spark, vectors):
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v])
+         for i, v in enumerate(vectors)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_brute_force_topk_exact(spark):
+    df = _vecs(
+        spark,
+        [
+            [1, 0, 0, 0],   # 0: query
+            [1, 0.1, 0, 0], # 1: nearly parallel -> top neighbor
+            [0, 1, 0, 0],   # 2: orthogonal
+            [-1, 0, 0, 0],  # 3: opposite
+        ],
+    )
+    out = brute_force_topk(df, df.filter("vec_id = 0"), k=3).collect()
+    ranked = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rnk"])]
+    assert ranked == [1, 2, 3]
+    top = next(r for r in out if r["rnk"] == 1)
+    # embeddings are stored float32, so compare at float32 precision
+    assert abs(top["cosine_sim"] - 1 / math.sqrt(1.01)) < 1e-6
+
+
+def test_topk_excludes_self_and_respects_k(spark):
+    df = _vecs(spark, [[1, 0], [0.9, 0.1], [0.8, 0.2], [0.7, 0.3]])
+    out = brute_force_topk(df, df, k=2)
+    per_q = {}
+    for r in out.collect():
+        assert r["neighbor_id"] != r["query_id"]
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert all(len(v) == 2 for v in per_q.values())
+
+
+def test_lsh_bucketed_pairs_finds_parallel_vectors(spark):
+    # Two near-parallel clusters pointing in opposite directions.
+    df = _vecs(
+        spark,
+        [
+            [1, 0.01, 0, 0],
+            [1, 0.02, 0, 0],
+            [-1, 0.01, 0, 0],
+            [-1, 0.02, 0, 0],
+        ],
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["cosine_sim"]
+             for r in lsh_bucketed_pairs(df, dim=4, min_cosine=0.9).collect()}
+    assert (0, 1) in pairs
+    assert (2, 3) in pairs
+    assert (0, 2) not in pairs  # opposite direction: different buckets
+    assert pairs[(0, 1)] > 0.999
