@@ -1,0 +1,71 @@
+"""Multimodal plumbing tests: schemas, batch shapes, 1:N frame
+sampling, dedup keys — with the stubbed (deterministic) decode."""
+
+from __future__ import annotations
+
+import pytest
+
+from mysql_clickhouse_sync_spark.operators.multimodal import (
+    _FEATURE_DIM,
+    decode_and_featurize,
+    media_dedup_keys,
+    resize_images,
+    sample_frames,
+    synthetic_media,
+)
+
+
+def test_decode_schema_and_determinism(spark):
+    media = synthetic_media(spark, 12)
+    out = decode_and_featurize(media)
+    assert [f.name for f in out.schema.fields] == [
+        "media_id", "kind", "n_bytes", "sha256", "feature",
+    ]
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert len(rows) == 12
+    assert all(len(r["feature"]) == _FEATURE_DIM for r in rows.values())
+    # payload derived from id//2 -> consecutive pairs share a digest
+    assert rows[0]["sha256"] == rows[1]["sha256"]
+    assert rows[0]["sha256"] != rows[2]["sha256"]
+    # determinism: same input -> same features
+    rows2 = {r["media_id"]: r for r in decode_and_featurize(media).collect()}
+    assert rows[0]["feature"] == rows2[0]["feature"]
+
+
+def test_real_decode_raises_cleanly(spark):
+    media = synthetic_media(spark, 3)
+    with pytest.raises(Exception, match="NotImplementedError|not available"):
+        decode_and_featurize(media, decode_kind="real").collect()
+    with pytest.raises(ValueError):
+        decode_and_featurize(media, decode_kind="nope")
+
+
+def test_resize_filters_to_images(spark):
+    media = synthetic_media(spark, 12)
+    out = resize_images(media, 32, 32).collect()
+    assert len(out) == 4  # every 3rd row is an image
+    assert all((r["out_width"], r["out_height"]) == (32, 32) for r in out)
+
+
+def test_frame_sampling_is_one_to_many(spark):
+    media = synthetic_media(spark, 12)
+    frames = sample_frames(media, every_ms=1000).collect()
+    vids = 4  # every 3rd row is video, duration 3500ms -> 4 frames each
+    assert len(frames) == vids * 4
+    per_media = {}
+    for r in frames:
+        per_media.setdefault(r["media_id"], []).append(r)
+    for rows in per_media.values():
+        assert sorted(r["ts_ms"] for r in rows) == [0, 1000, 2000, 3000]
+        # frame payloads are distinct per frame_idx
+        assert len({bytes(r["frame"]) for r in rows}) == 4
+
+
+def test_media_dedup_keys_jvm_side(spark):
+    media = synthetic_media(spark, 12)
+    keys = media_dedup_keys(media)
+    # no Python eval in the plan: sha2/length are built-ins
+    plan = keys._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    grouped = keys.groupBy("content_sha256").count().collect()
+    assert {r["count"] for r in grouped} == {2}  # pairs share payloads
