@@ -136,3 +136,60 @@ def events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_value").desc(), F.col("user_id"))
         .limit(15)
     )
+
+
+@register(
+    "events_hourly_windows",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts)
+    """,
+    description="Tumbling 1-hour window via F.window (the streaming "
+    "window operator itself, exercised in batch)",
+)
+def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,4)"))
+            .cast("decimal(38,4)")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "n_events", "total_value"
+        )
+    )
+
+
+@register(
+    "events_sliding_windows",
+    oracle="""
+    SELECT window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM (
+        SELECT CAST(date_trunc('hour', ts)
+                    - (o.off * INTERVAL 1 HOUR) AS TIMESTAMP) AS window_start,
+               user_id
+        FROM events CROSS JOIN (VALUES (0), (1)) AS o(off)
+    ) assigned
+    GROUP BY window_start
+    """,
+    description="Sliding 2h/1h window via F.window — each event lands "
+    "in two overlapping buckets (streaming hop semantics in batch)",
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "n_users")
+    )

@@ -51,6 +51,7 @@ def all_queries() -> dict[str, Query]:
     # Import side-effect modules exactly once.
     from . import cdc_queries  # noqa: F401
     from . import analytics  # noqa: F401
+    from . import analytics_ext  # noqa: F401
     from . import events_queries  # noqa: F401
     from . import text_queries  # noqa: F401
     from . import similarity_queries  # noqa: F401

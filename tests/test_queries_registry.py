@@ -1,0 +1,44 @@
+"""Registry-wide invariants: every query analyzes against the harness
+tables, column names are sane for the driver's sorted-by-name compare,
+and every oracle has a matching query (the `__spark_entry__` contract).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mysql_clickhouse_sync_spark.plans.registry import all_queries
+
+from conftest import SF_DIR
+
+
+def test_oracle_keys_subset_of_queries():
+    qs = all_queries()
+    oracles = {n for n, q in qs.items() if q.oracle is not None}
+    assert oracles <= set(qs)
+
+
+def test_every_query_has_description():
+    for name, q in all_queries().items():
+        assert q.description, f"{name} missing description"
+
+
+@pytest.mark.parametrize("name", sorted(all_queries()))
+def test_query_analyzes_with_unique_columns(spark, name):
+    """Analysis (schema resolution) catches unresolved columns, bad
+    casts, and ambiguous self-join references without running a job.
+    Duplicate output names would break the driver's column-sorted
+    value-hash compare, so they are a hard error here."""
+    df = all_queries()[name].fn(spark, SF_DIR)
+    cols = df.columns
+    assert cols, f"{name} produced no columns"
+    assert len(cols) == len(set(cols)), f"{name} duplicate columns: {cols}"
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q6_forecast_revenue", "q13_order_count_distribution",
+     "cheapest_supplier_per_part", "events_sliding_windows"],
+)
+def test_new_queries_return_rows(spark, name):
+    assert all_queries()[name].fn(spark, SF_DIR).count() > 0
