@@ -64,6 +64,47 @@ def exact_dedup(
     )
 
 
+def bucket_pairs(
+    df: DataFrame, bucket_cols: list[str], payload: Column
+) -> DataFrame:
+    """Unordered member pairs within each bucket, without a self-join.
+
+    ``groupBy(bucket).collect_list(payload)`` then in-bucket pair
+    expansion via indexed ``transform`` + ``slice``.  One shuffle total,
+    and the (possibly expensive) payload expression is evaluated ONCE
+    per row — a bucket self-join evaluates it once per side because
+    lambda-bearing plans don't canonicalize, so Spark cannot reuse the
+    exchange (measured: 2x signature cost on every LSH join here).
+
+    Output: (a, b) struct columns with a < b in ``array_sort`` order
+    (payload's first field should be the id for a deterministic order).
+    Skew note: a bucket of k members emits k*(k-1)/2 rows from one
+    task — same distribution a shuffle join would produce, since equal
+    keys land in one partition either way.
+    """
+    buckets = df.groupBy(*bucket_cols).agg(
+        F.array_sort(F.collect_list(payload)).alias("_members")
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("_members"),
+                lambda x, i: F.transform(
+                    F.slice(
+                        F.col("_members"),
+                        i + F.lit(2),
+                        F.greatest(
+                            F.size(F.col("_members")) - i - F.lit(1), F.lit(0)
+                        ),
+                    ),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
+    )
+    return buckets.select(pair.alias("_p")).select("_p.a", "_p.b")
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column.
 
@@ -89,8 +130,10 @@ def shingle_pairs_jaccard(
     """Exact pairwise Jaccard over docs sharing >= 1 shingle.
 
     Output: (id_a, id_b, n_common, n_a, n_b, jaccard) with id_a < id_b.
-    The exploded self-join shuffles on the shingle string — co-occurring
-    shingles only, so cost tracks true similarity mass, not |docs|^2.
+    Pairs come from per-shingle buckets (``bucket_pairs``): one shuffle
+    keyed on the 64-bit shingle hash (8-byte keys, not strings), cost
+    tracks true co-occurrence mass, not |docs|^2, and the shingling
+    expression is evaluated once per doc.
     """
     base = spread(df).select(
         F.col(id_col).alias("_id"),
@@ -98,12 +141,11 @@ def shingle_pairs_jaccard(
     ).withColumn("_n", F.size("_sh"))
     exploded = base.select(
         "_id", "_n", F.explode("_sh").alias("_shingle")
-    )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    ).select("_id", "_n", F.xxhash64("_shingle").alias("_shash"))
     pairs = (
-        a.join(b, on="_shingle")
-        .filter(F.col("a._id") < F.col("b._id"))
+        bucket_pairs(
+            exploded, ["_shash"], F.struct(F.col("_id"), F.col("_n"))
+        )
         .groupBy(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
@@ -194,9 +236,10 @@ def minhash_lsh_candidates(
     """LSH candidate pairs: docs agreeing on >= 1 full band.
 
     bands x rows_per_band = num_perm.  Explode to (band_idx, band_hash)
-    and self-join — the shuffle key is the band hash, so bucket sizes
-    follow collision probability, not corpus size.  Output:
-    (id_a, id_b, n_bands_match).
+    and expand pairs inside each band bucket (``bucket_pairs``) — the
+    shuffle key is the band hash, so bucket sizes follow collision
+    probability, not corpus size, and signatures are computed once.
+    Output: (id_a, id_b, n_bands_match).
     """
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(spread(df), id_col, text_col, num_perm, shingle_n)
@@ -219,11 +262,9 @@ def minhash_lsh_candidates(
             )
         ).alias("_band", "_bh"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
     return (
-        a.join(b, on=["_band", "_bh"])
-        .filter(F.col("a._id") < F.col("b._id"))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        bucket_pairs(banded, ["_band", "_bh"], F.col("_id"))
+        .groupBy(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
         .agg(F.count("*").alias("n_bands_match"))
     )
 
@@ -285,8 +326,9 @@ def simhash_near_pairs(
 
     Blocking: split the 64-bit signature into ``max_hamming + 1``
     bands; by pigeonhole any pair within the distance agrees on at
-    least one full band, so candidates come from an equi-join on
-    (band_idx, band_value) and only candidates pay the popcount.
+    least one full band, so candidates come from per-(band_idx,
+    band_value) buckets (``bucket_pairs`` — signatures computed once)
+    and only candidates pay the popcount.
     """
     n_bands = max_hamming + 1
     width = 64 // n_bands
@@ -305,11 +347,11 @@ def simhash_near_pairs(
             )
         ).alias("_band", "_bv"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
     xor = F.col("a._simhash").bitwiseXOR(F.col("b._simhash"))
     return (
-        a.join(b, on=["_band", "_bv"])
-        .filter(F.col("a._id") < F.col("b._id"))
+        bucket_pairs(
+            banded, ["_band", "_bv"], F.struct(F.col("_id"), F.col("_simhash"))
+        )
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),

@@ -89,30 +89,30 @@ def brute_force_topk(
     )
 
 
-def _hyperplane(dim: int, plane_idx: int) -> Column:
-    """Deterministic pseudo-random hyperplane: component j is a
-    zero-centered double derived from xxhash64(plane, j)."""
-    return F.array(
-        *[
-            (
-                F.xxhash64(F.lit(f"hp-{plane_idx}-{j}")).cast("double")
-                / F.lit(float(1 << 63))
-            )
-            for j in range(dim)
-        ]
-    )
+def _hyperplane_values(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes, computed driver-side
+    once so each plane becomes a single folded array literal in the
+    plan.  (An earlier version derived components from
+    ``xxhash64(lit)`` expressions per row — never constant-folded,
+    ~1000 interpreted hash evals per row, 20x slower, measured.)"""
+    import random
+
+    rng = random.Random(0x51_6E_AD)
+    return [
+        [rng.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
 
 
 def hyperplane_signature(
-    vec: Column, dim: int, n_planes: int = 16
+    vec: Column, dim: int, n_planes: int = 32
 ) -> Column:
     """r-bit sign signature of a vector under n_planes hyperplanes."""
+    planes = _hyperplane_values(dim, n_planes)
     sig = F.lit(0).cast("long")
     v = _to_double(vec)
-    for i in range(n_planes):
-        bit = F.when(dot(v, _hyperplane(dim, i)) > 0, F.lit(1)).otherwise(
-            F.lit(0)
-        )
+    for i, plane in enumerate(planes):
+        hp = F.array(*[F.lit(c) for c in plane])
+        bit = F.when(dot(v, hp) > 0, F.lit(1)).otherwise(F.lit(0))
         sig = sig.bitwiseOR(
             F.shiftleft(bit.cast("long"), i)
         )
@@ -124,25 +124,29 @@ def lsh_bucketed_pairs(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 16,
+    n_planes: int = 32,
     n_bands: int = 4,
     min_cosine: float = 0.0,
 ) -> DataFrame:
     """Candidate near-neighbor pairs via hyperplane-LSH band blocking.
 
-    Signature split into bands; equi-join on (band, band_bits) yields
-    candidates; exact cosine computed only within buckets.  Output:
-    (id_a, id_b, cosine_sim).
+    Signatures are computed once; candidate id pairs come from
+    per-(band, band_bits) buckets (``bucket_pairs`` — no self-join, so
+    the signature expression isn't evaluated once per join side), are
+    deduped across bands, and only then are the vectors joined back for
+    the exact cosine.  Carrying ids (8 bytes) instead of vectors
+    through the bucket shuffle keeps the wide rows out of the skewed
+    stage.  Output: (id_a, id_b, cosine_sim).
     """
+    from .dedup import bucket_pairs
+
     width = n_planes // n_bands
     base = spread(df).select(
         F.col(id_col).alias("_id"),
-        _to_double(F.col(vec_col)).alias("_v"),
         hyperplane_signature(F.col(vec_col), dim, n_planes).alias("_sig"),
     )
     banded = base.select(
         "_id",
-        "_v",
         F.posexplode(
             F.array(
                 *[
@@ -154,15 +158,25 @@ def lsh_bucketed_pairs(
             )
         ).alias("_band", "_bv"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(b, on=["_band", "_bv"])
-        .filter(F.col("a._id") < F.col("b._id"))
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            cosine(F.col("a._v"), F.col("b._v")).alias("cosine_sim"),
-        )
+    candidates = (
+        bucket_pairs(banded, ["_band", "_bv"], F.col("_id"))
+        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
         .distinct()
+    )
+    vecs = df.select(
+        F.col(id_col).alias("_vid"), _to_double(F.col(vec_col)).alias("_v")
+    )
+    return (
+        candidates.join(vecs, candidates.id_a == vecs._vid)
+        .withColumnRenamed("_v", "_va")
+        .drop("_vid")
+        .join(vecs, candidates.id_b == vecs._vid)
+        .withColumnRenamed("_v", "_vb")
+        .drop("_vid")
+        .select(
+            "id_a",
+            "id_b",
+            cosine(F.col("_va"), F.col("_vb")).alias("cosine_sim"),
+        )
         .filter(F.col("cosine_sim") >= min_cosine)
     )

@@ -108,7 +108,7 @@ def emb_label_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emb_lsh_pairs",
     oracle=None,  # hyperplanes derived from xxhash64 -> rows-only check
     description="Hyperplane-LSH bucketed candidate pairs (sub-quadratic "
-    "ANN scale path; 16 planes, 4 bands)",
+    "ANN scale path; 32 planes, 4 bands of 8 bits)",
 )
 def emb_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
