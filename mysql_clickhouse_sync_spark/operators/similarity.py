@@ -89,6 +89,96 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer.
+
+    The standard two-level ANN layout: a small deterministic centroid
+    sample is collected driver-side (n_centroids * dim floats — the
+    coarse quantizer is tiny by design, exactly how FAISS-style IVF
+    trains on a sample), every corpus vector is assigned to its
+    nearest centroid in ONE narrow pass against folded centroid
+    literals, and each query probes only the ``nprobe`` nearest
+    inverted lists.  Work drops from |corpus| x |queries| to
+    ~(nprobe / n_centroids) of it; recall < 1 by construction, so the
+    driver check is rows-only.
+
+    Output: (query_id, neighbor_id, cosine_sim, rnk).
+    """
+    from pyspark.sql import Window
+
+    # Deterministic coarse quantizer: smallest ids, stable order.
+    cent_rows = (
+        corpus.select(F.col(id_col).alias("i"), _to_double(F.col(vec_col)).alias("v"))
+        .orderBy("i")
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = [
+        F.array(*[F.lit(float(x)) for x in r["v"]]) for r in cent_rows
+    ]
+
+    def ranked_lists(v: Column) -> Column:
+        """array<struct<negdot,double, cid,int>> sorted best-first
+        (struct sort is lexicographic, so ties break on centroid id)."""
+        return F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        (-dot(v, c)).alias("negdot"),
+                        F.lit(ci).cast("int").alias("cid"),
+                    )
+                    for ci, c in enumerate(cents)
+                ]
+            )
+        )
+
+    assigned = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        _to_double(F.col(vec_col)).alias("_cv"),
+        F.element_at(ranked_lists(_to_double(F.col(vec_col))), 1)["cid"].alias("_cid"),
+    )
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        _to_double(F.col(vec_col)).alias("_qv"),
+        F.explode(
+            F.transform(
+                F.slice(ranked_lists(_to_double(F.col(vec_col))), 1, nprobe),
+                lambda s: s["cid"],
+            )
+        ).alias("_cid"),
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), on="_cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine_sim",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
 def _hyperplane_values(dim: int, n_planes: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes, computed driver-side
     once so each plane becomes a single folded array literal in the

@@ -55,6 +55,7 @@ def all_queries() -> dict[str, Query]:
     from . import events_queries  # noqa: F401
     from . import text_queries  # noqa: F401
     from . import similarity_queries  # noqa: F401
+    from . import sql_queries  # noqa: F401
 
     return dict(_REGISTRY)
 

@@ -10,7 +10,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.similarity import brute_force_topk, cosine, lsh_bucketed_pairs, _to_double
+from ..operators.similarity import (
+    brute_force_topk,
+    cosine,
+    ivf_topk,
+    lsh_bucketed_pairs,
+    _to_double,
+)
 from ..sources.parquet import load_table
 from .registry import register
 
@@ -106,10 +112,22 @@ def emb_label_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "emb_lsh_pairs",
-    oracle=None,  # hyperplanes derived from xxhash64 -> rows-only check
+    oracle=None,  # engine-specific random hyperplanes -> rows-only check
     description="Hyperplane-LSH bucketed candidate pairs (sub-quadratic "
     "ANN scale path; 32 planes, 4 bands of 8 bits)",
 )
 def emb_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_bucketed_pairs(emb, dim=_DIM, min_cosine=0.3)
+
+
+@register(
+    "emb_ivf_topk",
+    oracle=None,  # approximate (recall < 1 by design) -> rows-only
+    description="IVF coarse-quantized ANN top-5 (16 inverted lists, "
+    "nprobe=4): the sub-linear scale path next to emb_cosine_topk",
+)
+def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4)

@@ -6,6 +6,8 @@ import math
 
 from pyspark.sql import Row
 
+from conftest import SF_DIR
+
 from mysql_clickhouse_sync_spark.operators.similarity import (
     brute_force_topk,
     lsh_bucketed_pairs,
@@ -65,3 +67,35 @@ def test_lsh_bucketed_pairs_finds_parallel_vectors(spark):
     assert (2, 3) in pairs
     assert (0, 2) not in pairs  # opposite direction: different buckets
     assert pairs[(0, 1)] > 0.999
+
+
+def test_ivf_topk_high_recall_vs_brute_force(spark):
+    """IVF with nprobe=4 of 8 centroids should recover most true
+    neighbors on a small corpus; exact per-query ordering and
+    determinism are required regardless of recall."""
+    from mysql_clickhouse_sync_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+    from mysql_clickhouse_sync_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    ivf = ivf_topk(emb, queries, k=3, n_centroids=8, nprobe=4)
+    exact = brute_force_topk(emb, queries, k=3)
+    got = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    want = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    assert got, "IVF returned nothing"
+    # every query produced ranked results with rnk starting at 1
+    per_q = {}
+    for r in ivf.collect():
+        per_q.setdefault(r.query_id, []).append(r.rnk)
+    assert all(sorted(v)[0] == 1 for v in per_q.values())
+    # recall@3 with half the lists probed should be decent
+    recall = len(got & want) / len(want)
+    assert recall >= 0.5, f"recall {recall}"
+    # deterministic across runs
+    again = {(r.query_id, r.neighbor_id) for r in ivf_topk(
+        emb, queries, k=3, n_centroids=8, nprobe=4).collect()}
+    assert got == again
