@@ -1,0 +1,120 @@
+"""Multimodal + verification query surface.
+
+Media queries derive a deterministic binary payload column from
+``documents.text`` (UTF-8 bytes) so the **real** Arrow-batched
+``mapInPandas`` decode plumbing (operators/multimodal.py) runs against
+harness data — and, because sha-256 and byte length are pure functions
+of the payload, DuckDB can oracle-check the Python stage end-to-end.
+The codec itself stays stubbed (not in this container); everything
+Spark-side — schema, batching, partitioning — is the production path.
+
+Verification queries expose the anti-join row-diff upgrade over the
+reference's count-only check (``/root/reference/src/replicator.py:69-81``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.cdc import live_view
+from ..operators.multimodal import (
+    decode_and_featurize,
+    media_dedup_keys,
+    sample_frames,
+)
+from ..sources.changelog import ORDERS_PK
+from ..sources.parquet import load_table
+from .cdc_queries import _applied_orders
+from .registry import register
+
+
+def _docs_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> MEDIA_SCHEMA-shaped frame: payload = UTF-8 bytes of
+    the text, metadata typed, kind assigned deterministically."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        ((F.col("doc_id") % 5 + 1) * 1000).cast("int").alias("duration_ms"),
+    )
+
+
+@register(
+    "media_decode_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+    description="Arrow-batched mapInPandas decode/feature stage over "
+    "binary payloads — the Python boundary itself oracle-checked "
+    "(sha-256 + byte length recomputed by DuckDB)",
+)
+def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _docs_as_media(spark, sf_dir)
+    return decode_and_featurize(media, decode_kind="fake").select(
+        "media_id", "kind", "n_bytes", "sha256"
+    )
+
+
+@register(
+    "media_exact_dedup",
+    oracle="""
+    SELECT CAST(min(doc_id) AS BIGINT) AS media_id,
+           CAST(count(*) AS BIGINT) AS n_dups,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    GROUP BY sha256(text), octet_length(encode(text))
+    """,
+    description="Exact media dedup by JVM-side content hash (sha2 over "
+    "the binary column, min-id keeper; petabyte-media pattern)",
+)
+def media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = media_dedup_keys(_docs_as_media(spark, sf_dir))
+    return (
+        keys.groupBy("content_sha256", "n_bytes")
+        .agg(F.min("media_id").alias("media_id"), F.count("*").alias("n_dups"))
+        .select("media_id", "n_dups", "n_bytes")
+    )
+
+
+@register(
+    "media_frame_sample",
+    oracle=None,  # 1:N generator over synthetic durations -> rows-only
+    description="Video frame sampling as a 1:N mapInPandas stage "
+    "(demuxer stubbed; batch shape and cadence logic real)",
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _docs_as_media(spark, sf_dir)
+    return sample_frames(media, every_ms=1000, decode_kind="fake").select(
+        "media_id", "frame_idx", "ts_ms", F.length("frame").alias("frame_bytes")
+    )
+
+
+@register(
+    "cdc_tombstoned_keys",
+    oracle="""
+    SELECT o_orderkey FROM orders
+    WHERE o_orderkey % 7 = 1 AND o_orderkey % 14 <> 1
+    """,
+    description="Row-level replication diff via left-anti join "
+    "(verify_diff upgrade over the reference's count-only check): "
+    "snapshot keys no longer present in the live view = net deletes",
+)
+def cdc_tombstoned_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    snapshot = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    live = live_view(_applied_orders(spark, sf_dir), ORDERS_PK).select(
+        "o_orderkey"
+    )
+    return snapshot.join(live, on="o_orderkey", how="left_anti")
