@@ -1,0 +1,59 @@
+"""Physical-plan assertions: the plans we designed for 100 TB must stay
+the plans Catalyst actually produces.
+
+These guard the scale properties the engine's docs claim: dimension
+joins broadcast, scans prune columns and push predicates, dedup-latest
+costs exactly one shuffle, global top-k never global-sorts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+from mysql_clickhouse_sync_spark.operators.cdc import dedup_latest
+from mysql_clickhouse_sync_spark.plans.registry import all_queries
+from mysql_clickhouse_sync_spark.sources.parquet import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dim_joins_broadcast(spark):
+    for name in ("q3_shipping_priority", "q5_local_supplier_volume",
+                 "q10_returned_items"):
+        plan = _plan(all_queries()[name].fn(spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join"
+        assert "SortMergeJoin" not in plan, f"{name}: dim join shuffled"
+
+
+def test_scan_prunes_columns_and_pushes_filters(spark):
+    q6 = all_queries()["q6_forecast_revenue"].fn(spark, SF_DIR)
+    plan = _plan(q6)
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_shipdate)" in plan or "GreaterThan" in plan
+    # projection pruning: the scan must not read the 11-column lineitem
+    read = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_orderkey" not in read, f"over-wide scan: {read}"
+    assert "l_extendedprice" in read
+
+
+def test_dedup_latest_is_single_shuffle(spark):
+    li = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).withColumn("_version", F.lit(0).cast("long"))
+    plan = _plan(dedup_latest(li, ["o_orderkey"]))
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_global_topk_avoids_full_sort(spark):
+    plan = _plan(all_queries()["top_orders"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_media_decode_never_shuffles_payload(spark):
+    """The decoded output drops the binary payload before anything
+    downstream can shuffle it (multimodal scale contract)."""
+    df = all_queries()["media_decode_features"].fn(spark, SF_DIR)
+    assert "payload" not in df.columns
