@@ -33,6 +33,46 @@ HEADLINE = (
 )
 
 
+def throughput_metrics(spark, sf_dir: str) -> dict[str, float]:
+    """Directly comparable to BASELINE.md: the reference estimates
+    ~50k-200k rows/sec snapshot copy and ~1k-5k events/sec CDC apply
+    (insert-per-event).  Ours: declarative scan->sort->write for the
+    snapshot path; stamp + microbatch append for the CDC path."""
+    import shutil
+    import tempfile
+
+    from mysql_clickhouse_sync_spark.operators.cdc import stamp_changelog
+    from mysql_clickhouse_sync_spark.sources.changelog import (
+        derive_orders_changelog,
+    )
+    from mysql_clickhouse_sync_spark.sources.parquet import load_table
+
+    tmp = tempfile.mkdtemp(prefix="bench_tp_")
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        n_rows = li.count()
+        t0 = time.time()
+        li.sortWithinPartitions("l_orderkey", "l_linenumber").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(tmp, "lineitem"))
+        snap_s = time.time() - t0
+
+        orders = load_table(spark, sf_dir, "orders")
+        changes = stamp_changelog(
+            derive_orders_changelog(orders), op_col="op", seq_col="seq"
+        )
+        n_events = changes.count()
+        t0 = time.time()
+        changes.write.mode("overwrite").parquet(os.path.join(tmp, "cdc"))
+        cdc_s = time.time() - t0
+        return {
+            "snapshot_rows_per_sec": round(n_rows / snap_s),
+            "cdc_events_per_sec": round(n_events / cdc_s),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -52,6 +92,7 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    tp = throughput_metrics(spark, sf_dir)
     print(
         json.dumps(
             {
@@ -60,6 +101,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                **tp,
             }
         )
     )

@@ -1,0 +1,98 @@
+"""Event-time streaming operators: watermarked windows and custom
+Pandas-backed state.
+
+The reference has no event-time windowing — its late/duplicate policy
+is structural last-writer-wins (SURVEY.md §2.9, "watermarks: none").
+These operators are the extension surface a streaming analytics user
+expects on top of the CDC tables:
+
+* ``watermarked_window_counts`` — tumbling/sliding event-time windows
+  with a watermark bounding state: late rows inside the watermark
+  still land in their window; rows older than the watermark are
+  dropped and their window's state has already been freed.  In append
+  mode a window only emits once the watermark passes its end —
+  exactly-once window results under at-least-once input.
+* ``stateful_user_totals`` — ``applyInPandasWithState``: arbitrary
+  per-key state (running totals here) maintained across microbatches
+  in the state store, Arrow-batched on the Python side.  The shape to
+  copy for custom stateful operators (sessionizers, CDC enrichment
+  caches) that windows can't express.
+
+Scale notes: watermark state is O(open windows x groups); the state
+store is RocksDB-backed on a real cluster.  ``applyInPandasWithState``
+shuffles by key once; state lives with the partition, so key skew is
+the thing to watch (salt upstream if one user dominates).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING, Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+OUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+STATE_SCHEMA = "n bigint, total double"
+
+
+def watermarked_window_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Event-time windowed counts/sums with bounded state."""
+    win = (
+        F.window(ts_col, window) if slide is None
+        else F.window(ts_col, window, slide)
+    )
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def _totals_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator["pd.DataFrame"],
+    state: GroupState,
+) -> Iterator["pd.DataFrame"]:
+    import pandas as pd
+
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+def stateful_user_totals(stream: DataFrame) -> DataFrame:
+    """Running per-user totals across microbatches via
+    ``applyInPandasWithState`` (update-mode output: one refreshed row
+    per user per microbatch it appears in)."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _totals_fn,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,122 @@
+"""Watermarked window + applyInPandasWithState behavior tests.
+
+Each uses a JSON file changelog processed with maxFilesPerTrigger=1 so
+file boundaries become microbatch boundaries deterministically.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from mysql_clickhouse_sync_spark.streaming.windows import (
+    stateful_user_totals,
+    watermarked_window_counts,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("ts", TimestampType(), False),
+        StructField("user_id", LongType(), False),
+        StructField("event_type", StringType(), False),
+        StructField("value", DoubleType(), True),
+    ]
+)
+
+
+def _write(path, rows, name):
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _stream(spark, path):
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(path)
+    )
+
+
+def test_watermarked_windows_emit_closed_windows(spark, tmp_path):
+    src = str(tmp_path / "ev")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    # batch 1: two events in the 10:00 window, one in 11:00
+    _write(src, [
+        {"ts": "2024-01-01 10:05:00", "user_id": 1, "event_type": "c", "value": 1.0},
+        {"ts": "2024-01-01 10:20:00", "user_id": 2, "event_type": "c", "value": 2.0},
+        {"ts": "2024-01-01 11:10:00", "user_id": 1, "event_type": "c", "value": 4.0},
+    ], "f1.json")
+    # batch 2: a LATE row for 10:00 (inside the 2h watermark -> counted)
+    # plus a far-future row that advances the watermark past 11:00+2h,
+    # closing both earlier windows.
+    _write(src, [
+        {"ts": "2024-01-01 10:40:00", "user_id": 3, "event_type": "c", "value": 8.0},
+        {"ts": "2024-01-02 09:00:00", "user_id": 9, "event_type": "c", "value": 0.0},
+    ], "f2.json")
+
+    q = (
+        watermarked_window_counts(_stream(spark, src))
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        str(r.window_start): (r.n_events, r.total_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got.get("2024-01-01 10:00:00") == (3, 11.0), got  # late row counted
+    assert got.get("2024-01-01 11:00:00") == (1, 4.0), got
+    # far-future window still open -> not emitted in append mode
+    assert "2024-01-02 09:00:00" not in got
+
+
+def test_stateful_totals_carry_across_microbatches(spark, tmp_path):
+    src = str(tmp_path / "ev2")
+    out = str(tmp_path / "out2")
+    ck = str(tmp_path / "ck2")
+    _write(src, [
+        {"ts": "2024-01-01 10:00:00", "user_id": 1, "event_type": "c", "value": 1.0},
+        {"ts": "2024-01-01 10:01:00", "user_id": 1, "event_type": "c", "value": 2.0},
+        {"ts": "2024-01-01 10:02:00", "user_id": 2, "event_type": "c", "value": 5.0},
+    ], "f1.json")
+    _write(src, [
+        {"ts": "2024-01-01 11:00:00", "user_id": 1, "event_type": "c", "value": 10.0},
+    ], "f2.json")
+
+    def sink(df, _id):
+        df.write.mode("append").parquet(out)
+
+    q = (
+        stateful_user_totals(_stream(spark, src))
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(out).collect()
+    # user 1 appears in both microbatches: first snapshot (2, 3.0),
+    # then the state-carried update (3, 13.0).
+    per_user_final = {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.n_events)):
+        per_user_final[r.user_id] = (r.n_events, r.total_value)
+    assert per_user_final[1] == (3, 13.0)
+    assert per_user_final[2] == (1, 5.0)
+    assert (1, 2, 3.0) in {(r.user_id, r.n_events, r.total_value) for r in rows}
