@@ -1,0 +1,112 @@
+"""Remaining relational shapes: pivot, cube, exact percentiles, and
+deterministic stratified sampling.
+
+Training-data pipelines lean on the sampler (per-stratum rates without
+``rand()`` — content/id-derived so re-runs and retried tasks pick the
+same rows) and percentile profiling; pivot/cube round out the grouping
+surface next to analytics.py's ROLLUP.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+from .registry import register
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "events_type_pivot",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+           CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+           CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+    FROM events GROUP BY date_trunc('day', ts)
+    """,
+    description="Pivot (long->wide) with an explicit value list — no "
+    "extra distinct-values job, single aggregation pass",
+)
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    # pivot leaves null for absent combos; the oracle's FILTER gives 0
+    return out.select(
+        "day",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
+    )
+
+
+@register(
+    "events_value_percentiles",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+    description="Exact interpolated percentiles (sort-based; the "
+    "approx_percentile sketch is the 100 TB path, exact is the oracle)",
+)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("p50"),
+        F.percentile("value", F.lit(0.9)).alias("p90"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "lineitem_cube_stats",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2))
+               AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    description="CUBE grouping sets (all 2^k subtotal combinations in "
+    "one pass) — completes the rollup/cube/pivot grouping surface",
+)
+def lineitem_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("decimal(38,2)")
+            .alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "docs_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, source FROM documents
+    WHERE (lang = 'en' AND doc_id % 2 = 0)
+       OR (lang <> 'en' AND doc_id % 5 = 0)
+    """,
+    description="Deterministic stratified sampling (50% en, 20% rest) "
+    "keyed on the id, not rand() — retried tasks and re-runs select "
+    "identical rows, the property a training-data pipeline needs",
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    keep = F.when(
+        F.col("lang") == "en", F.col("doc_id") % 2 == 0
+    ).otherwise(F.col("doc_id") % 5 == 0)
+    return docs.filter(keep).select("doc_id", "lang", "source")
