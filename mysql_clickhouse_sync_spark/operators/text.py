@@ -134,3 +134,41 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         ),
     )
     return df.withColumn("fingerprint", fp)
+
+
+# GPT-2-style pre-tokenizer pattern, restricted to the lookahead-free
+# subset so the IDENTICAL pattern runs under Java regex (Spark) and
+# RE2 (DuckDB oracle): contractions, space-prefixed letter runs,
+# digit runs, punctuation runs, residual whitespace.
+BPE_PRETOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?\p{L}+"
+    r"| ?\p{N}+"
+    r"| ?[^\s\p{L}\p{N}]+"
+    r"|\s+"
+)
+
+
+def subword_tokens_col(text: Column) -> Column:
+    """BPE-ish subword pre-tokens (the unit a byte-pair tokenizer
+    would merge from) — ``regexp_extract_all`` on the shared pattern,
+    JVM-side."""
+    return F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_PATTERN), 0)
+
+
+def with_subword_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc subword counts: total pre-tokens, non-whitespace
+    pre-tokens (≈ what a tokenizer would emit), and the
+    chars-per-token compression ratio every data pipeline tracks."""
+    toks = subword_tokens_col(F.col(text_col))
+    non_ws = F.filter(toks, lambda t: t.rlike(r"\S"))
+    return df.withColumns(
+        {
+            "n_pretokens": F.size(toks).cast("long"),
+            "n_subwords": F.size(non_ws).cast("long"),
+            "chars_per_subword": (
+                F.length(text_col).cast("double")
+                / F.greatest(F.size(non_ws), F.lit(1))
+            ),
+        }
+    )

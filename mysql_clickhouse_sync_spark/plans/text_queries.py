@@ -225,3 +225,37 @@ def docs_lang_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").cast("long").alias("max_chars"),
         )
     )
+
+
+_SQL_BPE_PAT = (
+    r"''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+@register(
+    "docs_subword_tokens",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               regexp_extract_all(text, '{_SQL_BPE_PAT}') AS pre,
+               length(text) AS n_chars_t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(pre) AS BIGINT) AS n_pretokens,
+           CAST(len(list_filter(pre, x -> regexp_matches(x, '\\S')))
+                AS BIGINT) AS n_subwords,
+           CAST(n_chars_t AS DOUBLE)
+               / greatest(len(list_filter(pre, x -> regexp_matches(x, '\\S'))), 1)
+               AS chars_per_subword
+    FROM t
+    """,
+    description="BPE-ish subword pre-tokenization (GPT-2-style regex, "
+    "lookahead-free so the identical pattern runs in both engines)",
+)
+def docs_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import with_subword_stats
+
+    return with_subword_stats(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "n_pretokens", "n_subwords", "chars_per_subword"
+    )
