@@ -1,0 +1,92 @@
+"""Temporal operators: as-of join.
+
+Spark has no ASOF JOIN (kdb/Pandas/DuckDB do).  The naive encoding —
+``l JOIN r ON key AND r.ts <= l.ts`` + argmax — explodes to the full
+range-join pair count before pruning.  This implementation is the
+single-shuffle formulation:
+
+    union(left, right) -> window per key ordered by (ts, side) ->
+    carry forward the last right-row payload struct
+
+i.e. a sort-merge over the union where each left row picks up the most
+recent right row at or before its timestamp.  The payload travels as
+ONE struct so a right row is matched atomically (per-column carry
+would mix columns from different right rows when payloads hold
+nulls).  Cost: one hash shuffle on the key + an in-partition sort —
+the same price as any windowed op, independent of how many right rows
+precede each left row.
+
+At 100 TB: the window partitions by the join key, so key cardinality
+drives parallelism (salt upstream if one key dominates); no state is
+held beyond the sort, and no broadcast is required on either side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "__side"   # 0 = right (sorts first at equal ts), 1 = left
+_PAY = "__rpay"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of left join: each left row gains the payload of the
+    latest right row with ``right_ts <= left_ts`` for the same keys
+    (inclusive at equality, like DuckDB ``ASOF JOIN``); left rows with
+    no prior right row keep nulls.
+
+    ``right_cols`` defaults to every non-key, non-ts right column;
+    each is emitted as ``<col><suffix>``.
+    """
+    keys = list(keys)
+    if right_cols is None:
+        right_cols = [
+            c for c in right.columns if c not in keys and c != right_ts
+        ]
+    payload = list(right_cols)
+
+    pay_struct = F.struct(*[F.col(c) for c in payload])
+    pay_type = right.select(pay_struct.alias(_PAY)).schema[_PAY].dataType
+
+    l_tagged = left.select(
+        *left.columns,
+        F.lit(1).alias(_SIDE),
+        F.col(left_ts).alias("__ts"),
+        F.lit(None).cast(pay_type).alias(_PAY),
+    )
+    r_tagged = right.select(
+        *keys,
+        F.lit(0).alias(_SIDE),
+        F.col(right_ts).alias("__ts"),
+        pay_struct.alias(_PAY),
+    )
+    for c in left.columns:
+        if c not in r_tagged.columns:
+            r_tagged = r_tagged.withColumn(
+                c, F.lit(None).cast(dict(left.dtypes)[c])
+            )
+
+    unioned = l_tagged.unionByName(r_tagged.select(l_tagged.columns))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts"), F.col(_SIDE))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        _PAY, F.last(_PAY, ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col(_SIDE) == 1).select(
+        *left.columns,
+        *[F.col(f"{_PAY}.{c}").alias(f"{c}{suffix}") for c in payload],
+    )

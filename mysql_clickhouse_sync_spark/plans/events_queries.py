@@ -193,3 +193,39 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("window_start"), "n_events", "n_users")
     )
+
+
+@register(
+    "events_last_purchase_asof",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts, e.event_type,
+           p.ts AS purchase_ts, p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type <> 'purchase') e
+    ASOF LEFT JOIN (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ) p ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+    description="As-of join (single-shuffle union+window formulation "
+    "of the operator Spark lacks) vs DuckDB's native ASOF JOIN: each "
+    "event annotated with the user's latest prior purchase",
+)
+def events_last_purchase_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        left, right, ["user_id"], "ts", "ts", ["ts", "value"]
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.col("ts_asof").alias("purchase_ts"),
+        F.col("value_asof").alias("purchase_value"),
+    )
