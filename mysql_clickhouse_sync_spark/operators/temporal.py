@@ -30,6 +30,71 @@ from pyspark.sql import functions as F
 
 _SIDE = "__side"   # 0 = right (sorts first at equal ts), 1 = left
 _PAY = "__rpay"
+_BUCKET = "__bucket"
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+    keys: Sequence[str] = (),
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join (``start <= point < end``) via bucket
+    chunking.
+
+    The naive encoding is a cross/theta join filtered afterwards —
+    |points| x |intervals| pairs before pruning, which Spark plans as
+    BroadcastNestedLoopJoin and which dies at scale.  Chunking maps
+    every interval to each fixed-width bucket it overlaps (explode of a
+    ``sequence`` — narrow) and every point to exactly one bucket, so
+    the work becomes an EQUI-join on (keys..., bucket) + a residual
+    range filter; shuffle volume tracks actual overlap density, not
+    the cross product.  Columns are numeric (cast timestamps with
+    ``unix_micros`` upstream); pick ``bucket_width`` near the median
+    interval length so intervals land in O(1) buckets each.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"range_join supports inner/left, got {how}")
+    keys = list(keys)
+    p = points.withColumn(
+        _BUCKET, F.floor(F.col(point_col) / bucket_width).cast("long")
+    )
+    iv = intervals.withColumn(
+        _BUCKET,
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bucket_width).cast("long"),
+                # end is exclusive: the end-boundary bucket only matters
+                # when the interval extends into it
+                F.floor(
+                    (F.col(end_col) - F.lit(1)) / bucket_width
+                ).cast("long"),
+            )
+        ),
+    )
+    cond = (F.col(start_col) <= F.col(point_col)) & (
+        F.col(point_col) < F.col(end_col)
+    )
+    joined = p.join(iv, on=[*keys, _BUCKET], how="inner").filter(cond).drop(
+        _BUCKET
+    )
+    if how == "inner":
+        return joined
+    # left: re-attach unmatched points with null interval columns
+    matched_keys = joined.select(*points.columns).distinct()
+    unmatched = points.join(
+        matched_keys, on=list(points.columns), how="left_anti"
+    )
+    for c in joined.columns:
+        if c not in unmatched.columns:
+            unmatched = unmatched.withColumn(
+                c, F.lit(None).cast(dict(joined.dtypes)[c])
+            )
+    return joined.unionByName(unmatched.select(joined.columns))
 
 
 def asof_join(

@@ -110,3 +110,52 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang") == "en", F.col("doc_id") % 2 == 0
     ).otherwise(F.col("doc_id") % 5 == 0)
     return docs.filter(keep).select("doc_id", "lang", "source")
+
+
+@register(
+    "orders_in_promo_windows",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+               AS promo_value
+    FROM orders
+    WHERE EXTRACT(month FROM o_orderdate) >= 10
+    GROUP BY EXTRACT(year FROM o_orderdate)
+    """,
+    description="Range join (bucket-chunked point-in-interval, the "
+    "equi-join rewrite of the theta join Spark would nested-loop): "
+    "orders matched into derived Q4 promo windows",
+)
+def orders_in_promo_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import range_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    points = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("p_us"),
+    )
+    windows = (
+        orders.select(F.year("o_orderdate").alias("yr"))
+        .distinct()
+        .select(
+            "yr",
+            F.unix_micros(
+                F.to_timestamp(F.format_string("%d-10-01", F.col("yr")))
+            ).alias("s_us"),
+            F.unix_micros(
+                F.to_timestamp(F.format_string("%d-01-01", F.col("yr") + 1))
+            ).alias("e_us"),
+        )
+    )
+    month_us = 30 * 24 * 3600 * 1_000_000
+    matched = range_join(
+        points, windows, "p_us", "s_us", "e_us", bucket_width=month_us
+    )
+    return matched.groupBy("yr").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("decimal(38,2)")
+        .alias("promo_value"),
+    )

@@ -53,3 +53,33 @@ def test_asof_row_count_preserved(spark):
     assert out.count() == 10
     matched = {r.k: r.v_asof for r in out.collect()}
     assert matched[0] == 0.0 and matched[2] == 2.0 and matched[5] is None
+
+
+def test_range_join_matches_naive(spark):
+    from mysql_clickhouse_sync_spark.operators.temporal import range_join
+    import pyspark.sql.functions as F
+
+    points = spark.range(0, 200).selectExpr("id as p")
+    intervals = spark.createDataFrame(
+        [(0, 10, "a"), (5, 50, "b"), (100, 101, "c"), (150, 300, "d"),
+         (42, 42, "empty")],
+        "s long, e long, name string",
+    )
+    fast = range_join(points, intervals, "p", "s", "e", bucket_width=16)
+    naive = points.crossJoin(intervals).filter(
+        (F.col("s") <= F.col("p")) & (F.col("p") < F.col("e"))
+    )
+    assert sorted(map(tuple, fast.select("p", "name").collect())) == sorted(
+        map(tuple, naive.select("p", "name").collect())
+    )
+
+
+def test_range_join_left_keeps_unmatched_points(spark):
+    from mysql_clickhouse_sync_spark.operators.temporal import range_join
+
+    points = spark.range(0, 10).selectExpr("id as p")
+    intervals = spark.createDataFrame([(2, 4, "x")], "s long, e long, nm string")
+    out = range_join(points, intervals, "p", "s", "e", 8, how="left")
+    assert out.count() == 10
+    got = {r.p: r.nm for r in out.collect()}
+    assert got[2] == "x" and got[3] == "x" and got[5] is None
