@@ -22,14 +22,22 @@ HEADLINE = (
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q10_returned_items",
+    "q18_large_volume_customers",
     "segment_order_stats",
     "customer_top_orders",
+    "sql_region_revenue",
     "events_sessionization",
     "events_daily_type_stats",
+    "events_last_purchase_asof",
+    "orders_in_promo_windows",
     "docs_exact_dedup",
     "docs_top_jaccard_pairs",
     "docs_minhash_candidates",
+    "docs_subword_tokens",
     "emb_cosine_topk",
+    "emb_ivf_topk",
+    "media_decode_features",
 )
 
 
@@ -80,15 +88,27 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()
 
-    # Warm the JVM / codegen once with a trivial action.
+    # Warm the JVM / codegen once with a trivial action, and the
+    # Python worker fleet (reused across queries) with a no-op
+    # mapInPandas so Arrow-UDF timings measure the operator, not
+    # interpreter startup.
     registry["top_orders"].fn(spark, sf_dir).collect()
+    spark.range(0, 1024, 1, 32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
+    # Best-of-2 per query: the container host is shared, and single
+    # runs show up to 5x transient jitter; the min reflects the actual
+    # plan cost.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = registry[name]
-        t0 = time.time()
-        n = q.fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.time()
+            n = q.fn(spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
