@@ -26,6 +26,31 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int,
+    sort_cols: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Write a hash-bucketed catalog table (``bucketBy`` requires
+    ``saveAsTable``).  Two tables bucketed on the same keys with the
+    same bucket count join WITHOUT an exchange — the shuffle was paid
+    once at write time, then amortized over every subsequent join.
+    The bucketing metadata lives in the catalog, so Catalyst proves
+    co-partitioning statically (verified in tests/test_layout.py).
+
+    This is the Spark analogue of the reference's MergeTree ORDER BY
+    clustering taken one step further: layout chosen for the JOIN
+    pattern, not just the scan pattern.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)
+
+
 def write_clustered(
     df: DataFrame,
     path: str,

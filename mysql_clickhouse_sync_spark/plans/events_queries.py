@@ -229,3 +229,34 @@ def events_last_purchase_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_asof").alias("purchase_ts"),
         F.col("value_asof").alias("purchase_value"),
     )
+
+
+@register(
+    "events_incremental_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4))
+               AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+               AS avg_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+    description="Hypertable-style continuous rollup: two disjoint "
+    "increments of mergeable partial state (count/sum/min/max) merged "
+    "then read — must equal the one-shot GROUP BY the oracle runs",
+)
+def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rollup import rollup_increment, rollup_merge, rollup_read
+
+    ev = load_table(spark, sf_dir, "events")
+    # Two refresh cycles: an initial slice and a later slice (split on
+    # event_id parity so both touch every bucket — the hard case where
+    # merge must combine, not just append).
+    first = rollup_increment(ev.filter(F.col("event_id") % 2 == 0))
+    second = rollup_increment(ev.filter(F.col("event_id") % 2 == 1))
+    return rollup_read(rollup_merge(first, second))

@@ -39,3 +39,35 @@ def test_clustered_files_bounded(spark, tmp_path):
     for d in days:
         files = [f for f in glob.glob(d + "/*") if f.endswith(".parquet")]
         assert len(files) <= 2, f"{d}: {len(files)} files"
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Same-key same-count bucketed tables must join with zero
+    shuffles (the write-once, join-many layout)."""
+    from mysql_clickhouse_sync_spark.pipeline.layout import write_bucketed
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_bucketed(li, "b_lineitem", ["l_orderkey"], 8, ["l_orderkey"])
+    write_bucketed(orders, "b_orders", ["o_orderkey"], 8, ["o_orderkey"])
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table("b_lineitem").join(
+                spark.table("b_orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan
+            assert j.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
