@@ -643,3 +643,116 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
         .select("p_partkey", "p_name", "cheapest_suppkey", "unit_price")
     )
+
+
+@register(
+    "q4_late_shipment_orders",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+    description="TPC-H Q4 shape: EXISTS semi-join with a correlated "
+    "inequality (shipment later than 60 days after the order)",
+)
+def q4_late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+@register(
+    "q11_part_value_concentration",
+    oracle=f"""
+    WITH pv AS (
+        SELECT l_partkey,
+               CAST(SUM({_SQL_DISC_PRICE}) AS DECIMAL(38,4)) AS part_value
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, part_value FROM pv
+    WHERE part_value > (
+        SELECT CAST(SUM({_SQL_DISC_PRICE}) * 0.001 AS DECIMAL(38,4))
+        FROM lineitem
+    )
+    """,
+    description="TPC-H Q11 shape: HAVING against a scalar fraction of "
+    "the global total (1-row aggregate broadcast, no second scan of "
+    "the grouped data)",
+)
+def q11_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(_disc_price()).cast("decimal(38,4)").alias("part_value")
+    )
+    threshold = li.agg(
+        (F.sum(_disc_price()) * F.lit(0.001))
+        .cast("decimal(38,4)")
+        .alias("_thr")
+    )
+    return (
+        pv.crossJoin(F.broadcast(threshold))
+        .filter(F.col("part_value") > F.col("_thr"))
+        .select("l_partkey", "part_value")
+    )
+
+
+@register(
+    "q21_last_shipper_in_shared_orders",
+    oracle="""
+    WITH marked AS (
+        SELECT l_orderkey, l_suppkey, l_shipdate,
+               count(DISTINCT l_suppkey) OVER (PARTITION BY l_orderkey)
+                   AS n_supps,
+               row_number() OVER (
+                   PARTITION BY l_orderkey
+                   ORDER BY l_shipdate DESC, l_suppkey, l_linenumber
+               ) AS rn
+        FROM lineitem
+    )
+    SELECT l_suppkey,
+           CAST(count(*) AS BIGINT) AS n_blocking_orders
+    FROM marked WHERE rn = 1 AND n_supps >= 2
+    GROUP BY l_suppkey
+    ORDER BY n_blocking_orders DESC, l_suppkey
+    LIMIT 10
+    """,
+    description="TPC-H Q21 shape: per-order latest shipper among "
+    "multi-supplier orders (two windows over one shuffle, then agg + "
+    "deterministic top-k)",
+)
+def q21_last_shipper_in_shared_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    by_order = Window.partitionBy("l_orderkey")
+    rn = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_shipdate").desc(), F.col("l_suppkey"), F.col("l_linenumber")
+    )
+    marked = li.select(
+        "l_suppkey",
+        F.size(F.collect_set("l_suppkey").over(by_order)).alias("n_supps"),
+        F.row_number().over(rn).alias("rn"),
+    )
+    return (
+        marked.filter((F.col("rn") == 1) & (F.col("n_supps") >= 2))
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_blocking_orders"))
+        .orderBy(F.col("n_blocking_orders").desc(), F.col("l_suppkey"))
+        .limit(10)
+    )
