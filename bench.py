@@ -36,6 +36,7 @@ HEADLINE = (
     "docs_minhash_candidates",
     "docs_subword_tokens",
     "emb_cosine_topk",
+    "emb_cosine_topk_vectorized",
     "emb_ivf_topk",
     "media_decode_features",
 )

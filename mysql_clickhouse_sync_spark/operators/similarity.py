@@ -14,7 +14,10 @@ Two paths, per the standard ANN playbook:
   within buckets.  Sub-quadratic candidate generation like
   MinHash-LSH for text.
 
-No Python UDFs anywhere — everything stays in whole-stage codegen.
+Plus an IVF coarse quantizer (sub-linear probe path) and a
+vectorized Arrow->numpy twin of the brute-force path: the fold stays
+the oracle-reproducible reference, the matmul is the BLAS-rate scale
+path (per-partition local top-k, O(k x partitions) shuffle).
 """
 
 from __future__ import annotations
@@ -86,6 +89,85 @@ def brute_force_topk(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def brute_force_topk_vectorized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine via Arrow-batched numpy matmul — the
+    vectorized twin of :func:`brute_force_topk`.
+
+    The JVM higher-order-function fold is oracle-reproducible but runs
+    interpreted (~100x slower per FLOP than BLAS); at real corpus
+    sizes the matmul path wins.  Distribution pattern:
+
+    1. collect the (small by contract) query matrix to the driver and
+       close over it (broadcast via task serialization);
+    2. per Arrow batch: one ``C @ Q.T`` and an ``argpartition`` keeps
+       only the batch-local top-k per query — each partition emits at
+       most k rows per query, so the shuffle carries
+       O(k x partitions x queries), never O(|corpus| x |queries|);
+    3. a final ranking window merges the partition winners.
+
+    Scores are float64 matmul results (pairwise summation), so they
+    can differ from the sequential fold in the last ulp — rows-only
+    driver check; the unit test asserts the neighbor SETS match the
+    fold path.
+    """
+    import numpy as np
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    Q = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def local_topk(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            sims = Cn @ Qn.T                      # (n_batch, n_queries)
+            sims[ids[:, None] == qids[None, :]] = -np.inf  # self-match
+            kk = min(k, sims.shape[0])
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, m)
+            out_q = np.repeat(qids, kk)
+            out_n = ids[top.T.ravel()]
+            out_s = np.take_along_axis(sims, top, axis=0).T.ravel()
+            keep = out_s > -np.inf
+            yield pd.DataFrame(
+                {
+                    "query_id": out_q[keep],
+                    "neighbor_id": out_n[keep],
+                    "cosine_sim": out_s[keep],
+                }
+            )
+
+    from pyspark.sql import Window
+
+    candidates = spread(corpus).mapInPandas(
+        local_topk, "query_id long, neighbor_id long, cosine_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        candidates.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine_sim",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
     )
 
 

@@ -131,3 +131,19 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 25 == 0)
     return ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4)
+
+
+@register(
+    "emb_cosine_topk_vectorized",
+    oracle=None,  # float64 matmul differs from the fold in the last ulp
+    description="Vectorized exact ANN: Arrow->numpy matmul with "
+    "per-partition local top-k (shuffle O(k x partitions), not "
+    "O(corpus x queries)) — the BLAS scale path next to the "
+    "oracle-reproducible fold",
+)
+def emb_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import brute_force_topk_vectorized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return brute_force_topk_vectorized(emb, queries, k=5)

@@ -99,3 +99,23 @@ def test_ivf_topk_high_recall_vs_brute_force(spark):
     again = {(r.query_id, r.neighbor_id) for r in ivf_topk(
         emb, queries, k=3, n_centroids=8, nprobe=4).collect()}
     assert got == again
+
+
+def test_vectorized_topk_matches_fold_path(spark):
+    """Same neighbors as the JVM fold implementation (scores may
+    differ in the last ulp; random vectors make exact ties
+    improbable, so the sets must agree)."""
+    from mysql_clickhouse_sync_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_vectorized,
+    )
+    from mysql_clickhouse_sync_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    fold = {(r.query_id, r.neighbor_id)
+            for r in brute_force_topk(emb, queries, k=4).collect()}
+    vec = {(r.query_id, r.neighbor_id)
+           for r in brute_force_topk_vectorized(emb, queries, k=4).collect()}
+    assert fold == vec
