@@ -260,3 +260,26 @@ def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     first = rollup_increment(ev.filter(F.col("event_id") % 2 == 0))
     second = rollup_increment(ev.filter(F.col("event_id") % 2 == 1))
     return rollup_read(rollup_merge(first, second))
+
+
+@register(
+    "events_user_count_sketch",
+    oracle=None,  # engine-specific hashes; upper-bound property tested
+    description="Count-min sketch (depth 4 x width 1024): mergeable "
+    "frequency sketch as a relation — estimates for the purchase "
+    "top-15 users (always >= truth; bounded overestimate)",
+)
+def events_user_count_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import cms_build, cms_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    sketch = cms_build(ev.select("user_id"), "user_id")
+    top = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .count()
+        .orderBy(F.col("count").desc(), F.col("user_id"))
+        .limit(15)
+        .select("user_id")
+    )
+    return cms_estimate(sketch, top, "user_id")
