@@ -283,3 +283,55 @@ def events_user_count_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id")
     )
     return cms_estimate(sketch, top, "user_id")
+
+
+@register(
+    "events_session_windows",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                         > {_SESSION_GAP_US}
+                    OR lag(epoch_us(ts)) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4))
+               AS session_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    description="Native session_window operator (30-min gap) checked "
+    "against the relational lag/cumsum formulation the oracle runs — "
+    "the same state machine, two encodings",
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,4)"))
+            .cast("decimal(38,4)")
+            .alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )

@@ -118,3 +118,37 @@ def cdc_tombstoned_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey"
     )
     return snapshot.join(live, on="o_orderkey", how="left_anti")
+
+
+@register(
+    "cdc_reconciliation",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 7 = 1 AND o_orderkey % 14 <> 1
+                THEN 'deleted' ELSE 'matched' END AS status,
+           CAST(count(*) AS BIGINT) AS n_keys
+    FROM orders GROUP BY 1
+    """,
+    description="Full outer join reconciliation between snapshot and "
+    "live keys (matched / deleted / resurrected classification — the "
+    "complete verify_diff picture in one pass)",
+)
+def cdc_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    snapshot = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("snap_key")
+    )
+    live = live_view(_applied_orders(spark, sf_dir), ORDERS_PK).select(
+        F.col("o_orderkey").alias("live_key")
+    )
+    joined = snapshot.join(
+        live, snapshot.snap_key == live.live_key, "full_outer"
+    )
+    status = (
+        F.when(F.col("live_key").isNull(), F.lit("deleted"))
+        .when(F.col("snap_key").isNull(), F.lit("inserted"))
+        .otherwise(F.lit("matched"))
+    )
+    return (
+        joined.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").alias("n_keys"))
+    )
