@@ -141,6 +141,8 @@ def resize_images(
     """Image resize stage.  Fake kernel: passes payload through and
     stamps the target geometry (a real deployment decodes, resamples,
     re-encodes inside the same batch loop)."""
+    if decode_kind not in ("fake", "real"):
+        raise ValueError(f"unknown decode_kind: {decode_kind}")
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -178,6 +180,8 @@ def sample_frames(
     1:N ``mapInPandas``, the shape a real demuxer needs).  Fake kernel
     emits deterministic frame stubs at the requested cadence based on
     ``duration_ms``."""
+    if decode_kind not in ("fake", "real"):
+        raise ValueError(f"unknown decode_kind: {decode_kind}")
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd

@@ -99,31 +99,45 @@ class SnapshotReplicator:
                     ]
                 )
                 sort_key = list(spec.sort_key())
+                diff_key = list(spec.primary_keys)
             else:
                 sort_key = [src.columns[0]] if src.columns else []
+                # No declared PKs: the first column may be nullable,
+                # and NULL keys never match in anti-joins, so a perfect
+                # copy would verify as failed — counts only.
+                diff_key = []
 
-            out = src
-            if sort_key:
-                # Clustering by sort key ≙ MergeTree ORDER BY: Parquet
-                # min/max stats then prune like the reference's primary
-                # index (/root/reference/src/schema_converter.py:77).
-                out = out.sortWithinPartitions(*sort_key)
-            mode = "overwrite" if self.drop_existing else "errorifexists"
-            out.write.mode(mode).parquet(self._target_path(table))
+            # One materialization of the source for write + verify:
+            # without it, write/count/two anti-joins would re-scan a
+            # remote JDBC source four times (and race concurrent
+            # inserts into false mismatches).
+            src = src.persist()
+            try:
+                out = src
+                if sort_key:
+                    # Clustering by sort key ≙ MergeTree ORDER BY:
+                    # Parquet min/max stats then prune like the
+                    # reference's primary index
+                    # (/root/reference/src/schema_converter.py:77).
+                    out = out.sortWithinPartitions(*sort_key)
+                mode = "overwrite" if self.drop_existing else "errorifexists"
+                out.write.mode(mode).parquet(self._target_path(table))
 
-            tgt = self.spark.read.parquet(self._target_path(table))
-            counts = verify_counts(src, tgt)
-            result = TableResult(
-                table=table,
-                success=counts["success"],
-                source_count=counts["source_count"],
-                target_count=counts["target_count"],
-            )
-            if sort_key and counts["success"]:
-                diff = verify_diff(src, tgt, sort_key)
-                result.success = diff["success"]
-                result.details["diff"] = diff
-            return result
+                tgt = self.spark.read.parquet(self._target_path(table))
+                counts = verify_counts(src, tgt)
+                result = TableResult(
+                    table=table,
+                    success=counts["success"],
+                    source_count=counts["source_count"],
+                    target_count=counts["target_count"],
+                )
+                if diff_key and counts["success"]:
+                    diff = verify_diff(src, tgt, diff_key)
+                    result.success = diff["success"]
+                    result.details["diff"] = diff
+                return result
+            finally:
+                src.unpersist()
         except Exception as e:  # noqa: BLE001 — per-table isolation (O4)
             return TableResult(table=table, success=False, error=str(e))
 

@@ -259,3 +259,39 @@ def docs_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_subword_stats(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "n_pretokens", "n_subwords", "chars_per_subword"
     )
+
+
+@register(
+    "docs_top_words",
+    oracle=f"""
+    SELECT word, CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+        FROM documents
+    )
+    GROUP BY word
+    ORDER BY n_occurrences DESC, word
+    LIMIT 25
+    """,
+    description="Corpus vocabulary head: explode tokens -> count + "
+    "doc frequency -> deterministic top-25 (the classic lateral-view "
+    "word count, with map-side partial aggregation)",
+)
+def docs_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("word")
+    )
+    return (
+        words.groupBy("word")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("word"))
+        .limit(25)
+    )

@@ -105,7 +105,12 @@ class CDCStreamPipeline:
     # -- read path --------------------------------------------------
 
     def table_df(self) -> DataFrame:
-        return self.spark.read.parquet(self.target_dir)
+        # mergeSchema: the snapshot bootstrap and streamed microbatches
+        # must agree on the _seq tiebreak column even if older target
+        # dirs predate it.
+        return self.spark.read.option("mergeSchema", "true").parquet(
+            self.target_dir
+        )
 
     def live(self, user_cols: Sequence[str] | None = None) -> DataFrame:
         """The ``<table>_live`` relation over everything appended so
@@ -127,11 +132,25 @@ def run_initial_sync_then_stream(
     stream from offset zero of the changelog — any event also captured
     by the snapshot appends a duplicate that dedup-latest absorbs.
     """
+    import shutil
+
     from pyspark.sql import functions as F
 
-    stamped = snapshot.withColumn(
-        "_version", F.lit(0).cast("long")
-    ).withColumn("_deleted", F.lit(0))
+    # Cold start = new position: clear any previous checkpoint so the
+    # stream really replays the changelog from offset zero (a stale
+    # checkpoint would silently skip files whose rows the snapshot
+    # overwrite below just erased — data loss, not overlap).
+    shutil.rmtree(pipeline.checkpoint_dir, ignore_errors=True)
+
+    # Stamp the same schema the streamed batches produce (incl. the
+    # _seq tiebreak as null): parquet readers don't merge schemas by
+    # default, so a snapshot file missing _seq could make the whole
+    # table drop the deterministic tiebreak column.
+    stamped = (
+        snapshot.withColumn("_version", F.lit(0).cast("long"))
+        .withColumn("_deleted", F.lit(0))
+        .withColumn("_seq", F.lit(None).cast("long"))
+    )
     stamped.write.mode("overwrite").parquet(pipeline.target_dir)
     q = pipeline.start(changelog_dir, available_now=True)
     q.awaitTermination()

@@ -148,3 +148,28 @@ def test_streaming_matches_batch_semantics(spark, dirs):
     empty = spark.createDataFrame([], batch_changes.schema)
     batch_live = sorted(map(tuple, live_view(cdc_apply(empty, batch_changes), ["id"]).collect()))
     assert stream_live == batch_live
+
+
+def test_rebootstrap_replays_changelog_from_zero(spark, dirs):
+    """A second run_initial_sync_then_stream must discard the old
+    checkpoint: the snapshot overwrite erases previously-appended
+    rows, so resuming from a stale checkpoint would skip their files
+    and lose those events permanently."""
+    base_dir, changelog_dir = dirs
+    snapshot = spark.createDataFrame(
+        [(1, "a@x", "Alice")], "id long, email string, name string"
+    )
+    _write_events(
+        changelog_dir,
+        [{"op": "U", "seq": 1, "id": 1, "email": "a@x", "name": "Alice-v2"}],
+    )
+    p = CDCStreamPipeline(spark, "users", ["id"], CHANGELOG_SCHEMA, base_dir)
+    run_initial_sync_then_stream(p, snapshot, changelog_dir)
+    assert {r["name"] for r in p.live().collect()} == {"Alice-v2"}
+
+    # Re-bootstrap from the same snapshot + changelog (e.g. operator
+    # rebuilds the target): the update must be applied again, not
+    # skipped via the stale checkpoint.
+    p2 = CDCStreamPipeline(spark, "users", ["id"], CHANGELOG_SCHEMA, base_dir)
+    run_initial_sync_then_stream(p2, snapshot, changelog_dir)
+    assert {r["name"] for r in p2.live().collect()} == {"Alice-v2"}
