@@ -159,3 +159,37 @@ def orders_in_promo_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,2)")
         .alias("promo_value"),
     )
+
+
+@register(
+    "orders_value_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+           CAST(floor(o_totalprice / 50000) * 50000 AS DOUBLE) AS bin_low,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+               AS bin_value
+    FROM orders
+    GROUP BY floor(o_totalprice / 50000)
+    """,
+    description="Fixed-width histogram binning (floor-division bucket "
+    "keys; one partial-aggregated pass, no sort)",
+)
+def orders_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bin_col = F.floor(F.col("o_totalprice") / 50000)
+    return (
+        orders.groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("decimal(38,2)")
+            .alias("bin_value"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * 50000).cast("double").alias("bin_low"),
+            "n_orders",
+            "bin_value",
+        )
+    )
