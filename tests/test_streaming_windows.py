@@ -120,3 +120,65 @@ def test_stateful_totals_carry_across_microbatches(spark, tmp_path):
     assert per_user_final[1] == (3, 13.0)
     assert per_user_final[2] == (1, 5.0)
     assert (1, 2, 3.0) in {(r.user_id, r.n_events, r.total_value) for r in rows}
+
+
+def test_streaming_rollup_maintenance(spark, tmp_path):
+    """Continuous-aggregate maintenance: each microbatch's partial
+    state merges into a stored rollup; after the backlog drains the
+    stored state equals a one-shot aggregate of all events."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mysql_clickhouse_sync_spark.operators.rollup import (
+        rollup_increment,
+        rollup_merge,
+        rollup_read,
+    )
+
+    src = str(tmp_path / "ev3")
+    state_dir = str(tmp_path / "rollup_state")
+    ck = str(tmp_path / "ck3")
+    _write(src, [
+        {"ts": "2024-01-01 10:05:00", "user_id": 1, "event_type": "c", "value": 1.5},
+        {"ts": "2024-01-01 10:35:00", "user_id": 2, "event_type": "c", "value": 2.5},
+        {"ts": "2024-01-01 11:05:00", "user_id": 1, "event_type": "d", "value": 4.0},
+    ], "f1.json")
+    _write(src, [
+        {"ts": "2024-01-01 10:50:00", "user_id": 3, "event_type": "c", "value": 8.0},  # late into 10:00
+        {"ts": "2024-01-01 12:01:00", "user_id": 1, "event_type": "c", "value": 16.0},
+    ], "f2.json")
+
+    def refresh(batch_df, _id):
+        inc = rollup_increment(batch_df)
+        if glob.glob(os.path.join(state_dir, "*.parquet")):
+            prev = spark.read.parquet(state_dir)
+            merged = rollup_merge(prev, inc)
+        else:
+            merged = inc
+        # overwrite-with-read requires a materialization barrier
+        merged.cache().count()
+        merged.write.mode("overwrite").parquet(state_dir)
+        merged.unpersist()
+
+    q = (
+        _stream(spark, src)
+        .writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (str(r.bucket_start), r.event_type): (r.n_events, float(r.sum_value), r.avg_value)
+        for r in rollup_read(spark.read.parquet(state_dir)).collect()
+    }
+    batch = spark.read.schema(EVENTS_SCHEMA).json(src)
+    want = {
+        (str(r.bucket_start), r.event_type): (r.n_events, float(r.sum_value), r.avg_value)
+        for r in rollup_read(rollup_increment(batch)).collect()
+    }
+    assert got == want
+    assert got[("2024-01-01 10:00:00", "c")][0] == 3  # late row merged in
