@@ -6,10 +6,12 @@ These queries are that read path, Spark-first: aggregations, joins
 (broadcast + shuffled), windows, top-k, set ops, rollup — each a shape
 Catalyst optimizes (SURVEY.md §2.4-2.8, §4).
 
-Scale notes: dim tables (region/nation/supplier/customer) broadcast
-under the configured 64 MB threshold, so every join here is a
-broadcast hash join except lineitem x orders, which AQE plans as a
-co-partitioned shuffle join with runtime-coalesced partitions.
+Scale notes: explicit ``F.broadcast`` hints appear ONLY on provably
+bounded sides (region/nation, 1-row scalar aggregates).  Everything
+else — customer/supplier/part/orders — is left to the planner: under
+the 64 MB threshold + AQE they broadcast at harness scale and switch
+to co-partitioned shuffle joins at 100 TB, where "dimensions" are
+billions of rows and a forced broadcast would OOM every executor.
 Aggregates use DECIMAL so partial (map-side) combine stays exact.
 """
 
@@ -97,7 +99,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+            orders.join(cust, orders.o_custkey == cust.c_custkey),
             li.l_orderkey == orders.o_orderkey,
         )
         .groupBy("l_orderkey", "o_orderdate")
@@ -135,10 +137,10 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
@@ -183,7 +185,7 @@ def segment_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_orders"),

@@ -9,11 +9,12 @@ predicate, conditional-ratio aggregate, agg-of-agg histogram, dual-role
 dimension join) so the engine's read path is exercised the way a real
 warehouse workload would.
 
-Scale notes: every dimension join is an explicit ``F.broadcast``; the
-only shuffles are fact-side aggregations on their natural keys.
-Scalar subqueries (q15 max, q22 avg) are computed as 1-row aggregates
-and broadcast — never a single-partition window.  Money math follows
-the registry determinism rules: DECIMAL partial aggregation, double
+Scale notes: explicit ``F.broadcast`` only on provably bounded sides
+(region/nation and 1-row scalar aggregates — q15 max, q22 avg, q11
+threshold — never a single-partition window); the planner's 64 MB
+threshold + AQE pick broadcast vs shuffle for everything else, so the
+same plans hold from the harness to 100 TB.  Money math follows the
+registry determinism rules: DECIMAL partial aggregation, double
 division only as the final step.
 """
 
@@ -112,9 +113,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(
@@ -178,10 +179,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = _disc_price()
     joined = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(region), F.col("n1_region") == region.r_regionkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
@@ -236,9 +237,9 @@ def q9_product_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         - _disc_price()
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .select(
             F.col("n_name").alias("nation"),
@@ -279,8 +280,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     nation = load_table(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(_disc_price()).cast("decimal(38,4)").alias("revenue"))
@@ -315,7 +316,7 @@ def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_linestatus")
         .agg(
             F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
@@ -376,7 +377,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     zero = F.lit(0).cast("decimal(25,4)")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             (
                 F.lit(100.0)
@@ -421,7 +422,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         revenue0.join(
             F.broadcast(max_rev), F.col("total_revenue") == F.col("_max_rev")
         )
-        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -458,8 +459,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qty_threshold")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(per_part), li.l_partkey == F.col("a_partkey"))
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == F.col("a_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
             (
@@ -502,8 +503,8 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(big_orders.withColumnRenamed("l_orderkey", "_bk"),
                 li.l_orderkey == F.col("_bk"), "left_semi")
-        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum(F.col("l_quantity").cast(D2)).cast("decimal(38,2)").alias("sum_qty"))
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
@@ -548,7 +549,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(F.sum(_disc_price()).cast("decimal(38,4)").alias("revenue"))
     )
@@ -640,7 +641,7 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).alias("rn"),
         )
         .filter(F.col("rn") == 1)
-        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(part, F.col("l_partkey") == part.p_partkey)
         .select("p_partkey", "p_name", "cheapest_suppkey", "unit_price")
     )
 
@@ -787,9 +788,9 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal") < 1000
     ).select("s_suppkey")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(
-            F.broadcast(excluded),
+            excluded,
             li.l_suppkey == excluded.s_suppkey,
             "left_anti",
         )
