@@ -1,0 +1,128 @@
+"""Mode-dispatch entry point (parity: O1,
+``/root/reference/src/main.py:74-93`` — env-selected snapshot vs CDC).
+
+Snapshot mode replicates parquet tables from a source directory into a
+target directory with verification and per-table error isolation;
+CDC mode bootstraps a snapshot + streams a JSON changelog directory
+into the versioned table (availableNow by default — drain and stop;
+``--follow`` keeps the stream running like the reference's blocking
+binlog loop).
+
+Exit code 1 if any table failed (parity:
+``/root/reference/src/main.py:38-44``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="spark-sync-engine")
+    ap.add_argument("--mode", choices=("snapshot", "cdc"), required=True)
+    ap.add_argument("--source-dir", required=True,
+                    help="directory of <table>.parquet source files")
+    ap.add_argument("--target-dir", required=True)
+    ap.add_argument("--tables", default="",
+                    help="csv list; empty = discover *.parquet in source "
+                    "(parity: REPLICATION_TABLES, P6)")
+    ap.add_argument("--parallel-tables", type=int, default=1)
+    ap.add_argument("--drop-existing", action="store_true")
+    # CDC-only:
+    ap.add_argument("--changelog-dir",
+                    help="JSON changelog directory (op, seq, cols...)")
+    ap.add_argument("--table", help="CDC table name (single-table stream)")
+    ap.add_argument("--pks", default="", help="csv primary keys for CDC")
+    ap.add_argument("--follow", action="store_true",
+                    help="keep streaming (processingTime) instead of "
+                    "drain-and-stop")
+    return ap
+
+
+def _discover_tables(source_dir: str) -> list[str]:
+    return sorted(
+        f[: -len(".parquet")]
+        for f in os.listdir(source_dir)
+        if f.endswith(".parquet")
+    )
+
+
+def run_snapshot(spark: SparkSession, args) -> int:
+    from .pipeline.snapshot import SnapshotReplicator
+
+    tables = (
+        [t.strip() for t in args.tables.split(",") if t.strip()]
+        or _discover_tables(args.source_dir)
+    )
+    rep = SnapshotReplicator(
+        spark,
+        reader=lambda t: spark.read.parquet(
+            os.path.join(args.source_dir, f"{t}.parquet")
+        ),
+        target_dir=args.target_dir,
+        drop_existing=args.drop_existing,
+    )
+    results = rep.run(tables, parallel_tables=args.parallel_tables)
+    for r in results.values():
+        status = "ok" if r.success else f"FAILED ({r.error})"
+        print(f"{r.table}: {status} "
+              f"[{r.source_count} -> {r.target_count}]", file=sys.stderr)
+    return SnapshotReplicator.exit_code(results)
+
+
+def run_cdc(spark: SparkSession, args) -> int:
+    from .streaming.cdc_pipeline import (
+        CDCStreamPipeline,
+        run_initial_sync_then_stream,
+    )
+
+    if not (args.changelog_dir and args.table and args.pks):
+        print("cdc mode needs --changelog-dir, --table, --pks",
+              file=sys.stderr)
+        return 2
+    snapshot_path = os.path.join(args.source_dir, f"{args.table}.parquet")
+    snapshot = spark.read.parquet(snapshot_path)
+    # Changelog schema = snapshot cols + (op, seq), mirroring the
+    # reference's cached decode schema (C10).
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    changelog_schema = StructType(
+        [StructField("op", StringType(), False),
+         StructField("seq", LongType(), False)]
+        + list(snapshot.schema.fields)
+    )
+    pipeline = CDCStreamPipeline(
+        spark,
+        args.table,
+        [k.strip() for k in args.pks.split(",") if k.strip()],
+        changelog_schema,
+        args.target_dir,
+    )
+    if args.follow:
+        run_initial_sync_then_stream(pipeline, snapshot, args.changelog_dir)
+        q = pipeline.start(args.changelog_dir, available_now=False)
+        q.awaitTermination()  # blocking loop, like the reference
+    else:
+        run_initial_sync_then_stream(pipeline, snapshot, args.changelog_dir)
+    print(f"{args.table}: live rows = {pipeline.live().count()}",
+          file=sys.stderr)
+    return 0
+
+
+def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    if spark is None:
+        from .session import get_spark
+
+        spark = get_spark("spark-sync-engine")
+    if args.mode == "snapshot":
+        return run_snapshot(spark, args)
+    return run_cdc(spark, args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
