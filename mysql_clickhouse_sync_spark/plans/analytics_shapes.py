@@ -193,3 +193,35 @@ def orders_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bin_value",
         )
     )
+
+
+@register(
+    "customer_order_gaps",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate)
+                AS BIGINT) AS days_since_prev,
+           CAST(date_diff('day', o_orderdate, lead(o_orderdate) OVER w)
+                AS BIGINT) AS days_until_next,
+           CAST(row_number() OVER w AS INT) AS order_seq
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    description="Order-gap analysis: lag + lead + row_number sharing "
+    "ONE window spec — a single PK shuffle serves all three",
+)
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev_d = F.lag("o_orderdate").over(w)
+    next_d = F.lead("o_orderdate").over(w)
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), prev_d).cast("long")
+        .alias("days_since_prev"),
+        F.datediff(next_d, F.col("o_orderdate")).cast("long")
+        .alias("days_until_next"),
+        F.row_number().over(w).cast("int").alias("order_seq"),
+    )

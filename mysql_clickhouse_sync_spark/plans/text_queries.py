@@ -295,3 +295,42 @@ def docs_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), F.col("word"))
         .limit(25)
     )
+
+
+@register(
+    "docs_char_bigram_profile",
+    oracle="""
+    SELECT lang, bigram, CAST(count(*) AS BIGINT) AS n
+    FROM (
+        SELECT lang,
+               unnest(list_transform(
+                   range(1, length(text)),
+                   i -> substr(text, CAST(i AS INT), 2)
+               )) AS bigram
+        FROM documents
+    )
+    WHERE bigram NOT LIKE '% %' AND length(bigram) = 2
+    GROUP BY lang, bigram
+    ORDER BY n DESC, lang, bigram
+    LIMIT 50
+    """,
+    description="Character-bigram frequency profile per language (the "
+    "n-gram features language-ID models train on): sequence+transform "
+    "explode, top-50 with full tie-break",
+)
+def docs_char_bigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # substring with a dynamic start index needs the SQL form
+    bigrams = F.expr(
+        "transform(sequence(1, length(text) - 1), i -> substr(text, i, 2))"
+    )
+    return (
+        docs.select("lang", F.explode(bigrams).alias("bigram"))
+        .filter(
+            (~F.col("bigram").contains(" ")) & (F.length("bigram") == 2)
+        )
+        .groupBy("lang", "bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("lang"), F.col("bigram"))
+        .limit(50)
+    )
