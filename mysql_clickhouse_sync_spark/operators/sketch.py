@@ -1,4 +1,4 @@
-"""Mergeable sketches: count-min.
+"""Mergeable sketches: count-min, HyperLogLog.
 
 A training-data pipeline at 100 TB tracks per-key frequencies (URLs,
 domains, users, n-grams) where exact per-key state is too large and
@@ -7,6 +7,14 @@ sketch is a (depth x width) counter matrix: each key increments one
 counter per row via independent hashes; a point estimate is the MIN of
 its counters — always >= the true count, with overestimate bounded by
 (e/width) * total_mass at confidence 1 - (1/2)^depth.
+
+HyperLogLog (Flajolet et al. 2007) estimates distinct counts from m =
+2^p one-byte registers; Spark's own ``approx_count_distinct`` is an
+HLL++, but its binary sketch is opaque — you cannot persist it as a
+table, merge yesterday's sketch with today's increment, or diff two of
+them.  Here the sketch IS a relation ``(group..., reg_idx, max_rank)``
+with the same incremental-maintenance story as the rollup operator:
+build = one bounded-cardinality shuffle, merge = union + max.
 
 As a DataFrame the sketch IS a relation ``(row_idx, col_idx, cnt)``:
 
@@ -94,4 +102,99 @@ def cms_estimate(
     ).fillna({"cnt": 0})
     return joined.groupBy(key_col).agg(
         F.min("cnt").cast("long").alias("est_count")
+    )
+
+
+# --------------------------------------------------------------------
+# HyperLogLog
+# --------------------------------------------------------------------
+
+HLL_COLS = ("reg_idx", "max_rank")
+
+
+def hll_build(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 12,
+) -> DataFrame:
+    """Build per-group HLL register relations in one bounded shuffle.
+
+    The 64-bit xxhash of the key splits into a p-bit register index and
+    a (64-p)-bit suffix w; the register keeps the max over rank(w) =
+    position of w's leftmost 1-bit (w = 0 -> 64 - p + 1).  rank is
+    computed as ``length(bin(w)) - 1`` — pure integer, no float log2,
+    so the relation is bit-for-bit deterministic.  Output cardinality
+    is bounded by |groups| * 2^p regardless of key cardinality.
+    """
+    group_cols = group_cols or []
+    m = 1 << p
+    h = F.xxhash64(F.col(key_col))
+    reg = h.bitwiseAND(F.lit(m - 1).cast("long")).cast("int")
+    w = F.shiftrightunsigned(h, p)
+    rank = (
+        F.when(w == 0, F.lit(64 - p + 1))
+        .otherwise(F.lit(64 - p) - (F.length(F.bin(w)) - F.lit(1)))
+        .cast("int")
+    )
+    return (
+        df.select(*group_cols, reg.alias("reg_idx"), rank.alias("_rank"))
+        .groupBy(*group_cols, "reg_idx")
+        .agg(F.max("_rank").alias("max_rank"))
+    )
+
+
+def hll_merge(
+    a: DataFrame, b: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Merge two register relations built with identical p: union + max.
+    Associative and idempotent — replayed increments are absorbed."""
+    group_cols = group_cols or []
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "reg_idx")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+
+
+def hll_estimate(
+    sketch: DataFrame, group_cols: list[str] | None = None, p: int = 12
+) -> DataFrame:
+    """Distinct-count estimate per group from a register relation.
+
+    The harmonic mean sum(2^-rank) is computed EXACTLY: each term is
+    scaled to the integer 2^(R - rank) (R = 64 - p + 1, the max rank)
+    and summed as DECIMAL(38,0) — associative, so the estimate never
+    flaps with shuffle order; the single double division happens last.
+    Registers absent from the relation are untouched (rank 0, term
+    2^R), counted via m - n_present; those zero registers also drive
+    the standard small-range linear-counting correction
+    (E <= 2.5m and V > 0  ->  m * ln(m / V)).
+    """
+    group_cols = group_cols or []
+    m = 1 << p
+    R = 64 - p + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    # shiftleft() the builtin wants a literal shift; the SQL form takes
+    # an expression.  2^(R - rank) <= 2^52 fits a long exactly.
+    scaled_term = F.expr(
+        f"CAST(shiftleft(CAST(1 AS BIGINT), {R} - max_rank)"
+        " AS DECIMAL(38,0))"
+    )
+    agg = sketch.groupBy(*group_cols).agg(
+        F.sum(scaled_term).alias("_s_present"),
+        F.count("*").alias("_n_present"),
+    )
+    zeros = F.lit(m) - F.col("_n_present")
+    denom = (
+        F.col("_s_present")
+        + zeros.cast("decimal(38,0)") * F.lit(1 << R).cast("decimal(38,0)")
+    ).cast("double")
+    raw = F.lit(alpha * m * m * float(1 << R)) / denom
+    corrected = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols, F.round(corrected).cast("long").alias("est_distinct")
     )

@@ -804,3 +804,69 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(25)
     )
+
+
+@register(
+    "q20_dominant_promo_suppliers",
+    oracle="""
+    WITH sp AS (
+        SELECT l_suppkey, l_partkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)))
+                    AS DECIMAL(38,2)) AS sp_qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'cold%'
+        GROUP BY l_suppkey, l_partkey
+    ), pp AS (
+        SELECT l_partkey,
+               CAST(SUM(sp_qty) AS DOUBLE) / count(*) AS avg_qty
+        FROM sp GROUP BY l_partkey
+    )
+    SELECT s_suppkey, s_name, n_name,
+           CAST(count(*) AS BIGINT) AS n_dominant_parts
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN sp ON sp.l_suppkey = s_suppkey
+    JOIN pp ON pp.l_partkey = sp.l_partkey
+    WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_12')
+      AND CAST(sp_qty AS DOUBLE) > 1.5 * avg_qty
+    GROUP BY s_suppkey, s_name, n_name
+    """,
+    description="TPC-H Q20 shape (no partsupp in the harness): "
+    "name-pattern part filter -> per-(supplier, part) quantity vs a "
+    "correlated per-part average threshold -> semi-join back to "
+    "supplier/nation.  The threshold reuses the grouped relation "
+    "(no second lineitem scan); part and nation sides broadcast",
+)
+def q20_dominant_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    promo = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("cold%"))
+        .select("p_partkey")
+    )
+    sp = (
+        li.join(F.broadcast(promo), li.l_partkey == promo.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast(D2))
+            .cast("decimal(38,2)")
+            .alias("sp_qty")
+        )
+    )
+    pp = sp.groupBy(F.col("l_partkey").alias("pp_partkey")).agg(
+        (F.sum("sp_qty").cast("double") / F.count("*")).alias("avg_qty")
+    )
+    dominant = sp.join(pp, sp.l_partkey == pp.pp_partkey).filter(
+        F.col("sp_qty").cast("double") > 1.5 * F.col("avg_qty")
+    )
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7", "NATION_12")
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        dominant.join(supp, dominant.l_suppkey == supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name", "n_name")
+        .agg(F.count("*").alias("n_dominant_parts"))
+    )

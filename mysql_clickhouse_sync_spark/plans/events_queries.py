@@ -335,3 +335,20 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value",
         )
     )
+
+
+@register(
+    "events_user_hll_distinct",
+    oracle=None,  # estimate; accuracy + determinism property-tested
+    description="HyperLogLog (p=12) distinct users per event type as a "
+    "mergeable register RELATION — unlike approx_count_distinct's "
+    "opaque binary sketch it can be persisted, incremented, and "
+    "merged across days; estimate is exact-integer harmonic sum, "
+    "so re-runs agree bit-for-bit",
+)
+def events_user_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import hll_build, hll_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    sketch = hll_build(ev, "user_id", ["event_type"], p=12)
+    return hll_estimate(sketch, ["event_type"], p=12).orderBy("event_type")
