@@ -17,6 +17,7 @@ from .dedup import (
     exact_dedup,
     minhash_lsh_candidates,
     minhash_signatures,
+    minhash_signatures_vectorized,
     shingle_pairs_jaccard,
     simhash_near_pairs,
     simhash_signatures,
@@ -50,6 +51,7 @@ __all__ = [
     "lsh_bucketed_pairs",
     "minhash_lsh_candidates",
     "minhash_signatures",
+    "minhash_signatures_vectorized",
     "range_join",
     "register_live_view",
     "rollup_increment",

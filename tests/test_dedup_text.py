@@ -9,6 +9,8 @@ from pyspark.sql import Row
 from mysql_clickhouse_sync_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_candidates,
+    minhash_signatures,
+    minhash_signatures_vectorized,
     shingle_pairs_jaccard,
     simhash_near_pairs,
 )
@@ -52,6 +54,29 @@ def test_minhash_lsh_finds_near_duplicates(spark):
              for r in minhash_lsh_candidates(df).collect()}
     assert (0, 1) in cands
     assert (0, 2) not in cands
+
+
+def test_minhash_vectorized_matches_fold_exactly(spark):
+    # Same permutation arithmetic, two execution strategies — signatures
+    # must be bit-identical, including the empty/short-doc sentinel.
+    df = _docs(
+        spark,
+        [
+            BASE,
+            BASE.replace("today", "tonight"),
+            "unrelated corpus of totally distinct tokens",
+            "",  # no shingles -> all-m sentinel signature
+            "one two",  # fewer words than shingle_n
+            BASE * 40,  # long doc exercises the chunked numpy path
+        ],
+    )
+    for num_perm in (8, 32):
+        fold = {r["_id"]: r["_sig"]
+                for r in minhash_signatures(df, num_perm=num_perm).collect()}
+        vec = {r["_id"]: r["_sig"]
+               for r in minhash_signatures_vectorized(
+                   df, num_perm=num_perm).collect()}
+        assert fold == vec
 
 
 def test_simhash_near_pairs(spark):
