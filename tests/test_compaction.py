@@ -1,0 +1,221 @@
+"""Compaction planner/policy/executor tests.
+
+Planning is pure (synthetic listings, exact assertions); execution
+tests write genuinely fragmented parquet tables and assert the
+rewrite preserves every row while collapsing the file count.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Row, functions as F
+
+from mysql_clickhouse_sync_spark.operators.cdc import (
+    cdc_apply,
+    live_view,
+    stamp_changelog,
+)
+from mysql_clickhouse_sync_spark.pipeline.compact import (
+    CompactionPolicy,
+    DataFile,
+    compact_cdc_table,
+    execute_compaction,
+    list_data_files,
+    plan_compaction,
+    plan_table_compaction,
+    should_compact,
+)
+
+KB = 1024
+
+
+def _f(path, size, partition=""):
+    return DataFile(path, size, partition)
+
+
+# ---------------------------------------------------------------- planning
+
+
+def test_plan_packs_small_files_first_fit_decreasing():
+    files = [_f(f"f{i}", 30 * KB) for i in range(6)] + [_f("big", 200 * KB)]
+    bins, skipped = plan_compaction(
+        files, target_bytes=100 * KB, small_file_bytes=100 * KB
+    )
+    assert skipped == 1  # the 200 KB file is left alone
+    assert [len(b.files) for b in bins] == [3, 3]  # 3x30KB fits under 100KB
+    assert all(b.total_bytes <= 100 * KB for b in bins)
+
+
+def test_plan_never_merges_across_partitions():
+    files = [
+        _f("a/1", 10 * KB, "dt=1"),
+        _f("a/2", 10 * KB, "dt=1"),
+        _f("b/1", 10 * KB, "dt=2"),
+        _f("b/2", 10 * KB, "dt=2"),
+    ]
+    bins, _ = plan_compaction(files, target_bytes=100 * KB)
+    assert len(bins) == 2
+    assert {b.partition for b in bins} == {"dt=1", "dt=2"}
+    for b in bins:
+        assert {f.partition for f in b.files} == {b.partition}
+
+
+def test_plan_drops_singleton_bins():
+    # one small file alone: merging it with nothing is a no-op rewrite
+    bins, skipped = plan_compaction([_f("only", 10 * KB)],
+                                    target_bytes=100 * KB)
+    assert bins == () and skipped == 0
+
+
+def test_plan_is_deterministic():
+    files = [_f(f"f{i}", (i * 7919) % 50 * KB + KB) for i in range(40)]
+    p1 = plan_compaction(files, target_bytes=120 * KB)
+    p2 = plan_compaction(list(reversed(files)), target_bytes=120 * KB)
+    assert p1 == p2
+
+
+def test_policy_triggers_on_count_and_share():
+    policy = CompactionPolicy(max_small_files=4, max_small_byte_share=0.5,
+                              target_bytes=100 * KB)
+    quiet = [_f(f"q{i}", 90 * KB, "p=a") for i in range(3)]
+    many_small = [_f(f"s{i}", 5 * KB, "p=b") for i in range(4)]
+    small_share = [_f("x1", 45 * KB, "p=c"), _f("x2", 45 * KB, "p=c"),
+                   _f("x3", 90 * KB, "p=c")]  # small share 90/180 = 0.5
+    got = should_compact(quiet + many_small + small_share, policy)
+    assert got == {"p=a": False, "p=b": True, "p=c": True}
+
+
+# ---------------------------------------------------------------- execution
+
+
+def _stamped(df, op, version):
+    return stamp_changelog(
+        df.withColumn("op", F.lit(op)).withColumn("_v", F.lit(version)),
+        version_col="_v",
+    ).drop("_v")
+
+
+def _fragmented_table(spark, path, n_rows=2000, n_files=16):
+    df = spark.range(n_rows).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    )
+    df.repartition(n_files).write.mode("overwrite").parquet(path)
+    return df
+
+
+def test_execute_compaction_preserves_rows_and_shrinks_files(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _fragmented_table(spark, path)
+    before = list_data_files(path)
+    assert len(before) == 16
+    checksum = spark.read.parquet(path).agg(
+        F.count("*"), F.sum("id"), F.sum("v")
+    ).collect()[0]
+
+    plan = plan_table_compaction(
+        path,
+        CompactionPolicy(max_small_files=4, target_bytes=64 * 1024 * 1024),
+        only_triggered=True,
+    )
+    assert plan.n_input_files == 16
+    result = execute_compaction(spark, plan)
+    assert result.errors == []
+    assert result.files_removed == 16 and result.files_written == 1
+
+    after = list_data_files(path)
+    assert len(after) == 1
+    got = spark.read.parquet(path).agg(
+        F.count("*"), F.sum("id"), F.sum("v")
+    ).collect()[0]
+    assert got == checksum
+
+
+def test_execute_compaction_respects_hive_partitions(spark, tmp_path):
+    path = str(tmp_path / "ptbl")
+    df = spark.range(1200).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("dt")
+    )
+    df.repartition(8).write.mode("overwrite").partitionBy("dt").parquet(path)
+    before = list_data_files(path)
+    assert len({f.partition for f in before}) == 3
+
+    plan = plan_table_compaction(
+        path, CompactionPolicy(max_small_files=2), only_triggered=True
+    )
+    result = execute_compaction(spark, plan)
+    assert result.errors == []
+    after = spark.read.parquet(path)
+    # partition column survives (it lives in the directory name)
+    assert set(after.columns) == {"id", "dt"}
+    assert after.count() == 1200
+    assert after.groupBy("dt").count().count() == 3
+    # each partition collapsed to one file
+    assert len(list_data_files(path)) == 3
+
+
+def test_steady_state_partition_not_touched(spark, tmp_path):
+    path = str(tmp_path / "quiet")
+    spark.range(100).coalesce(1).write.mode("overwrite").parquet(path)
+    plan = plan_table_compaction(
+        path, CompactionPolicy(max_small_files=8), only_triggered=True
+    )
+    assert plan.bins == ()
+    result = execute_compaction(spark, plan)
+    assert result.bins_compacted == 0
+
+
+def test_compact_cdc_table_collapses_versions(spark, tmp_path):
+    path = str(tmp_path / "cdc")
+    base = spark.createDataFrame(
+        [Row(k=i, val=f"v{i}") for i in range(50)], "k long, val string"
+    )
+    snap = _stamped(base, "I", 1)
+    snap.repartition(6).write.mode("overwrite").parquet(path)
+    # 3 micro-batches of updates + a delete, each appended fragmented
+    for v in (2, 3, 4):
+        ch = _stamped(
+            base.filter(F.col("k") < 20)
+            .withColumn("val", F.concat(F.lit(f"u{v}_"), "val")),
+            "U",
+            v,
+        )
+        ch.repartition(4).write.mode("append").parquet(path)
+    tomb = _stamped(base.filter(F.col("k") == 0), "D", 5)
+    tomb.repartition(2).write.mode("append").parquet(path)
+
+    live_before = live_view(spark.read.parquet(path), ["k"]).orderBy("k")
+    expected = [(r["k"], r["val"]) for r in live_before.collect()]
+    n_files_before = len(list_data_files(path))
+    assert n_files_before > 10
+
+    n = compact_cdc_table(spark, path, ["k"], keep_tombstones=False,
+                          n_output_files=1)
+    assert n == 49  # k=0 tombstone physically gone
+    assert len(list_data_files(path)) == 1
+    live_after = live_view(spark.read.parquet(path), ["k"]).orderBy("k")
+    assert [(r["k"], r["val"]) for r in live_after.collect()] == expected
+
+
+def test_cdc_apply_matches_compacted_table(spark, tmp_path):
+    """Compaction is invisible to query results: cdc_apply + live_view
+    over the un-compacted union equals live_view over the compacted
+    physical table."""
+    path = str(tmp_path / "cdc2")
+    base = spark.createDataFrame(
+        [Row(k=i, val=i * 10) for i in range(30)], "k long, val long"
+    )
+    snap = _stamped(base, "I", 1)
+    ch = _stamped(
+        base.filter(F.col("k") % 2 == 0).withColumn("val", F.col("val") + 1),
+        "U",
+        2,
+    )
+    logical = live_view(cdc_apply(snap, ch), ["k"])
+    expected = sorted((r["k"], r["val"]) for r in logical.collect())
+
+    snap.repartition(5).write.mode("overwrite").parquet(path)
+    ch.repartition(5).write.mode("append").parquet(path)
+    compact_cdc_table(spark, path, ["k"], n_output_files=2)
+    physical = live_view(spark.read.parquet(path), ["k"])
+    assert sorted((r["k"], r["val"]) for r in physical.collect()) == expected
