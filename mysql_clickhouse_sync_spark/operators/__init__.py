@@ -29,7 +29,18 @@ from .similarity import (
     ivf_topk,
     lsh_bucketed_pairs,
 )
-from .sketch import cms_build, cms_estimate, cms_merge
+from .sketch import (
+    cms_build,
+    cms_estimate,
+    cms_merge,
+    hll_build,
+    hll_estimate,
+    hll_merge,
+    theta_build,
+    theta_estimate,
+    theta_merge,
+    theta_set_estimate,
+)
 from .skew import salted_join, two_phase_agg
 from .temporal import asof_join, range_join
 from .verify import table_checksum, verify_counts, verify_diff
@@ -43,6 +54,13 @@ __all__ = [
     "cms_build",
     "cms_estimate",
     "cms_merge",
+    "hll_build",
+    "hll_estimate",
+    "hll_merge",
+    "theta_build",
+    "theta_estimate",
+    "theta_merge",
+    "theta_set_estimate",
     "compact",
     "dedup_latest",
     "exact_dedup",

@@ -1,4 +1,4 @@
-"""Mergeable sketches: count-min, HyperLogLog.
+"""Mergeable sketches: count-min, HyperLogLog, theta/KMV.
 
 A training-data pipeline at 100 TB tracks per-key frequencies (URLs,
 domains, users, n-grams) where exact per-key state is too large and
@@ -197,4 +197,206 @@ def hll_estimate(
     ).otherwise(raw)
     return agg.select(
         *group_cols, F.round(corrected).cast("long").alias("est_distinct")
+    )
+
+
+# --------------------------------------------------------------------
+# Theta / KMV (k minimum values)
+# --------------------------------------------------------------------
+
+THETA_COLS = ("hv",)
+_HV_SPAN = float(1 << 63)  # hv lives in [0, 2^63): xxhash64 >>> 1
+# "exact mode" sentinel: max long.  A real hv can collide with it only
+# with probability 2^-63 per key — accepted and documented.
+_HV_SENTINEL = (1 << 63) - 1
+
+
+def theta_build(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 256,
+    prefilter: bool = True,
+) -> DataFrame:
+    """Per-group KMV theta sketch: the k smallest distinct 63-bit key
+    hashes, as a relation ``(group..., hv)``.
+
+    HLL answers only "how many distinct"; a theta sketch additionally
+    supports INTERSECTION and DIFFERENCE estimates (Dasgupta et al.,
+    "Theta-Sketch Framework", and the Apache DataSketches theta
+    family), because it retains an actual uniform sample of the hash
+    space below a threshold.
+
+    Plan shape: distinct on (group, hv) — partial aggregation makes the
+    map side bounded — then a per-group bottom-k.  The bottom-k window
+    sorts each group on ONE task, so for huge groups ``prefilter``
+    first bounds the sort input: a cheap ``approx_count_distinct``
+    per group (HLL, no extra shuffle of data rows) sets a hash cutoff
+    at ~8k expected survivors; P(cutting below the true k-th min) ~
+    P(Binomial(d, 8k/d) < k) < e^-k — negligible for k >= 64.  That
+    keeps every stage bounded at 100 TB: the sketch relation is at
+    most |groups| * k rows regardless of key cardinality.
+
+    Determinism: xxhash64 is seed-fixed, distinct + bottom-k are
+    order-insensitive, approx_count_distinct is a register-max HLL
+    (order-insensitive) -> the relation is bit-for-bit reproducible.
+    """
+    from pyspark.sql import Window
+
+    group_cols = group_cols or []
+    hv = F.shiftrightunsigned(F.xxhash64(F.col(key_col)), 1)
+    pts = df.select(*group_cols, hv.alias("hv")).distinct()
+    if prefilter:
+        est = df.groupBy(*group_cols).agg(
+            F.approx_count_distinct(key_col).alias("_d")
+        )
+        cutoff = F.when(
+            F.col("_d") > 8 * k,
+            (F.lit(_HV_SPAN * 8 * k) / F.col("_d")).cast("long"),
+        ).otherwise(F.lit(_HV_SENTINEL).cast("long"))
+        bound = est.select(*group_cols, cutoff.alias("_cut"))
+        if group_cols:
+            pts = pts.join(F.broadcast(bound), on=group_cols, how="inner")
+        else:
+            pts = pts.crossJoin(F.broadcast(bound))
+        pts = pts.filter(F.col("hv") < F.col("_cut")).drop("_cut")
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("hv")
+    return (
+        pts.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def theta_merge(
+    a: DataFrame, b: DataFrame, group_cols: list[str] | None = None,
+    k: int = 256,
+) -> DataFrame:
+    """Union two sketches built with identical k: distinct hashes,
+    keep the k smallest per group.  Associative + idempotent (replays
+    absorbed), same contract as hll_merge."""
+    from pyspark.sql import Window
+
+    group_cols = group_cols or []
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("hv")
+    return (
+        a.unionByName(b)
+        .distinct()
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def _theta_state(
+    sketch: DataFrame, group_cols: list[str], k: int, suffix: str
+) -> DataFrame:
+    """Per-group (n, theta): theta = k-th smallest hash when the sketch
+    is full, else 2^63 (sketch holds the whole key set — exact mode)."""
+    return sketch.groupBy(*group_cols).agg(
+        F.count("*").alias(f"_n{suffix}"),
+        F.when(F.count("*") < k, F.lit(_HV_SENTINEL))
+        .otherwise(F.max("hv"))
+        .cast("long")
+        .alias(f"_theta{suffix}"),
+    )
+
+
+def theta_estimate(
+    sketch: DataFrame, group_cols: list[str] | None = None, k: int = 256
+) -> DataFrame:
+    """Distinct-count estimate per group.
+
+    Full sketch: (k-1) / normalized(k-th min) — the classic unbiased
+    KMV estimator; under-full sketch: the count itself (exact, the
+    sketch saw every distinct hash).  One double division at the end.
+    """
+    group_cols = group_cols or []
+    st = _theta_state(sketch, group_cols, k, "")
+    est = F.when(
+        F.col("_theta") >= _HV_SENTINEL, F.col("_n").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(_HV_SPAN) / F.col("_theta").cast("double")
+    )
+    return st.select(
+        *group_cols, F.round(est).cast("long").alias("est_distinct")
+    )
+
+
+def theta_set_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    group_cols: list[str] | None = None,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group union / intersection / difference distinct estimates
+    from two theta sketches — the operation HLL structurally cannot do
+    (registers carry no membership).
+
+    Theta framework: theta = min(theta_a, theta_b); every retained
+    hash below theta is a uniform sample of the combined key space at
+    rate theta/2^63, so |sample ∩| / rate estimates the true
+    intersection, and likewise for union and A\\B.  When both sketches
+    are under-full (theta = 2^63) every count is exact.
+
+    Output: (group..., est_union, est_intersect, est_diff_a, est_diff_b).
+    """
+    group_cols = group_cols or []
+    on = group_cols if group_cols else None
+    sa = _theta_state(a, group_cols, k, "_a")
+    sb = _theta_state(b, group_cols, k, "_b")
+    thetas = (
+        sa.join(sb, on=on, how="outer")
+        if on
+        else sa.crossJoin(sb)
+    ).select(
+        *group_cols,
+        F.least(
+            F.coalesce("_theta_a", F.lit(_HV_SENTINEL)),
+            F.coalesce("_theta_b", F.lit(_HV_SENTINEL)),
+        ).alias("_theta"),
+    )
+
+    def below(s: DataFrame, tag: str) -> DataFrame:
+        j = (
+            s.join(F.broadcast(thetas), on=on, how="inner")
+            if on
+            else s.crossJoin(F.broadcast(thetas))
+        )
+        return j.filter(F.col("hv") < F.col("_theta")).select(
+            *group_cols, "hv", F.lit(1).alias(tag)
+        )
+
+    ka = below(a, "_in_a")
+    kb = below(b, "_in_b")
+    merged = ka.join(kb, on=(group_cols + ["hv"]) or ["hv"], how="outer")
+    counts = merged.groupBy(*group_cols).agg(
+        F.count("*").alias("_n_union"),
+        F.sum(
+            F.when(F.col("_in_a").isNotNull() & F.col("_in_b").isNotNull(), 1)
+            .otherwise(0)
+        ).alias("_n_inter"),
+        F.sum(
+            F.when(F.col("_in_a").isNotNull() & F.col("_in_b").isNull(), 1)
+            .otherwise(0)
+        ).alias("_n_only_a"),
+        F.sum(
+            F.when(F.col("_in_b").isNotNull() & F.col("_in_a").isNull(), 1)
+            .otherwise(0)
+        ).alias("_n_only_b"),
+    )
+    out = counts.join(F.broadcast(thetas), on=on) if on else counts.crossJoin(
+        F.broadcast(thetas)
+    )
+    rate = F.col("_theta").cast("double") / F.lit(_HV_SPAN)
+
+    def scaled(c: str):
+        return F.round(F.col(c).cast("double") / rate).cast("long")
+
+    return out.select(
+        *group_cols,
+        scaled("_n_union").alias("est_union"),
+        scaled("_n_inter").alias("est_intersect"),
+        scaled("_n_only_a").alias("est_diff_a"),
+        scaled("_n_only_b").alias("est_diff_b"),
     )

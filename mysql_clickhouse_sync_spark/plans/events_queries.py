@@ -352,3 +352,44 @@ def events_user_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     sketch = hll_build(ev, "user_id", ["event_type"], p=12)
     return hll_estimate(sketch, ["event_type"], p=12).orderBy("event_type")
+
+
+@register(
+    "events_theta_user_overlap",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+         b AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'purchase')
+    SELECT
+      CAST((SELECT count(*) FROM (SELECT user_id FROM a
+                                  UNION SELECT user_id FROM b))
+           AS BIGINT) AS est_union,
+      CAST((SELECT count(*) FROM a
+            WHERE user_id IN (SELECT user_id FROM b))
+           AS BIGINT) AS est_intersect,
+      CAST((SELECT count(*) FROM a
+            WHERE user_id NOT IN (SELECT user_id FROM b))
+           AS BIGINT) AS est_diff_a,
+      CAST((SELECT count(*) FROM b
+            WHERE user_id NOT IN (SELECT user_id FROM a))
+           AS BIGINT) AS est_diff_b
+    """,
+    description="Theta/KMV sketch set operations: viewers vs purchasers "
+    "distinct-user union/intersection/difference.  k=4096 exceeds the "
+    "harness's user cardinality, so the sketch runs in its exact "
+    "regime and the DuckDB oracle checks true set sizes; the "
+    "estimation regime (k << distinct) is property-tested in "
+    "tests/test_sketch.py.  Intersection/difference are exactly what "
+    "HLL registers cannot answer — audience-overlap at 100 TB from "
+    "two |groups| x k relations, no raw-data rejoin",
+)
+def events_theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import theta_build, theta_set_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    k = 4096
+    a = theta_build(ev.filter(F.col("event_type") == "view"), "user_id", k=k)
+    b = theta_build(
+        ev.filter(F.col("event_type") == "purchase"), "user_id", k=k
+    )
+    return theta_set_estimate(a, b, k=k)

@@ -83,3 +83,132 @@ def test_hll_merge_equals_single_build_and_is_deterministic(spark):
     e1 = hll_estimate(hll_build(ev, "user_id", p=12), p=12).collect()
     e2 = hll_estimate(hll_build(ev, "user_id", p=12), p=12).collect()
     assert [r.est_distinct for r in e1] == [r.est_distinct for r in e2]
+
+
+# --------------------------------------------------------------------
+# Theta / KMV
+# --------------------------------------------------------------------
+
+
+def _ids(spark, lo, hi, name="k"):
+    return spark.range(lo, hi).select(F.col("id").alias(name))
+
+
+def test_theta_exact_when_underfull(spark):
+    from mysql_clickhouse_sync_spark.operators.sketch import (
+        theta_build,
+        theta_estimate,
+    )
+
+    df = _ids(spark, 0, 100)
+    sk = theta_build(df, "k", k=256)
+    assert sk.count() == 100  # sketch holds every distinct hash
+    est = theta_estimate(sk, k=256).collect()
+    assert est[0].est_distinct == 100
+
+
+def test_theta_accuracy_full_sketch(spark):
+    from mysql_clickhouse_sync_spark.operators.sketch import (
+        theta_build,
+        theta_estimate,
+    )
+
+    n = 20_000
+    for prefilter in (False, True):
+        sk = theta_build(_ids(spark, 0, n), "k", k=512, prefilter=prefilter)
+        assert sk.count() == 512
+        est = theta_estimate(sk, k=512).collect()[0].est_distinct
+        # KMV RSE ~ 1/sqrt(k-1) ~ 4.4%; allow 3 sigma
+        assert abs(est - n) < 0.14 * n, (prefilter, est)
+
+
+def test_theta_prefilter_matches_unfiltered_exactly(spark):
+    from mysql_clickhouse_sync_spark.operators.sketch import theta_build
+
+    df = _ids(spark, 0, 50_000)
+    plain = sorted(r.hv for r in theta_build(df, "k", k=128,
+                                             prefilter=False).collect())
+    pre = sorted(r.hv for r in theta_build(df, "k", k=128,
+                                           prefilter=True).collect())
+    assert plain == pre  # cutoff is a pure optimization, never lossy here
+
+
+def test_theta_merge_equals_single_build_and_idempotent(spark):
+    from mysql_clickhouse_sync_spark.operators.sketch import (
+        theta_build,
+        theta_merge,
+    )
+
+    df = _ids(spark, 0, 5000)
+    a = theta_build(df.filter(F.col("k") % 2 == 0), "k", k=64)
+    b = theta_build(df.filter(F.col("k") % 2 == 1), "k", k=64)
+    merged = sorted(r.hv for r in theta_merge(a, b, k=64).collect())
+    single = sorted(r.hv for r in theta_build(df, "k", k=64).collect())
+    assert merged == single
+    twice = sorted(
+        r.hv for r in theta_merge(theta_merge(a, b, k=64), b, k=64).collect()
+    )
+    assert twice == single
+
+
+def test_theta_set_ops_exact_mode(spark):
+    from mysql_clickhouse_sync_spark.operators.sketch import (
+        theta_build,
+        theta_set_estimate,
+    )
+
+    a = theta_build(_ids(spark, 0, 150), "k", k=256)
+    b = theta_build(_ids(spark, 100, 300), "k", k=256)
+    r = theta_set_estimate(a, b, k=256).collect()[0]
+    # both sketches under-full -> every number exact
+    assert (r.est_union, r.est_intersect, r.est_diff_a, r.est_diff_b) == (
+        300, 50, 100, 150,
+    )
+
+
+def test_theta_set_ops_estimation_mode(spark):
+    from mysql_clickhouse_sync_spark.operators.sketch import (
+        theta_build,
+        theta_set_estimate,
+    )
+
+    # |A| = 30k, |B| = 30k, overlap 10k
+    a = theta_build(_ids(spark, 0, 30_000), "k", k=512)
+    b = theta_build(_ids(spark, 20_000, 50_000), "k", k=512)
+    r = theta_set_estimate(a, b, k=512).collect()[0]
+    assert abs(r.est_union - 50_000) < 0.15 * 50_000
+    assert abs(r.est_intersect - 10_000) < 0.30 * 10_000
+    assert abs(r.est_diff_a - 20_000) < 0.20 * 20_000
+    assert abs(r.est_diff_b - 20_000) < 0.20 * 20_000
+    # identity holds in sample space (same theta scales all four); each
+    # estimate rounds independently, so allow 1 ulp per term
+    assert abs(
+        r.est_union - (r.est_intersect + r.est_diff_a + r.est_diff_b)
+    ) <= 3
+
+
+def test_theta_grouped_build_and_set_ops(spark):
+    from mysql_clickhouse_sync_spark.operators.sketch import (
+        theta_build,
+        theta_estimate,
+        theta_set_estimate,
+    )
+
+    df = spark.range(0, 4000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        (F.col("id") / 2).cast("long").alias("k"),  # 2000 distinct per group
+    )
+    sk = theta_build(df, "k", group_cols=["g"], k=128)
+    assert sk.groupBy("g").count().agg(F.max("count")).collect()[0][0] <= 128
+    est = {r.g: r.est_distinct
+           for r in theta_estimate(sk, ["g"], k=128).collect()}
+    for g in ("0", "1"):
+        assert abs(est[g] - 2000) < 0.30 * 2000
+    other = theta_build(df.filter(F.col("k") < 500), "k",
+                        group_cols=["g"], k=128)
+    r = {row.g: row for row in
+         theta_set_estimate(sk, other, ["g"], k=128).collect()}
+    for g in ("0", "1"):
+        # B subset of A: diff_b must be (near) zero, intersect ~ |B|
+        assert r[g].est_diff_b == 0
+        assert abs(r[g].est_intersect - 500) < 0.45 * 500
