@@ -37,14 +37,17 @@ class JdbcSourceConfig:
     password: str
     fetchsize: int = 50_000     # ≙ REPLICATION_BATCH_SIZE default
     num_partitions: int = 8
+    dialect: str = "mysql"      # mysql | postgresql | clickhouse
 
     def options(self) -> dict[str, str]:
+        from .dialects import get_dialect
+
         return {
             "url": self.url,
             "user": self.user,
             "password": self.password,
             "fetchsize": str(self.fetchsize),
-            "driver": "com.mysql.cj.jdbc.Driver",
+            "driver": get_dialect(self.dialect).driver,
         }
 
 
