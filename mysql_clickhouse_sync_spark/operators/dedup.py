@@ -311,6 +311,7 @@ def minhash_lsh_candidates(
     num_perm: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    vectorized: bool = False,
 ) -> DataFrame:
     """LSH candidate pairs: docs agreeing on >= 1 full band.
 
@@ -319,9 +320,17 @@ def minhash_lsh_candidates(
     shuffle key is the band hash, so bucket sizes follow collision
     probability, not corpus size, and signatures are computed once.
     Output: (id_a, id_b, n_bands_match).
+
+    ``vectorized=True`` swaps in the numpy signature kernel
+    (:func:`minhash_signatures_vectorized` — bit-identical, so the
+    candidate set cannot change); pick it when signatures dominate
+    (long docs or num_perm >= 64).
     """
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(spread(df), id_col, text_col, num_perm, shingle_n)
+    sig_fn = (
+        minhash_signatures_vectorized if vectorized else minhash_signatures
+    )
+    sigs = sig_fn(spread(df), id_col, text_col, num_perm, shingle_n)
     banded = sigs.select(
         "_id",
         F.posexplode(

@@ -129,3 +129,13 @@ def test_fingerprint_order_sensitive(spark):
            for r in with_fingerprint(df).orderBy("doc_id").collect()]
     assert fps[0] == fps[2]
     assert fps[0] != fps[1]
+
+
+def test_minhash_lsh_vectorized_same_candidates(spark):
+    near = BASE.replace("today", "tonight")
+    df = _docs(spark, [BASE, near, "unrelated corpus of totally distinct tokens",
+                       BASE + " and then some more words follow here"])
+    plain = sorted(map(tuple, minhash_lsh_candidates(df).collect()))
+    vec = sorted(map(tuple,
+                     minhash_lsh_candidates(df, vectorized=True).collect()))
+    assert plain == vec
