@@ -870,3 +870,86 @@ def q20_dominant_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey", "s_name", "n_name")
         .agg(F.count("*").alias("n_dominant_parts"))
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(CAST(l_extendedprice AS DOUBLE)
+                   / CAST(l_quantity AS DOUBLE)) AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), regional AS (
+        SELECT c.l_partkey, c.unit_cost, s.s_name, s.s_acctbal, n.n_name
+        FROM costs c
+        JOIN supplier s ON s.s_suppkey = c.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+    ), ranked AS (
+        SELECT *, MIN(unit_cost) OVER (PARTITION BY l_partkey) AS best
+        FROM regional
+    )
+    SELECT k.s_acctbal, k.s_name, k.n_name,
+           CAST(p.p_partkey AS BIGINT) AS p_partkey, p.p_type,
+           k.unit_cost
+    FROM ranked k JOIN part p ON p.p_partkey = k.l_partkey
+    WHERE p.p_type = 'STANDARD' AND k.unit_cost = k.best
+    ORDER BY k.s_acctbal DESC, k.n_name, k.s_name, p_partkey
+    LIMIT 100
+    """,
+    description="TPC-H Q2 adapted (no partsupp table in the harness): "
+    "supply cost per (part, supplier) is derived as the minimum "
+    "observed unit price in lineitem; for STANDARD parts, the EUROPE "
+    "supplier(s) achieving the per-part minimum, richest first.  Plan "
+    "shape: agg -> dim joins -> per-group argmin window -> selective "
+    "dim join.  Unit cost is one double division of parquet doubles — "
+    "bit-identical in Spark and DuckDB, so the min-equality predicate "
+    "is oracle-stable (registry determinism rules).  nation/region "
+    "broadcast explicitly (bounded); supplier/part joins left to "
+    "AQE — supplier scales with SF, so no hand broadcast",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(
+            F.col("l_extendedprice").cast("double")
+            / F.col("l_quantity").cast("double")
+        ).alias("unit_cost")
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    regional = (
+        costs.join(sup, costs.l_suppkey == sup.s_suppkey)
+        .join(
+            F.broadcast(nat), sup.s_nationkey == nat.n_nationkey
+        )
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("l_partkey", "unit_cost", "s_name", "s_acctbal", "n_name")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "STANDARD"
+    )
+    w = Window.partitionBy("l_partkey")
+    best = regional.withColumn("best", F.min("unit_cost").over(w)).filter(
+        F.col("unit_cost") == F.col("best")
+    )
+    return (
+        best.join(part, best.l_partkey == part.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("p_partkey").cast("long").alias("p_partkey"),
+            "p_type",
+            "unit_cost",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
