@@ -219,3 +219,39 @@ def test_cdc_apply_matches_compacted_table(spark, tmp_path):
     compact_cdc_table(spark, path, ["k"], n_output_files=2)
     physical = live_view(spark.read.parquet(path), ["k"])
     assert sorted((r["k"], r["val"]) for r in physical.collect()) == expected
+
+
+# ------------------------------------------------------- planner properties
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_file_st = st.builds(
+    DataFile,
+    path=st.uuids().map(str),
+    size=st.integers(min_value=0, max_value=300 * KB),
+    partition=st.sampled_from(["", "dt=1", "dt=2", "dt=3"]),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(files=st.lists(_file_st, max_size=60, unique_by=lambda f: f.path))
+def test_plan_invariants(files):
+    target = 100 * KB
+    bins, skipped = plan_compaction(files, target_bytes=target)
+    seen = set()
+    small = [f for f in files if f.size < target // 2]
+    for b in bins:
+        # bins respect the size target, partition purity, and >= 2 files
+        assert b.total_bytes <= target
+        assert len(b.files) >= 2
+        assert {f.partition for f in b.files} == {b.partition}
+        for f in b.files:
+            assert f.path not in seen  # no file in two bins
+            seen.add(f.path)
+            assert f.size < target // 2  # only small files rewritten
+    # accounting: every large file is skipped, never binned
+    assert skipped == len(files) - len(small)
+    # determinism under listing order
+    bins2, _ = plan_compaction(list(reversed(files)), target_bytes=target)
+    assert bins2 == bins

@@ -182,3 +182,65 @@ def test_streaming_rollup_maintenance(spark, tmp_path):
     }
     assert got == want
     assert got[("2024-01-01 10:00:00", "c")][0] == 3  # late row merged in
+
+
+def test_streaming_theta_sketch_maintenance(spark, tmp_path):
+    """Mergeable-sketch maintenance under foreachBatch: each microbatch
+    builds a theta increment, theta_merge folds it into persisted
+    state; after the backlog drains the stored sketch is IDENTICAL
+    (not just close) to a one-shot build over all events — merge is
+    associative and idempotent, so replayed microbatches are safe
+    (the reference's at-least-once contract, applied to sketches)."""
+    import glob
+    import os
+
+    from mysql_clickhouse_sync_spark.operators.sketch import (
+        theta_build,
+        theta_estimate,
+        theta_merge,
+    )
+
+    src = str(tmp_path / "ev_theta")
+    state_dir = str(tmp_path / "theta_state")
+    ck = str(tmp_path / "ck_theta")
+    _write(src, [
+        {"ts": "2024-01-01 10:00:00", "user_id": u, "event_type": "c",
+         "value": 1.0} for u in range(40)
+    ], "f1.json")
+    _write(src, [
+        {"ts": "2024-01-01 11:00:00", "user_id": u, "event_type": "c",
+         "value": 1.0} for u in range(20, 70)  # overlap: 20-39 replayed
+    ], "f2.json")
+    K = 16  # < 70 distinct -> estimation regime exercised end-to-end
+
+    def refresh(batch_df, _id):
+        inc = theta_build(batch_df, "user_id", k=K)
+        if glob.glob(os.path.join(state_dir, "*.parquet")):
+            merged = theta_merge(
+                spark.read.parquet(state_dir), inc, k=K
+            )
+        else:
+            merged = inc
+        merged.cache().count()
+        merged.write.mode("overwrite").parquet(state_dir)
+        merged.unpersist()
+
+    q = (
+        _stream(spark, src)
+        .writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    stored = sorted(r.hv for r in spark.read.parquet(state_dir).collect())
+    batch = spark.read.schema(EVENTS_SCHEMA).json(src)
+    oneshot = sorted(
+        r.hv for r in theta_build(batch, "user_id", k=K).collect()
+    )
+    assert stored == oneshot and len(stored) == K
+    est = theta_estimate(
+        spark.read.parquet(state_dir), k=K
+    ).collect()[0].est_distinct
+    assert abs(est - 70) < 0.8 * 70  # k=16 -> RSE ~26%; 3 sigma
