@@ -147,3 +147,55 @@ def emb_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 25 == 0)
     return brute_force_topk_vectorized(emb, queries, k=5)
+
+
+@register(
+    "emb_near_dup_keeper",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {_sql_cosine('a.v', 'b.v')} > 0.3
+    ), keepers AS (
+        SELECT id_b AS vec_id, MIN(id_a) AS keeper_id
+        FROM pairs GROUP BY id_b
+    )
+    SELECT e.vec_id, COALESCE(k.keeper_id, e.vec_id) AS keeper_id,
+           CAST(COALESCE(k.keeper_id, e.vec_id) <> e.vec_id AS BOOLEAN)
+               AS is_dup
+    FROM e LEFT JOIN keepers k ON k.vec_id = e.vec_id
+    """,
+    description="Embedding-cosine near-dup DEDUP DECISION: each vector "
+    "is assigned a canonical keeper = min id among its >0.3-cosine "
+    "label-blocked neighbors (greedy one-hop, the standard post-pass "
+    "over LSH/blocking candidates); is_dup marks rows a training "
+    "pipeline would drop.  Same min-id-keeper policy as exact_dedup, "
+    "so the whole dedup family shares one deterministic contract",
+)
+def emb_near_dup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _to_double(F.col("embedding")).alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).filter(cosine(F.col("a.v"), F.col("b.v")) > 0.3).select(
+        F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+    )
+    keepers = pairs.groupBy(F.col("id_b").alias("vec_id")).agg(
+        F.min("id_a").alias("keeper_id")
+    )
+    out = e.select("vec_id").join(keepers, on="vec_id", how="left")
+    return out.select(
+        "vec_id",
+        F.coalesce("keeper_id", "vec_id").alias("keeper_id"),
+        (F.coalesce("keeper_id", "vec_id") != F.col("vec_id")).alias(
+            "is_dup"
+        ),
+    )
