@@ -58,6 +58,7 @@ class CDCStreamPipeline:
         pks: Sequence[str],
         changelog_schema: StructType,
         base_dir: str,
+        maintenance_every: int | None = None,
     ) -> None:
         validate_identifier(table, "table")
         self.spark = spark
@@ -67,6 +68,13 @@ class CDCStreamPipeline:
         self.base_dir = base_dir
         self.target_dir = os.path.join(base_dir, f"{table}_cdc")
         self.checkpoint_dir = os.path.join(base_dir, f"{table}_checkpoint")
+        # Every N microbatches, run the small-file compaction policy
+        # over the target (pipeline/compact.py) — the self-healing
+        # analogue of ClickHouse's background merges: a one-file-per-
+        # microbatch append sink is exactly the workload that degrades
+        # without it.  None disables (run compaction as a separate job).
+        self.maintenance_every = maintenance_every
+        self._batches_since_maintenance = 0
 
     # -- write path -------------------------------------------------
 
@@ -82,6 +90,30 @@ class CDCStreamPipeline:
         (
             stamped.write.mode("append").parquet(self.target_dir)
         )
+        if self.maintenance_every:
+            self._batches_since_maintenance += 1
+            if self._batches_since_maintenance >= self.maintenance_every:
+                self._batches_since_maintenance = 0
+                self.run_maintenance()
+
+    def run_maintenance(self) -> None:
+        """Policy-gated small-file compaction of the target directory.
+
+        Row-preserving rewrite (verified per bin before swap), so CDC
+        semantics are untouched: dedup_latest resolves versions the
+        same whether they sit in 40 files or 4.  Safe to run between
+        microbatches of a single-writer stream — the swap window can
+        transiently duplicate rows, which at-least-once already
+        tolerates (/root/reference/README.md:493-497).
+        """
+        from ..pipeline.compact import (
+            execute_compaction,
+            plan_table_compaction,
+        )
+
+        plan = plan_table_compaction(self.target_dir, only_triggered=True)
+        if plan.bins:
+            execute_compaction(self.spark, plan)
 
     def start(self, changelog_dir: str, available_now: bool = True):
         """Open the changelog stream (S5) and start the sink.

@@ -173,3 +173,41 @@ def test_rebootstrap_replays_changelog_from_zero(spark, dirs):
     p2 = CDCStreamPipeline(spark, "users", ["id"], CHANGELOG_SCHEMA, base_dir)
     run_initial_sync_then_stream(p2, snapshot, changelog_dir)
     assert {r["name"] for r in p2.live().collect()} == {"Alice-v2"}
+
+
+def test_stream_maintenance_compacts_without_changing_live(spark, dirs):
+    """maintenance_every triggers policy-gated compaction inside the
+    stream: file count drops, live view is byte-identical to an
+    uncompacted run of the same changelog."""
+    from mysql_clickhouse_sync_spark.pipeline.compact import list_data_files
+
+    base_dir, changelog_dir = dirs
+    # 6 files -> 6 microbatches (maxFilesPerTrigger=4 caps per batch,
+    # but one file per trigger here since files appear upfront in one
+    # listing -> batches of 4+2); each append writes >= 8 shuffle files
+    for i in range(6):
+        _write_events(
+            changelog_dir,
+            [
+                {"op": "I" if i == 0 else "U", "seq": i * 100 + j, "id": j,
+                 "email": f"u{j}@x", "name": f"n{i}_{j}"}
+                for j in range(40)
+            ],
+            filename=f"f{i}.json",
+        )
+    plain = CDCStreamPipeline(
+        spark, "plain", ["id"], CHANGELOG_SCHEMA, base_dir
+    )
+    plain.start(changelog_dir).awaitTermination()
+    maint = CDCStreamPipeline(
+        spark, "maint", ["id"], CHANGELOG_SCHEMA, base_dir,
+        maintenance_every=1,
+    )
+    maint.start(changelog_dir).awaitTermination()
+
+    want = sorted(map(tuple, plain.live().collect()))
+    got = sorted(map(tuple, maint.live().collect()))
+    assert got == want and len(got) == 40
+    n_plain = len(list_data_files(plain.target_dir))
+    n_maint = len(list_data_files(maint.target_dir))
+    assert n_maint < n_plain
