@@ -953,3 +953,58 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(100)
     )
+
+
+@register(
+    "customer_order_momentum",
+    oracle="""
+    SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+           CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w_run
+                AS DECIMAL(38,2)) AS lifetime_spend,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w_mov
+                AS DECIMAL(38,2)) AS moving3_spend,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w_mov
+                     AS DOUBLE)
+                / COUNT(*) OVER w_mov AS DOUBLE) AS moving3_avg,
+           CAST(ntile(4) OVER w_ord AS INT) AS spend_quartile
+    FROM orders
+    WINDOW
+      w_ord AS (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey),
+      w_run AS (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      w_mov AS (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    description="Window-frame analytics in ONE exchange: running "
+    "lifetime spend (unbounded frame), 3-order moving sum/avg "
+    "(bounded ROWS frame), and ntile(4) position within each "
+    "customer's history — every window shares one partitioning "
+    "(custkey) and one sort (orderdate, orderkey full tie-break), so "
+    "Spark plans a single shuffle + sort for all four columns.  "
+    "DECIMAL running sums, one double division last (registry "
+    "determinism rules); ntile is deterministic because the ordering "
+    "is total",
+)
+def customer_order_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_mov = w.rowsBetween(-2, Window.currentRow)
+    price = F.col("o_totalprice").cast(D2)
+    mov_sum = F.sum(price).over(w_mov)
+    return o.select(
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.sum(price).over(w_run).cast("decimal(38,2)").alias(
+            "lifetime_spend"
+        ),
+        mov_sum.cast("decimal(38,2)").alias("moving3_spend"),
+        (
+            mov_sum.cast("double") / F.count("*").over(w_mov)
+        ).alias("moving3_avg"),
+        F.ntile(4).over(w).cast("int").alias("spend_quartile"),
+    )
