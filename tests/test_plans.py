@@ -57,3 +57,29 @@ def test_media_decode_never_shuffles_payload(spark):
     downstream can shuffle it (multimodal scale contract)."""
     df = all_queries()["media_decode_features"].fn(spark, SF_DIR)
     assert "payload" not in df.columns
+
+
+def test_window_frames_share_one_exchange(spark):
+    """customer_order_momentum computes four window columns (running
+    sum, moving sum/avg, ntile) over one partitioning+ordering — the
+    plan must pay exactly one shuffle and one sort."""
+    plan = _plan(all_queries()["customer_order_momentum"].fn(spark, SF_DIR))
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Sort") == 1, plan
+
+
+def test_q2_topk_and_bounded_broadcasts(spark):
+    plan = _plan(all_queries()["q2_min_cost_supplier"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan  # top-100, no global sort
+
+
+def test_theta_sketch_relation_is_bounded(spark):
+    """The sketch the overlap query shuffles is at most k rows per
+    side — verify the built relations honor the bound."""
+    from mysql_clickhouse_sync_spark.operators.sketch import theta_build
+
+    ev = load_table(spark, SF_DIR, "events")
+    k = 64
+    sk = theta_build(ev, "user_id", group_cols=["event_type"], k=k)
+    counts = sk.groupBy("event_type").count().collect()
+    assert counts and all(r["count"] <= k for r in counts)
