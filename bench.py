@@ -24,12 +24,15 @@ HEADLINE = (
     "q5_local_supplier_volume",
     "q10_returned_items",
     "q18_large_volume_customers",
+    "q2_min_cost_supplier",
+    "customer_order_momentum",
     "segment_order_stats",
     "customer_top_orders",
     "sql_region_revenue",
     "events_sessionization",
     "events_daily_type_stats",
     "events_last_purchase_asof",
+    "events_theta_user_overlap",
     "orders_in_promo_windows",
     "docs_exact_dedup",
     "docs_top_jaccard_pairs",
