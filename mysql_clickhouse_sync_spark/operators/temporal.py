@@ -105,15 +105,30 @@ def asof_join(
     right_ts: str,
     right_cols: Sequence[str] | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance: int | None = None,
 ) -> DataFrame:
-    """Backward as-of left join: each left row gains the payload of the
-    latest right row with ``right_ts <= left_ts`` for the same keys
-    (inclusive at equality, like DuckDB ``ASOF JOIN``); left rows with
-    no prior right row keep nulls.
+    """As-of left join: each left row gains the payload of the nearest
+    right row at-or-before (``direction="backward"``, like DuckDB
+    ``ASOF JOIN``; inclusive at equality) or at-or-after
+    (``direction="forward"``) its timestamp, per key group; left rows
+    with no match keep nulls.
+
+    ``tolerance`` (same units as the ts columns — pass integer ts, or
+    cast timestamps to epoch first) additionally nulls out matches
+    farther than the bound, the pandas ``merge_asof`` contract a
+    feature-store join needs ("features no staler than 1 h").
+
+    One shuffle total (union + window carry, never a range self-join);
+    forward is the same plan over the reversed ordering, and the two
+    directions are exact mirrors: ``forward(ts) == backward(-ts)``
+    (property-tested).
 
     ``right_cols`` defaults to every non-key, non-ts right column;
     each is emitted as ``<col><suffix>``.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
     keys = list(keys)
     if right_cols is None:
         right_cols = [
@@ -121,7 +136,10 @@ def asof_join(
         ]
     payload = list(right_cols)
 
-    pay_struct = F.struct(*[F.col(c) for c in payload])
+    # carry the right ts inside the payload so tolerance can compare it
+    pay_struct = F.struct(
+        *[F.col(c) for c in payload], F.col(right_ts).alias("__rts")
+    )
     pay_type = right.select(pay_struct.alias(_PAY)).schema[_PAY].dataType
 
     l_tagged = left.select(
@@ -143,14 +161,25 @@ def asof_join(
             )
 
     unioned = l_tagged.unionByName(r_tagged.select(l_tagged.columns))
+    ts_order = (
+        F.col("__ts") if direction == "backward" else F.col("__ts").desc()
+    )
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__ts"), F.col(_SIDE))
+        .orderBy(ts_order, F.col(_SIDE))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn(
         _PAY, F.last(_PAY, ignorenulls=True).over(w)
     )
+    if tolerance is not None:
+        gap = F.abs(
+            F.col("__ts").cast("long")
+            - F.col(f"{_PAY}.__rts").cast("long")
+        )
+        carried = carried.withColumn(
+            _PAY, F.when(gap <= tolerance, F.col(_PAY))
+        )
     return carried.filter(F.col(_SIDE) == 1).select(
         *left.columns,
         *[F.col(f"{_PAY}.{c}").alias(f"{c}{suffix}") for c in payload],

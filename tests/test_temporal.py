@@ -83,3 +83,75 @@ def test_range_join_left_keeps_unmatched_points(spark):
     assert out.count() == 10
     got = {r.p: r.nm for r in out.collect()}
     assert got[2] == "x" and got[3] == "x" and got[5] is None
+
+
+def test_asof_forward_and_tolerance(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 100, "a"),   # next right at 130 -> gap 30
+            (1, 130, "eq"),  # equal ts matches forward too
+            (1, 500, "late"),  # no right at or after
+            (2, 100, "far"),   # next right at 400 -> gap 300
+        ],
+        "k long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 130, 7.0), (1, 90, 1.0), (2, 400, 9.0)],
+        "k long, ts long, v double",
+    )
+    fwd = {
+        r.tag: r.v_asof
+        for r in asof_join(
+            left, right, ["k"], "ts", "ts", ["v"], direction="forward"
+        ).collect()
+    }
+    assert fwd == {"a": 7.0, "eq": 7.0, "late": None, "far": 9.0}
+    # tolerance nulls matches farther than the bound (forward gap 300 > 50)
+    tol = {
+        r.tag: r.v_asof
+        for r in asof_join(
+            left, right, ["k"], "ts", "ts", ["v"],
+            direction="forward", tolerance=50,
+        ).collect()
+    }
+    assert tol == {"a": 7.0, "eq": 7.0, "late": None, "far": None}
+
+
+def test_asof_forward_is_mirror_of_backward(spark):
+    """Exact mirror identity: forward(ts) == backward(-ts) — holds for
+    every row including ties, so the two directions share one
+    correctness argument."""
+    import pyspark.sql.functions as F
+
+    left = spark.range(0, 300).select(
+        (F.col("id") % 3).alias("k"),
+        (F.xxhash64("id") % 1000).alias("ts"),
+        F.col("id").alias("tag"),
+    )
+    right = spark.range(0, 150).select(
+        (F.col("id") % 3).alias("k"),
+        (F.xxhash64("id", F.lit(1)) % 1000).alias("ts"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    fwd = asof_join(left, right, ["k"], "ts", "ts", ["v"],
+                    direction="forward")
+    neg_l = left.withColumn("ts", -F.col("ts"))
+    neg_r = right.withColumn("ts", -F.col("ts"))
+    bwd = asof_join(neg_l, neg_r, ["k"], "ts", "ts", ["v"])
+    got = sorted((r.tag, r.v_asof) for r in fwd.collect())
+    want = sorted((r.tag, r.v_asof) for r in bwd.collect())
+    assert got == want
+
+
+def test_asof_backward_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, 100, "near"), (1, 1000, "stale")], "k long, ts long, tag string"
+    )
+    right = spark.createDataFrame([(1, 90, 5.0)], "k long, ts long, v double")
+    out = {
+        r.tag: r.v_asof
+        for r in asof_join(
+            left, right, ["k"], "ts", "ts", ["v"], tolerance=60
+        ).collect()
+    }
+    assert out == {"near": 5.0, "stale": None}  # gap 910 > 60
