@@ -23,9 +23,11 @@ from pyspark.sql import SparkSession
 
 def _build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="spark-sync-engine")
-    ap.add_argument("--mode", choices=("snapshot", "cdc"), required=True)
-    ap.add_argument("--source-dir", required=True,
-                    help="directory of <table>.parquet source files")
+    ap.add_argument("--mode", choices=("snapshot", "cdc", "compact"),
+                    required=True)
+    ap.add_argument("--source-dir",
+                    help="directory of <table>.parquet source files "
+                    "(snapshot/cdc modes)")
     ap.add_argument("--target-dir", required=True)
     ap.add_argument("--tables", default="",
                     help="csv list; empty = discover *.parquet in source "
@@ -40,6 +42,16 @@ def _build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--follow", action="store_true",
                     help="keep streaming (processingTime) instead of "
                     "drain-and-stop")
+    # compact-only:
+    ap.add_argument("--full", action="store_true",
+                    help="compact mode: full CDC OPTIMIZE (collapse row "
+                    "versions via dedup-latest) instead of policy-gated "
+                    "small-file bin-packing; needs --pks")
+    ap.add_argument("--drop-tombstones", action="store_true",
+                    help="with --full: physically drop deleted rows "
+                    "(ClickHouse OPTIMIZE ... CLEANUP)")
+    ap.add_argument("--target-file-mb", type=int, default=128,
+                    help="compact mode: output file size target")
     return ap
 
 
@@ -113,14 +125,57 @@ def run_cdc(spark: SparkSession, args) -> int:
     return 0
 
 
+def run_compact(spark: SparkSession, args) -> int:
+    """Maintenance mode: the job a ClickHouse deployment gets for free
+    from background merges — run on a timer against the CDC target."""
+    from .pipeline.compact import (
+        CompactionPolicy,
+        compact_cdc_table,
+        execute_compaction,
+        plan_table_compaction,
+    )
+
+    target = args.target_dir
+    if args.table:
+        target = os.path.join(target, f"{args.table}_cdc")
+    if args.full:
+        pks = [k.strip() for k in args.pks.split(",") if k.strip()]
+        if not pks:
+            print("--full compaction needs --pks", file=sys.stderr)
+            return 2
+        n = compact_cdc_table(
+            spark, target, pks,
+            keep_tombstones=not args.drop_tombstones,
+        )
+        print(f"optimize: {target} -> {n} rows", file=sys.stderr)
+        return 0
+    policy = CompactionPolicy(
+        target_bytes=args.target_file_mb * 1024 * 1024
+    )
+    plan = plan_table_compaction(target, policy, only_triggered=True)
+    result = execute_compaction(spark, plan)
+    print(
+        f"compact: {target}: {result.files_removed} files -> "
+        f"{result.files_written} ({result.bins_compacted} bins, "
+        f"{len(result.errors)} errors)",
+        file=sys.stderr,
+    )
+    return 1 if result.errors else 0
+
+
 def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
     args = _build_parser().parse_args(argv)
+    if args.mode in ("snapshot", "cdc") and not args.source_dir:
+        print(f"{args.mode} mode needs --source-dir", file=sys.stderr)
+        return 2
     if spark is None:
         from .session import get_spark
 
         spark = get_spark("spark-sync-engine")
     if args.mode == "snapshot":
         return run_snapshot(spark, args)
+    if args.mode == "compact":
+        return run_compact(spark, args)
     return run_cdc(spark, args)
 
 

@@ -72,3 +72,48 @@ def test_cdc_mode_bootstrap_and_drain(spark, tmp_path):
     assert 0 not in state                      # deleted
     assert state[1] == "AMERICA-v2"            # updated
     assert len(state) == 4                     # 5 regions - 1 delete
+
+
+def test_compact_mode_bin_packs(spark, tmp_path):
+    from mysql_clickhouse_sync_spark.main import main
+    from mysql_clickhouse_sync_spark.pipeline.compact import list_data_files
+
+    target = str(tmp_path / "frag")
+    spark.range(5000).repartition(16).write.parquet(target)
+    assert len(list_data_files(target)) == 16
+    rc = main(
+        ["--mode", "compact", "--target-dir", target, "--target-file-mb", "64"],
+        spark=spark,
+    )
+    assert rc == 0
+    assert len(list_data_files(target)) == 1
+    assert spark.read.parquet(target).count() == 5000
+
+
+def test_compact_mode_full_optimize(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mysql_clickhouse_sync_spark.main import main
+    from mysql_clickhouse_sync_spark.operators.cdc import stamp_changelog
+
+    target = str(tmp_path / "cdc_opt")
+    base = spark.range(100).select(F.col("id").alias("k"))
+    for v, op in ((1, "I"), (2, "U")):
+        stamp_changelog(
+            base.withColumn("op", F.lit(op)).withColumn("_v", F.lit(v)),
+            version_col="_v",
+        ).drop("_v").repartition(4).write.mode("append").parquet(target)
+    assert spark.read.parquet(target).count() == 200
+    rc = main(
+        ["--mode", "compact", "--full", "--pks", "k", "--target-dir", target],
+        spark=spark,
+    )
+    assert rc == 0
+    assert spark.read.parquet(target).count() == 100  # one version per key
+
+
+def test_snapshot_mode_requires_source_dir(spark):
+    from mysql_clickhouse_sync_spark.main import main
+
+    assert main(["--mode", "snapshot", "--target-dir", "/tmp/x"],
+                spark=spark) == 2
