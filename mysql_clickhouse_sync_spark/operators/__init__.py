@@ -38,6 +38,7 @@ from .sketch import (
     hll_merge,
     theta_build,
     theta_estimate,
+    theta_estimate_bounds,
     theta_merge,
     theta_set_estimate,
 )
@@ -59,6 +60,7 @@ __all__ = [
     "hll_merge",
     "theta_build",
     "theta_estimate",
+    "theta_estimate_bounds",
     "theta_merge",
     "theta_set_estimate",
     "compact",

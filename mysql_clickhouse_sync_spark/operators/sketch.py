@@ -323,6 +323,41 @@ def theta_estimate(
     )
 
 
+def theta_estimate_bounds(
+    sketch: DataFrame,
+    group_cols: list[str] | None = None,
+    k: int = 256,
+    num_std: float = 2.0,
+) -> DataFrame:
+    """Distinct-count estimate WITH confidence bounds per group.
+
+    The KMV estimator's relative standard error is 1/sqrt(k-2)
+    (Beyer et al., "On Synopses for Distinct-Value Estimation Under
+    Multiset Operations", SIGMOD'07; same bound the Apache
+    DataSketches theta library reports).  Bounds follow the
+    DataSketches convention: est / (1 + z*rse) .. est * (1 + z*rse).
+    In the under-full (exact) regime the bounds collapse to the count
+    itself — callers can detect estimation kicking in by lb != ub.
+
+    Output: (group..., est_distinct, lb_distinct, ub_distinct).
+    """
+    group_cols = group_cols or []
+    st = _theta_state(sketch, group_cols, k, "")
+    exact = F.col("_theta") >= _HV_SENTINEL
+    est = F.when(exact, F.col("_n").cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(_HV_SPAN) / F.col("_theta").cast("double")
+    )
+    rse = float(num_std) / ((k - 2) ** 0.5)
+    lb = F.when(exact, est).otherwise(est / F.lit(1.0 + rse))
+    ub = F.when(exact, est).otherwise(est * F.lit(1.0 + rse))
+    return st.select(
+        *group_cols,
+        F.round(est).cast("long").alias("est_distinct"),
+        F.floor(lb).cast("long").alias("lb_distinct"),
+        F.ceil(ub).cast("long").alias("ub_distinct"),
+    )
+
+
 def theta_set_estimate(
     a: DataFrame,
     b: DataFrame,

@@ -83,6 +83,93 @@ def read_table(
     return reader.load()
 
 
+def probe_bounds(
+    spark: SparkSession, cfg: JdbcSourceConfig, table: str, column: str
+) -> tuple[int | None, int | None]:
+    """One-row pushdown probe ``SELECT MIN(col), MAX(col)`` used to
+    derive partition bounds automatically (the step the reference
+    never needed because it scans single-threaded).
+
+    Runs as a JDBC subquery so the aggregation executes ON THE SOURCE
+    (an index-only scan when ``column`` is the PK) — nothing but two
+    longs crosses the wire.  Returns ``(None, None)`` for an empty
+    table; callers then fall back to the single-cursor scan.
+    """
+    validate_identifier(table, "table")
+    validate_identifier(column, "column")
+    probe = (
+        f"(SELECT MIN({column}) AS lo, MAX({column}) AS hi "
+        f"FROM {table}) AS bounds_probe"
+    )
+    row = (
+        spark.read.format("jdbc")
+        .options(**cfg.options())
+        .option("dbtable", probe)
+        .load()
+        .collect()[0]
+    )
+    if row["lo"] is None:
+        return None, None
+    return int(row["lo"]), int(row["hi"])
+
+
+def read_table_auto(
+    spark: SparkSession,
+    cfg: JdbcSourceConfig,
+    table: str,
+    partition_column: str,
+) -> DataFrame:
+    """Partitioned scan with auto-probed bounds: probe min/max of the
+    numeric partition column, then fan out ``num_partitions`` range
+    queries.  Spark strides the range uniformly — fine for dense
+    auto-increment PKs (the reference's usual shape); for sparse or
+    skewed keys use :func:`read_table_predicates`.
+    """
+    lo, hi = probe_bounds(spark, cfg, table, partition_column)
+    if lo is None or lo == hi:
+        # empty or single-key table: stride partitioning degenerates,
+        # use the plain single-cursor scan
+        return read_table(spark, cfg, table)
+    return read_table(
+        spark, cfg, table, partition_column, lower_bound=lo, upper_bound=hi
+    )
+
+
+def read_table_predicates(
+    spark: SparkSession,
+    cfg: JdbcSourceConfig,
+    table: str,
+    column: str,
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Hash-bucketed parallel scan for NON-numeric or skewed keys.
+
+    Spark's stride partitioning needs a dense numeric column; string
+    PKs or hot-spotted ids get uneven splits.  This issues one query
+    per hash bucket (``MOD(source_hash(col), N)``) via the JDBC
+    ``predicates`` API — each bucket has ~uniform cardinality whatever
+    the key distribution, because the hash is computed source-side.
+    """
+    validate_identifier(table, "table")
+    validate_identifier(column, "column")
+    n = num_buckets or cfg.num_partitions
+    if cfg.dialect == "mysql":
+        bucket = f"MOD(crc32({column}), {n})"
+    elif cfg.dialect == "postgresql":
+        bucket = f"MOD(abs(hashtext({column}::text)), {n})"
+    else:  # clickhouse
+        bucket = f"cityHash64({column}) % {n}"
+    predicates = [f"{bucket} = {i}" for i in range(n)]
+    return spark.read.jdbc(
+        url=cfg.url,
+        table=table,
+        predicates=predicates,
+        properties={
+            k: v for k, v in cfg.options().items() if k != "url"
+        },
+    )
+
+
 def write_table(
     df: DataFrame, cfg: JdbcSourceConfig, table: str, mode: str = "append"
 ) -> None:

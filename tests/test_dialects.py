@@ -141,3 +141,53 @@ def test_jdbc_config_uses_dialect_driver():
         dialect="postgresql",
     )
     assert cfg.options()["driver"] == "org.postgresql.Driver"
+
+
+def test_jdbc_helpers_validate_identifiers():
+    """probe/partitioned/hash-bucketed reads all reject injection
+    before any connection is attempted (P7 retained on every SQL
+    string surface)."""
+    from mysql_clickhouse_sync_spark.sources.jdbc import (
+        probe_bounds,
+        read_table_predicates,
+    )
+
+    cfg = JdbcSourceConfig(url="jdbc:mysql://h/db", user="u", password="p")
+    with pytest.raises(ValueError):
+        probe_bounds(None, cfg, "t; DROP TABLE x", "id")
+    with pytest.raises(ValueError):
+        probe_bounds(None, cfg, "t", "id--")
+    with pytest.raises(ValueError):
+        read_table_predicates(None, cfg, "t", 'k" OR "1')
+
+
+def test_jdbc_hash_bucket_expressions_per_dialect():
+    """The source-side hash expression must match the target engine's
+    SQL surface — snapshot of the three dialect forms."""
+    import mysql_clickhouse_sync_spark.sources.jdbc as j
+
+    captured = {}
+
+    class FakeReader:
+        def jdbc(self, url, table, predicates, properties):
+            captured["predicates"] = predicates
+            return "df"
+
+    class FakeSpark:
+        read = FakeReader()
+
+    for dialect, frag in [
+        ("mysql", "MOD(crc32(k), 4)"),
+        ("postgresql", "MOD(abs(hashtext(k::text)), 4)"),
+        ("clickhouse", "cityHash64(k) % 4"),
+    ]:
+        cfg = JdbcSourceConfig(
+            url="jdbc:x://h/db", user="u", password="p",
+            num_partitions=4, dialect=dialect,
+        )
+        assert (
+            j.read_table_predicates(FakeSpark(), cfg, "t", "k") == "df"
+        )
+        preds = captured["predicates"]
+        assert len(preds) == 4
+        assert preds[0] == f"{frag} = 0"

@@ -122,6 +122,32 @@ def test_theta_accuracy_full_sketch(spark):
         assert abs(est - n) < 0.14 * n, (prefilter, est)
 
 
+def test_theta_bounds_exact_regime_collapse(spark):
+    from mysql_clickhouse_sync_spark.operators.sketch import (
+        theta_build,
+        theta_estimate_bounds,
+    )
+
+    sk = theta_build(_ids(spark, 0, 100), "k", k=256)
+    row = theta_estimate_bounds(sk, k=256).collect()[0]
+    assert row.est_distinct == row.lb_distinct == row.ub_distinct == 100
+
+
+def test_theta_bounds_cover_truth_when_estimating(spark):
+    from mysql_clickhouse_sync_spark.operators.sketch import (
+        theta_build,
+        theta_estimate_bounds,
+    )
+
+    n = 20_000
+    sk = theta_build(_ids(spark, 0, n), "k", k=512)
+    row = theta_estimate_bounds(sk, k=512, num_std=3.0).collect()[0]
+    assert row.lb_distinct < row.est_distinct < row.ub_distinct
+    assert row.lb_distinct <= n <= row.ub_distinct  # 3-sigma interval
+    # interval width matches the advertised RSE (~ 2*3/sqrt(510) ~ 27%)
+    assert row.ub_distinct - row.lb_distinct < 0.35 * n
+
+
 def test_theta_prefilter_matches_unfiltered_exactly(spark):
     from mysql_clickhouse_sync_spark.operators.sketch import theta_build
 
