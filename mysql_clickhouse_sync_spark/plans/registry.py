@@ -59,6 +59,7 @@ def all_queries() -> dict[str, Query]:
     from . import media_queries  # noqa: F401
     from . import analytics_shapes  # noqa: F401
     from . import set_queries  # noqa: F401
+    from . import behavior_queries  # noqa: F401
 
     return dict(_REGISTRY)
 

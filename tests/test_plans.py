@@ -83,3 +83,36 @@ def test_theta_sketch_relation_is_bounded(spark):
     sk = theta_build(ev, "user_id", group_cols=["event_type"], k=k)
     counts = sk.groupBy("event_type").count().collect()
     assert counts and all(r["count"] <= k for r in counts)
+
+
+def test_funnel_is_single_shuffle(spark):
+    """events_funnel folds per-user event arrays with higher-order
+    functions — one groupBy exchange (plus AQE's final single-partition
+    agg), never the 3-way self-join's three shuffles of the raw table."""
+    plan = _plan(all_queries()["events_funnel"].fn(spark, SF_DIR))
+    assert "Join" not in plan, plan
+    # one hash-partitioned exchange for the user rollup; the final
+    # global agg coalesces to a SinglePartition exchange.
+    assert plan.count("hashpartitioning") <= 1, plan
+
+
+def test_retention_cohorts_has_no_join(spark):
+    """Cohort matrix comes from collect_set+explode, not a
+    firsts-to-activity self-join."""
+    plan = _plan(all_queries()["events_retention_cohorts"].fn(spark, SF_DIR))
+    assert "Join" not in plan, plan
+
+
+def test_grouping_sets_single_scan(spark):
+    """GROUPING SETS must Expand one scan, not UNION three scans."""
+    plan = _plan(all_queries()["lineitem_grouping_sets"].fn(spark, SF_DIR))
+    assert "Expand" in plan, plan
+    assert plan.count("FileScan") == 1, plan
+
+
+def test_gapfill_grid_broadcasts(spark):
+    """The dense calendar grid side stays broadcast-joined; the raw
+    events table is scanned for bounds/types/counts but never joined
+    row-to-row against itself."""
+    plan = _plan(all_queries()["events_hourly_gapfill"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
