@@ -12,6 +12,14 @@ one you'd also want on a 1000-executor cluster reading 100 TB:
   100 TB that yields ~800k input splits, which Spark schedules fine;
   shuffle partitions are governed by AQE coalescing from an upper
   bound.
+* Runtime bloom-filter join pruning
+  (``spark.sql.optimizer.runtime.bloomFilter.enabled``, on by
+  default) left at default thresholds (10 MB creation side / 10 GB
+  application-side scan): exactly the regime of a selective dim
+  filter against a 100 TB fact — the fact scan drops non-matching
+  keys BEFORE the shuffle.  Triggering is asserted in
+  tests/test_plans.py::test_runtime_bloom_filter_prunes_fact_scan
+  (with the application threshold scaled to harness data size).
 """
 
 from __future__ import annotations

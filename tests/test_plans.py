@@ -116,3 +116,35 @@ def test_gapfill_grid_broadcasts(spark):
     row-to-row against itself."""
     plan = _plan(all_queries()["events_hourly_gapfill"].fn(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """A selective dim-side filter must inject a runtime bloom filter
+    (bloom_filter_might_contain) on the fact side of a shuffle join —
+    at 100 TB this is what turns 'shuffle everything then drop 99%'
+    into 'drop 99% at the scan'.  Default thresholds (10 MB creation /
+    10 GB application side) are tuned for cluster scale; the harness
+    data is far below them, so we scale the application threshold
+    down rather than off-default the session factory."""
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = load_table(spark, SF_DIR, "orders").filter(
+        F.col("o_totalprice") > 400000
+    ).select("o_orderkey")
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        phys = _plan(j)
+        assert "might_contain" in phys, phys
+        assert j.count() > 0
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
