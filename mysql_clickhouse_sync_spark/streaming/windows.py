@@ -96,3 +96,67 @@ def stateful_user_totals(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each left row matched to
+    right rows with the same ``key`` whose timestamp falls in
+    ``[left_ts, left_ts + max_delay]`` (attribution joins: click ->
+    purchase within the hour).
+
+    Both sides carry a watermark and the join condition is
+    range-bounded on event time, so Spark can expire buffered state:
+    a left row is held at most ``watermark + max_delay``, a right row
+    at most ``watermark`` — state stays O(in-flight window), never
+    O(stream history).  Without the time bound the state store would
+    have to buffer both streams forever (Spark rejects that join in
+    append mode for exactly this reason).
+
+    Right-side columns are prefixed with ``right_prefix`` to keep the
+    output schema collision-free.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    rw = rw.select(
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in rw.columns]
+    )
+    rk, rts = f"{right_prefix}{key}", f"{right_prefix}{right_ts}"
+    cond = (
+        (F.col(key) == F.col(rk))
+        & (F.col(rts) >= F.col(left_ts))
+        & (F.col(rts) <= F.col(left_ts) + F.expr(f"interval {max_delay}"))
+    )
+    return lw.join(rw, cond, "inner").drop(rk)
+
+
+def dedup_within_watermark(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming deduplication with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps the first row per key and
+    drops re-deliveries arriving within the watermark delay, then
+    FREES the key's state — the at-least-once absorber for streams
+    whose rows have no ``_version`` to dedup-latest on (raw event
+    ingestion, webhook feeds).
+
+    Contrast with the CDC path: ``dedup_latest`` (merge-on-read) keeps
+    state in the TABLE and needs no streaming state at all; this
+    operator keeps state in the STORE and emits exactly-once rows.
+    Plain ``dropDuplicates`` on a stream would grow state forever —
+    the watermark variant is the only shape that survives at scale.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

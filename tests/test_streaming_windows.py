@@ -244,3 +244,84 @@ def test_streaming_theta_sketch_maintenance(spark, tmp_path):
         spark.read.parquet(state_dir), k=K
     ).collect()[0].est_distinct
     assert abs(est - 70) < 0.8 * 70  # k=16 -> RSE ~26%; 3 sigma
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Clicks joined to purchases by user within [click, click+1h]:
+    in-window purchase matches, out-of-window and other-user don't."""
+    from mysql_clickhouse_sync_spark.streaming.windows import interval_join
+
+    clicks_src = str(tmp_path / "clicks")
+    buys_src = str(tmp_path / "buys")
+    out = str(tmp_path / "out_j")
+    ck = str(tmp_path / "ck_j")
+    _write(clicks_src, [
+        {"ts": "2024-01-01 10:00:00", "user_id": 1, "event_type": "click", "value": 0.0},
+        {"ts": "2024-01-01 10:00:00", "user_id": 2, "event_type": "click", "value": 0.0},
+    ], "f1.json")
+    _write(buys_src, [
+        # in window for user 1
+        {"ts": "2024-01-01 10:30:00", "user_id": 1, "event_type": "purchase", "value": 9.0},
+        # out of window (>1h after click)
+        {"ts": "2024-01-01 11:30:00", "user_id": 1, "event_type": "purchase", "value": 7.0},
+        # different user, in window for user 2
+        {"ts": "2024-01-01 10:59:00", "user_id": 2, "event_type": "purchase", "value": 5.0},
+    ], "f1.json")
+
+    j = interval_join(
+        _stream(spark, clicks_src).drop("value"),
+        _stream(spark, buys_src).select("ts", "user_id", "value"),
+        key="user_id",
+        max_delay="1 hour",
+    )
+    q = (
+        j.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.r_value) for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(1, 9.0), (2, 5.0)}, got
+
+
+def test_dedup_within_watermark_drops_redeliveries(spark, tmp_path):
+    """Re-delivered events (same key) within the watermark are dropped
+    across microbatch boundaries; distinct keys all survive."""
+    from mysql_clickhouse_sync_spark.streaming.windows import (
+        dedup_within_watermark,
+    )
+
+    src = str(tmp_path / "ev_dd")
+    out = str(tmp_path / "out_dd")
+    ck = str(tmp_path / "ck_dd")
+    _write(src, [
+        {"ts": "2024-01-01 10:00:00", "user_id": 1, "event_type": "a", "value": 1.0},
+        {"ts": "2024-01-01 10:01:00", "user_id": 2, "event_type": "b", "value": 2.0},
+    ], "f1.json")
+    # batch 2 re-delivers user 1's event (at-least-once source) plus a
+    # genuinely new key.
+    _write(src, [
+        {"ts": "2024-01-01 10:00:00", "user_id": 1, "event_type": "a", "value": 1.0},
+        {"ts": "2024-01-01 10:05:00", "user_id": 3, "event_type": "c", "value": 3.0},
+    ], "f2.json")
+
+    d = dedup_within_watermark(
+        _stream(spark, src), keys=["user_id", "event_type"]
+    )
+    q = (
+        d.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 3, rows
+    assert {r.user_id for r in rows} == {1, 2, 3}
