@@ -393,3 +393,31 @@ def events_theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "purchase"), "user_id", k=k
     )
     return theta_set_estimate(a, b, k=k)
+
+
+@register(
+    "events_props_profile",
+    oracle="""
+    SELECT CAST(props->>'$.k' AS BIGINT) AS prop_k,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4))
+               AS total_value
+    FROM events GROUP BY prop_k
+    """,
+    description="Semi-structured extraction: the JSON props column "
+    "(MySQL JSON degrades to String in the reference's type map, "
+    "/root/reference/src/schema_converter.py:24-36) parsed JVM-side "
+    "with get_json_object and aggregated",
+)
+def events_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.get_json_object(F.col("props"), "$.k")
+        .cast("long")
+        .alias("prop_k")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,4)"))
+        .cast("decimal(38,4)")
+        .alias("total_value"),
+    )

@@ -334,3 +334,48 @@ def docs_char_bigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("lang"), F.col("bigram"))
         .limit(50)
     )
+
+
+@register(
+    "docs_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id AS _id, {_SQL_SHINGLES} AS _sh,
+               len({_SQL_SHINGLES}) AS _n
+        FROM documents
+    ), ex AS (
+        SELECT _id, _n, unnest(_sh) AS _shingle FROM sh
+    ), pairs AS (
+        SELECT a._id AS id_a, b._id AS id_b, a._n AS n_a, b._n AS n_b,
+               count(*) AS n_common
+        FROM ex a JOIN ex b ON a._shingle = b._shingle AND a._id < b._id
+        GROUP BY a._id, b._id, a._n, b._n
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5
+    ), sym AS (
+        SELECT a, b FROM edges UNION SELECT b, a FROM edges
+        UNION SELECT a, a FROM edges UNION SELECT b, b FROM edges
+    ), reach(id, r) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
+    ), comp AS (
+        SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+           COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS is_keeper
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    """,
+    description="Near-dup CLUSTERS: exact-Jaccard >= 0.5 pairs -> "
+    "distributed connected components (min-label propagation, "
+    "localCheckpoint per round) -> full-corpus cluster + keeper "
+    "assignment; oracle recomputes components with a recursive CTE",
+)
+def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = shingle_pairs_jaccard(docs).filter(F.col("jaccard") >= 0.5)
+    return dedup_clusters(docs, pairs)

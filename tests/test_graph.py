@@ -1,0 +1,78 @@
+"""Connected-components operator: correctness vs a driver-side
+union-find oracle, plus the dedup-cluster assignment contract."""
+
+from __future__ import annotations
+
+import random
+
+from mysql_clickhouse_sync_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+)
+
+
+def _uf_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min member id
+    comp = {}
+    for i in range(n_nodes):
+        r = find(i)
+        comp.setdefault(r, []).append(i)
+    return {i: min(members) for r, members in comp.items() for i in members}
+
+
+def test_cc_matches_union_find_on_random_graph(spark):
+    rng = random.Random(7)
+    n = 200
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(120)
+    ]
+    want = _uf_components(n, edges)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    nodes = spark.range(n).withColumnRenamed("id", "node")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            e, nodes=nodes, id_col="node"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_cc_chain_needs_multiple_rounds(spark):
+    """A path graph 0-1-2-...-9 has diameter 9: propagation must keep
+    iterating until label 0 reaches the far end."""
+    edges = [(i, i + 1) for i in range(9)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = connected_components(e).collect()
+    assert {r["component"] for r in got} == {0}
+    assert len(got) == 10
+
+
+def test_dedup_clusters_keeper_contract(spark):
+    """Every cluster has exactly one keeper = its smallest id;
+    singletons keep themselves."""
+    docs = spark.range(8).withColumnRenamed("id", "doc_id")
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (2, 6)], "id_a long, id_b long"
+    )
+    rows = dedup_clusters(docs, pairs).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert set(by_cluster) == {0, 1, 2, 4, 7}
+    assert sorted(r["doc_id"] for r in by_cluster[1]) == [1, 3, 5]
+    for cid, members in by_cluster.items():
+        keepers = [r for r in members if r["is_keeper"]]
+        assert len(keepers) == 1 and keepers[0]["doc_id"] == cid
