@@ -1,0 +1,127 @@
+"""Multiplexed multi-table CDC: one changelog stream, many tables.
+
+The reference consumes ONE binlog stream and dispatches each event to
+its table by type/name (C7 dispatch loop,
+``/root/reference/src/cdc_replicator.py:325-345``), skipping tables
+outside the replicated set (P5, ``:330-333``), decoding rows with a
+per-table schema cache (C10, ``:150-155,286-294``).
+
+Spark-first shape: the multiplexed changelog is a stream of
+``(table, op, seq, payload)`` rows — ``payload`` is the JSON row image
+(exactly what a Debezium/Kafka topic-per-database feed looks like).
+One ``foreachBatch`` dispatches: per table present in the microbatch,
+filter + ``from_json`` with that table's registered schema + stamp +
+append to that table's directory.  The per-table work is pure batch
+operators (operators/cdc.py), so single-table and multi-table
+pipelines agree by construction.
+
+Scale notes:
+
+* the distinct-tables probe per microbatch collects at most |tables|
+  strings (the reference holds the same set driver-side);
+* per-table appends reuse the microbatch scan (cached once) and write
+  independent directories — at 1000 tables you shard table-sets
+  across streams exactly like the reference's scale-out guidance
+  (``/root/reference/README.md:473-476``);
+* a table absent from the registry is skipped, not failed — the
+  reference's per-table isolation (O4).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..operators.cdc import live_view, stamp_changelog
+from ..schema.mysql_types import validate_identifier
+
+# (table, op, seq, payload): the wire schema of a multiplexed changelog.
+MUX_SCHEMA = StructType(
+    [
+        StructField("table", StringType(), False),
+        StructField("op", StringType(), False),
+        StructField("seq", LongType(), False),
+        StructField("payload", StringType(), False),
+    ]
+)
+
+
+class MultiTableCDCStream:
+    """One stream -> N CDC table directories under ``base_dir``."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        schemas: dict[str, StructType],
+        pks: dict[str, Sequence[str]],
+        base_dir: str,
+    ) -> None:
+        for t in schemas:
+            validate_identifier(t, "table")
+        if set(schemas) != set(pks):
+            raise ValueError("schemas and pks must cover the same tables")
+        self.spark = spark
+        self.schemas = dict(schemas)
+        self.pks = {t: list(v) for t, v in pks.items()}
+        self.base_dir = base_dir
+        self.skipped_events = 0  # events for non-replicated tables
+
+    def target_dir(self, table: str) -> str:
+        return os.path.join(self.base_dir, f"{table}_cdc")
+
+    def apply_microbatch(self, batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.cache()
+        try:
+            present = [
+                r["table"]
+                for r in batch_df.select("table").distinct().collect()
+            ]
+            for t in present:
+                if t not in self.schemas:  # P5 membership filter
+                    self.skipped_events += batch_df.filter(
+                        F.col("table") == t
+                    ).count()
+                    continue
+                decoded = (
+                    batch_df.filter(F.col("table") == t)
+                    .select(
+                        "op",
+                        "seq",
+                        F.from_json("payload", self.schemas[t]).alias("r"),
+                    )
+                    .select("op", "seq", "r.*")
+                )
+                stamped = stamp_changelog(decoded, op_col="op", seq_col="seq")
+                stamped.write.mode("append").parquet(self.target_dir(t))
+        finally:
+            batch_df.unpersist()
+
+    def start(self, changelog_dir: str, available_now: bool = True):
+        stream = (
+            self.spark.readStream.schema(MUX_SCHEMA)
+            .option("maxFilesPerTrigger", 4)
+            .json(changelog_dir)
+        )
+        writer = stream.writeStream.foreachBatch(
+            self.apply_microbatch
+        ).option(
+            "checkpointLocation", os.path.join(self.base_dir, "_mux_ckpt")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def live(
+        self, table: str, user_cols: Sequence[str] | None = None
+    ) -> DataFrame:
+        df = self.spark.read.parquet(self.target_dir(table))
+        return live_view(df, self.pks[table], user_cols)

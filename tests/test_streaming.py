@@ -211,3 +211,58 @@ def test_stream_maintenance_compacts_without_changing_live(spark, dirs):
     n_plain = len(list_data_files(plain.target_dir))
     n_maint = len(list_data_files(maint.target_dir))
     assert n_maint < n_plain
+
+
+def test_multi_table_mux_stream_dispatch(spark, tmp_path):
+    """One multiplexed changelog drives two tables with different
+    schemas; a non-replicated table is skipped, not failed (C7 + P5 +
+    C10 in one pass); each live view equals the expected final state."""
+    import json as _json
+
+    from mysql_clickhouse_sync_spark.streaming.multi_table import (
+        MultiTableCDCStream,
+    )
+
+    base = str(tmp_path / "mux_tables")
+    changelog = str(tmp_path / "mux_changelog")
+    users_schema = StructType([
+        StructField("id", LongType(), False),
+        StructField("name", StringType(), True),
+    ])
+    items_schema = StructType([
+        StructField("order_id", LongType(), False),
+        StructField("line", LongType(), False),
+        StructField("qty", LongType(), True),
+    ])
+
+    def row(table, op, seq, **payload):
+        return {"table": table, "op": op, "seq": seq,
+                "payload": _json.dumps(payload)}
+
+    _write_events(changelog, [
+        row("users", "I", 1, id=1, name="Alice"),
+        row("order_items", "I", 2, order_id=10, line=1, qty=5),
+        row("users", "I", 3, id=2, name="Bob"),
+        row("ignored_table", "I", 4, id=99),
+        row("order_items", "U", 5, order_id=10, line=1, qty=7),
+        row("users", "D", 6, id=1, name="Alice"),
+        row("order_items", "I", 7, order_id=10, line=2, qty=1),
+    ])
+
+    mux = MultiTableCDCStream(
+        spark,
+        schemas={"users": users_schema, "order_items": items_schema},
+        pks={"users": ["id"], "order_items": ["order_id", "line"]},
+        base_dir=base,
+    )
+    q = mux.start(changelog)
+    q.awaitTermination()
+
+    users = {(r.id, r.name) for r in mux.live("users").collect()}
+    assert users == {(2, "Bob")}  # Alice deleted
+    items = {
+        (r.order_id, r.line, r.qty)
+        for r in mux.live("order_items").collect()
+    }
+    assert items == {(10, 1, 7), (10, 2, 1)}  # composite-pk upsert
+    assert mux.skipped_events == 1
