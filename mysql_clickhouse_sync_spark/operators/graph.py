@@ -53,9 +53,14 @@ def connected_components(
 
     Returns ``(id, component)``, one row per node, deterministic.
     """
-    e = edges.select(
-        F.col(src).alias("_a"), F.col(dst).alias("_b")
-    ).filter(F.col("_a") != F.col("_b"))
+    # Materialize the directed edge list BEFORE symmetrizing: the
+    # union's two branches would otherwise each re-evaluate the
+    # (potentially expensive) candidate-pair plan feeding ``edges``.
+    e = (
+        edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+        .filter(F.col("_a") != F.col("_b"))
+        .localCheckpoint(eager=True)
+    )
     sym = e.unionByName(
         e.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
     ).distinct()
@@ -70,27 +75,33 @@ def connected_components(
     labels = labels.localCheckpoint(eager=True)
     sym = sym.localCheckpoint(eager=True)
 
+    def label_sum(lbl: DataFrame):
+        # Labels only ever decrease (min-propagation), so the total is
+        # strictly monotone: equal sums <=> converged.  One cheap agg
+        # per round instead of an old-vs-new join; decimal(38) keeps
+        # the sum exact at any node-id magnitude.
+        return (
+            lbl.agg(
+                F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+            ).first()["s"]
+        )
+
+    prev_sum = label_sum(labels)
     for _ in range(max_iter):
         # neighbor messages: each edge forwards the src's current label
         msgs = (
             sym.join(labels, sym["_a"] == labels["id"])
             .select(F.col("_b").alias("id"), "component")
         )
-        new_labels = (
+        labels = (
             labels.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
         ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = label_sum(labels)
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels
 
 
@@ -103,11 +114,14 @@ def dedup_clusters(
 ) -> DataFrame:
     """Full-corpus cluster assignment from candidate pairs: every row
     of ``df`` labeled with its duplicate-cluster id (smallest member)
-    and a ``is_keeper`` flag.  Singletons keep themselves."""
-    cc = connected_components(
-        pairs, src=pair_a, dst=pair_b,
-        nodes=df.select(id_col), id_col=id_col,
-    )
+    and a ``is_keeper`` flag.  Singletons keep themselves.
+
+    The iteration runs ONLY over edge-touched nodes (the candidate
+    graph, typically a tiny fraction of the corpus after LSH/threshold
+    filtering); untouched documents join back as their own singleton
+    cluster in one final pass.  Labels shuffled per round are
+    O(|edges|), never O(|corpus|)."""
+    cc = connected_components(pairs, src=pair_a, dst=pair_b)
     return (
         df.select(F.col(id_col))
         .join(cc, df[id_col] == cc["id"], "left")
