@@ -33,6 +33,9 @@ HEADLINE = (
     "events_daily_type_stats",
     "events_last_purchase_asof",
     "events_theta_user_overlap",
+    "events_funnel",
+    "events_props_profile",
+    "lineitem_grouping_sets",
     "orders_in_promo_windows",
     "docs_exact_dedup",
     "docs_top_jaccard_pairs",
