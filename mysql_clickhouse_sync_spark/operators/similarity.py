@@ -352,3 +352,111 @@ def lsh_bucketed_pairs(
         )
         .filter(F.col("cosine_sim") >= min_cosine)
     )
+
+
+def quantize_vectors(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 scalar quantization of an embedding column.
+
+    Output: ``(id, _scale double, _norm double, _qv array<tinyint>)``
+    with ``q_i = round(v_i / scale)``, ``scale = max|v| / 127``.
+
+    The 100 TB rationale: a float32 corpus re-encoded int8 scans 4x
+    fewer bytes and dot products run on integers; the true vector
+    norm is captured AT QUANTIZATION TIME so approximate cosine
+    needs only the quantized codes downstream (the standard
+    scalar-quantization layout, cf. FAISS SQ8).  All JVM-side
+    higher-order functions — no UDF, no shuffle.
+    """
+    v = _to_double(F.col(vec_col))
+    with_scale = df.select(
+        F.col(id_col),
+        v.alias("_v"),
+        (
+            F.greatest(
+                F.array_max(F.transform(v, F.abs)), F.lit(1e-30)
+            )
+            / F.lit(127.0)
+        ).alias("_scale"),
+        norm(v).alias("_norm"),
+    )
+    return with_scale.select(
+        id_col,
+        "_scale",
+        "_norm",
+        F.transform(
+            F.col("_v"),
+            lambda x: F.round(x / F.col("_scale")).cast("tinyint"),
+        ).alias("_qv"),
+    )
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k cosine over int8-quantized codes.
+
+    Same dataflow as ``brute_force_topk`` (broadcast queries, corpus
+    stays partitioned, per-query ranking window) but the pair math is
+    an integer dot product over the codes:
+    ``cos ~= (scale_a * scale_b * dot(qa, qb)) / (norm_a * norm_b)``.
+    Quantization error is bounded by ``scale/2`` per component, so
+    recall@k degrades gracefully (property-tested >= 0.8 vs exact).
+    """
+    from pyspark.sql import Window
+
+    c = quantize_vectors(spread(corpus), id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_scale").alias("_cs"),
+        F.col("_norm").alias("_cn"),
+        F.col("_qv").alias("_cq"),
+    )
+    q = quantize_vectors(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_scale").alias("_qs"),
+        F.col("_norm").alias("_qn"),
+        F.col("_qv").alias("_qq"),
+    )
+    int_dot = F.aggregate(
+        F.zip_with(
+            F.col("_cq"),
+            F.col("_qq"),
+            lambda x, y: x.cast("long") * y.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.col("_cs")
+                * F.col("_qs")
+                * int_dot.cast("double")
+                / (F.col("_cn") * F.col("_qn"))
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine_sim",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

@@ -199,3 +199,20 @@ def emb_near_dup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_dup"
         ),
     )
+
+
+@register(
+    "emb_quantized_topk",
+    oracle=None,  # int8 rounding is engine-specific; recall vs exact
+    # is property-tested in tests/test_similarity.py
+    description="Int8 scalar-quantized approximate cosine top-5: 4x "
+    "smaller scanned bytes + integer dot products (the SQ8 storage "
+    "path for 100 TB embedding corpora); recall@5 >= 0.8 vs exact "
+    "asserted in tests",
+)
+def emb_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import quantized_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return quantized_topk(emb, queries, k=5)

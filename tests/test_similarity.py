@@ -119,3 +119,60 @@ def test_vectorized_topk_matches_fold_path(spark):
     vec = {(r.query_id, r.neighbor_id)
            for r in brute_force_topk_vectorized(emb, queries, k=4).collect()}
     assert fold == vec
+
+
+def test_quantized_codes_are_int8_bounded(spark):
+    """Codes stay in [-127, 127]; scale/norm positive; shape kept."""
+    from pyspark.sql import functions as F
+
+    from conftest import SF_DIR
+    from mysql_clickhouse_sync_spark.operators.similarity import (
+        quantize_vectors,
+    )
+    from mysql_clickhouse_sync_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qv = quantize_vectors(emb)
+    stats = qv.select(
+        F.array_max("_qv").alias("mx"),
+        F.array_min("_qv").alias("mn"),
+        "_scale",
+        "_norm",
+        F.size("_qv").alias("dim"),
+    ).agg(
+        F.max("mx"), F.min("mn"), F.min("_scale"), F.min("_norm"),
+        F.min("dim"), F.max("dim"),
+    ).first()
+    assert stats[0] <= 127 and stats[1] >= -127
+    assert stats[2] > 0 and stats[3] > 0
+    assert stats[4] == stats[5]  # constant dimensionality
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    """SQ8 approximate top-5 must keep recall@5 >= 0.8 against the
+    exact brute-force answer over the same corpus/queries."""
+    from pyspark.sql import functions as F
+
+    from conftest import SF_DIR
+    from mysql_clickhouse_sync_spark.operators.similarity import (
+        brute_force_topk,
+        quantized_topk,
+    )
+    from mysql_clickhouse_sync_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    approx = quantized_topk(emb, queries, k=5).collect()
+
+    def sets(rows):
+        d = {}
+        for r in rows:
+            d.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return d
+
+    es, qs = sets(exact), sets(approx)
+    assert set(es) == set(qs)
+    hits = sum(len(es[q] & qs[q]) for q in es)
+    total = sum(len(es[q]) for q in es)
+    assert hits / total >= 0.8, f"recall {hits}/{total}"
