@@ -65,7 +65,10 @@ def exact_dedup(
 
 
 def bucket_pairs(
-    df: DataFrame, bucket_cols: list[str], payload: Column
+    df: DataFrame,
+    bucket_cols: list[str],
+    payload: Column,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Unordered member pairs within each bucket, without a self-join.
 
@@ -80,11 +83,21 @@ def bucket_pairs(
     (payload's first field should be the id for a deterministic order).
     Skew note: a bucket of k members emits k*(k-1)/2 rows from one
     task — same distribution a shuffle join would produce, since equal
-    keys land in one partition either way.
+    keys land in one partition either way.  ``max_bucket`` is the
+    100 TB guard for exactly that: a near-universal key (a stop
+    shingle shared by 100k documents, a degenerate LSH band) would
+    collect a 100k-element array in one task and emit 5e9 pairs —
+    and such keys carry ~zero similarity signal precisely BECAUSE
+    they are near-universal.  Capped buckets are dropped whole
+    (standard stop-shingle / frequency-cap practice in web-scale
+    dedup); None (default) keeps exact semantics for the oracle
+    paths.
     """
     buckets = df.groupBy(*bucket_cols).agg(
         F.array_sort(F.collect_list(payload)).alias("_members")
     )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("_members") <= max_bucket)
     pair = F.explode(
         F.flatten(
             F.transform(
@@ -126,6 +139,7 @@ def shingle_pairs_jaccard(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Exact pairwise Jaccard over docs sharing >= 1 shingle.
 
@@ -144,7 +158,10 @@ def shingle_pairs_jaccard(
     ).select("_id", "_n", F.xxhash64("_shingle").alias("_shash"))
     pairs = (
         bucket_pairs(
-            exploded, ["_shash"], F.struct(F.col("_id"), F.col("_n"))
+            exploded,
+            ["_shash"],
+            F.struct(F.col("_id"), F.col("_n")),
+            max_bucket=max_bucket,
         )
         .groupBy(
             F.col("a._id").alias("id_a"),
@@ -312,6 +329,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingle_n: int = 3,
     vectorized: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs agreeing on >= 1 full band.
 
@@ -351,7 +369,9 @@ def minhash_lsh_candidates(
         ).alias("_band", "_bh"),
     )
     return (
-        bucket_pairs(banded, ["_band", "_bh"], F.col("_id"))
+        bucket_pairs(
+            banded, ["_band", "_bh"], F.col("_id"), max_bucket=max_bucket
+        )
         .groupBy(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
         .agg(F.count("*").alias("n_bands_match"))
     )

@@ -139,3 +139,26 @@ def test_minhash_lsh_vectorized_same_candidates(spark):
     vec = sorted(map(tuple,
                      minhash_lsh_candidates(df, vectorized=True).collect()))
     assert plain == vec
+
+
+def test_bucket_pairs_max_bucket_drops_hot_keys(spark):
+    """A near-universal bucket key (stop shingle) is dropped whole by
+    the frequency cap; pairs from small buckets are untouched — the
+    guard against quadratic blowup and task OOM at corpus scale."""
+    from pyspark.sql import functions as F
+
+    from mysql_clickhouse_sync_spark.operators.dedup import bucket_pairs
+
+    rows = (
+        [(i, 100) for i in range(50)]       # hot bucket: 50 members
+        + [(100, 1), (101, 1), (200, 2), (201, 2), (202, 2)]
+    )
+    df = spark.createDataFrame(rows, "id long, bucket long")
+    capped = bucket_pairs(
+        df, ["bucket"], F.col("id"), max_bucket=10
+    ).collect()
+    got = {(r["a"], r["b"]) for r in capped}
+    assert got == {(100, 101), (200, 201), (200, 202), (201, 202)}
+    # uncapped keeps the hot bucket's 50*49/2 pairs
+    full = bucket_pairs(df, ["bucket"], F.col("id")).count()
+    assert full == 50 * 49 // 2 + 4
