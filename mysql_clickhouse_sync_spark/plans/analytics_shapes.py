@@ -225,3 +225,30 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("days_until_next"),
         F.row_number().over(w).cast("int").alias("order_seq"),
     )
+
+
+@register(
+    "docs_weighted_sample",
+    oracle="""
+    SELECT doc_id, source, n_chars
+    FROM (
+        SELECT doc_id, source, n_chars,
+               ln(((doc_id * 2654435761) % 4294967296 + 1)
+                  / 4294967297.0) / n_chars AS _es_key
+        FROM documents
+    )
+    ORDER BY _es_key DESC, doc_id
+    LIMIT 100
+    """,
+    description="Weighted sampling without replacement "
+    "(Efraimidis-Spirakis, inclusion probability ~ n_chars): "
+    "deterministic arithmetic-hash randomness, so retries, re-runs, "
+    "and the oracle select IDENTICAL rows; global top-k, no shuffle",
+)
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return weighted_sample(docs, "n_chars", k=100)

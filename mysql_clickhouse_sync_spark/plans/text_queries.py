@@ -379,3 +379,78 @@ def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = shingle_pairs_jaccard(docs).filter(F.col("jaccard") >= 0.5)
     return dedup_clusters(docs, pairs)
+
+
+@register(
+    "docs_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, unnest({_SQL_TOKS}) AS term
+        FROM (SELECT doc_id, source, lower(text) AS text FROM documents)
+    ), df AS (
+        SELECT term, count(DISTINCT doc_id) AS n_docs_with
+        FROM toks GROUP BY term
+    ), tf AS (
+        SELECT source, term, count(*) AS n_term
+        FROM toks GROUP BY source, term
+    ), scored AS (
+        SELECT tf.source, tf.term,
+               CAST(tf.n_term AS BIGINT) AS n_term,
+               round(tf.n_term * ln(
+                   (SELECT count(*) FROM documents)
+                   / CAST(df.n_docs_with AS DOUBLE)
+               ), 6) AS tfidf
+        FROM tf JOIN df ON tf.term = df.term
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY source ORDER BY tfidf DESC, term
+        ) AS rnk
+        FROM scored
+    )
+    SELECT source, term, n_term, tfidf, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+    description="TF-IDF top-5 distinguishing terms per source: "
+    "corpus-level document frequency broadcast-joined onto per-source "
+    "term counts; score rounded to 6 decimals because ln() is not "
+    "bit-portable across libm implementations (1-ulp flap)",
+)
+def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("term"),
+    )
+    df_counts = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("n_docs_with")
+    )
+    tf = toks.groupBy("source", "term").agg(F.count("*").alias("n_term"))
+    scored = tf.join(F.broadcast(df_counts), "term").select(
+        "source",
+        "term",
+        F.col("n_term").cast("long").alias("n_term"),
+        F.round(
+            F.col("n_term")
+            * F.log(
+                F.lit(float(n_docs)) / F.col("n_docs_with").cast("double")
+            ),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "source", "term", "n_term", "tfidf",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

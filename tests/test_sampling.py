@@ -1,0 +1,40 @@
+"""Deterministic weighted sampling: reproducibility and the
+weight-proportional inclusion property."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mysql_clickhouse_sync_spark.operators.sampling import (
+    id_uniform,
+    weighted_sample,
+)
+
+
+def test_id_uniform_in_unit_interval_and_spread(spark):
+    u = spark.range(0, 10_000).select(
+        id_uniform(F.col("id")).alias("u")
+    )
+    stats = u.agg(
+        F.min("u"), F.max("u"), F.avg("u"), F.countDistinct("u")
+    ).first()
+    assert 0.0 < stats[0] and stats[1] <= 1.0
+    assert 0.45 < stats[2] < 0.55  # roughly uniform
+    assert stats[3] > 9_900  # essentially no collisions
+
+
+def test_weighted_sample_is_deterministic_and_weight_biased(spark):
+    # weights: ids 0..999 get weight 1, ids 1000..1099 get weight 50
+    df = spark.range(0, 1100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") >= 1000, F.lit(50.0))
+        .otherwise(F.lit(1.0))
+        .alias("w"),
+    )
+    s1 = {r["doc_id"] for r in weighted_sample(df, "w", 100).collect()}
+    s2 = {r["doc_id"] for r in weighted_sample(df, "w", 100).collect()}
+    assert s1 == s2 and len(s1) == 100  # reproducible, exact k
+    heavy = sum(1 for i in s1 if i >= 1000)
+    # 100 heavy rows carry 50x the weight of 1000 light rows
+    # (5000 vs 1000 total): heavy rows must dominate the sample.
+    assert heavy > 50, f"only {heavy} heavy rows sampled"
