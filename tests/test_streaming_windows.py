@@ -325,3 +325,73 @@ def test_dedup_within_watermark_drops_redeliveries(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 3, rows
     assert {r.user_id for r in rows} == {1, 2, 3}
+
+
+def test_streaming_upsert_view_matches_dedup_latest(spark, tmp_path):
+    """transformWithStateInPandas last-writer-wins cache: the union of
+    emitted updates, resolved per key by latest emission, must equal
+    the batch dedup_latest answer over the same changelog; stale and
+    replayed versions are absorbed by the state store."""
+    from pyspark.sql.types import IntegerType
+
+    from mysql_clickhouse_sync_spark.streaming.windows import (
+        streaming_upsert_view,
+    )
+
+    schema = StructType([
+        StructField("id", LongType(), False),
+        StructField("_version", LongType(), False),
+        StructField("_seq", LongType(), False),
+        StructField("_deleted", IntegerType(), False),
+        StructField("payload", StringType(), True),
+    ])
+    src = str(tmp_path / "uv_src")
+    out = str(tmp_path / "uv_out")
+    ck = str(tmp_path / "uv_ck")
+    _write(src, [
+        {"id": 1, "_version": 10, "_seq": 1, "_deleted": 0, "payload": "a1"},
+        {"id": 2, "_version": 10, "_seq": 2, "_deleted": 0, "payload": "b1"},
+    ], "f1.json")
+    _write(src, [
+        # newer version for 1; stale replay for 2; delete for 1 later
+        {"id": 1, "_version": 20, "_seq": 3, "_deleted": 0, "payload": "a2"},
+        {"id": 2, "_version": 10, "_seq": 2, "_deleted": 0, "payload": "b1"},
+        {"id": 1, "_version": 30, "_seq": 4, "_deleted": 1, "payload": "a2"},
+        {"id": 3, "_version": 5, "_seq": 5, "_deleted": 0, "payload": "c1"},
+    ], "f2.json")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+
+    def sink(df, _id):
+        df.write.mode("append").parquet(out)
+
+    q = (
+        streaming_upsert_view(stream, pk_col="id")
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    emitted = spark.read.parquet(out)
+    # resolve each key to its LAST emission (max version/seq)
+    from mysql_clickhouse_sync_spark.operators.cdc import dedup_latest
+
+    resolved = {
+        (r.id): (r._version, r._deleted, r.payload)
+        for r in dedup_latest(emitted, ["id"]).collect()
+    }
+    batch = spark.read.schema(schema).json(src)
+    want = {
+        (r.id): (r._version, r._deleted, r.payload)
+        for r in dedup_latest(batch, ["id"]).collect()
+    }
+    assert resolved == want
+    # the stale replay for id=2 must NOT have produced a second emission
+    assert emitted.filter("id = 2").count() == 1
