@@ -454,3 +454,87 @@ def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+_SQL_QUALITY = f"""
+               CAST(floor((
+                   (CAST(len(list_distinct({_SQL_TOKS})) AS DOUBLE)
+                        / len({_SQL_TOKS})) * 0.5
+                 + (CAST(length(regexp_replace({_SQL_NOSPACE},
+                        '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                        / length({_SQL_NOSPACE})) * 0.4
+                 + (1.0 - CAST(length(regexp_replace({_SQL_NOSPACE},
+                        '[^0-9]', '', 'g')) AS DOUBLE)
+                        / length({_SQL_NOSPACE})) * 0.1
+               ) * 10000) AS BIGINT)
+"""
+
+
+@register(
+    "docs_curation_pipeline",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, source, n_chars, lang, text,
+               {_SQL_QUALITY} AS quality_score,
+               {_sql_lang_hits('en')} AS h_en,
+               {_sql_lang_hits('es')} AS h_es,
+               {_sql_lang_hits('fr')} AS h_fr,
+               {_sql_lang_hits('de')} AS h_de,
+               len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                   t -> regexp_full_match(t, '[a-z]+'))) AS latin
+        FROM documents
+    ), lang_ok AS (
+        SELECT *,
+               CASE WHEN latin = 0 THEN 'zh'
+                    WHEN h_en = greatest(h_en, h_es, h_fr, h_de) THEN 'en'
+                    WHEN h_es = greatest(h_en, h_es, h_fr, h_de) THEN 'es'
+                    WHEN h_fr = greatest(h_en, h_es, h_fr, h_de) THEN 'fr'
+                    WHEN h_de = greatest(h_en, h_es, h_fr, h_de) THEN 'de'
+               END AS lang_pred
+        FROM scored
+    ), filtered AS (
+        SELECT * FROM lang_ok
+        WHERE quality_score >= 6800 AND lang_pred = lang
+    ), keepers AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY regexp_replace(lower(trim(text)),
+                                            '\\s+', ' ', 'g')
+                ORDER BY doc_id
+            ) AS _rn
+            FROM filtered
+        ) WHERE _rn = 1
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+           quality_score
+    FROM keepers
+    ORDER BY ln(((doc_id * 2654435761) % 4294967296 + 1)
+                / 4294967297.0) / n_chars DESC, doc_id
+    LIMIT 50
+    """,
+    description="End-to-end corpus curation: quality gate -> language "
+    "consistency gate -> exact-dedup keeper -> weighted sample "
+    "(Efraimidis-Spirakis by n_chars).  The composition a training-"
+    "data pipeline actually runs, as ONE declarative plan Catalyst "
+    "optimizes whole; every stage is an already-oracle-checked "
+    "operator, and the full chain is oracle-checked here",
+)
+def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.dedup import normalize_text
+    from ..operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = with_language_id(with_quality_score(docs))
+    filtered = scored.filter(
+        (F.col("quality_score") >= 6800)
+        & (F.col("lang_pred") == F.col("lang"))
+    )
+    w = Window.partitionBy(normalize_text(F.col("text"))).orderBy("doc_id")
+    keepers = (
+        filtered.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "source", "n_chars", "quality_score")
+    )
+    return weighted_sample(keepers, "n_chars", k=50)
