@@ -412,24 +412,24 @@ def quantized_topk(
     """
     from pyspark.sql import Window
 
+    # Codes are STORED int8; widen to long once per row BELOW the join
+    # so the per-pair fold runs cast-free (byte*byte would overflow,
+    # and per-element casts per pair cost ~3x the multiply itself).
+    widen = lambda col: F.transform(col, lambda x: x.cast("long"))  # noqa: E731
     c = quantize_vectors(spread(corpus), id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("_scale").alias("_cs"),
         F.col("_norm").alias("_cn"),
-        F.col("_qv").alias("_cq"),
+        widen(F.col("_qv")).alias("_cq"),
     )
     q = quantize_vectors(queries, id_col, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col("_scale").alias("_qs"),
         F.col("_norm").alias("_qn"),
-        F.col("_qv").alias("_qq"),
+        widen(F.col("_qv")).alias("_qq"),
     )
     int_dot = F.aggregate(
-        F.zip_with(
-            F.col("_cq"),
-            F.col("_qq"),
-            lambda x, y: x.cast("long") * y.cast("long"),
-        ),
+        F.zip_with(F.col("_cq"), F.col("_qq"), lambda x, y: x * y),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )

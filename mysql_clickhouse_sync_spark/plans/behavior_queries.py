@@ -257,3 +257,110 @@ def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_rows"),
         )
     )
+
+
+@register(
+    "events_daily_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    ), stats AS (
+        SELECT event_type,
+               count(*) AS n_days,
+               SUM(n) AS sum_n,
+               SUM(n * n) AS sum_n2
+        FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type, d.day, d.n,
+           round(
+               (d.n - CAST(s.sum_n AS DOUBLE) / s.n_days)
+               / sqrt((s.n_days * s.sum_n2 - s.sum_n * s.sum_n)
+                      / (CAST(s.n_days AS DOUBLE) * (s.n_days - 1))),
+               6
+           ) AS zscore
+    FROM daily d JOIN stats s ON d.event_type = s.event_type
+    """,
+    description="Daily volume anomaly z-scores per event type: "
+    "variance from EXACT integer sums (n*sum_sq - sum^2 form), so the "
+    "result is order-independent where a naive stddev over doubles "
+    "would flap with partition order; one double division + sqrt at "
+    "the end, rounded vs libm",
+)
+def events_daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("n").alias("sum_n"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_n2"),
+    )
+    j = daily.join(F.broadcast(stats), "event_type")
+    mean = F.col("sum_n").cast("double") / F.col("n_days")
+    var = (
+        F.col("n_days") * F.col("sum_n2") - F.col("sum_n") * F.col("sum_n")
+    ) / (F.col("n_days").cast("double") * (F.col("n_days") - F.lit(1)))
+    return j.select(
+        "event_type",
+        "day",
+        "n",
+        F.round((F.col("n") - mean) / F.sqrt(var), 6).alias("zscore"),
+    )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+        SELECT o_custkey,
+               max(o_orderdate) AS last_order,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                    AS DECIMAL(38,2)) AS monetary
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, last_order, frequency, monetary,
+           CAST(ntile(4) OVER (ORDER BY last_order DESC, o_custkey)
+                AS INT) AS r_quartile,
+           CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey)
+                AS INT) AS f_quartile,
+           CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey)
+                AS INT) AS m_quartile
+    FROM rfm
+    """,
+    description="RFM customer segmentation: recency/frequency/monetary "
+    "quartiles via ntile with fully-pinned ordering (deterministic "
+    "bucket edges in both engines); exact decimal monetary",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    rfm = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("decimal(38,2)")
+        .alias("monetary"),
+    )
+    return rfm.select(
+        "o_custkey",
+        "last_order",
+        "frequency",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy(F.col("last_order").desc(), F.col("o_custkey")))
+        .cast("int")
+        .alias("r_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("frequency").desc(), F.col("o_custkey")))
+        .cast("int")
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary").desc(), F.col("o_custkey")))
+        .cast("int")
+        .alias("m_quartile"),
+    )

@@ -531,9 +531,19 @@ def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("quality_score") >= 6800)
         & (F.col("lang_pred") == F.col("lang"))
     )
-    w = Window.partitionBy(normalize_text(F.col("text"))).orderBy("doc_id")
+    # Project to the 5 surviving columns BEFORE the dedup window: the
+    # shuffle then carries one normalized text per row instead of the
+    # raw text plus every scoring helper column.
+    slim = filtered.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "quality_score",
+        normalize_text(F.col("text")).alias("_norm"),
+    )
+    w = Window.partitionBy("_norm").orderBy("doc_id")
     keepers = (
-        filtered.withColumn("_rn", F.row_number().over(w))
+        slim.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select("doc_id", "source", "n_chars", "quality_score")
     )
