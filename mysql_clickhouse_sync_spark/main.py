@@ -23,7 +23,8 @@ from pyspark.sql import SparkSession
 
 def _build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="spark-sync-engine")
-    ap.add_argument("--mode", choices=("snapshot", "cdc", "compact"),
+    ap.add_argument("--mode",
+                    choices=("snapshot", "cdc", "compact", "zorder"),
                     required=True)
     ap.add_argument("--source-dir",
                     help="directory of <table>.parquet source files "
@@ -52,6 +53,9 @@ def _build_parser() -> argparse.ArgumentParser:
                     "(ClickHouse OPTIMIZE ... CLEANUP)")
     ap.add_argument("--target-file-mb", type=int, default=128,
                     help="compact mode: output file size target")
+    # zorder-only:
+    ap.add_argument("--zorder-cols", default="",
+                    help="zorder mode: csv columns to interleave")
     return ap
 
 
@@ -163,6 +167,40 @@ def run_compact(spark: SparkSession, args) -> int:
     return 1 if result.errors else 0
 
 
+def run_zorder(spark: SparkSession, args) -> int:
+    """Maintenance mode: rewrite a parquet table range-clustered on
+    the Morton key of --zorder-cols (OPTIMIZE ... ZORDER BY as a
+    standalone job).  Row-count-verified before the directory swap."""
+    import shutil
+
+    from .pipeline.layout import write_zordered
+
+    cols = [c.strip() for c in args.zorder_cols.split(",") if c.strip()]
+    if not cols:
+        print("zorder mode needs --zorder-cols", file=sys.stderr)
+        return 2
+    target = args.target_dir
+    if args.table:
+        target = os.path.join(target, f"{args.table}_cdc")
+    df = spark.read.parquet(target)
+    n_before = df.count()
+    tmp = target.rstrip("/") + "__zorder_tmp"
+    write_zordered(df, tmp, cols)
+    n_after = spark.read.parquet(tmp).count()
+    if n_after != n_before:
+        print(f"zorder: row count changed ({n_before} -> {n_after}); "
+              f"aborting swap", file=sys.stderr)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return 1
+    backup = target.rstrip("/") + "__pre_zorder"
+    os.rename(target, backup)
+    os.rename(tmp, target)
+    shutil.rmtree(backup)
+    print(f"zorder: {target} rewritten on {cols} ({n_after} rows)",
+          file=sys.stderr)
+    return 0
+
+
 def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
     args = _build_parser().parse_args(argv)
     if args.mode in ("snapshot", "cdc") and not args.source_dir:
@@ -176,6 +214,8 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         return run_snapshot(spark, args)
     if args.mode == "compact":
         return run_compact(spark, args)
+    if args.mode == "zorder":
+        return run_zorder(spark, args)
     return run_cdc(spark, args)
 
 

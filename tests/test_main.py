@@ -117,3 +117,39 @@ def test_snapshot_mode_requires_source_dir(spark):
 
     assert main(["--mode", "snapshot", "--target-dir", "/tmp/x"],
                 spark=spark) == 2
+
+
+def test_zorder_mode_rewrites_in_place(spark, tmp_path):
+    """zorder CLI mode: directory rewritten clustered, same rows,
+    tmp/backup dirs cleaned up."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from conftest import SF_DIR
+    from mysql_clickhouse_sync_spark.main import main
+    from mysql_clickhouse_sync_spark.sources.parquet import load_table
+
+    target = str(tmp_path / "ev_table")
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "value"
+    )
+    ev.write.parquet(target)
+
+    rc = main(
+        [
+            "--mode", "zorder",
+            "--target-dir", target,
+            "--zorder-cols", "user_id,value",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    back = spark.read.parquet(target)
+    assert back.count() == ev.count()
+    assert back.exceptAll(ev).count() == 0
+    assert not glob.glob(target + "__*"), "tmp/backup dirs left behind"
+    # a selective user_id filter now prunes whole files via stats
+    assert back.filter(F.col("user_id") == 1).count() == ev.filter(
+        F.col("user_id") == 1
+    ).count()
