@@ -35,6 +35,8 @@ HEADLINE = (
     "events_theta_user_overlap",
     "events_funnel",
     "events_props_profile",
+    "events_daily_anomaly_zscore",
+    "customer_rfm_segments",
     "lineitem_grouping_sets",
     "orders_in_promo_windows",
     "docs_exact_dedup",
