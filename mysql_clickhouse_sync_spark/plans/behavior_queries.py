@@ -333,7 +333,11 @@ def events_daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="RFM customer segmentation: recency/frequency/monetary "
     "quartiles via ntile with fully-pinned ordering (deterministic "
-    "bucket edges in both engines); exact decimal monetary",
+    "bucket edges in both engines); exact decimal monetary.  The three "
+    "windows share ONE SinglePartition exchange (asserted in "
+    "tests/test_plans.py); the global ntile is fine because the RFM "
+    "relation is per-customer — at billions of customers the scale "
+    "path swaps ntile for width_bucket over approx quantile edges",
 )
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window

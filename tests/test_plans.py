@@ -148,3 +148,12 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_rfm_shares_one_global_exchange(spark):
+    """Three differently-ordered ntile windows must share ONE
+    SinglePartition exchange (pay the global sort setup once); the
+    per-customer rollup is the only hash exchange."""
+    plan = _plan(all_queries()["customer_rfm_segments"].fn(spark, SF_DIR))
+    assert plan.count("SinglePartition") == 1, plan
+    assert plan.count("Exchange") == 2, plan
