@@ -157,3 +157,14 @@ def test_rfm_shares_one_global_exchange(spark):
     plan = _plan(all_queries()["customer_rfm_segments"].fn(spark, SF_DIR))
     assert plan.count("SinglePartition") == 1, plan
     assert plan.count("Exchange") == 2, plan
+
+
+def test_curation_pipeline_single_scan_two_exchanges(spark):
+    """The whole curation chain (quality gate -> language gate ->
+    dedup keeper -> weighted top-k) must stay one scan, one dedup
+    window exchange, and a TakeOrdered top-k — no extra passes over
+    the corpus."""
+    plan = _plan(all_queries()["docs_curation_pipeline"].fn(spark, SF_DIR))
+    assert plan.count("FileScan") == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Exchange") <= 2, plan
