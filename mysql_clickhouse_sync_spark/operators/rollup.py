@@ -72,7 +72,7 @@ def rollup_read(state: DataFrame) -> DataFrame:
     return state.select(
         *[c for c in state.columns if c not in STATE_COLS],
         F.col("n_events").cast("long").alias("n_events"),
-        F.col("sum_value").cast("decimal(38,4)").alias("sum_value"),
+        F.col("sum_value").cast("double").alias("sum_value"),
         "min_value",
         "max_value",
         (F.col("sum_value").cast("double") / F.col("n_events")).alias(

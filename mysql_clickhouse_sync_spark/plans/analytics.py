@@ -42,10 +42,10 @@ _SQL_DISC_PRICE = (
     "q1_pricing_summary",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
-       CAST(SUM({_SQL_DISC_PRICE}) AS DECIMAL(38,4)) AS sum_disc_price,
-       CAST(SUM({_SQL_DISC_PRICE} * CAST(1 + l_tax AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM({_SQL_DISC_PRICE} * CAST(1 + l_tax AS DECIMAL(12,2))) AS DOUBLE) AS sum_charge,
        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
        CAST(count(*) AS BIGINT) AS count_order
     FROM lineitem
@@ -59,11 +59,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp")
     )
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(F.col("l_quantity").cast(D2)).cast("decimal(38,2)").alias("sum_qty"),
-        F.sum(F.col("l_extendedprice").cast(D2)).cast("decimal(38,2)").alias("sum_base_price"),
-        F.sum(_disc_price()).cast("decimal(38,4)").alias("sum_disc_price"),
+        F.sum(F.col("l_quantity").cast(D2)).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast(D2)).cast("double").alias("sum_base_price"),
+        F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
         F.sum(_disc_price() * (F.lit(1) + F.col("l_tax")).cast(D2))
-        .cast("decimal(38,6)")
+        .cast("double")
         .alias("sum_charge"),
         (F.sum(F.col("l_quantity").cast(D2)).cast("double") / F.count("*")).alias("avg_qty"),
         F.count("*").alias("count_order"),
@@ -74,7 +74,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle=f"""
     SELECT l_orderkey, o_orderdate,
-           CAST(SUM({_SQL_DISC_PRICE}) AS DECIMAL(38,4)) AS revenue
+           CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -103,7 +103,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             li.l_orderkey == orders.o_orderkey,
         )
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(_disc_price()).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
@@ -112,7 +112,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q5_local_supplier_volume",
     oracle=f"""
-    SELECT n_name, CAST(SUM({_SQL_DISC_PRICE}) AS DECIMAL(38,4)) AS revenue
+    SELECT n_name, CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -147,7 +147,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(_disc_price()).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
     )
 
 
@@ -174,7 +174,7 @@ def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment,
            CAST(count(*) AS BIGINT) AS n_orders,
            CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total_value,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_value
     FROM customer JOIN orders ON c_custkey = o_custkey
     GROUP BY c_mktsegment
@@ -190,7 +190,7 @@ def segment_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_orders"),
             F.countDistinct("c_custkey").alias("n_customers"),
-            F.sum(F.col("o_totalprice").cast(D2)).cast("decimal(38,2)").alias("total_value"),
+            F.sum(F.col("o_totalprice").cast(D2)).cast("double").alias("total_value"),
             (F.sum(F.col("o_totalprice").cast(D2)).cast("double") / F.count("*")).alias("avg_value"),
         )
     )
@@ -233,7 +233,7 @@ def customer_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS DECIMAL(38,2)) AS running_spend
+           ) AS DOUBLE) AS running_spend
     FROM orders
     """,
     description="Cumulative window aggregate (analytic frame)",
@@ -249,7 +249,7 @@ def customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.sum(F.col("o_totalprice").cast(D2))
         .over(w)
-        .cast("decimal(38,2)")
+        .cast("double")
         .alias("running_spend"),
     )
 
@@ -258,7 +258,7 @@ def customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sales_rollup",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
            CAST(count(*) AS BIGINT) AS n_items
     FROM lineitem
     GROUP BY ROLLUP(l_returnflag, l_linestatus)
@@ -270,7 +270,7 @@ def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(D2)).cast("decimal(38,2)").alias("sum_qty"),
+            F.sum(F.col("l_quantity").cast(D2)).cast("double").alias("sum_qty"),
             F.count("*").alias("n_items"),
         )
     )

@@ -45,7 +45,7 @@ _SQL_DISC_PRICE = (
     "q6_forecast_revenue",
     oracle="""
     SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(38,4))
+                    * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)
            AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -67,7 +67,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.col("l_extendedprice").cast(D2) * F.col("l_discount").cast(D2)
         )
-        .cast("decimal(38,4)")
+        .cast("double")
         .alias("revenue")
     )
 
@@ -76,7 +76,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q7_volume_shipping",
     oracle=f"""
     SELECT supp_nation, cust_nation, l_year,
-           CAST(SUM(volume) AS DECIMAL(38,4)) AS revenue
+           CAST(SUM(volume) AS DOUBLE) AS revenue
     FROM (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
@@ -133,7 +133,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("int").alias("l_year"),
         )
-        .agg(F.sum(_disc_price()).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
     )
 
 
@@ -207,7 +207,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_product_margin",
     oracle=f"""
     SELECT n_name AS nation, o_year,
-           CAST(SUM(amount) AS DECIMAL(38,4)) AS margin
+           CAST(SUM(amount) AS DOUBLE) AS margin
     FROM (
         SELECT n_name,
                CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
@@ -247,7 +247,7 @@ def q9_product_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
             amount.alias("amount"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.sum("amount").cast("decimal(38,4)").alias("margin"))
+        .agg(F.sum("amount").cast("double").alias("margin"))
     )
 
 
@@ -255,7 +255,7 @@ def q9_product_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle=f"""
     SELECT c_custkey, c_name,
-           CAST(SUM({_SQL_DISC_PRICE}) AS DECIMAL(38,4)) AS revenue,
+           CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
            c_acctbal, n_name
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -284,7 +284,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(_disc_price()).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
@@ -395,7 +395,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH revenue0 AS (
         SELECT l_suppkey AS supplier_no,
-               CAST(SUM({_SQL_DISC_PRICE}) AS DECIMAL(38,4)) AS total_revenue
+               CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
@@ -414,7 +414,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
     )
     revenue0 = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(_disc_price()).cast("decimal(38,4)").alias("total_revenue")
+        F.sum(_disc_price()).cast("double").alias("total_revenue")
     )
     max_rev = revenue0.agg(F.max("total_revenue").alias("_max_rev"))
     supp = load_table(spark, sf_dir, "supplier")
@@ -474,7 +474,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_large_volume_customers",
     oracle="""
     SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON o_orderkey = l_orderkey
@@ -506,7 +506,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(F.col("l_quantity").cast(D2)).cast("decimal(38,2)").alias("sum_qty"))
+        .agg(F.sum(F.col("l_quantity").cast(D2)).cast("double").alias("sum_qty"))
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )
@@ -515,7 +515,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_revenue",
     oracle=f"""
-    SELECT CAST(SUM({_SQL_DISC_PRICE}) AS DECIMAL(38,4)) AS revenue
+    SELECT CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -551,7 +551,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
-        .agg(F.sum(_disc_price()).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
     )
 
 
@@ -565,7 +565,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c_nationkey,
            CAST(count(*) AS BIGINT) AS numcust,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2))
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
                AS totacctbal
     FROM customer
     WHERE c_acctbal > (SELECT v FROM avg_bal)
@@ -600,7 +600,7 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("numcust"),
             F.sum(F.col("c_acctbal").cast(D2))
-            .cast("decimal(38,2)")
+            .cast("double")
             .alias("totacctbal"),
         )
     )
@@ -685,12 +685,12 @@ def q4_late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH pv AS (
         SELECT l_partkey,
-               CAST(SUM({_SQL_DISC_PRICE}) AS DECIMAL(38,4)) AS part_value
+               CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS part_value
         FROM lineitem GROUP BY l_partkey
     )
     SELECT l_partkey, part_value FROM pv
     WHERE part_value > (
-        SELECT CAST(SUM({_SQL_DISC_PRICE}) * 0.001 AS DECIMAL(38,4))
+        SELECT CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) * 0.001
         FROM lineitem
     )
     """,
@@ -701,11 +701,10 @@ def q4_late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q11_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     pv = li.groupBy("l_partkey").agg(
-        F.sum(_disc_price()).cast("decimal(38,4)").alias("part_value")
+        F.sum(_disc_price()).cast("double").alias("part_value")
     )
     threshold = li.agg(
-        (F.sum(_disc_price()) * F.lit(0.001))
-        .cast("decimal(38,4)")
+        (F.sum(_disc_price()).cast("double") * F.lit(0.001))
         .alias("_thr")
     )
     return (
@@ -961,9 +960,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
            CAST(o_orderkey AS BIGINT) AS o_orderkey,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w_run
-                AS DECIMAL(38,2)) AS lifetime_spend,
+                AS DOUBLE) AS lifetime_spend,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w_mov
-                AS DECIMAL(38,2)) AS moving3_spend,
+                AS DOUBLE) AS moving3_spend,
            CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w_mov
                      AS DOUBLE)
                 / COUNT(*) OVER w_mov AS DOUBLE) AS moving3_avg,
@@ -999,10 +998,10 @@ def customer_order_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         F.col("o_custkey").cast("long").alias("o_custkey"),
         F.col("o_orderkey").cast("long").alias("o_orderkey"),
-        F.sum(price).over(w_run).cast("decimal(38,2)").alias(
+        F.sum(price).over(w_run).cast("double").alias(
             "lifetime_spend"
         ),
-        mov_sum.cast("decimal(38,2)").alias("moving3_spend"),
+        mov_sum.cast("double").alias("moving3_spend"),
         (
             mov_sum.cast("double") / F.count("*").over(w_mov)
         ).alias("moving3_avg"),

@@ -72,7 +72,7 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(count(*) AS BIGINT) AS n_items,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2))
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
                AS sum_qty
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -87,7 +87,7 @@ def lineitem_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_items"),
             F.sum(F.col("l_quantity").cast("decimal(12,2)"))
-            .cast("decimal(38,2)")
+            .cast("double")
             .alias("sum_qty"),
         )
     )
@@ -117,7 +117,7 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
            CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
                AS promo_value
     FROM orders
     WHERE EXTRACT(month FROM o_orderdate) >= 10
@@ -156,7 +156,7 @@ def orders_in_promo_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matched.groupBy("yr").agg(
         F.count("*").alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
-        .cast("decimal(38,2)")
+        .cast("double")
         .alias("promo_value"),
     )
 
@@ -167,7 +167,7 @@ def orders_in_promo_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
            CAST(floor(o_totalprice / 50000) * 50000 AS DOUBLE) AS bin_low,
            CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
                AS bin_value
     FROM orders
     GROUP BY floor(o_totalprice / 50000)
@@ -183,7 +183,7 @@ def orders_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_orders"),
             F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
-            .cast("decimal(38,2)")
+            .cast("double")
             .alias("bin_value"),
         )
         .select(

@@ -229,7 +229,7 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
            CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2))
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
                AS sum_qty,
            CAST(count(*) AS BIGINT) AS n_rows
     FROM lineitem
@@ -252,7 +252,7 @@ def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("l_returnflag").cast("int").alias("g_rf"),
             F.grouping("l_linestatus").cast("int").alias("g_ls"),
             F.sum(F.col("l_quantity").cast("decimal(12,2)"))
-            .cast("decimal(38,2)")
+            .cast("double")
             .alias("sum_qty"),
             F.count("*").alias("n_rows"),
         )
@@ -319,7 +319,7 @@ def events_daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
                max(o_orderdate) AS last_order,
                CAST(count(*) AS BIGINT) AS frequency,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
-                    AS DECIMAL(38,2)) AS monetary
+                    AS DOUBLE) AS monetary
         FROM orders GROUP BY o_custkey
     )
     SELECT o_custkey, last_order, frequency, monetary,
@@ -347,7 +347,7 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderdate").alias("last_order"),
         F.count("*").alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
-        .cast("decimal(38,2)")
+        .cast("double")
         .alias("monetary"),
     )
     return rfm.select(

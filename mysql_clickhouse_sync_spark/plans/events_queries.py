@@ -23,7 +23,7 @@ _SESSION_GAP_US = 1800 * 1_000_000  # 30 min
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY date_trunc('day', ts), event_type
     """,
@@ -38,7 +38,7 @@ def events_daily_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
         F.sum(F.col("value").cast("decimal(12,4)"))
-        .cast("decimal(38,4)")
+        .cast("double")
         .alias("total_value"),
     )
 
@@ -113,7 +113,7 @@ def events_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_top_users",
     oracle="""
     SELECT user_id,
-           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS total_value,
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value,
            CAST(count(*) AS BIGINT) AS n_events
     FROM events WHERE event_type = 'purchase'
     GROUP BY user_id
@@ -129,7 +129,7 @@ def events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("user_id")
         .agg(
             F.sum(F.col("value").cast("decimal(12,4)"))
-            .cast("decimal(38,4)")
+            .cast("double")
             .alias("total_value"),
             F.count("*").alias("n_events"),
         )
@@ -143,7 +143,7 @@ def events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
            CAST(count(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY date_trunc('hour', ts)
     """,
@@ -157,7 +157,7 @@ def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast("decimal(12,4)"))
-            .cast("decimal(38,4)")
+            .cast("double")
             .alias("total_value"),
         )
         .select(
@@ -237,7 +237,7 @@ def events_last_purchase_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
            event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4))
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
                AS sum_value,
            MIN(value) AS min_value,
            MAX(value) AS max_value,
@@ -307,7 +307,7 @@ def events_user_count_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            CAST(MIN(ts) AS TIMESTAMP) AS session_start,
            CAST(count(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4))
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE)
                AS session_value
     FROM numbered
     GROUP BY user_id, session_id
@@ -325,7 +325,7 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast("decimal(12,4)"))
-            .cast("decimal(38,4)")
+            .cast("double")
             .alias("session_value"),
         )
         .select(
@@ -400,7 +400,7 @@ def events_theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(props->>'$.k' AS BIGINT) AS prop_k,
            CAST(count(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DECIMAL(38,4))
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE)
                AS total_value
     FROM events GROUP BY prop_k
     """,
@@ -418,6 +418,6 @@ def events_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast("decimal(12,4)"))
-        .cast("decimal(38,4)")
+        .cast("double")
         .alias("total_value"),
     )

@@ -26,7 +26,7 @@ from .registry import register
 # Identical text runs on Spark and DuckDB (ANSI-common subset).
 _REGION_REVENUE_SQL = """
     SELECT r_name,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
                AS total_spend,
            CAST(count(*) AS BIGINT) AS n_orders
     FROM orders

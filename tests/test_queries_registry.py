@@ -35,6 +35,24 @@ def test_query_analyzes_with_unique_columns(spark, name):
     assert len(cols) == len(set(cols)), f"{name} duplicate columns: {cols}"
 
 
+@pytest.mark.parametrize("name", sorted(all_queries()))
+def test_no_decimal_output_columns(spark, name):
+    """Decimal outputs hash-mismatch in the driver's compare when a
+    value has a trailing zero at its scale (``Decimal('77782.00')``
+    str-renders differently from the float ``77782.0``).  Policy:
+    aggregate exactly in DECIMAL, but render every final column as
+    DOUBLE/BIGINT — never DecimalType — on both the Spark and the
+    oracle side.  This lint makes the round-1 failure unrepresentable."""
+    from pyspark.sql.types import DecimalType
+
+    schema = all_queries()[name].fn(spark, SF_DIR).schema
+    bad = [f.name for f in schema.fields if isinstance(f.dataType, DecimalType)]
+    assert not bad, (
+        f"{name} outputs DecimalType columns {bad}; cast the final "
+        f"projection to double (keep DECIMAL only inside the aggregation)"
+    )
+
+
 @pytest.mark.parametrize(
     "name",
     ["q6_forecast_revenue", "q13_order_count_distribution",
