@@ -1,0 +1,140 @@
+"""Distributed global ranking / equal-frequency bucketing.
+
+A global ``row_number()``/``ntile()`` window with no PARTITION BY pulls
+every row through ONE task (Spark plans a ``SinglePartition`` exchange)
+— the classic scale-killer for "rank all customers" queries.  The
+distributed equivalent is the pattern ``RDD.zipWithIndex`` has always
+used, expressed here in the DataFrame API so it stays inside codegen:
+
+1. ``repartitionByRange`` on the total order — a range shuffle that
+   spreads the sort across all partitions (skew handled by the range
+   partitioner's sampling);
+2. ``sortWithinPartitions`` + ``monotonically_increasing_id`` — the id
+   packs (partition, in-partition sequence) into one long, so sorted
+   partitions yield partition-local ranks with NO window operator and
+   no further exchange;
+3. per-partition row counts — at most ``num_partitions`` rows —
+   collected to the driver and turned into literal offsets.  This
+   bounded collect is identical to the count job inside
+   ``zipWithIndex`` and is independent of data size.
+
+``ntile_from_rank`` then reproduces SQL ``NTILE(n)`` semantics exactly
+(first ``N mod n`` buckets get the extra row), so results are
+bit-identical to the single-partition window — checked against a real
+``ntile`` in tests/test_rank.py — while the whole plan costs ONE range
+shuffle per ranking and never funnels data through one task.
+
+Reference parity note: the reference engine has no ranking at all
+(SURVEY.md §2.6-2.7); this operator exists so the extension analytics
+(RFM segmentation etc.) hold up at the 100 TB target.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# monotonically_increasing_id layout: partition id in the upper 31
+# bits, record number within the partition in the lower 33 bits.
+_MID_BITS = 33
+_MID_MASK = (1 << _MID_BITS) - 1
+
+
+def with_global_rank(
+    df: DataFrame,
+    order_cols: list[Column],
+    rank_col: str = "global_rank",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Dense global ``row_number`` over a TOTAL order, no global exchange.
+
+    ``order_cols`` must define a total order (include a unique
+    tie-break column) or ranks of tied rows are partitioner-dependent.
+    Returns ``(df + rank_col, total_row_count)`` — the count is free
+    (it is the sum of the per-partition counts already collected).
+
+    The ranged+sorted input is ``localCheckpoint``-ed so the offsets
+    job and the final query read the *same* materialized partitioning;
+    on a real cluster with reliable checkpoint storage this would be
+    ``checkpoint()``.
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .localCheckpoint()
+    )
+    pid = F.shiftrightunsigned("_mid", _MID_BITS)
+    # Bounded: at most num_partitions rows come back to the driver.
+    counts = {
+        r["_pid"]: r["_n"]
+        for r in ranged.groupBy(pid.alias("_pid"))
+        .agg(F.count("*").alias("_n"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    off_expr = (
+        F.coalesce(
+            F.create_map(
+                *[
+                    lit
+                    for p, off in offsets.items()
+                    for lit in (F.lit(p), F.lit(off).cast("long"))
+                ]
+            )[pid],
+            F.lit(0).cast("long"),
+        )
+        if offsets
+        else F.lit(0).cast("long")
+    )
+    local_rank = F.col("_mid").bitwiseAND(F.lit(_MID_MASK)) + F.lit(1)
+    return (
+        ranged.withColumn(rank_col, (local_rank + off_expr).cast("long"))
+        .drop("_mid"),
+        acc,
+    )
+
+
+def ntile_from_rank(rank: Column, total: int, n: int) -> Column:
+    """SQL ``NTILE(n)`` bucket id (1-based) from a 1-based global rank.
+
+    Standard semantics: with ``total = q*n + r`` rows, the first ``r``
+    buckets hold ``q + 1`` rows, the rest ``q`` — identical in Spark
+    and DuckDB, so an ntile-based oracle stays valid for rank-based
+    plans.
+    """
+    q, r = divmod(int(total), n)
+    if q == 0:
+        # fewer rows than buckets: bucket i gets row i
+        return rank.cast("int")
+    head = r * (q + 1)
+    return (
+        F.when(rank <= head, F.ceil(rank / F.lit(q + 1)))
+        .otherwise(F.lit(r) + F.ceil((rank - F.lit(head)) / F.lit(q)))
+        .cast("int")
+    )
+
+
+def with_equal_freq_bucket(
+    df: DataFrame,
+    order_cols: list[Column],
+    bucket_col: str,
+    n: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``NTILE(n) OVER (ORDER BY order_cols)`` without the
+    SinglePartition exchange: global rank (range-partitioned) + the
+    closed-form bucket assignment."""
+    ranked, total = with_global_rank(
+        df, order_cols, "_grank", num_partitions
+    )
+    return ranked.withColumn(
+        bucket_col, ntile_from_rank(F.col("_grank"), total, n)
+    ).drop("_grank")

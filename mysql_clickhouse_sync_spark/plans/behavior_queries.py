@@ -332,15 +332,16 @@ def events_daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM rfm
     """,
     description="RFM customer segmentation: recency/frequency/monetary "
-    "quartiles via ntile with fully-pinned ordering (deterministic "
-    "bucket edges in both engines); exact decimal monetary.  The three "
-    "windows share ONE SinglePartition exchange (asserted in "
-    "tests/test_plans.py); the global ntile is fine because the RFM "
-    "relation is per-customer — at billions of customers the scale "
-    "path swaps ntile for width_bucket over approx quantile edges",
+    "quartiles with fully-pinned ordering; exact decimal monetary.  "
+    "The oracle keeps the ntile form; the Spark plan computes the SAME "
+    "buckets with zero SinglePartition exchange — each quartile is a "
+    "range-partitioned global rank (operators/rank.py, the "
+    "zipWithIndex pattern) fed into the closed-form NTILE formula, so "
+    "every window is partition-local and the plan scales to billions "
+    "of customers (asserted in tests/test_plans.py)",
 )
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ..operators.rank import with_equal_freq_bucket
 
     orders = load_table(spark, sf_dir, "orders")
     rfm = orders.groupBy("o_custkey").agg(
@@ -350,21 +351,19 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("monetary"),
     )
-    return rfm.select(
-        "o_custkey",
-        "last_order",
-        "frequency",
-        "monetary",
-        F.ntile(4)
-        .over(Window.orderBy(F.col("last_order").desc(), F.col("o_custkey")))
-        .cast("int")
-        .alias("r_quartile"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("frequency").desc(), F.col("o_custkey")))
-        .cast("int")
-        .alias("f_quartile"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("monetary").desc(), F.col("o_custkey")))
-        .cast("int")
-        .alias("m_quartile"),
+    out = with_equal_freq_bucket(
+        rfm, [F.col("last_order").desc(), F.col("o_custkey")],
+        "r_quartile", 4,
+    )
+    out = with_equal_freq_bucket(
+        out, [F.col("frequency").desc(), F.col("o_custkey")],
+        "f_quartile", 4,
+    )
+    out = with_equal_freq_bucket(
+        out, [F.col("monetary").desc(), F.col("o_custkey")],
+        "m_quartile", 4,
+    )
+    return out.select(
+        "o_custkey", "last_order", "frequency", "monetary",
+        "r_quartile", "f_quartile", "m_quartile",
     )

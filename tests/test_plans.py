@@ -150,13 +150,15 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
             spark.conf.set(k, v)
 
 
-def test_rfm_shares_one_global_exchange(spark):
-    """Three differently-ordered ntile windows must share ONE
-    SinglePartition exchange (pay the global sort setup once); the
-    per-customer rollup is the only hash exchange."""
+def test_rfm_has_no_single_partition_exchange(spark):
+    """The registered RFM plan must never funnel all customers through
+    one task: quartiles come from range-partitioned global ranks
+    (operators/rank.py), so the plan contains range exchanges and
+    partition-local windows but NO SinglePartition exchange."""
     plan = _plan(all_queries()["customer_rfm_segments"].fn(spark, SF_DIR))
-    assert plan.count("SinglePartition") == 1, plan
-    assert plan.count("Exchange") == 2, plan
+    assert "SinglePartition" not in plan, plan
+    # rank comes from sorted-partition ids, not a window at all
+    assert "Window" not in plan, plan
 
 
 def test_curation_pipeline_single_scan_two_exchanges(spark):

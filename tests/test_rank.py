@@ -1,0 +1,99 @@
+"""Distributed global rank / equal-frequency bucketing
+(operators/rank.py): must be bit-identical to the single-partition
+``row_number``/``ntile`` windows it replaces, with no SinglePartition
+exchange in the plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mysql_clickhouse_sync_spark.operators.rank import (
+    ntile_from_rank,
+    with_equal_freq_bucket,
+    with_global_rank,
+)
+
+
+@pytest.fixture(scope="module")
+def values(spark):
+    # 997 rows (prime: uneven ntile buckets), shuffled insert order,
+    # duplicate sort keys broken by the unique id.
+    return spark.range(0, 997).select(
+        F.col("id"),
+        ((F.col("id") * 7919) % 337).alias("v"),
+    ).repartition(8)
+
+
+def test_global_rank_matches_row_number(spark, values):
+    order = [F.col("v").desc(), F.col("id")]
+    ranked, total = with_global_rank(values, order, "r", num_partitions=8)
+    assert total == 997
+    expected = values.withColumn(
+        "r_exp", F.row_number().over(Window.orderBy(*order)).cast("long")
+    )
+    diff = (
+        ranked.join(expected.select("id", "r_exp"), "id")
+        .filter(F.col("r") != F.col("r_exp"))
+        .count()
+    )
+    assert diff == 0
+
+
+@pytest.mark.parametrize("n", [2, 4, 7])
+def test_equal_freq_bucket_matches_ntile(spark, values, n):
+    order = [F.col("v").desc(), F.col("id")]
+    got = with_equal_freq_bucket(values, order, "b", n, num_partitions=8)
+    expected = values.withColumn(
+        "b_exp", F.ntile(n).over(Window.orderBy(*order))
+    )
+    diff = (
+        got.join(expected.select("id", "b_exp"), "id")
+        .filter(F.col("b") != F.col("b_exp"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_ntile_formula_tiny_relation(spark):
+    # fewer rows than buckets: bucket i = row i (SQL NTILE semantics)
+    df = spark.range(1, 4).select(F.col("id"))
+    got = with_equal_freq_bucket(df, [F.col("id")], "b", 7, num_partitions=2)
+    rows = {r.id: r.b for r in got.collect()}
+    assert rows == {1: 1, 2: 2, 3: 3}
+
+
+def test_plan_has_no_single_partition(spark, values):
+    ranked, _ = with_global_rank(
+        values, [F.col("v"), F.col("id")], "r", num_partitions=8
+    )
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+
+
+def test_ntile_from_rank_exact_sizes():
+    # 10 rows, 4 buckets -> sizes 3,3,2,2
+    import collections
+
+    sizes = collections.Counter(
+        # evaluated via the formula's python twin
+        (lambda q, r, rank: (
+            -(-rank // (q + 1))
+            if rank <= r * (q + 1)
+            else r + -(-(rank - r * (q + 1)) // q)
+        ))(2, 2, rank)
+        for rank in range(1, 11)
+    )
+    assert sizes == {1: 3, 2: 3, 3: 2, 4: 2}
+
+
+def test_ntile_from_rank_column(spark):
+    df = spark.range(1, 11).select(F.col("id").alias("rank"))
+    got = {
+        r.rank: r.b
+        for r in df.select(
+            "rank", ntile_from_rank(F.col("rank"), 10, 4).alias("b")
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 2, 6: 2, 7: 3, 8: 3, 9: 4, 10: 4}
