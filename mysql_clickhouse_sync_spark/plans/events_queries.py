@@ -264,25 +264,63 @@ def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_user_count_sketch",
-    oracle=None,  # engine-specific hashes; upper-bound property tested
+    oracle="""
+    WITH totals AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
+    ), top AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+        ORDER BY n_purchases DESC, user_id
+        LIMIT 15
+    )
+    SELECT top.user_id, top.n_purchases, t.n_events,
+           TRUE AS within_bound
+    FROM top JOIN totals t USING (user_id)
+    """,
     description="Count-min sketch (depth 4 x width 1024): mergeable "
-    "frequency sketch as a relation — estimates for the purchase "
-    "top-15 users (always >= truth; bounded overestimate)",
+    "frequency sketch as a relation, probed for the purchase top-15 "
+    "users.  The CMS error contract IS the oracle check: the query "
+    "emits within_bound = (exact <= est <= exact + ceil(e/width * N)) "
+    "per key; the DuckDB twin emits the exact counts with literal "
+    "TRUE, so the hash matches iff the one-sided CMS guarantee and "
+    "the epsilon overestimate bound both hold",
 )
 def events_user_count_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     from ..operators.sketch import cms_build, cms_estimate
 
     ev = load_table(spark, sf_dir, "events")
+    # literal epsilon bound: width=1024 -> eps = e/1024 of total mass
+    n_total = ev.count()
+    bound = math.ceil(math.e / 1024 * n_total)
     sketch = cms_build(ev.select("user_id"), "user_id")
     top = (
         ev.filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
-        .count()
-        .orderBy(F.col("count").desc(), F.col("user_id"))
+        .agg(F.count("*").cast("long").alias("n_purchases"))
+        .orderBy(F.col("n_purchases").desc(), F.col("user_id"))
         .limit(15)
-        .select("user_id")
     )
-    return cms_estimate(sketch, top, "user_id")
+    exact = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    est = cms_estimate(sketch, top.select("user_id"), "user_id")
+    return (
+        top.join(est, "user_id")
+        .join(exact, "user_id")
+        .select(
+            "user_id",
+            "n_purchases",
+            "n_events",
+            (
+                (F.col("est_count") >= F.col("n_events"))
+                & (F.col("est_count") <= F.col("n_events") + F.lit(bound))
+            ).alias("within_bound"),
+        )
+    )
 
 
 @register(
@@ -339,19 +377,39 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_user_hll_distinct",
-    oracle=None,  # estimate; accuracy + determinism property-tested
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           TRUE AS within_5pct
+    FROM events GROUP BY event_type
+    """,
     description="HyperLogLog (p=12) distinct users per event type as a "
     "mergeable register RELATION — unlike approx_count_distinct's "
     "opaque binary sketch it can be persisted, incremented, and "
     "merged across days; estimate is exact-integer harmonic sum, "
-    "so re-runs agree bit-for-bit",
+    "so re-runs agree bit-for-bit.  The HLL accuracy contract IS the "
+    "oracle check: within_5pct = |est - exact| / exact <= 0.05 "
+    "(3 sigma of the p=12 rse 1.04/sqrt(4096) ~= 1.6%); the DuckDB "
+    "twin emits exact distincts with literal TRUE",
 )
 def events_user_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketch import hll_build, hll_estimate
 
     ev = load_table(spark, sf_dir, "events")
     sketch = hll_build(ev, "user_id", ["event_type"], p=12)
-    return hll_estimate(sketch, ["event_type"], p=12).orderBy("event_type")
+    est = hll_estimate(sketch, ["event_type"], p=12)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "n_users",
+        (
+            F.abs(F.col("est_distinct") - F.col("n_users"))
+            / F.col("n_users").cast("double")
+            <= F.lit(0.05)
+        ).alias("within_5pct"),
+    )
 
 
 @register(
