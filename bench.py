@@ -40,7 +40,7 @@ HEADLINE = (
     "lineitem_grouping_sets",
     "orders_in_promo_windows",
     "docs_exact_dedup",
-    "docs_top_jaccard_pairs",
+    "docs_top_jaccard_pairs_capped",
     "docs_minhash_candidates",
     "docs_subword_tokens",
     "emb_cosine_topk",

@@ -163,10 +163,66 @@ def docs_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 20
     """,
     description="Exact word-3-gram Jaccard near-dup: top-20 most "
-    "similar doc pairs (shingle co-occurrence join)",
+    "similar doc pairs (shingle co-occurrence join).  EXACT oracle "
+    "twin: no bucket cap, so a near-universal shingle expands fully — "
+    "the registered scale path is docs_top_jaccard_pairs_capped",
 )
 def docs_top_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = shingle_pairs_jaccard(load_table(spark, sf_dir, "documents"))
+    return pairs.orderBy(
+        F.col("jaccard").desc(), F.col("id_a"), F.col("id_b")
+    ).limit(20).select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+
+
+# Hot-shingle cap for the registered near-dup scale paths.  A shingle
+# (or LSH band bucket) shared by more than this many docs emits
+# >2k pairs from ONE task and carries ~zero similarity signal
+# precisely because it is near-universal — standard stop-shingle /
+# frequency-cap practice in web-scale dedup.  Capped buckets are
+# dropped WHOLE (operators/dedup.py::bucket_pairs), keeping worst-case
+# per-task output bounded at 100 TB.
+_MAX_BUCKET = 64
+
+
+@register(
+    "docs_top_jaccard_pairs_capped",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id AS _id, {_SQL_SHINGLES} AS _sh,
+               len({_SQL_SHINGLES}) AS _n
+        FROM documents
+    ), ex AS (
+        SELECT _id, _n, unnest(_sh) AS _shingle FROM sh
+    ), kept AS (
+        SELECT * FROM ex WHERE _shingle IN (
+            SELECT _shingle FROM ex GROUP BY _shingle
+            HAVING count(*) <= {_MAX_BUCKET}
+        )
+    ), pairs AS (
+        SELECT a._id AS id_a, b._id AS id_b, a._n AS n_a, b._n AS n_b,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM kept a JOIN kept b ON a._shingle = b._shingle AND a._id < b._id
+        GROUP BY a._id, b._id, a._n, b._n
+    )
+    SELECT id_a, id_b, n_common,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
+    FROM pairs
+    ORDER BY jaccard DESC, id_a, id_b
+    LIMIT 20
+    """,
+    description="Word-3-gram Jaccard near-dup with the hot-shingle "
+    "cap wired in (buckets > 64 docs dropped whole): the 100 TB scale "
+    "path — worst-case pair expansion per task is bounded by "
+    "max_bucket^2/2 regardless of corpus degeneracy.  Oracle applies "
+    "the identical cap by shingle frequency",
+)
+def docs_top_jaccard_pairs_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pairs = shingle_pairs_jaccard(
+        load_table(spark, sf_dir, "documents"), max_bucket=_MAX_BUCKET
+    )
     return pairs.orderBy(
         F.col("jaccard").desc(), F.col("id_a"), F.col("id_b")
     ).limit(20).select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
@@ -176,10 +232,15 @@ def docs_top_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_minhash_candidates",
     oracle=None,  # engine-specific hash fns -> rows-only check
     description="MinHash(32)+LSH(8 bands) near-dup candidate pairs "
-    "(sub-quadratic scale path for Jaccard dedup)",
+    "(sub-quadratic scale path for Jaccard dedup) with the degenerate-"
+    "band guard wired in: an LSH bucket holding > 64 docs (e.g. empty "
+    "docs hashing identically) is dropped whole instead of expanding "
+    "quadratically in one task",
 )
 def docs_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_lsh_candidates(load_table(spark, sf_dir, "documents"))
+    return minhash_lsh_candidates(
+        load_table(spark, sf_dir, "documents"), max_bucket=_MAX_BUCKET
+    )
 
 
 @register(

@@ -162,3 +162,35 @@ def test_bucket_pairs_max_bucket_drops_hot_keys(spark):
     # uncapped keeps the hot bucket's 50*49/2 pairs
     full = bucket_pairs(df, ["bucket"], F.col("id")).count()
     assert full == 50 * 49 // 2 + 4
+
+
+def test_registered_near_dup_queries_cap_hot_buckets(spark, tmp_path):
+    """The REGISTERED scale-path queries must pass max_bucket through:
+    a degenerate corpus (80 identical docs -> every shingle bucket and
+    every LSH band bucket holds all 80) yields ZERO candidate pairs
+    from the capped queries, where the uncapped exact twin would emit
+    80*79/2 pairs per bucket."""
+    from mysql_clickhouse_sync_spark.plans.registry import all_queries
+
+    df = spark.createDataFrame(
+        [
+            Row(
+                doc_id=i,
+                text=BASE,
+                lang="en",
+                source="web",
+                n_chars=len(BASE),
+            )
+            for i in range(80)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    qs = all_queries()
+    assert (
+        qs["docs_top_jaccard_pairs_capped"].fn(spark, str(tmp_path)).count()
+        == 0
+    )
+    assert qs["docs_minhash_candidates"].fn(spark, str(tmp_path)).count() == 0
+    # sanity: the exact twin on the same corpus does expand
+    assert qs["docs_top_jaccard_pairs"].fn(spark, str(tmp_path)).count() == 20
