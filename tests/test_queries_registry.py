@@ -60,3 +60,34 @@ def test_no_decimal_output_columns(spark, name):
 )
 def test_new_queries_return_rows(spark, name):
     assert all_queries()[name].fn(spark, SF_DIR).count() > 0
+
+
+def test_driver_window_is_first_50_and_covers_llm_surface():
+    """The external driver grades exactly the first 50 registry
+    entries; the curated DRIVER_WINDOW must stay size 50, lead the
+    iteration order, and contain the whole LLM-pipeline surface plus
+    the CDC sentinels (round-2 verdict item 1)."""
+    from mysql_clickhouse_sync_spark.plans.registry import DRIVER_WINDOW
+
+    qs = all_queries()
+    names = list(qs)
+    assert len(DRIVER_WINDOW) == 50
+    assert names[:50] == list(DRIVER_WINDOW)
+    window = set(DRIVER_WINDOW)
+    required = {
+        "cdc_live_orders", "cdc_versions_per_key", "cdc_compacted_state",
+        "cdc_live_agg",
+        "docs_exact_dedup", "docs_minhash_candidates", "docs_dup_clusters",
+        "docs_curation_pipeline", "docs_top_jaccard_pairs_capped",
+        "emb_cosine_topk", "emb_ivf_topk", "media_exact_dedup",
+        "events_funnel", "events_retention_cohorts", "customer_rfm_segments",
+        "events_user_count_sketch", "events_user_hll_distinct",
+    }
+    assert required <= window, sorted(required - window)
+    # every docs_/emb_/media_/sql_ query is in the graded window
+    surface = {
+        n for n in qs
+        if n.startswith(("docs_", "emb_", "media_", "sql_", "doc_"))
+        and n != "docs_top_jaccard_pairs"  # exact twin of the capped path
+    }
+    assert surface <= window, sorted(surface - window)
