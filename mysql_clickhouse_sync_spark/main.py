@@ -22,40 +22,63 @@ from pyspark.sql import SparkSession
 
 
 def _build_parser() -> argparse.ArgumentParser:
+    """Every flag has an env twin (``REPLICATION_*``,
+    ``mysql_clickhouse_sync_spark.config`` — O6 parity with the
+    reference's env-only configuration); explicit CLI flags win."""
+    from .config import ReplicationConfig
+
+    env = ReplicationConfig.from_env()
     ap = argparse.ArgumentParser(prog="spark-sync-engine")
     ap.add_argument("--mode",
                     choices=("snapshot", "cdc", "compact", "zorder"),
-                    required=True)
-    ap.add_argument("--source-dir",
+                    default=os.environ.get("REPLICATION_MODE") or None,
+                    required="REPLICATION_MODE" not in os.environ)
+    ap.add_argument("--source-dir", default=env.source_dir or None,
                     help="directory of <table>.parquet source files "
-                    "(snapshot/cdc modes)")
-    ap.add_argument("--target-dir", required=True)
-    ap.add_argument("--tables", default="",
+                    "(snapshot/cdc modes) [env: REPLICATION_SOURCE_DIR]")
+    ap.add_argument("--target-dir", default=env.target_dir or None,
+                    required=not env.target_dir,
+                    help="[env: REPLICATION_TARGET_DIR]")
+    ap.add_argument("--tables", default=env.tables,
                     help="csv list; empty = discover *.parquet in source "
                     "(parity: REPLICATION_TABLES, P6)")
-    ap.add_argument("--parallel-tables", type=int, default=1)
-    ap.add_argument("--drop-existing", action="store_true")
+    ap.add_argument("--parallel-tables", type=int,
+                    default=env.parallel_tables,
+                    help="[env: REPLICATION_PARALLEL_TABLES]")
+    ap.add_argument("--drop-existing", action="store_true",
+                    default=env.drop_existing,
+                    help="[env: REPLICATION_DROP_EXISTING]")
     # CDC-only:
-    ap.add_argument("--changelog-dir",
-                    help="JSON changelog directory (op, seq, cols...)")
-    ap.add_argument("--table", help="CDC table name (single-table stream)")
-    ap.add_argument("--pks", default="", help="csv primary keys for CDC")
-    ap.add_argument("--follow", action="store_true",
+    ap.add_argument("--changelog-dir", default=env.changelog_dir or None,
+                    help="JSON changelog directory (op, seq, cols...) "
+                    "[env: REPLICATION_CHANGELOG_DIR]")
+    ap.add_argument("--table", default=env.table or None,
+                    help="CDC table name (single-table stream) "
+                    "[env: REPLICATION_TABLE]")
+    ap.add_argument("--pks", default=env.pks,
+                    help="csv primary keys for CDC [env: REPLICATION_PKS]")
+    ap.add_argument("--follow", action="store_true", default=env.follow,
                     help="keep streaming (processingTime) instead of "
-                    "drain-and-stop")
+                    "drain-and-stop [env: REPLICATION_FOLLOW]")
     # compact-only:
-    ap.add_argument("--full", action="store_true",
+    ap.add_argument("--full", action="store_true", default=env.full,
                     help="compact mode: full CDC OPTIMIZE (collapse row "
                     "versions via dedup-latest) instead of policy-gated "
-                    "small-file bin-packing; needs --pks")
+                    "small-file bin-packing; needs --pks "
+                    "[env: REPLICATION_FULL]")
     ap.add_argument("--drop-tombstones", action="store_true",
+                    default=env.drop_tombstones,
                     help="with --full: physically drop deleted rows "
-                    "(ClickHouse OPTIMIZE ... CLEANUP)")
-    ap.add_argument("--target-file-mb", type=int, default=128,
-                    help="compact mode: output file size target")
+                    "(ClickHouse OPTIMIZE ... CLEANUP) "
+                    "[env: REPLICATION_DROP_TOMBSTONES]")
+    ap.add_argument("--target-file-mb", type=int,
+                    default=env.target_file_mb,
+                    help="compact mode: output file size target "
+                    "[env: REPLICATION_TARGET_FILE_MB]")
     # zorder-only:
-    ap.add_argument("--zorder-cols", default="",
-                    help="zorder mode: csv columns to interleave")
+    ap.add_argument("--zorder-cols", default=env.zorder_cols,
+                    help="zorder mode: csv columns to interleave "
+                    "[env: REPLICATION_ZORDER_COLS]")
     return ap
 
 
