@@ -117,6 +117,7 @@ def run_cdc(spark: SparkSession, args) -> int:
     from .streaming.cdc_pipeline import (
         CDCStreamPipeline,
         run_initial_sync_then_stream,
+        run_stream_with_restart,
     )
 
     if not (args.changelog_dir and args.table and args.pks):
@@ -143,8 +144,11 @@ def run_cdc(spark: SparkSession, args) -> int:
     )
     if args.follow:
         run_initial_sync_then_stream(pipeline, snapshot, args.changelog_dir)
-        q = pipeline.start(args.changelog_dir, available_now=False)
-        q.awaitTermination()  # blocking loop, like the reference
+        # blocking loop with capped-backoff restart, like the
+        # reference's reconnect (C8)
+        run_stream_with_restart(
+            pipeline, args.changelog_dir, available_now=False
+        )
     else:
         run_initial_sync_then_stream(pipeline, snapshot, args.changelog_dir)
     print(f"{args.table}: live rows = {pipeline.live().count()}",

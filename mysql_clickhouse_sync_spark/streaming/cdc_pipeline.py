@@ -150,6 +150,56 @@ class CDCStreamPipeline:
         return live_view(self.table_df(), self.pks, user_cols)
 
 
+def run_stream_with_restart(
+    pipeline: CDCStreamPipeline,
+    changelog_dir: str,
+    *,
+    available_now: bool = False,
+    initial_backoff: float = 1.0,
+    max_backoff: float = 30.0,
+    max_restarts: int | None = None,
+    sleep=None,
+    on_restart=None,
+) -> int:
+    """Supervision loop: restart a crashed stream with capped
+    exponential backoff (C8 parity,
+    ``/root/reference/src/cdc_replicator.py:402-414``: sleep 1 s, then
+    2, 4, ... capped at 30 s, reopening from the saved position).
+
+    The Spark twin of "reopen from saved position" is simply starting
+    a new query on the same ``checkpointLocation``: committed
+    microbatches are never replayed, and the in-flight batch that died
+    is re-processed — at-least-once, absorbed by dedup-latest exactly
+    like the reference's overlap replay.  A clean stop (availableNow
+    drain, or ``query.stop()``) exits the loop.
+
+    ``max_restarts=None`` retries forever (the reference's behavior);
+    a bounded value re-raises the last failure once exhausted so batch
+    jobs fail loudly.  Returns the number of restarts performed.
+    ``sleep``/``on_restart`` are injectable for tests.
+    """
+    import time as _time
+
+    from pyspark.errors import StreamingQueryException
+
+    do_sleep = sleep if sleep is not None else _time.sleep
+    backoff = initial_backoff
+    restarts = 0
+    while True:
+        q = pipeline.start(changelog_dir, available_now=available_now)
+        try:
+            q.awaitTermination()
+            return restarts  # clean drain / stop
+        except StreamingQueryException as exc:
+            restarts += 1
+            if max_restarts is not None and restarts > max_restarts:
+                raise
+            if on_restart is not None:
+                on_restart(restarts, exc)
+            do_sleep(backoff)
+            backoff = min(max_backoff, backoff * 2)
+
+
 def run_initial_sync_then_stream(
     pipeline: CDCStreamPipeline,
     snapshot: DataFrame,

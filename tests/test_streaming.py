@@ -266,3 +266,77 @@ def test_multi_table_mux_stream_dispatch(spark, tmp_path):
     }
     assert items == {(10, 1, 7), (10, 2, 1)}  # composite-pk upsert
     assert mux.skipped_events == 1
+
+
+def test_restart_after_crash_resumes_without_loss_or_dups(spark, dirs):
+    """C8 parity: a microbatch crash kills the query; the supervision
+    loop backs off and restarts from the checkpoint.  The in-flight
+    batch replays, committed batches do not, and the live state equals
+    the no-crash answer."""
+    from mysql_clickhouse_sync_spark.streaming import (
+        run_stream_with_restart,
+    )
+
+    base_dir, changelog_dir = dirs
+    _write_events(
+        changelog_dir,
+        [
+            {"op": "I", "seq": 1, "id": 1, "email": "a@x", "name": "Alice"},
+            {"op": "I", "seq": 2, "id": 2, "email": "b@x", "name": "Bob"},
+            {"op": "U", "seq": 3, "id": 1, "email": "a@x", "name": "Alice2"},
+            {"op": "D", "seq": 4, "id": 2, "email": "b@x", "name": "Bob"},
+        ],
+    )
+    p = CDCStreamPipeline(spark, "users", ["id"], CHANGELOG_SCHEMA, base_dir)
+    real_apply = p.apply_microbatch
+    crashes = {"left": 1}
+
+    def flaky(batch_df, batch_id):
+        if crashes["left"]:
+            crashes["left"] -= 1
+            raise RuntimeError("injected microbatch crash")
+        real_apply(batch_df, batch_id)
+
+    p.apply_microbatch = flaky
+    slept: list[float] = []
+    restarts = run_stream_with_restart(
+        p, changelog_dir, available_now=True, sleep=slept.append
+    )
+    assert restarts == 1
+    assert slept == [1.0]
+    live = {r["id"]: r["name"] for r in p.live().collect()}
+    assert live == {1: "Alice2"}
+    # the crashed batch died BEFORE its append -> no duplicate rows
+    assert p.table_df().count() == 4
+
+
+def test_restart_backoff_caps_and_gives_up(spark, dirs):
+    """Backoff doubles per restart (1 s, 2 s, 4 s ... capped) and a
+    bounded max_restarts re-raises the failure once exhausted."""
+    from pyspark.errors import StreamingQueryException
+
+    from mysql_clickhouse_sync_spark.streaming import (
+        run_stream_with_restart,
+    )
+
+    base_dir, changelog_dir = dirs
+    _write_events(
+        changelog_dir,
+        [{"op": "I", "seq": 1, "id": 1, "email": "a@x", "name": "A"}],
+    )
+    p = CDCStreamPipeline(spark, "users", ["id"], CHANGELOG_SCHEMA, base_dir)
+
+    def always_crash(batch_df, batch_id):
+        raise RuntimeError("permanent failure")
+
+    p.apply_microbatch = always_crash
+    slept: list[float] = []
+    with pytest.raises(StreamingQueryException):
+        run_stream_with_restart(
+            p,
+            changelog_dir,
+            available_now=True,
+            max_restarts=3,
+            sleep=slept.append,
+        )
+    assert slept == [1.0, 2.0, 4.0]
