@@ -1,0 +1,159 @@
+"""Debezium envelope adapter -> changelog contract -> CDC semantic
+core.  Covers op mapping (c/r/u/d), delete-uses-before-image,
+compaction-tombstone/garbage drop, binlog-position tie-break inside
+one millisecond, replay idempotence through live_view, and the
+streaming path through CDCStreamPipeline.apply_microbatch."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from mysql_clickhouse_sync_spark.operators.cdc import (
+    cdc_apply,
+    live_view,
+    stamp_changelog,
+)
+from mysql_clickhouse_sync_spark.sources.debezium import (
+    debezium_file_stream,
+    parse_debezium,
+)
+
+ROW_SCHEMA = StructType(
+    [
+        StructField("id", LongType(), False),
+        StructField("email", StringType(), True),
+        StructField("name", StringType(), True),
+    ]
+)
+
+
+def _env(op, row, ts_ms, pos, before=None):
+    return json.dumps(
+        {
+            "payload": {
+                "before": before if op == "d" else None,
+                "after": None if op == "d" else row,
+                "source": {
+                    "ts_ms": ts_ms,
+                    "file": "binlog.000001",
+                    "pos": pos,
+                    "db": "shop",
+                    "table": "users",
+                },
+                "op": op,
+                "ts_ms": ts_ms,
+            }
+        }
+    )
+
+
+EVENTS = [
+    _env("r", {"id": 1, "email": "a@x", "name": "Alice"}, 1000, 10),
+    _env("c", {"id": 2, "email": "b@x", "name": "Bob"}, 1000, 20),
+    # two updates to id=1 inside the SAME millisecond: binlog pos must
+    # break the tie (the reference's wall-clock stamp cannot)
+    _env("u", {"id": 1, "email": "a@x", "name": "Alice-v2"}, 2000, 30),
+    _env("u", {"id": 1, "email": "a@x", "name": "Alice-v3"}, 2000, 40),
+    _env("d", None, 3000, 50,
+         before={"id": 2, "email": "b@x", "name": "Bob"}),
+]
+GARBAGE = [
+    "",                      # kafka compaction tombstone
+    "not json at all",
+    json.dumps({"payload": None}),
+]
+
+
+def _raw(spark, lines):
+    return spark.createDataFrame([Row(value=ln) for ln in lines],
+                                 "value string")
+
+
+def test_op_mapping_and_images(spark):
+    out = parse_debezium(_raw(spark, EVENTS), ROW_SCHEMA).collect()
+    ops = [r["op"] for r in out]
+    assert ops == ["I", "I", "U", "U", "D"]
+    # delete carries the BEFORE image
+    d = out[-1]
+    assert (d["id"], d["name"]) == (2, "Bob")
+    # seq is strictly increasing across the binlog order
+    seqs = [r["seq"] for r in out]
+    assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs)
+
+
+def test_garbage_and_tombstones_dropped(spark):
+    out = parse_debezium(_raw(spark, EVENTS + GARBAGE), ROW_SCHEMA)
+    assert out.count() == len(EVENTS)
+
+
+def test_live_state_and_same_ms_tiebreak(spark):
+    changes = stamp_changelog(
+        parse_debezium(_raw(spark, EVENTS), ROW_SCHEMA),
+        op_col="op", seq_col="seq",
+    )
+    base = changes.limit(0)
+    live = live_view(cdc_apply(base, changes), ["id"])
+    rows = {r["id"]: r["name"] for r in live.collect()}
+    # id=2 deleted; id=1 resolved to the LAST same-ms update by pos
+    assert rows == {1: "Alice-v3"}
+
+
+def test_replay_idempotence(spark):
+    """At-least-once delivery: applying the same envelope batch twice
+    yields the identical live state (README.md:493-497 parity)."""
+    changes = stamp_changelog(
+        parse_debezium(_raw(spark, EVENTS), ROW_SCHEMA),
+        op_col="op", seq_col="seq",
+    )
+    base = changes.limit(0)
+    once = live_view(cdc_apply(base, changes), ["id"])
+    twice = live_view(cdc_apply(cdc_apply(base, changes), changes), ["id"])
+    assert sorted(map(tuple, once.collect())) == sorted(
+        map(tuple, twice.collect())
+    )
+
+
+@pytest.fixture
+def dirs(tmp_path):
+    return str(tmp_path / "tables"), str(tmp_path / "debezium")
+
+
+def test_streaming_debezium_into_pipeline(spark, dirs):
+    """End-to-end: Debezium JSON files -> adapted readStream ->
+    foreachBatch append -> live view, same answer as batch."""
+    from mysql_clickhouse_sync_spark.streaming import CDCStreamPipeline
+
+    base_dir, changelog_dir = dirs
+    os.makedirs(changelog_dir)
+    with open(os.path.join(changelog_dir, "part1.json"), "w") as f:
+        f.write("\n".join(EVENTS + GARBAGE))
+
+    changelog_schema = StructType(
+        [StructField("op", StringType(), False),
+         StructField("seq", LongType(), False)]
+        + list(ROW_SCHEMA.fields)
+    )
+    p = CDCStreamPipeline(
+        spark, "users", ["id"], changelog_schema, base_dir
+    )
+    stream = debezium_file_stream(spark, changelog_dir, ROW_SCHEMA)
+    q = (
+        stream.writeStream.foreachBatch(p.apply_microbatch)
+        .option("checkpointLocation", p.checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert {r["id"]: r["name"] for r in p.live().collect()} == {
+        1: "Alice-v3"
+    }
