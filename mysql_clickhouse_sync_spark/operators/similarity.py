@@ -27,6 +27,27 @@ from pyspark.sql import functions as F
 
 from ..util import spread
 
+# Bounded-side contracts.  The query set is broadcast / collected and
+# the IVF coarse quantizer is collected driver-side — both are small
+# BY DESIGN, but a caller passing the whole corpus as "queries" would
+# silently OOM the driver at scale.  These caps fail fast instead;
+# raise them explicitly via the max_queries parameter if a deployment
+# really wants a bigger broadcast side.
+MAX_QUERY_ROWS = 65_536
+MAX_CENTROIDS = 65_536
+
+
+def _require_small(df: DataFrame, max_rows: int, what: str) -> None:
+    """Assert the bounded-side contract WITHOUT scanning the full
+    side: ``limit(max+1).count()`` stops reading at max+1 rows."""
+    n = df.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"{what} violates the bounded-side contract: > {max_rows} "
+            f"rows would be collected/broadcast to the driver. Pass a "
+            f"smaller set (or raise the bound explicitly)."
+        )
+
 
 def _to_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -55,6 +76,7 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = MAX_QUERY_ROWS,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -64,6 +86,7 @@ def brute_force_topk(
     shuffle size is |corpus| x |queries| pair rows, bounded by
     pre-filtering if the caller passes a candidate subset.
     """
+    _require_small(queries, max_queries, "brute_force_topk query set")
     c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         _to_double(F.col(vec_col)).alias("_cv"),
@@ -98,6 +121,7 @@ def brute_force_topk_vectorized(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = MAX_QUERY_ROWS,
 ) -> DataFrame:
     """Exact top-k cosine via Arrow-batched numpy matmul — the
     vectorized twin of :func:`brute_force_topk`.
@@ -121,6 +145,7 @@ def brute_force_topk_vectorized(
     """
     import numpy as np
 
+    _require_small(queries, max_queries, "brute_force_topk_vectorized query set")
     q_rows = queries.select(id_col, vec_col).collect()
     qids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
     Q = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
@@ -179,6 +204,7 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = MAX_QUERY_ROWS,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) coarse quantizer.
 
@@ -196,6 +222,14 @@ def ivf_topk(
     """
     from pyspark.sql import Window
 
+    if not 0 < n_centroids <= MAX_CENTROIDS:
+        raise ValueError(
+            f"n_centroids must be in (0, {MAX_CENTROIDS}]: the coarse "
+            f"quantizer is collected driver-side and folded into the plan"
+        )
+    if not 0 < nprobe <= n_centroids:
+        raise ValueError("nprobe must be in (0, n_centroids]")
+    _require_small(queries, max_queries, "ivf_topk query set")
     # Deterministic coarse quantizer: smallest ids, stable order.
     cent_rows = (
         corpus.select(F.col(id_col).alias("i"), _to_double(F.col(vec_col)).alias("v"))
@@ -400,6 +434,7 @@ def quantized_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = MAX_QUERY_ROWS,
 ) -> DataFrame:
     """Approximate top-k cosine over int8-quantized codes.
 
@@ -412,6 +447,7 @@ def quantized_topk(
     """
     from pyspark.sql import Window
 
+    _require_small(queries, max_queries, "quantized_topk query set")
     # Codes are STORED int8; widen to long once per row BELOW the join
     # so the per-pair fold runs cast-free (byte*byte would overflow,
     # and per-element casts per pair cost ~3x the multiply itself).

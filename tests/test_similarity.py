@@ -176,3 +176,48 @@ def test_quantized_topk_recall_vs_exact(spark):
     hits = sum(len(es[q] & qs[q]) for q in es)
     total = sum(len(es[q]) for q in es)
     assert hits / total >= 0.8, f"recall {hits}/{total}"
+
+
+def test_bounded_side_contracts_fail_fast(spark):
+    """An oversized query set must raise instead of silently
+    collecting/broadcasting the corpus to the driver (round-2 verdict
+    item 6)."""
+    import pytest
+
+    from mysql_clickhouse_sync_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_vectorized,
+        ivf_topk,
+        quantized_topk,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    for fn in (
+        brute_force_topk,
+        brute_force_topk_vectorized,
+        ivf_topk,
+        quantized_topk,
+    ):
+        with pytest.raises(ValueError, match="bounded-side contract"):
+            fn(vecs, vecs, k=2, max_queries=5)
+    # at or under the bound: runs fine
+    small = vecs.limit(3)
+    assert brute_force_topk(vecs, small, k=2, max_queries=5).count() > 0
+
+
+def test_ivf_parameter_validation(spark):
+    import pytest
+
+    from mysql_clickhouse_sync_spark.operators.similarity import ivf_topk
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="n_centroids"):
+        ivf_topk(vecs, vecs.limit(1), n_centroids=10 ** 9)
+    with pytest.raises(ValueError, match="nprobe"):
+        ivf_topk(vecs, vecs.limit(1), n_centroids=4, nprobe=9)
