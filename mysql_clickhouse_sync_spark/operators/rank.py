@@ -40,6 +40,20 @@ _MID_BITS = 33
 _MID_MASK = (1 << _MID_BITS) - 1
 
 
+#: target rows per range partition when sizing adaptively: ranks are
+#: narrow rows, so 1M rows ≈ tens of MB per task — thousands of
+#: partitions at billions of rows, ONE at harness scale (partition
+#: count follows the data, AQE-style, instead of the static conf).
+ROWS_PER_RANGE_PARTITION = 1_000_000
+
+
+def partitions_for(n_rows: int, spark, rows_per_partition: int = ROWS_PER_RANGE_PARTITION) -> int:
+    """Adaptive range-partition count: ceil(n / rows_per_partition),
+    floored at 1; not capped above — at 100 TB the count grows with
+    the data, which is the whole point."""
+    return max(1, -(-int(n_rows) // rows_per_partition))
+
+
 def with_global_rank(
     df: DataFrame,
     order_cols: list[Column],
@@ -52,6 +66,10 @@ def with_global_rank(
     tie-break column) or ranks of tied rows are partitioner-dependent.
     Returns ``(df + rank_col, total_row_count)`` — the count is free
     (it is the sum of the per-partition counts already collected).
+
+    ``num_partitions`` should track data size (``partitions_for``) —
+    callers that know the row count can right-size the shuffle so a
+    small relation costs small jobs while a huge one fans out.
 
     The ranged+sorted input is ``localCheckpoint``-ed so the offsets
     job and the final query read the *same* materialized partitioning;

@@ -145,8 +145,15 @@ def brute_force_topk_vectorized(
     """
     import numpy as np
 
-    _require_small(queries, max_queries, "brute_force_topk_vectorized query set")
-    q_rows = queries.select(id_col, vec_col).collect()
+    # guard folded into the collect itself (no extra job): limit(n+1)
+    # stops the scan, and n+1 surviving rows proves the violation
+    q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"brute_force_topk_vectorized query set violates the "
+            f"bounded-side contract: > {max_queries} rows would be "
+            f"collected to the driver."
+        )
     qids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
     Q = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)

@@ -341,7 +341,7 @@ def events_daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "of customers (asserted in tests/test_plans.py)",
 )
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.rank import with_equal_freq_bucket
+    from ..operators.rank import partitions_for, with_equal_freq_bucket
 
     orders = load_table(spark, sf_dir, "orders")
     rfm = orders.groupBy("o_custkey").agg(
@@ -351,17 +351,21 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("monetary"),
     )
+    # Size the three range shuffles to the per-customer relation (one
+    # cheap agg-count job) so harness-scale inputs pay harness-scale
+    # jobs while billions of customers fan out across the cluster.
+    p = partitions_for(rfm.count(), spark)
     out = with_equal_freq_bucket(
         rfm, [F.col("last_order").desc(), F.col("o_custkey")],
-        "r_quartile", 4,
+        "r_quartile", 4, num_partitions=p,
     )
     out = with_equal_freq_bucket(
         out, [F.col("frequency").desc(), F.col("o_custkey")],
-        "f_quartile", 4,
+        "f_quartile", 4, num_partitions=p,
     )
     out = with_equal_freq_bucket(
         out, [F.col("monetary").desc(), F.col("o_custkey")],
-        "m_quartile", 4,
+        "m_quartile", 4, num_partitions=p,
     )
     return out.select(
         "o_custkey", "last_order", "frequency", "monetary",

@@ -33,6 +33,7 @@ def main() -> int:
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
     hits = 0
+    errs = 0
     for name, q in sorted(all_queries().items()):
         spark_dec = []
         oracle_dec = []
@@ -40,18 +41,21 @@ def main() -> int:
             df = q.fn(spark, sf_dir)
             spark_dec = [c for c, t in df.dtypes if t.startswith("decimal")]
         except Exception as e:  # noqa: BLE001
+            errs += 1
             print(f"ERR  {name}: spark {e}")
         if q.oracle is not None:
             try:
                 desc = con.execute(f"DESCRIBE {q.oracle}").fetchall()
                 oracle_dec = [r[0] for r in desc if "DECIMAL" in r[1].upper()]
             except Exception as e:  # noqa: BLE001
+                errs += 1
                 print(f"ERR  {name}: duckdb {e}")
         if spark_dec or oracle_dec:
             hits += 1
             print(f"DEC  {name}: spark={spark_dec} oracle={oracle_dec}")
-    print(f"\n{hits} queries with decimal outputs")
-    return 0
+    print(f"\n{hits} queries with decimal outputs, {errs} errors")
+    # non-zero exit on any finding or failure so the audit can gate CI
+    return 1 if (hits or errs) else 0
 
 
 if __name__ == "__main__":
