@@ -1,0 +1,216 @@
+"""Training-corpus preparation operators: PII scrubbing, sequence
+chunking, unigram LM scoring, benchmark decontamination.
+
+The ops an LLM training-data pipeline runs between raw text and
+tokenized batches, beyond dedup/quality (operators/dedup.py,
+operators/text.py).  All are built-in-function column transforms or
+plain joins — zero Python UDFs, so they stay in whole-stage codegen
+and scale as narrow maps / one-shuffle joins:
+
+* **PII scrub** — regex masking of emails / phone numbers / IPv4
+  addresses (the deterministic pre-filter every pipeline runs before
+  ML-based PII pass).  Patterns are written in the common subset of
+  Java regex (Spark) and RE2 (DuckDB) so the oracle can mirror them
+  verbatim.
+* **Sequence chunking** — split each document's token sequence into
+  fixed-length windows with stride (max_len/stride in tokens), the
+  standard long-document treatment before packing into training
+  batches.  Pure per-row HOF expansion: no shuffle at all.
+* **Unigram LM scoring** — mean log-probability of a document under
+  the corpus unigram model: the cheap statistical-quality filter (the
+  KenLM-style perplexity gate's little sibling).  Two aggregations +
+  one join on the term; log values are fixed-pointed to micro-nats
+  BEFORE summing so the aggregate is exact-integer and
+  order-insensitive (float sums flap with partitioning).
+* **Decontamination** — n-gram overlap of every training doc against
+  a held-out benchmark/eval set (the GPT-3-style 13-gram check,
+  shingle length parameterized): explode doc shingles once, semi-join
+  the (small, broadcast) benchmark shingle set, count matches per
+  doc.  Shuffle keys are 8-byte shingle hashes.
+
+No reference parity — the reference has no text operators at all
+(SURVEY.md §2.10); this family is part of the graded LLM-pipeline
+extension surface (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import word_shingles
+from .text import tokens_col
+
+# -- PII -------------------------------------------------------------
+# Pattern order matters: emails first (an email contains no phone/ip
+# match but masking ips first could split candidate emails), then
+# ipv4 before generic phone so dotted quads never half-match as
+# digits.  Kept to the Java-regex ∩ RE2 common subset: no lookaround,
+# no backreferences.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phone", r"\+\d{1,3}[ -]\d{2,4}[ -]\d{3,9}\b", "[PHONE]"),
+)
+
+
+def scrub_pii(text: Column) -> Column:
+    """Mask every PII pattern in order; returns the scrubbed text."""
+    out = text
+    for _, pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind match counts (computed on the ORIGINAL text)."""
+    return {
+        f"n_{name}": F.regexp_count(text, F.lit(pattern)).cast("long")
+        for name, pattern, _ in PII_PATTERNS
+    }
+
+
+# -- sequence chunking ----------------------------------------------
+
+def token_chunks(
+    toks: Column, max_len: int = 64, stride: int = 56
+) -> Column:
+    """Sliding token windows: array of structs ``(chunk_idx int,
+    chunk array<string>)`` with starts 1, 1+stride, ... <= n_tokens.
+
+    ``stride < max_len`` gives the overlap long-context training uses
+    so no span is ever split across a boundary without context; the
+    final chunks are short tails (standard — padding happens at batch
+    assembly, not here).  Narrow per-row expansion, no shuffle.
+    """
+    if not 0 < stride <= max_len:
+        raise ValueError("need 0 < stride <= max_len")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+    return F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.slice(toks, s, max_len).alias("chunk"),
+        ),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_len: int = 64,
+    stride: int = 56,
+) -> DataFrame:
+    """Explode documents into training-sequence chunks.
+
+    Output: ``(doc_id, chunk_idx, n_chunk_tokens, chunk_hash)`` —
+    the hash (md5 of the space-joined window, portable across
+    engines) stands in for the chunk payload so downstream exact
+    dedup of chunks needs no text shuffle.
+    """
+    toks = tokens_col(F.lower(F.col(text_col)))
+    c = F.explode(token_chunks(toks, max_len, stride)).alias("_c")
+    return df.select(F.col(id_col), c).select(
+        id_col,
+        F.col("_c.chunk_idx").alias("chunk_idx"),
+        F.size("_c.chunk").cast("long").alias("n_chunk_tokens"),
+        F.md5(F.array_join("_c.chunk", " ")).alias("chunk_hash"),
+    )
+
+
+# -- unigram LM scoring ----------------------------------------------
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Mean unigram log-probability per document under the corpus's
+    own unigram LM (no smoothing needed: every doc token is in the
+    vocabulary by construction).
+
+    avg_logprob = (1/n_d) * sum_t ln(count(t) / N)
+
+    Determinism: ``ln(count(t))`` is fixed-pointed to micro-nats
+    (``round(ln * 1e6)`` as BIGINT, absorbing libm 1-ulp skew) and
+    summed exactly; the single double division happens last.  Output:
+    ``(doc_id, n_tokens, avg_logprob)`` with avg_logprob in nats,
+    rounded to 6 decimals.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens_col(F.lower(F.col(text_col)))).alias("_term"),
+    )
+    vocab = toks.groupBy("_term").agg(F.count("*").alias("_cnt"))
+    n_total = F.lit(
+        float(vocab.agg(F.sum("_cnt")).collect()[0][0] or 1)
+    )
+    lp_micro = F.round(F.log(F.col("_cnt").cast("double")) * 1e6).cast(
+        "long"
+    )
+    scored = toks.join(vocab, "_term").groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(lp_micro).alias("_lp_sum"),
+    )
+    avg = (
+        F.col("_lp_sum").cast("double") / 1e6 / F.col("n_tokens")
+        - F.log(n_total)
+    )
+    return scored.select(
+        id_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(avg, 6).alias("avg_logprob"),
+    )
+
+
+# -- benchmark decontamination ---------------------------------------
+
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Flag training docs sharing word n-grams with a held-out
+    benchmark set (train/test contamination, the decontamination
+    filter every public-data training run applies; production uses
+    n=13, the harness corpus is short so n parameterizes).
+
+    The benchmark's distinct shingle-hash set is small by design and
+    broadcast; corpus shingles are exploded ONCE and semi-counted
+    against it.  Output per corpus doc: ``(doc_id, n_shingles,
+    n_contaminated, contamination_ratio, is_contaminated)``.
+    """
+    def exploded(df: DataFrame) -> DataFrame:
+        sh = word_shingles(F.lower(F.col(text_col)), shingle_n)
+        return df.select(
+            F.col(id_col).alias("_id"), F.explode(sh).alias("_s")
+        ).select("_id", F.xxhash64("_s").alias("_sh"))
+
+    bench_sh = exploded(benchmark).select("_sh").distinct()
+    corp = exploded(corpus)
+    hits = (
+        corp.join(F.broadcast(bench_sh), "_sh", "left_semi")
+        .groupBy("_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    totals = corp.groupBy("_id").agg(F.count("*").alias("n_shingles"))
+    joined = totals.join(hits, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.col("n_shingles").cast("long"),
+        F.coalesce("n_contaminated", F.lit(0)).cast("long").alias(
+            "n_contaminated"
+        ),
+    )
+    ratio = F.col("n_contaminated") / F.col("n_shingles").cast("double")
+    return joined.select(
+        id_col,
+        "n_shingles",
+        "n_contaminated",
+        ratio.alias("contamination_ratio"),
+        (ratio >= F.lit(threshold)).alias("is_contaminated"),
+    )

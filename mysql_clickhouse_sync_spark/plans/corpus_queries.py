@@ -1,0 +1,184 @@
+"""Corpus-preparation queries: PII scrub, chunking, LM scoring,
+decontamination (operators/corpus.py) over ``documents``.
+
+Registered AFTER the curated DRIVER_WINDOW (added later in round 3);
+each has a full DuckDB oracle and is covered by tools/check_oracle.py
+— rotate into the graded window next round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.corpus import (
+    PII_PATTERNS,
+    chunk_documents,
+    contamination_check,
+    pii_counts,
+    scrub_pii,
+    unigram_logprob_scores,
+)
+from ..sources.parquet import load_table
+from .registry import register
+
+_SQL_LTOKS = r"string_split_regex(trim(lower(text)), '\s+')"
+_SQL_LSHINGLES = (
+    f"list_distinct(list_transform("
+    f"range(1, greatest(len({_SQL_LTOKS}) - 2, 1) + 1),"
+    f" i -> array_to_string(({_SQL_LTOKS})[i:i+2], ' ')))"
+)
+
+# The harness corpus is synthetic word-salad with no PII, so the PII
+# query appends a deterministic contact line per doc (same expression
+# in both engines) — the scrub then has real work whose masked output
+# must hash-match.
+_CONTACT_SPARK = (
+    "concat(text, ' contact user', doc_id, '@mail.example.org or +1 555 ',"
+    " lpad(cast(doc_id as string), 7, '0'), ' at 10.2.', doc_id % 256,"
+    " '.', (doc_id * 7) % 256)"
+)
+_CONTACT_SQL = (
+    "concat(text, ' contact user', CAST(doc_id AS VARCHAR),"
+    " '@mail.example.org or +1 555 ',"
+    " lpad(CAST(doc_id AS VARCHAR), 7, '0'), ' at 10.2.',"
+    " CAST(doc_id % 256 AS VARCHAR), '.',"
+    " CAST((doc_id * 7) % 256 AS VARCHAR))"
+)
+
+_P_EMAIL, _P_IPV4, _P_PHONE = (p for _, p, _ in PII_PATTERNS)
+
+
+@register(
+    "corpus_pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id, {_CONTACT_SQL} AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_P_EMAIL}')) AS BIGINT)
+               AS n_email,
+           CAST(len(regexp_extract_all(t, '{_P_IPV4}')) AS BIGINT)
+               AS n_ipv4,
+           CAST(len(regexp_extract_all(t, '{_P_PHONE}')) AS BIGINT)
+               AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '{_P_EMAIL}', '[EMAIL]', 'g'),
+               '{_P_IPV4}', '[IP]', 'g'),
+               '{_P_PHONE}', '[PHONE]', 'g')) AS scrubbed_hash
+    FROM aug
+    """,
+    description="PII scrubbing: mask emails / IPv4 / phone numbers "
+    "with portable regexes (Java-regex ∩ RE2 subset, mirrored "
+    "verbatim in the oracle) and count matches per kind.  Narrow "
+    "per-row map, no shuffle; the masked text is compared by md5 so "
+    "the whole byte-level scrub is oracle-verified",
+)
+def corpus_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_CONTACT_SPARK).alias("t")
+    )
+    counts = pii_counts(F.col("t"))
+    return docs.select(
+        "doc_id",
+        counts["n_email"].alias("n_email"),
+        counts["n_ipv4"].alias("n_ipv4"),
+        counts["n_phone"].alias("n_phone"),
+        F.md5(scrub_pii(F.col("t"))).alias("scrubbed_hash"),
+    )
+
+
+@register(
+    "corpus_doc_chunks",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_SQL_LTOKS} AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_idx,
+           CAST(len(toks[(i * 56 + 1):(i * 56 + 64)]) AS BIGINT)
+               AS n_chunk_tokens,
+           md5(array_to_string(toks[(i * 56 + 1):(i * 56 + 64)], ' '))
+               AS chunk_hash
+    FROM t, unnest(range(0,
+        CAST(floor((greatest(len(toks), 1) - 1) / 56) AS BIGINT) + 1))
+        AS u(i)
+    """,
+    description="Sequence chunking for training batches: sliding "
+    "64-token windows with stride 56 (8-token overlap) per document, "
+    "chunk payload carried as a portable md5 so chunk-level dedup "
+    "needs no text shuffle.  Pure per-row HOF expansion — zero "
+    "shuffle; at 100 TB this is a map stage",
+)
+def corpus_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), max_len=64, stride=56
+    )
+
+
+@register(
+    "corpus_lm_quality",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_LTOKS}) AS term FROM documents
+    ), vocab AS (
+        SELECT term, count(*) AS cnt FROM toks GROUP BY term
+    ), scored AS (
+        SELECT doc_id, count(*) AS n_tokens,
+               SUM(CAST(round(ln(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT))
+                   AS lp
+        FROM toks JOIN vocab USING (term)
+        GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(CAST(lp AS DOUBLE) / 1e6 / n_tokens
+                 - ln((SELECT CAST(count(*) AS DOUBLE) FROM toks)),
+                 6) AS avg_logprob
+    FROM scored
+    """,
+    description="Unigram LM quality score: mean log-probability per "
+    "doc under the corpus's own unigram model (the cheap statistical "
+    "gate before a real perplexity filter).  ln() fixed-pointed to "
+    "micro-nats pre-sum so the aggregate is exact-integer and "
+    "order-insensitive; one term-keyed join, map-side combinable",
+)
+def corpus_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return unigram_logprob_scores(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_contamination",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SQL_LSHINGLES}) AS s FROM documents
+    ), bench AS (
+        SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0
+    ), corp AS (
+        SELECT * FROM sh WHERE doc_id % 20 <> 0
+    ), hits AS (
+        SELECT doc_id, count(*) AS n_cont FROM corp
+        WHERE s IN (SELECT s FROM bench) GROUP BY doc_id
+    ), tot AS (
+        SELECT doc_id, count(*) AS n_shingles FROM corp GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.n_shingles AS BIGINT) AS n_shingles,
+           CAST(COALESCE(h.n_cont, 0) AS BIGINT) AS n_contaminated,
+           COALESCE(h.n_cont, 0) / CAST(t.n_shingles AS DOUBLE)
+               AS contamination_ratio,
+           COALESCE(h.n_cont, 0) / CAST(t.n_shingles AS DOUBLE) >= 0.1
+               AS is_contaminated
+    FROM tot t LEFT JOIN hits h USING (doc_id)
+    """,
+    description="Train/test decontamination: word-3-gram overlap of "
+    "every training doc against the held-out benchmark slice "
+    "(doc_id % 20 = 0 stands in for an eval set; production uses "
+    "13-grams).  Benchmark shingle-hash set is broadcast; corpus "
+    "shingles explode ONCE and semi-join it — shuffle carries 8-byte "
+    "hashes keyed per doc",
+)
+def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return contamination_check(corpus, bench, shingle_n=3)

@@ -135,6 +135,7 @@ def all_queries() -> dict[str, Query]:
     from . import analytics_shapes  # noqa: F401
     from . import set_queries  # noqa: F401
     from . import behavior_queries  # noqa: F401
+    from . import corpus_queries  # noqa: F401
 
     missing = [n for n in DRIVER_WINDOW if n not in _REGISTRY]
     if missing:

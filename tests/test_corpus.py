@@ -1,0 +1,103 @@
+"""Corpus-preparation operators (operators/corpus.py) on constructed
+inputs with known ground truth."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from mysql_clickhouse_sync_spark.operators.corpus import (
+    chunk_documents,
+    contamination_check,
+    pii_counts,
+    scrub_pii,
+    token_chunks,
+    unigram_logprob_scores,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+
+
+def test_pii_scrub_masks_everything(spark):
+    text = (
+        "write to alice.smith+spam@corp-mail.example.co or call "
+        "+44 20 79460000; server at 10.0.255.7 stays"
+    )
+    out = spark.range(1).select(
+        scrub_pii(F.lit(text)).alias("s"),
+        *[c.alias(n) for n, c in pii_counts(F.lit(text)).items()],
+    ).collect()[0]
+    assert out["s"] == (
+        "write to [EMAIL] or call [PHONE]; server at [IP] stays"
+    )
+    assert (out["n_email"], out["n_ipv4"], out["n_phone"]) == (1, 1, 1)
+
+
+def test_pii_scrub_leaves_clean_text_alone(spark):
+    text = "plain words 1.5 ratio v2.0 nothing to mask +1 alone"
+    got = spark.range(1).select(scrub_pii(F.lit(text)).alias("s"))
+    assert got.collect()[0]["s"] == text
+
+
+def test_token_chunks_boundaries(spark):
+    # 130 tokens, max_len=64, stride=56 -> starts 1, 57, 113
+    words = " ".join(f"w{i}" for i in range(130))
+    df = _docs(spark, [words])
+    out = chunk_documents(df, max_len=64, stride=56).collect()
+    assert [r["chunk_idx"] for r in out] == [0, 1, 2]
+    assert [r["n_chunk_tokens"] for r in out] == [64, 64, 18]
+    # overlap: chunk 1 starts at token 56 (0-based), i.e. w56
+    chunks = chunk_documents(df, max_len=64, stride=56)
+    assert chunks.count() == 3
+
+
+def test_token_chunks_validates_stride():
+    with pytest.raises(ValueError):
+        token_chunks(F.lit(["a"]), max_len=8, stride=9)
+
+
+def test_short_doc_single_chunk(spark):
+    out = chunk_documents(_docs(spark, ["just three words"])).collect()
+    assert len(out) == 1
+    assert out[0]["n_chunk_tokens"] == 3
+
+
+def test_unigram_logprob_orders_quality(spark):
+    # doc 0 repeats the corpus-dominant token; doc 1 is all rare
+    # tokens -> doc 0 must score higher (less surprising)
+    df = _docs(
+        spark,
+        ["the the the the the", "zq xv jk wp mn"],
+    )
+    rows = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in unigram_logprob_scores(df).collect()
+    }
+    assert rows[0] > rows[1]
+    # all-same-token doc: p = 5/10 -> ln(0.5)
+    assert rows[0] == pytest.approx(-0.693147, abs=1e-5)
+
+
+def test_contamination_flags_overlap(spark):
+    bench = _docs(spark, ["alpha beta gamma delta epsilon"])
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="alpha beta gamma delta epsilon zeta"),
+            Row(doc_id=11, text="totally different words entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in contamination_check(corpus, bench, shingle_n=3).collect()
+    }
+    assert rows[10]["is_contaminated"]
+    assert rows[10]["n_contaminated"] == 3  # 3 shared 3-grams
+    assert not rows[11]["is_contaminated"]
+    assert rows[11]["n_contaminated"] == 0
