@@ -214,3 +214,54 @@ def contamination_check(
         ratio.alias("contamination_ratio"),
         (ratio >= F.lit(threshold)).alias("is_contaminated"),
     )
+
+
+# -- training-sequence packing ---------------------------------------
+
+def pack_documents(
+    df: DataFrame,
+    budget: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stream_cols: tuple[str, ...] = (),
+    n_streams: int = 4,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training packs: the
+    GPT-style "concatenate the stream, cut every ``budget`` tokens"
+    layout, computed as pure metadata (no text moves).
+
+    Documents are ordered by id inside independent streams — the
+    optional ``stream_cols`` (e.g. source/lang to keep domains
+    separate) plus a deterministic ``id mod n_streams`` salt so no
+    stream ever funnels the corpus through one task; each stream is a
+    partition-local running-sum window (hash exchange on the stream
+    key, NO SinglePartition).  A doc that straddles a cut belongs to
+    the pack containing its first token, mirroring how the batch
+    assembler will actually lay it out.
+
+    Output: ``(id, stream_cols..., stream_id, n_tokens, pack_id,
+    pack_offset)``.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens_col(F.lower(F.col(text_col)))
+    base = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in stream_cols],
+        (F.col(id_col) % n_streams).cast("int").alias("stream_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy(*stream_cols, "stream_id")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return base.select(
+        id_col,
+        *stream_cols,
+        "stream_id",
+        "n_tokens",
+        F.floor(start / budget).cast("long").alias("pack_id"),
+        (start % budget).cast("long").alias("pack_offset"),
+    )

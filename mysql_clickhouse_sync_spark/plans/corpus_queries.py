@@ -182,3 +182,42 @@ def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 20 == 0)
     corpus = docs.filter(F.col("doc_id") % 20 != 0)
     return contamination_check(corpus, bench, shingle_n=3)
+
+
+@register(
+    "corpus_pack_assignments",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, source, lang,
+               CAST(doc_id % 4 AS INT) AS stream_id,
+               CAST(len({_SQL_LTOKS}) AS BIGINT) AS n_tokens
+        FROM documents
+    ), cum AS (
+        SELECT *,
+               SUM(n_tokens) OVER (
+                   PARTITION BY source, lang, stream_id ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens AS start
+        FROM base
+    )
+    SELECT doc_id, source, lang, stream_id, n_tokens,
+           CAST(floor(start / 256) AS BIGINT) AS pack_id,
+           CAST(start % 256 AS BIGINT) AS pack_offset
+    FROM cum
+    """,
+    description="Training-sequence packing assignment: concatenate "
+    "each (source, lang, id%4) stream in id order and cut every 256 "
+    "tokens — pack id + offset per doc as pure metadata, no text "
+    "movement.  Streams are salted so no partition-local window ever "
+    "funnels the corpus through one task (the distributed form of "
+    "GPT-style pack-and-cut)",
+)
+def corpus_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import pack_documents
+
+    return pack_documents(
+        load_table(spark, sf_dir, "documents"),
+        budget=256,
+        stream_cols=("source", "lang"),
+        n_streams=4,
+    )

@@ -101,3 +101,36 @@ def test_contamination_flags_overlap(spark):
     assert rows[10]["n_contaminated"] == 3  # 3 shared 3-grams
     assert not rows[11]["is_contaminated"]
     assert rows[11]["n_contaminated"] == 0
+
+
+def test_pack_assignments_concat_and_cut(spark):
+    """Docs of 100 tokens each, budget 256, one stream: starts are
+    0/100/200/300 -> packs 0,0,0,1 with offsets 0,100,200,44."""
+    from mysql_clickhouse_sync_spark.operators.corpus import pack_documents
+
+    text = " ".join(["w"] * 100)
+    df = spark.createDataFrame(
+        [Row(doc_id=i * 4, text=text) for i in range(4)],  # same stream
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in pack_documents(df, budget=256, n_streams=4).collect()
+    }
+    assert [rows[i * 4]["pack_id"] for i in range(4)] == [0, 0, 0, 1]
+    assert [rows[i * 4]["pack_offset"] for i in range(4)] == [0, 100, 200, 44]
+    assert all(r["stream_id"] == 0 for r in rows.values())
+
+
+def test_pack_streams_are_partition_local(spark):
+    """The packing plan must not contain a SinglePartition exchange —
+    streams are salted, windows are partition-local."""
+    from mysql_clickhouse_sync_spark.operators.corpus import pack_documents
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text="a b c") for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = pack_documents(df, budget=8, n_streams=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
