@@ -128,3 +128,55 @@ def debezium_file_stream(
         .text(changelog_dir)
     )
     return parse_debezium(raw, row_schema)
+
+
+def parse_debezium_multi(
+    raw: DataFrame, value_col: str = "value"
+) -> DataFrame:
+    """Multi-table Debezium feed -> the multiplexed changelog contract
+    ``(table, op, seq, payload)`` (``streaming/multi_table.py::
+    MUX_SCHEMA``) — one Kafka topic carrying a whole database, rows
+    routed by ``source.table`` exactly like the reference's dispatch
+    loop routes binlog events (C7).
+
+    Per-table row schemas are NOT needed here: ``get_json_object``
+    lifts the before/after image out as a raw JSON string, and
+    ``MultiTableCDCStream`` decodes it with its registered schema
+    (the C10 schema-cache parity point).  Same seq packing and
+    tombstone/garbage handling as :func:`parse_debezium`.
+    """
+    v = F.col(value_col)
+    op_raw = F.get_json_object(v, "$.payload.op")
+    op = (
+        F.when(op_raw.isin("c", "r"), F.lit("I"))
+        .when(op_raw == "u", F.lit("U"))
+        .when(op_raw == "d", F.lit("D"))
+    )
+    image = F.when(
+        op_raw == "d", F.get_json_object(v, "$.payload.before")
+    ).otherwise(F.get_json_object(v, "$.payload.after"))
+    seq = (
+        F.get_json_object(v, "$.payload.source.ts_ms").cast("long")
+        * F.lit(1 << _POS_BITS).cast("long")
+        + F.pmod(
+            F.coalesce(
+                F.get_json_object(v, "$.payload.source.pos").cast("long"),
+                F.lit(0),
+            ),
+            F.lit(1 << _POS_BITS).cast("long"),
+        )
+    ).cast("long")
+    return (
+        raw.select(
+            F.get_json_object(v, "$.payload.source.table").alias("table"),
+            op.alias("op"),
+            seq.alias("seq"),
+            image.alias("payload"),
+        )
+        .filter(
+            F.col("table").isNotNull()
+            & F.col("op").isNotNull()
+            & F.col("seq").isNotNull()
+            & F.col("payload").isNotNull()
+        )
+    )

@@ -157,3 +157,63 @@ def test_streaming_debezium_into_pipeline(spark, dirs):
     assert {r["id"]: r["name"] for r in p.live().collect()} == {
         1: "Alice-v3"
     }
+
+
+def _multi_env(table, op, row, ts_ms, pos, before=None):
+    e = json.loads(_env(op, row, ts_ms, pos, before))
+    e["payload"]["source"]["table"] = table
+    return json.dumps(e)
+
+
+def test_multi_table_debezium_routes_and_skips(spark, dirs):
+    """One Debezium stream carrying two replicated tables plus one
+    unregistered table: rows route to per-table CDC dirs, the
+    unregistered table is skipped (P5), live views resolve per
+    table."""
+    from mysql_clickhouse_sync_spark.sources.debezium import (
+        parse_debezium_multi,
+    )
+    from mysql_clickhouse_sync_spark.streaming import MultiTableCDCStream
+
+    base_dir, changelog_dir = dirs
+    events = [
+        _multi_env("users", "c",
+                   {"id": 1, "email": "a@x", "name": "Alice"}, 1000, 1),
+        _multi_env("users", "u",
+                   {"id": 1, "email": "a@x", "name": "Alice2"}, 2000, 2),
+        _multi_env("items", "c", {"sku": 7, "qty": 3}, 1000, 3),
+        _multi_env("items", "d", None, 3000, 4,
+                   before={"sku": 7, "qty": 3}),
+        _multi_env("audit_log", "c", {"id": 9}, 1000, 5),  # not replicated
+    ]
+    os.makedirs(changelog_dir)
+    with open(os.path.join(changelog_dir, "part1.json"), "w") as f:
+        f.write("\n".join(events))
+
+    items_schema = StructType(
+        [StructField("sku", LongType(), False),
+         StructField("qty", LongType(), True)]
+    )
+    mux = MultiTableCDCStream(
+        spark,
+        schemas={"users": ROW_SCHEMA, "items": items_schema},
+        pks={"users": ["id"], "items": ["sku"]},
+        base_dir=base_dir,
+    )
+    raw = (
+        spark.readStream.option("maxFilesPerTrigger", 4)
+        .text(changelog_dir)
+    )
+    q = (
+        parse_debezium_multi(raw)
+        .writeStream.foreachBatch(mux.apply_microbatch)
+        .option("checkpointLocation", os.path.join(base_dir, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert {r["id"]: r["name"] for r in mux.live("users").collect()} == {
+        1: "Alice2"
+    }
+    assert mux.live("items").count() == 0  # deleted
+    assert mux.skipped_events == 1
