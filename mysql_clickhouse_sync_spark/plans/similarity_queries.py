@@ -216,3 +216,108 @@ def emb_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 25 == 0)
     return quantized_topk(emb, queries, k=5)
+
+
+@register(
+    "emb_semantic_dedup",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), cents AS (
+        SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8
+    ), scored AS (
+        SELECT e.vec_id, e.v, c.cid,
+               {_sql_cosine('e.v', 'c.cv')} AS cos_c
+        FROM e CROSS JOIN cents c
+    ), assigned AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cos_c DESC, cid
+            ) AS rn FROM scored
+        ) WHERE rn = 1
+    ), pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM assigned a JOIN assigned b
+          ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE {_sql_cosine('a.v', 'b.v')} >= 0.35
+    ), sym AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+        UNION SELECT id_a, id_a FROM pairs
+        UNION SELECT id_b, id_b FROM pairs
+    ), reach(id, r) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
+    ), comp AS (
+        SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT a.vec_id,
+           CAST(a.cid AS BIGINT) AS centroid_id,
+           CAST(COALESCE(c.cluster_id, a.vec_id) AS BIGINT) AS cluster_id,
+           COALESCE(c.cluster_id, a.vec_id) = a.vec_id AS is_keeper
+    FROM assigned a LEFT JOIN comp c ON a.vec_id = c.id
+    """,
+    description="SemDeDup-style semantic deduplication: assign every "
+    "embedding to its nearest coarse centroid (broadcast centroid "
+    "set, same deterministic quantizer as IVF), generate near-dup "
+    "pairs ONLY within a centroid bucket (cosine >= 0.35 on the "
+    "bit-reproducible fold), then distributed connected components "
+    "-> cluster + keeper per vector.  At scale the centroid count "
+    "grows to ~sqrt(corpus) so buckets stay bounded; pair expansion "
+    "uses bucket_pairs (ids through the shuffle, vectors joined "
+    "back).  Oracle recomputes components with a recursive CTE",
+)
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.dedup import bucket_pairs
+    from ..operators.graph import dedup_clusters
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _to_double(F.col("embedding")).alias("v")
+    )
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "v", "cid",
+        cosine(F.col("v"), F.col("cv")).alias("cos_c"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_c").desc(), F.col("cid")
+    )
+    # Four consumers read `assigned` (bucket pairs, two vector joins,
+    # final cluster join); checkpoint once so the scan+assignment
+    # subtree executes once, not per branch (graph.py does the same
+    # for its edge list; on a cluster this is checkpoint()).
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cid")
+        .localCheckpoint()
+    )
+    candidates = bucket_pairs(
+        assigned.select("cid", "vec_id"), ["cid"], F.col("vec_id")
+    ).select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
+    vecs = assigned.select(F.col("vec_id").alias("_vid"), F.col("v"))
+    pairs = (
+        candidates.join(vecs, candidates.id_a == vecs._vid)
+        .withColumnRenamed("v", "_va").drop("_vid")
+        .join(vecs, candidates.id_b == vecs._vid)
+        .withColumnRenamed("v", "_vb").drop("_vid")
+        .filter(cosine(F.col("_va"), F.col("_vb")) >= 0.35)
+        .select("id_a", "id_b")
+    )
+    clusters = dedup_clusters(
+        assigned.select("vec_id"), pairs, id_col="vec_id"
+    )
+    return (
+        assigned.select("vec_id", F.col("cid").cast("long").alias("centroid_id"))
+        .join(clusters, "vec_id")
+        .select("vec_id", "centroid_id", "cluster_id", "is_keeper")
+    )
