@@ -174,6 +174,7 @@ def contamination_check(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.1,
+    max_benchmark_shingles: int = 4_194_304,
 ) -> DataFrame:
     """Flag training docs sharing word n-grams with a held-out
     benchmark set (train/test contamination, the decontamination
@@ -182,8 +183,11 @@ def contamination_check(
 
     The benchmark's distinct shingle-hash set is small by design and
     broadcast; corpus shingles are exploded ONCE and semi-counted
-    against it.  Output per corpus doc: ``(doc_id, n_shingles,
-    n_contaminated, contamination_ratio, is_contaminated)``.
+    against it.  ``max_benchmark_shingles`` bounds the broadcast side
+    (fail fast instead of a silent executor OOM — same contract as
+    operators/similarity.py).  Output per corpus doc: ``(doc_id,
+    n_shingles, n_contaminated, contamination_ratio,
+    is_contaminated)``.
     """
     def exploded(df: DataFrame) -> DataFrame:
         sh = word_shingles(F.lower(F.col(text_col)), shingle_n)
@@ -192,6 +196,13 @@ def contamination_check(
         ).select("_id", F.xxhash64("_s").alias("_sh"))
 
     bench_sh = exploded(benchmark).select("_sh").distinct()
+    n_bench = bench_sh.limit(max_benchmark_shingles + 1).count()
+    if n_bench > max_benchmark_shingles:
+        raise ValueError(
+            f"benchmark shingle set exceeds the broadcast bound "
+            f"({max_benchmark_shingles}); pass a smaller benchmark or "
+            f"raise max_benchmark_shingles explicitly"
+        )
     corp = exploded(corpus)
     hits = (
         corp.join(F.broadcast(bench_sh), "_sh", "left_semi")

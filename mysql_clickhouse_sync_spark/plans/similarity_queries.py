@@ -266,7 +266,8 @@ def emb_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pairs ONLY within a centroid bucket (cosine >= 0.35 on the "
     "bit-reproducible fold), then distributed connected components "
     "-> cluster + keeper per vector.  At scale the centroid count "
-    "grows to ~sqrt(corpus) so buckets stay bounded; pair expansion "
+    "tracks corpus size (k ~ N/1k keeps buckets ~1k members; "
+    "max_bucket=4096 guards a collapsed quantizer); pair expansion "
     "uses bucket_pairs (ids through the shuffle, vectors joined "
     "back).  Oracle recomputes components with a recursive CTE",
 )
@@ -301,8 +302,14 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "v", "cid")
         .localCheckpoint()
     )
+    # max_bucket is a degenerate-quantizer safety net, not the sizing
+    # mechanism: n_centroids must track corpus size (k ~ N / desired
+    # bucket size) so buckets stay ~1k members; a bucket past the cap
+    # means the quantizer collapsed and is dropped whole rather than
+    # expanding quadratically in one task.
     candidates = bucket_pairs(
-        assigned.select("cid", "vec_id"), ["cid"], F.col("vec_id")
+        assigned.select("cid", "vec_id"), ["cid"], F.col("vec_id"),
+        max_bucket=4096,
     ).select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
     vecs = assigned.select(F.col("vec_id").alias("_vid"), F.col("v"))
     pairs = (
