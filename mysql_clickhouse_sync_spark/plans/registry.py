@@ -85,7 +85,6 @@ DRIVER_WINDOW = (
     "docs_lang_source_profile",
     "docs_subword_tokens",
     "docs_top_words",
-    "docs_char_bigram_profile",
     "docs_dup_clusters",
     "docs_tfidf_top_terms",
     "docs_curation_pipeline",
@@ -97,6 +96,7 @@ DRIVER_WINDOW = (
     "emb_cosine_topk_vectorized",
     "emb_near_dup_keeper",
     "emb_quantized_topk",
+    "emb_semantic_dedup",
     # multimodal
     "media_decode_features",
     "media_exact_dedup",

@@ -85,9 +85,13 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
     }
     assert required <= window, sorted(required - window)
     # every docs_/emb_/media_/sql_ query is in the graded window
+    rotated_out = {
+        "docs_top_jaccard_pairs",   # exact twin of the capped path
+        "docs_char_bigram_profile",  # ceded its slot to emb_semantic_dedup
+    }
     surface = {
         n for n in qs
         if n.startswith(("docs_", "emb_", "media_", "sql_", "doc_"))
-        and n != "docs_top_jaccard_pairs"  # exact twin of the capped path
+        and n not in rotated_out
     }
     assert surface <= window, sorted(surface - window)
