@@ -170,3 +170,20 @@ def test_curation_pipeline_single_scan_two_exchanges(spark):
     assert plan.count("FileScan") == 1, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_corpus_chunks_and_pii_are_pure_maps(spark):
+    """Chunking and PII scrubbing must stay single-scan map stages:
+    no exchange of any kind (at 100 TB these run at scan speed)."""
+    for name in ("corpus_doc_chunks", "corpus_pii_scrub"):
+        plan = _plan(all_queries()[name].fn(spark, SF_DIR))
+        assert "Exchange" not in plan, f"{name}: {plan}"
+        assert plan.count("FileScan") == 1, f"{name}: {plan}"
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    """The benchmark shingle set must reach the corpus side as a
+    broadcast (semi) join — never a shuffle of corpus shingles
+    against it."""
+    plan = _plan(all_queries()["corpus_contamination"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
