@@ -221,3 +221,119 @@ def corpus_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_cols=("source", "lang"),
         n_streams=4,
     )
+
+
+def _curation_v2_oracle() -> str:
+    """Oracle assembled from the same fragments the stage queries use
+    (text_queries' quality/language SQL), so every gate stays
+    bit-consistent with its standalone twin."""
+    from .text_queries import _SQL_QUALITY, _sql_lang_hits
+
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, source, lang, text,
+               {_SQL_QUALITY} AS quality_score,
+               {_sql_lang_hits('en')} AS h_en,
+               {_sql_lang_hits('es')} AS h_es,
+               {_sql_lang_hits('fr')} AS h_fr,
+               {_sql_lang_hits('de')} AS h_de,
+               len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                   t -> regexp_full_match(t, '[a-z]+'))) AS latin
+        FROM documents
+        WHERE doc_id % 20 <> 0
+    ), lang_ok AS (
+        SELECT *,
+               CASE WHEN latin = 0 THEN 'zh'
+                    WHEN h_en = greatest(h_en, h_es, h_fr, h_de) THEN 'en'
+                    WHEN h_es = greatest(h_en, h_es, h_fr, h_de) THEN 'es'
+                    WHEN h_fr = greatest(h_en, h_es, h_fr, h_de) THEN 'fr'
+                    WHEN h_de = greatest(h_en, h_es, h_fr, h_de) THEN 'de'
+               END AS lang_pred
+        FROM scored
+    ), gated AS (
+        SELECT * FROM lang_ok
+        WHERE quality_score >= 6800 AND lang_pred = lang
+    ), keepers AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY regexp_replace(lower(trim(text)),
+                                            '\\s+', ' ', 'g')
+                ORDER BY doc_id
+            ) AS _rn FROM gated
+        ) WHERE _rn = 1
+    ), sh AS (
+        SELECT doc_id, unnest({_SQL_LSHINGLES}) AS s FROM documents
+    ), bench AS (
+        SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0
+    ), contam AS (
+        SELECT k.doc_id,
+               count(*) AS n_sh,
+               count(*) FILTER (sh.s IN (SELECT s FROM bench)) AS n_hit
+        FROM keepers k JOIN sh ON sh.doc_id = k.doc_id
+        GROUP BY k.doc_id
+    ), clean AS (
+        SELECT k.* FROM keepers k JOIN contam c ON c.doc_id = k.doc_id
+        WHERE c.n_hit / CAST(c.n_sh AS DOUBLE) < 0.1
+    ), base AS (
+        SELECT doc_id, source, lang,
+               CAST(doc_id % 4 AS INT) AS stream_id,
+               CAST(len({_SQL_LTOKS}) AS BIGINT) AS n_tokens
+        FROM clean
+    ), cum AS (
+        SELECT *,
+               SUM(n_tokens) OVER (
+                   PARTITION BY source, lang, stream_id ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens AS start
+        FROM base
+    )
+    SELECT doc_id, source, lang, stream_id, n_tokens,
+           CAST(floor(start / 256) AS BIGINT) AS pack_id,
+           CAST(start % 256 AS BIGINT) AS pack_offset
+    FROM cum
+    """
+
+
+@register(
+    "corpus_curation_v2",
+    oracle=_curation_v2_oracle(),
+    description="The full corpus pipeline as ONE declarative plan "
+    "Catalyst optimizes whole: quality gate -> language-consistency "
+    "gate -> exact-dedup keeper -> benchmark decontamination "
+    "(< 10% 3-gram overlap vs the held-out doc_id%20 slice) -> "
+    "training-pack assignment (salted streams, budget 256).  Every "
+    "stage is an already-oracle-checked operator; the composition is "
+    "oracle-checked end-to-end here.  This is the job a training-data "
+    "team runs nightly at 100 TB: scan-heavy map gates, one dedup "
+    "window, one broadcast semi-join, partition-local pack windows",
+)
+def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.corpus import contamination_check, pack_documents
+    from ..operators.dedup import normalize_text
+    from ..operators.text import with_language_id, with_quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    scored = with_language_id(with_quality_score(corpus))
+    gated = scored.filter(
+        (F.col("quality_score") >= 6800)
+        & (F.col("lang_pred") == F.col("lang"))
+    ).select("doc_id", "source", "lang", "text",
+             normalize_text(F.col("text")).alias("_norm"))
+    w = Window.partitionBy("_norm").orderBy("doc_id")
+    keepers = (
+        gated.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "source", "lang", "text")
+    )
+    contam = contamination_check(keepers, bench, shingle_n=3)
+    clean = keepers.join(
+        contam.filter(~F.col("is_contaminated")).select("doc_id"),
+        "doc_id",
+    )
+    return pack_documents(
+        clean, budget=256, stream_cols=("source", "lang"), n_streams=4
+    )

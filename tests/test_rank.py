@@ -97,3 +97,31 @@ def test_ntile_from_rank_column(spark):
         ).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 2, 6: 2, 7: 3, 8: 3, 9: 4, 10: 4}
+
+
+def test_equal_freq_bucket_property(spark):
+    """Property sweep: for random sizes/buckets/partition counts the
+    distributed bucketing equals the ntile window bit-for-bit."""
+    import random
+
+    rng = random.Random(7)
+    for _ in range(5):
+        n_rows = rng.randrange(1, 400)
+        n_buckets = rng.choice([2, 3, 4, 5, 8])
+        parts = rng.choice([1, 3, 8])
+        df = spark.range(0, n_rows).select(
+            F.col("id"), ((F.col("id") * 131) % 59).alias("v")
+        ).repartition(4)
+        order = [F.col("v"), F.col("id").desc()]
+        got = with_equal_freq_bucket(
+            df, order, "b", n_buckets, num_partitions=parts
+        )
+        exp = df.withColumn(
+            "b_exp", F.ntile(n_buckets).over(Window.orderBy(*order))
+        )
+        diff = (
+            got.join(exp.select("id", "b_exp"), "id")
+            .filter(F.col("b") != F.col("b_exp"))
+            .count()
+        )
+        assert diff == 0, (n_rows, n_buckets, parts)
