@@ -503,3 +503,229 @@ def quantized_topk(
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+# -- product quantization (PQ / ADC) ---------------------------------
+
+_PQ_TRAIN_SAMPLE = 1024
+_PQ_KMEANS_ITERS = 10
+
+
+def _pq_codebooks(
+    corpus: DataFrame,
+    m: int,
+    ksub: int,
+    id_col: str,
+    vec_col: str,
+):
+    """Deterministic PQ codebooks via driver-side Lloyd's iterations.
+
+    FAISS trains PQ codebooks with k-means on a sample; we do exactly
+    that, deterministically: the sample is the first
+    ``_PQ_TRAIN_SAMPLE`` vectors by id (bounded collect, same
+    convention as :func:`ivf_topk`), initialization is the first
+    ``ksub`` subvectors, and ``_PQ_KMEANS_ITERS`` fixed Lloyd's
+    rounds run in float64 numpy (no RNG anywhere, so codebooks are
+    bit-stable across runs).  An emptied cluster keeps its previous
+    centroid.  Returns ``(codebooks[m][ksub][dsub], dim)``."""
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(id_col).alias("i"),
+                      _to_double(F.col(vec_col)).alias("v"))
+        .orderBy("i")
+        .limit(_PQ_TRAIN_SAMPLE)
+        .collect()
+    )
+    if len(rows) < ksub:
+        raise ValueError(f"corpus smaller than ksub={ksub}")
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = []
+    for j in range(m):
+        S = X[:, j * dsub:(j + 1) * dsub]
+        C = S[:ksub].copy()
+        for _ in range(_PQ_KMEANS_ITERS):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(ksub):
+                mask = assign == c
+                if mask.any():
+                    C[c] = S[mask].mean(axis=0)
+        books.append([list(map(float, C[c])) for c in range(ksub)])
+    return books, dim
+
+
+def pq_encode(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantize an embedding column: dim/m-dim subvectors each
+    mapped to their nearest (L2) codebook centroid.
+
+    Output: ``(id, _codes array<int> length m, _norm double)`` — a
+    64-dim float32 vector compresses to m bytes of codes (here 8,
+    a 32x reduction) plus the true norm captured at encode time, the
+    same layout trick as :func:`quantize_vectors`.  Encoding is a
+    narrow map over folded centroid literals (one pass, no shuffle,
+    no UDF); ties pick the smallest code (``array_position`` returns
+    the first minimum).
+    """
+    books, dim = _pq_codebooks(corpus, m, ksub, id_col, vec_col)
+    dsub = dim // m
+    v = _to_double(F.col(vec_col))
+
+    def code_for(j: int):
+        sub = F.slice(v, j * dsub + 1, dsub)
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        F.array(*[F.lit(x) for x in books[j][c]]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for c in range(ksub)
+            ]
+        )
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    return corpus.select(
+        F.col(id_col),
+        F.array(*[code_for(j) for j in range(m)]).alias("_codes"),
+        norm(v).alias("_norm"),
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 64,
+    rerank: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = MAX_QUERY_ROWS,
+) -> DataFrame:
+    """Approximate top-k cosine via PQ asymmetric distance computation
+    (ADC): per query, precompute the m x ksub table of
+    ``dot(q_sub_j, centroid_{j,c})`` driver-side; a corpus row's
+    approximate dot product is then m TABLE LOOKUPS (one per stored
+    code) instead of dim multiplies — the classic IVFADC inner loop,
+    here as a JVM fold over a broadcast literal table.
+
+    approx_cos = sum_j table[j][code_j] / (|q| * |v|)  (true norms).
+
+    ``rerank`` applies the standard IVFADC refinement: ADC keeps a
+    ``rerank * k`` shortlist per query, true vectors are joined back
+    for exact cosine on the shortlist only, and the final top-k ranks
+    exact scores.  Total exact-FLOP work per query is ``rerank * k``
+    vectors instead of the whole corpus; ``rerank=0`` returns raw ADC
+    scores.  (On low-structure data PQ codes alone recall ~0.5@5;
+    with the shortlist rerank the property test holds >= 0.8.)
+
+    Same dataflow contract as the rest of the family: queries
+    bounded + broadcast, corpus stays partitioned, per-query top-k
+    window.  Recall < 1 by construction -> rows-only driver check;
+    recall@k vs the exact fold is property-tested.
+    """
+    from pyspark.sql import Window
+
+    books, dim = _pq_codebooks(corpus, m, ksub, id_col, vec_col)
+    dsub = dim // m
+    q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"pq_topk query set violates the bounded-side contract: "
+            f"> {max_queries} rows would be collected to the driver."
+        )
+    spark = corpus.sparkSession
+    tbl_rows = []
+    for r in q_rows:
+        qv = [float(x) for x in r[vec_col]]
+        qn = sum(x * x for x in qv) ** 0.5
+        flat = [
+            sum(
+                qv[j * dsub + t] * books[j][c][t] for t in range(dsub)
+            )
+            for j in range(m)
+            for c in range(ksub)
+        ]
+        tbl_rows.append((r[id_col], flat, qn))
+    qtbl = spark.createDataFrame(
+        tbl_rows, f"query_id long, _tbl array<double>, _qn double"
+    )
+    enc = pq_encode(spread(corpus), m, ksub, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "_codes", "_norm"
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.col("_tbl"),
+            j * ksub + F.element_at(F.col("_codes"), j + 1) + 1,
+        ),
+    )
+    scored = (
+        enc.crossJoin(F.broadcast(qtbl))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (adc / (F.col("_qn") * F.col("_norm"))).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    if rerank:
+        shortlist = (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= rerank * k)
+            .select("query_id", "neighbor_id")
+        )
+        vecs = corpus.select(
+            F.col(id_col), _to_double(F.col(vec_col)).alias("_v")
+        )
+        qv = queries.select(
+            F.col(id_col).alias("query_id"),
+            _to_double(F.col(vec_col)).alias("_qv"),
+        )
+        exact = (
+            shortlist.join(
+                vecs.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id"
+            )
+            .join(F.broadcast(qv), "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                cosine(F.col("_qv"), F.col("_v")).alias("cosine_sim"),
+            )
+        )
+        return (
+            exact.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select(
+                "query_id", "neighbor_id", "cosine_sim",
+                F.col("rnk").cast("int").alias("rnk"),
+            )
+        )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id", "neighbor_id", "cosine_sim",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

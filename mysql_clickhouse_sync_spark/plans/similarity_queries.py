@@ -328,3 +328,23 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(clusters, "vec_id")
         .select("vec_id", "centroid_id", "cluster_id", "is_keeper")
     )
+
+
+@register(
+    "emb_pq_topk",
+    oracle=None,  # approximate (recall < 1 by design) -> rows-only;
+    # recall@k vs exact is property-tested in tests/test_similarity.py
+    description="Product-quantized ANN top-5 with ADC + exact rerank: "
+    "8 subspaces x 64 trained centroids (deterministic driver-side "
+    "Lloyd's on a bounded sample) compress each vector to 8 codes; "
+    "per-query scoring is m table lookups per corpus row (the IVFADC "
+    "inner loop as a JVM fold over a broadcast literal table), a "
+    "rerank*k shortlist then pays exact cosine on true vectors.  "
+    "Completes the quantization family next to SQ8 and IVF",
+)
+def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return pq_topk(emb, queries, k=5)

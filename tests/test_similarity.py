@@ -221,3 +221,54 @@ def test_ivf_parameter_validation(spark):
         ivf_topk(vecs, vecs.limit(1), n_centroids=10 ** 9)
     with pytest.raises(ValueError, match="nprobe"):
         ivf_topk(vecs, vecs.limit(1), n_centroids=4, nprobe=9)
+
+
+def test_pq_topk_rerank_recall_and_determinism(spark):
+    """PQ/ADC with the exact-rerank refinement must recover most true
+    neighbors (codes alone cannot on low-structure data — that is why
+    rerank exists) and be bit-deterministic across runs."""
+    from mysql_clickhouse_sync_spark.operators.similarity import (
+        brute_force_topk,
+        pq_topk,
+    )
+    from mysql_clickhouse_sync_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    approx = pq_topk(emb, queries, k=3)
+    exact = brute_force_topk(emb, queries, k=3)
+    got = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    want = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    assert got, "PQ returned nothing"
+    recall = len(got & want) / len(want)
+    assert recall >= 0.7, f"recall {recall}"
+    again = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_topk(emb, queries, k=3).collect()
+    }
+    assert got == again
+
+
+def test_pq_encode_shape_and_bounds(spark):
+    from mysql_clickhouse_sync_spark.operators.similarity import pq_encode
+    from mysql_clickhouse_sync_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    enc = pq_encode(emb, m=8, ksub=16).collect()
+    assert all(len(r["_codes"]) == 8 for r in enc)
+    assert all(0 <= c < 16 for r in enc for c in r["_codes"])
+    assert all(r["_norm"] > 0 for r in enc)
+
+
+def test_pq_topk_bounded_side_contract(spark):
+    import pytest
+
+    from mysql_clickhouse_sync_spark.operators.similarity import pq_topk
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, 0.5, 0.1] * 4) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="bounded-side contract"):
+        pq_topk(vecs, vecs, k=2, m=4, ksub=8, max_queries=5)
