@@ -30,7 +30,8 @@ def _build_parser() -> argparse.ArgumentParser:
     env = ReplicationConfig.from_env()
     ap = argparse.ArgumentParser(prog="spark-sync-engine")
     ap.add_argument("--mode",
-                    choices=("snapshot", "cdc", "compact", "zorder"),
+                    choices=("snapshot", "cdc", "compact", "zorder",
+                             "curate"),
                     default=os.environ.get("REPLICATION_MODE") or None,
                     required="REPLICATION_MODE" not in os.environ)
     ap.add_argument("--source-dir", default=env.source_dir or None,
@@ -228,9 +229,25 @@ def run_zorder(spark: SparkSession, args) -> int:
     return 0
 
 
+def run_curate(spark: SparkSession, args) -> int:
+    """Batch corpus curation: quality -> language -> dedup ->
+    decontaminate -> pack assignments over ``documents.parquet`` in
+    --source-dir, written to --target-dir/curated_packs.  The same
+    oracle-checked plan as the ``corpus_curation_v2`` registry query,
+    exposed as a runnable job."""
+    from .plans.registry import get_query
+
+    out_dir = os.path.join(args.target_dir, "curated_packs")
+    df = get_query("corpus_curation_v2").fn(spark, args.source_dir)
+    df.write.mode("overwrite").parquet(out_dir)
+    n = spark.read.parquet(out_dir).count()
+    print(f"curate: {n} documents packed -> {out_dir}", file=sys.stderr)
+    return 0
+
+
 def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
     args = _build_parser().parse_args(argv)
-    if args.mode in ("snapshot", "cdc") and not args.source_dir:
+    if args.mode in ("snapshot", "cdc", "curate") and not args.source_dir:
         print(f"{args.mode} mode needs --source-dir", file=sys.stderr)
         return 2
     if spark is None:
@@ -243,6 +260,8 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         return run_compact(spark, args)
     if args.mode == "zorder":
         return run_zorder(spark, args)
+    if args.mode == "curate":
+        return run_curate(spark, args)
     return run_cdc(spark, args)
 
 

@@ -153,3 +153,23 @@ def test_zorder_mode_rewrites_in_place(spark, tmp_path):
     assert back.filter(F.col("user_id") == 1).count() == ev.filter(
         F.col("user_id") == 1
     ).count()
+
+
+def test_curate_mode_writes_pack_assignments(spark, tmp_path):
+    from mysql_clickhouse_sync_spark.main import main
+
+    rc = main(
+        [
+            "--mode", "curate",
+            "--source-dir", "/root/testdata/sf0.001",
+            "--target-dir", str(tmp_path),
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    out = spark.read.parquet(str(tmp_path / "curated_packs"))
+    assert out.count() > 0
+    assert set(out.columns) == {
+        "doc_id", "source", "lang", "stream_id", "n_tokens",
+        "pack_id", "pack_offset",
+    }
