@@ -58,6 +58,12 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 # past the window keep their oracles and stay covered by
 # tools/check_oracle.py + the unit suite; TPC-H shapes rotated out
 # here were driver-green in rounds 1-2.
+#
+# Rotation queue for the next round's window (added after this
+# window was frozen, all locally oracle-green): corpus_pii_scrub,
+# corpus_doc_chunks, corpus_lm_quality, corpus_contamination,
+# corpus_pack_assignments, corpus_curation_v2, emb_pq_topk,
+# docs_char_bigram_profile (rotated out for emb_semantic_dedup).
 DRIVER_WINDOW = (
     # CDC sentinels
     "cdc_live_orders",
