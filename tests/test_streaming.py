@@ -340,3 +340,53 @@ def test_restart_backoff_caps_and_gives_up(spark, dirs):
             sleep=slept.append,
         )
     assert slept == [1.0, 2.0, 4.0]
+
+
+def test_restart_supervision_covers_multi_table_mux(spark, dirs):
+    """run_stream_with_restart is duck-typed over .start(): the
+    multiplexed multi-table stream restarts from its checkpoint the
+    same way the single-table pipeline does."""
+    import json as _json
+
+    from mysql_clickhouse_sync_spark.streaming import (
+        MultiTableCDCStream,
+        run_stream_with_restart,
+    )
+    from pyspark.sql.types import (
+        LongType as _L,
+        StringType as _S,
+        StructField as _F,
+        StructType as _T,
+    )
+
+    base_dir, changelog_dir = dirs
+    events = [
+        {"table": "users", "op": "I", "seq": 1,
+         "payload": _json.dumps({"id": 1, "name": "A"})},
+        {"table": "users", "op": "U", "seq": 2,
+         "payload": _json.dumps({"id": 1, "name": "B"})},
+    ]
+    _write_events(changelog_dir, events)
+    schema = _T([_F("id", _L(), False), _F("name", _S(), True)])
+    mux = MultiTableCDCStream(
+        spark, schemas={"users": schema}, pks={"users": ["id"]},
+        base_dir=base_dir,
+    )
+    real_apply = mux.apply_microbatch
+    crashes = {"left": 1}
+
+    def flaky(batch_df, batch_id):
+        if crashes["left"]:
+            crashes["left"] -= 1
+            raise RuntimeError("injected mux crash")
+        real_apply(batch_df, batch_id)
+
+    mux.apply_microbatch = flaky
+    slept = []
+    restarts = run_stream_with_restart(
+        mux, changelog_dir, available_now=True, sleep=slept.append
+    )
+    assert restarts == 1
+    assert {r["id"]: r["name"] for r in mux.live("users").collect()} == {
+        1: "B"
+    }
