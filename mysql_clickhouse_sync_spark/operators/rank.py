@@ -47,7 +47,9 @@ _MID_MASK = (1 << _MID_BITS) - 1
 ROWS_PER_RANGE_PARTITION = 1_000_000
 
 
-def partitions_for(n_rows: int, spark, rows_per_partition: int = ROWS_PER_RANGE_PARTITION) -> int:
+def partitions_for(
+    n_rows: int, rows_per_partition: int = ROWS_PER_RANGE_PARTITION
+) -> int:
     """Adaptive range-partition count: ceil(n / rows_per_partition),
     floored at 1; not capped above — at 100 TB the count grows with
     the data, which is the whole point."""

@@ -663,7 +663,7 @@ def pq_topk(
         ]
         tbl_rows.append((r[id_col], flat, qn))
     qtbl = spark.createDataFrame(
-        tbl_rows, f"query_id long, _tbl array<double>, _qn double"
+        tbl_rows, "query_id long, _tbl array<double>, _qn double"
     )
     enc = pq_encode(spread(corpus), m, ksub, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), "_codes", "_norm"

@@ -354,7 +354,7 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Size the three range shuffles to the per-customer relation (one
     # cheap agg-count job) so harness-scale inputs pay harness-scale
     # jobs while billions of customers fan out across the cluster.
-    p = partitions_for(rfm.count(), spark)
+    p = partitions_for(rfm.count())
     out = with_equal_freq_bucket(
         rfm, [F.col("last_order").desc(), F.col("o_custkey")],
         "r_quartile", 4, num_partitions=p,
