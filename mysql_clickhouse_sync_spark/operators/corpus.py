@@ -276,3 +276,56 @@ def pack_documents(
         F.floor(start / budget).cast("long").alias("pack_id"),
         (start % budget).cast("long").alias("pack_offset"),
     )
+
+
+def pack_documents_incremental(
+    new_docs: DataFrame,
+    prior: DataFrame,
+    budget: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stream_cols: tuple[str, ...] = (),
+    n_streams: int = 4,
+) -> DataFrame:
+    """Continue :func:`pack_documents` from a prior run's state — the
+    nightly-incremental form: only NEW documents are tokenized and
+    assigned; each stream resumes at its consumed-token tail.
+
+    ``prior`` is a previous packing output (needs ``stream_id`` +
+    ``n_tokens`` per row plus ``stream_cols``); its per-stream token
+    totals — |streams| rows, an aggregation, never the documents —
+    are joined onto the new batch's partition-local running sums.
+    When new ids sort after prior ids (the append-only corpus case),
+    the result is IDENTICAL to re-packing the full corpus, which is
+    exactly what the oracle checks.
+    """
+    from pyspark.sql import Window
+
+    tails = prior.groupBy(*stream_cols, "stream_id").agg(
+        F.sum("n_tokens").alias("_consumed")
+    )
+    toks = tokens_col(F.lower(F.col(text_col)))
+    base = new_docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in stream_cols],
+        (F.col(id_col) % n_streams).cast("int").alias("stream_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy(*stream_cols, "stream_id")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local_start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    start = local_start + F.coalesce(F.col("_consumed"), F.lit(0))
+    return (
+        base.join(tails, [*stream_cols, "stream_id"], "left")
+        .select(
+            id_col,
+            *stream_cols,
+            "stream_id",
+            "n_tokens",
+            F.floor(start / budget).cast("long").alias("pack_id"),
+            (start % budget).cast("long").alias("pack_offset"),
+        )
+    )

@@ -337,3 +337,47 @@ def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_documents(
         clean, budget=256, stream_cols=("source", "lang"), n_streams=4
     )
+
+
+@register(
+    "corpus_pack_incremental",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, source, lang,
+               CAST(doc_id % 4 AS INT) AS stream_id,
+               CAST(len({_SQL_LTOKS}) AS BIGINT) AS n_tokens
+        FROM documents
+    ), cum AS (
+        SELECT *,
+               SUM(n_tokens) OVER (
+                   PARTITION BY source, lang, stream_id ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens AS start
+        FROM base
+    )
+    SELECT doc_id, source, lang, stream_id, n_tokens,
+           CAST(floor(start / 256) AS BIGINT) AS pack_id,
+           CAST(start % 256 AS BIGINT) AS pack_offset
+    FROM cum
+    WHERE doc_id >= 250
+    """,
+    description="Incremental pack assignment: docs >= 250 arrive as "
+    "tonight's batch and resume packing from the prior run's "
+    "per-stream consumed-token tails (an aggregation of the prior "
+    "output — the documents are never re-tokenized).  The oracle is "
+    "the FULL recompute restricted to the new batch: on an "
+    "append-only corpus the incremental result must be identical, "
+    "and the hash compare proves it",
+)
+def corpus_pack_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import pack_documents, pack_documents_incremental
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    prior = pack_documents(
+        old, budget=256, stream_cols=("source", "lang"), n_streams=4
+    )
+    return pack_documents_incremental(
+        new, prior, budget=256, stream_cols=("source", "lang"), n_streams=4
+    )

@@ -134,3 +134,32 @@ def test_pack_streams_are_partition_local(spark):
     out = pack_documents(df, budget=8, n_streams=4)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan, plan
+
+
+def test_incremental_packing_resumes_mid_pack(spark):
+    """A stream left mid-pack by the prior run must resume at its
+    consumed-token offset, and incremental == full recompute on an
+    append-only corpus."""
+    from mysql_clickhouse_sync_spark.operators.corpus import (
+        pack_documents,
+        pack_documents_incremental,
+    )
+
+    text = " ".join(["w"] * 100)
+    docs = spark.createDataFrame(
+        [Row(doc_id=i * 4, text=text) for i in range(6)],  # one stream
+        "doc_id long, text string",
+    )
+    old = docs.filter(F.col("doc_id") < 12)   # 3 docs, 300 tokens
+    new = docs.filter(F.col("doc_id") >= 12)
+    prior = pack_documents(old, budget=256, n_streams=4)
+    inc = pack_documents_incremental(new, prior, budget=256, n_streams=4)
+    full = pack_documents(docs, budget=256, n_streams=4).filter(
+        F.col("doc_id") >= 12
+    )
+    assert sorted(map(tuple, inc.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    # first new doc starts at token 300 -> pack 1, offset 44
+    first = {r["doc_id"]: r for r in inc.collect()}[12]
+    assert (first["pack_id"], first["pack_offset"]) == (1, 44)
