@@ -4,6 +4,7 @@ from .cdc_pipeline import (
     run_stream_with_restart,
 )
 from .multi_table import MUX_SCHEMA, MultiTableCDCStream
+from .progress import ProgressLogger, attach_progress_logger
 
 __all__ = [
     "CDCStreamPipeline",
@@ -11,4 +12,6 @@ __all__ = [
     "run_stream_with_restart",
     "MultiTableCDCStream",
     "MUX_SCHEMA",
+    "ProgressLogger",
+    "attach_progress_logger",
 ]

@@ -390,3 +390,43 @@ def test_restart_supervision_covers_multi_table_mux(spark, dirs):
     assert {r["id"]: r["name"] for r in mux.live("users").collect()} == {
         1: "B"
     }
+
+
+def test_progress_logger_counts_rows_and_batches(spark, dirs):
+    """O5 parity: the listener accumulates per-query totals and emits
+    throttled progress lines; totals equal the changelog size."""
+    import io
+    import time
+
+    from mysql_clickhouse_sync_spark.streaming import (
+        attach_progress_logger,
+    )
+
+    base_dir, changelog_dir = dirs
+    _write_events(
+        changelog_dir,
+        [
+            {"op": "I", "seq": i, "id": i, "email": "e@x", "name": "N"}
+            for i in range(1, 9)
+        ],
+    )
+    sink = io.StringIO()
+    listener = attach_progress_logger(spark, every_batches=1, sink=sink)
+    try:
+        p = CDCStreamPipeline(
+            spark, "users", ["id"], CHANGELOG_SCHEMA, base_dir
+        )
+        q = p.start(changelog_dir)
+        q.awaitTermination()
+        # listener events are delivered asynchronously
+        deadline = time.time() + 20
+        while time.time() < deadline and sum(
+            listener.total_rows.values()
+        ) < 8:
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+    assert sum(listener.total_rows.values()) == 8
+    assert sum(listener.batches.values()) >= 1
+    out = sink.getvalue()
+    assert "rows total" in out and "started" in out
