@@ -606,6 +606,64 @@ def pq_encode(
     )
 
 
+def pq_encode_vectorized(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    books=None,
+) -> DataFrame:
+    """Arrow/numpy twin of :func:`pq_encode` — same output contract,
+    batch argmin instead of m*ksub interpreted fold expressions per
+    row (the JVM expression tree is ~20x slower at ksub=64, measured
+    at sf0.1).  Ties pick the smallest code (numpy argmin returns the
+    first minimum, matching ``array_position``'s first-match)."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, IntegerType, StructField, StructType,
+    )
+
+    if books is None:
+        books, _ = _pq_codebooks(corpus, m, ksub, id_col, vec_col)
+    C = [np.asarray(b, dtype=np.float64) for b in books]  # m x (ksub, dsub)
+    dsub = C[0].shape[1]
+    id_type = corpus.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField(id_col, id_type, False),
+            StructField("_codes", ArrayType(IntegerType(), False), False),
+            StructField("_norm", DoubleType(), False),
+        ]
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.empty((len(pdf), len(C)), dtype=np.int32)
+            for j, Cj in enumerate(C):
+                S = X[:, j * dsub:(j + 1) * dsub]
+                d2 = (
+                    (S * S).sum(axis=1)[:, None]
+                    - 2.0 * (S @ Cj.T)
+                    + (Cj * Cj).sum(axis=1)[None, :]
+                )
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "_codes": list(codes.tolist()),
+                    "_norm": np.linalg.norm(X, axis=1),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(encode, out_schema)
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -665,9 +723,11 @@ def pq_topk(
     qtbl = spark.createDataFrame(
         tbl_rows, "query_id long, _tbl array<double>, _qn double"
     )
-    enc = pq_encode(spread(corpus), m, ksub, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), "_codes", "_norm"
-    )
+    # vectorized encode is the scale path (identical contract; the
+    # JVM-fold pq_encode stays for zero-Python deployments)
+    enc = pq_encode_vectorized(
+        spread(corpus), m, ksub, id_col, vec_col, books=books
+    ).select(F.col(id_col).alias("neighbor_id"), "_codes", "_norm")
     adc = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
         F.lit(0.0),
