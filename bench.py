@@ -49,6 +49,21 @@ HEADLINE = (
     "media_decode_features",
 )
 
+# Round-3 additions, timed separately so the headline total stays
+# comparable across rounds.
+EXTENDED = (
+    "corpus_pii_scrub",
+    "corpus_doc_chunks",
+    "corpus_lm_quality",
+    "corpus_contamination",
+    "corpus_pack_assignments",
+    "corpus_pack_incremental",
+    "corpus_curation_v2",
+    "emb_semantic_dedup",
+    "emb_pq_topk",
+    "emb_quantized_topk",
+)
+
 
 def throughput_metrics(spark, sf_dir: str) -> dict[str, float]:
     """Directly comparable to BASELINE.md: the reference estimates
@@ -121,6 +136,16 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    ext: dict[str, float] = {}
+    for name in EXTENDED:
+        q = registry[name]
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            q.fn(spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        ext[name] = round(best, 3)
+        print(f"# {name}: {ext[name]}s (extended)", file=sys.stderr)
     tp = throughput_metrics(spark, sf_dir)
     print(
         json.dumps(
@@ -130,6 +155,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "extended_queries": ext,
+                "extended_total": round(sum(ext.values()), 3),
                 **tp,
             }
         )
