@@ -30,6 +30,10 @@ _SQL_DOT = (
 )
 
 
+def _dot(a: str, b: str) -> str:
+    return "(" + _SQL_DOT.format(d=_DIM, a=a, b=b) + ")"
+
+
 def _sql_cosine(a: str, b: str) -> str:
     dot = _SQL_DOT.format(d=_DIM, a=a, b=b)
     na = _SQL_DOT.format(d=_DIM, a=a, b=a)
@@ -225,14 +229,18 @@ def emb_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
+    ), n AS (
+        SELECT vec_id,
+               list_transform(v, x -> x / sqrt({_dot('v', 'v')})) AS u
+        FROM e
     ), cents AS (
-        SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8
+        SELECT vec_id AS cid, u AS cu FROM n ORDER BY vec_id LIMIT 8
     ), scored AS (
-        SELECT e.vec_id, e.v, c.cid,
-               {_sql_cosine('e.v', 'c.cv')} AS cos_c
-        FROM e CROSS JOIN cents c
+        SELECT n.vec_id, n.u, c.cid,
+               {_dot('n.u', 'c.cu')} AS cos_c
+        FROM n CROSS JOIN cents c
     ), assigned AS (
-        SELECT vec_id, v, cid FROM (
+        SELECT vec_id, u, cid FROM (
             SELECT *, row_number() OVER (
                 PARTITION BY vec_id ORDER BY cos_c DESC, cid
             ) AS rn FROM scored
@@ -241,7 +249,7 @@ def emb_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM assigned a JOIN assigned b
           ON a.cid = b.cid AND a.vec_id < b.vec_id
-        WHERE {_sql_cosine('a.v', 'b.v')} >= 0.35
+        WHERE {_dot('a.u', 'b.u')} >= 0.35
     ), sym AS (
         SELECT id_a AS a, id_b AS b FROM pairs
         UNION SELECT id_b, id_a FROM pairs
@@ -277,17 +285,34 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import bucket_pairs
     from ..operators.graph import dedup_clusters
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _to_double(F.col("embedding")).alias("v")
+    from ..operators.similarity import dot as _vdot, norm as _vnorm
+
+    # Normalize ONCE per vector (mirrored exactly in the oracle), so
+    # every downstream similarity is a single dot fold instead of
+    # dot + two norms — 3x fewer interpreted fold ops on the
+    # quadratic pair stage.
+    # _n as a projected column evaluates the norm fold ONCE per row;
+    # a norm call inside the transform lambda would re-fold per
+    # element (64x the work, measured on the assignment stage).
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", _to_double(F.col("embedding")).alias("_v"))
+        .withColumn("_n", _vnorm(F.col("_v")))
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("_v"), lambda x: x / F.col("_n")
+            ).alias("u"),
+        )
     )
     cents = (
         emb.orderBy("vec_id")
         .limit(8)
-        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+        .select(F.col("vec_id").alias("cid"), F.col("u").alias("cu"))
     )
     scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "v", "cid",
-        cosine(F.col("v"), F.col("cv")).alias("cos_c"),
+        "vec_id", "u", "cid",
+        _vdot(F.col("u"), F.col("cu")).alias("cos_c"),
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cos_c").desc(), F.col("cid")
@@ -299,7 +324,7 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cid")
+        .select("vec_id", "u", "cid")
         .localCheckpoint()
     )
     # max_bucket is a degenerate-quantizer safety net, not the sizing
@@ -311,13 +336,13 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.select("cid", "vec_id"), ["cid"], F.col("vec_id"),
         max_bucket=4096,
     ).select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
-    vecs = assigned.select(F.col("vec_id").alias("_vid"), F.col("v"))
+    vecs = assigned.select(F.col("vec_id").alias("_vid"), F.col("u"))
     pairs = (
         candidates.join(vecs, candidates.id_a == vecs._vid)
-        .withColumnRenamed("v", "_va").drop("_vid")
+        .withColumnRenamed("u", "_ua").drop("_vid")
         .join(vecs, candidates.id_b == vecs._vid)
-        .withColumnRenamed("v", "_vb").drop("_vid")
-        .filter(cosine(F.col("_va"), F.col("_vb")) >= 0.35)
+        .withColumnRenamed("u", "_ub").drop("_vid")
+        .filter(_vdot(F.col("_ua"), F.col("_ub")) >= 0.35)
         .select("id_a", "id_b")
     )
     clusters = dedup_clusters(
