@@ -163,3 +163,37 @@ def test_incremental_packing_resumes_mid_pack(spark):
     # first new doc starts at token 300 -> pack 1, offset 44
     first = {r["doc_id"]: r for r in inc.collect()}[12]
     assert (first["pack_id"], first["pack_offset"]) == (1, 44)
+
+
+def test_pack_invariants_property(spark):
+    """Property sweep over random corpora: offsets stay within the
+    budget, pack ids are monotone within a stream in id order, and
+    consecutive docs in a stream are contiguous in token space."""
+    import random
+
+    from mysql_clickhouse_sync_spark.operators.corpus import pack_documents
+
+    rng = random.Random(11)
+    for trial in range(3):
+        budget = rng.choice([64, 128, 256])
+        docs = spark.createDataFrame(
+            [
+                Row(
+                    doc_id=i,
+                    text=" ".join(["w"] * rng.randrange(1, 120)),
+                )
+                for i in range(rng.randrange(10, 60))
+            ],
+            "doc_id long, text string",
+        )
+        out = pack_documents(docs, budget=budget, n_streams=3).collect()
+        assert all(0 <= r["pack_offset"] < budget for r in out)
+        streams = {}
+        for r in sorted(out, key=lambda r: r["doc_id"]):
+            streams.setdefault(r["stream_id"], []).append(r)
+        for rows in streams.values():
+            start = 0
+            for r in rows:
+                assert r["pack_id"] == start // budget, (trial, r)
+                assert r["pack_offset"] == start % budget, (trial, r)
+                start += r["n_tokens"]
