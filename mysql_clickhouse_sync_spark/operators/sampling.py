@@ -52,3 +52,37 @@ def weighted_sample(
         .limit(k)
         .drop("_es_key")
     )
+
+
+def leakage_safe_splits(
+    df: DataFrame,
+    pairs: DataFrame,
+    fractions: tuple[float, float] = (0.9, 0.05),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates
+    across splits: the split is a deterministic hash of the
+    DUPLICATE-CLUSTER id, so every member of a near-dup cluster lands
+    in the same split (splitting per document would put a paraphrase
+    of a training doc into the eval set — the classic contamination
+    bug benchmark decontamination then has to catch).
+
+    ``pairs`` is any candidate near-dup pair relation (exact Jaccard,
+    MinHash-LSH, SimHash...); ``fractions`` is (train, val) with test
+    taking the remainder.  Output: ``(id, cluster_id, split)``.
+    Deterministic end-to-end — the split hash is the same Knuth
+    arithmetic as :func:`id_uniform`, reproducible by the oracle.
+    """
+    from .graph import dedup_clusters
+
+    f_train, f_val = fractions
+    if not 0 < f_train + f_val < 1:
+        raise ValueError("train+val fractions must be in (0, 1)")
+    clusters = dedup_clusters(df, pairs, id_col=id_col)
+    u = id_uniform(F.col("cluster_id"))
+    split = (
+        F.when(u <= F.lit(f_train), F.lit("train"))
+        .when(u <= F.lit(f_train + f_val), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return clusters.select(id_col, "cluster_id", split.alias("split"))

@@ -62,7 +62,8 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 # Rotation queue for the next round's window (added after this
 # window was frozen, all locally oracle-green): corpus_pii_scrub,
 # corpus_doc_chunks, corpus_lm_quality, corpus_contamination,
-# corpus_pack_assignments, corpus_curation_v2, emb_pq_topk,
+# corpus_pack_assignments, corpus_pack_incremental,
+# corpus_curation_v2, emb_pq_topk, docs_leakage_safe_splits,
 # docs_char_bigram_profile (rotated out for emb_semantic_dedup).
 DRIVER_WINDOW = (
     # CDC sentinels

@@ -609,3 +609,58 @@ def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_chars", "quality_score")
     )
     return weighted_sample(keepers, "n_chars", k=50)
+
+
+@register(
+    "docs_leakage_safe_splits",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id AS _id, {_SQL_SHINGLES} AS _sh,
+               len({_SQL_SHINGLES}) AS _n
+        FROM documents
+    ), ex AS (
+        SELECT _id, _n, unnest(_sh) AS _shingle FROM sh
+    ), pairs AS (
+        SELECT a._id AS id_a, b._id AS id_b, a._n AS n_a, b._n AS n_b,
+               count(*) AS n_common
+        FROM ex a JOIN ex b ON a._shingle = b._shingle AND a._id < b._id
+        GROUP BY a._id, b._id, a._n, b._n
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5
+    ), sym AS (
+        SELECT a, b FROM edges UNION SELECT b, a FROM edges
+        UNION SELECT a, a FROM edges UNION SELECT b, b FROM edges
+    ), reach(id, r) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
+    ), comp AS (
+        SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+    ), labeled AS (
+        SELECT d.doc_id,
+               CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT)
+                   AS cluster_id
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN ((cluster_id * 2654435761) % 4294967296 + 1)
+                     / 4294967297.0 <= 0.9 THEN 'train'
+                WHEN ((cluster_id * 2654435761) % 4294967296 + 1)
+                     / 4294967297.0 <= 0.95 THEN 'val'
+                ELSE 'test'
+           END AS split
+    FROM labeled
+    """,
+    description="Leakage-safe train/val/test assignment: the split is "
+    "a deterministic hash of the near-dup CLUSTER id (exact-Jaccard "
+    ">= 0.5 components), so paraphrases can never straddle train and "
+    "eval — the upstream fix for the contamination the "
+    "decontamination check catches downstream.  90/5/5 split",
+)
+def docs_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import leakage_safe_splits
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = shingle_pairs_jaccard(docs).filter(F.col("jaccard") >= 0.5)
+    return leakage_safe_splits(docs, pairs)

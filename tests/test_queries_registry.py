@@ -89,6 +89,7 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         "docs_top_jaccard_pairs",   # exact twin of the capped path
         "docs_char_bigram_profile",  # ceded its slot to emb_semantic_dedup
         "emb_pq_topk",              # added late in round 3; rotates in next
+        "docs_leakage_safe_splits",  # added late in round 3; rotates in next
     }
     surface = {
         n for n in qs

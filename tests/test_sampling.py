@@ -38,3 +38,50 @@ def test_weighted_sample_is_deterministic_and_weight_biased(spark):
     # 100 heavy rows carry 50x the weight of 1000 light rows
     # (5000 vs 1000 total): heavy rows must dominate the sample.
     assert heavy > 50, f"only {heavy} heavy rows sampled"
+
+
+def test_leakage_safe_splits_keep_clusters_together(spark):
+    """Every member of a near-dup cluster must land in the SAME
+    split; fractions roughly honored over many singleton clusters."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from mysql_clickhouse_sync_spark.operators.sampling import (
+        leakage_safe_splits,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i) for i in range(300)], "doc_id long"
+    )
+    # clusters: {0,1,2}, {10,11}, rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    out = leakage_safe_splits(docs, pairs).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(out) == 300
+    assert {by_id[i]["split"] for i in (0, 1, 2)} == {by_id[0]["split"]}
+    assert by_id[10]["split"] == by_id[11]["split"]
+    assert all(by_id[i]["cluster_id"] == 0 for i in (0, 1, 2))
+    from collections import Counter
+
+    frac = Counter(r["split"] for r in out)
+    assert frac["train"] > frac["val"] and frac["train"] > frac["test"]
+    # deterministic across runs
+    again = {r["doc_id"]: r["split"]
+             for r in leakage_safe_splits(docs, pairs).collect()}
+    assert again == {r["doc_id"]: r["split"] for r in out}
+
+
+def test_leakage_safe_splits_validates_fractions(spark):
+    import pytest
+    from pyspark.sql import Row
+
+    from mysql_clickhouse_sync_spark.operators.sampling import (
+        leakage_safe_splits,
+    )
+
+    docs = spark.createDataFrame([Row(doc_id=1)], "doc_id long")
+    pairs = docs.limit(0).selectExpr("doc_id as id_a", "doc_id as id_b")
+    with pytest.raises(ValueError):
+        leakage_safe_splits(docs, pairs, fractions=(0.9, 0.2))
