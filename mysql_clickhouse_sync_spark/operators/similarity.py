@@ -49,6 +49,20 @@ def _require_small(df: DataFrame, max_rows: int, what: str) -> None:
         )
 
 
+def _collect_bounded(df: DataFrame, max_rows: int, what: str) -> list:
+    """Collect a side that is small BY CONTRACT, folding the guard
+    into the collect itself (no extra job): ``limit(max+1)`` stops the
+    scan, and a ``max+1``-th surviving row proves the violation."""
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"{what} violates the bounded-side contract: > {max_rows} "
+            f"rows would be collected to the driver. Pass a smaller "
+            f"set (or raise the bound explicitly)."
+        )
+    return rows
+
+
 def _to_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
@@ -145,15 +159,10 @@ def brute_force_topk_vectorized(
     """
     import numpy as np
 
-    # guard folded into the collect itself (no extra job): limit(n+1)
-    # stops the scan, and n+1 surviving rows proves the violation
-    q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
-    if len(q_rows) > max_queries:
-        raise ValueError(
-            f"brute_force_topk_vectorized query set violates the "
-            f"bounded-side contract: > {max_queries} rows would be "
-            f"collected to the driver."
-        )
+    q_rows = _collect_bounded(
+        queries.select(id_col, vec_col), max_queries,
+        "brute_force_topk_vectorized query set",
+    )
     qids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
     Q = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
@@ -203,6 +212,68 @@ def brute_force_topk_vectorized(
     )
 
 
+def _lloyd(X, k: int, iters: int):
+    """Deterministic Lloyd's k-means in float64 numpy: init = first k
+    rows, fixed iteration count, empty clusters keep their previous
+    centroid, no RNG anywhere — so centroids are bit-stable across
+    runs.  Returns the (k, d) centroid matrix."""
+    C = X[:k].copy()
+    for _ in range(iters):
+        d2 = (
+            (X * X).sum(axis=1)[:, None]
+            - 2.0 * (X @ C.T)
+            + (C * C).sum(axis=1)[None, :]
+        )
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            mask = assign == c
+            if mask.any():
+                C[c] = X[mask].mean(axis=0)
+    return C
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """TRAINED coarse quantizer for cosine-metric IVF: spherical
+    k-means (Lloyd's on L2-normalized sample vectors, centroids
+    re-normalized each round) over a bounded deterministic sample —
+    the first ``_PQ_TRAIN_SAMPLE`` vectors by id, the same sampling
+    convention :func:`_pq_codebooks` uses.  Untrained first-N
+    centroids give skewed inverted lists on clustered data (uneven
+    task sizes at 100 TB); training costs one bounded collect plus
+    driver-side numpy and balances the lists.  Assignment downstream
+    ranks by raw dot product, which for unit centroids is |v|·cos —
+    the argmax over centroids equals the cosine argmax."""
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(id_col).alias("i"),
+                      _to_double(F.col(vec_col)).alias("v"))
+        .orderBy("i")
+        .limit(_PQ_TRAIN_SAMPLE)
+        .collect()
+    )
+    if len(rows) < n_centroids:
+        raise ValueError(
+            f"corpus smaller than n_centroids={n_centroids}"
+        )
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    C = X[:n_centroids].copy()
+    for _ in range(_PQ_KMEANS_ITERS):
+        assign = (X @ C.T).argmax(axis=1)      # cosine on unit vectors
+        for c in range(n_centroids):
+            mask = assign == c
+            if mask.any():
+                C[c] = X[mask].mean(axis=0)
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+    return [list(map(float, C[c])) for c in range(n_centroids)]
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -215,15 +286,16 @@ def ivf_topk(
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) coarse quantizer.
 
-    The standard two-level ANN layout: a small deterministic centroid
-    sample is collected driver-side (n_centroids * dim floats — the
-    coarse quantizer is tiny by design, exactly how FAISS-style IVF
-    trains on a sample), every corpus vector is assigned to its
-    nearest centroid in ONE narrow pass against folded centroid
-    literals, and each query probes only the ``nprobe`` nearest
-    inverted lists.  Work drops from |corpus| x |queries| to
-    ~(nprobe / n_centroids) of it; recall < 1 by construction, so the
-    driver check is rows-only.
+    The standard two-level ANN layout: a coarse quantizer TRAINED with
+    spherical k-means on a bounded deterministic sample
+    (:func:`ivf_centroids` — n_centroids * dim floats, tiny by design,
+    exactly how FAISS-style IVF trains on a sample), every corpus
+    vector is assigned to its nearest centroid in ONE narrow pass
+    against folded centroid literals, and each query probes only the
+    ``nprobe`` nearest inverted lists.  Work drops from
+    |corpus| x |queries| to ~(nprobe / n_centroids) of it; recall < 1
+    by construction, so the registry query wraps this in a recall
+    self-check (see plans/similarity_queries.py).
 
     Output: (query_id, neighbor_id, cosine_sim, rnk).
     """
@@ -237,15 +309,9 @@ def ivf_topk(
     if not 0 < nprobe <= n_centroids:
         raise ValueError("nprobe must be in (0, n_centroids]")
     _require_small(queries, max_queries, "ivf_topk query set")
-    # Deterministic coarse quantizer: smallest ids, stable order.
-    cent_rows = (
-        corpus.select(F.col(id_col).alias("i"), _to_double(F.col(vec_col)).alias("v"))
-        .orderBy("i")
-        .limit(n_centroids)
-        .collect()
-    )
     cents = [
-        F.array(*[F.lit(float(x)) for x in r["v"]]) for r in cent_rows
+        F.array(*[F.lit(float(x)) for x in c])
+        for c in ivf_centroids(corpus, n_centroids, id_col, vec_col)
     ]
 
     def ranked_lists(v: Column) -> Column:
@@ -546,15 +612,7 @@ def _pq_codebooks(
     dsub = dim // m
     books = []
     for j in range(m):
-        S = X[:, j * dsub:(j + 1) * dsub]
-        C = S[:ksub].copy()
-        for _ in range(_PQ_KMEANS_ITERS):
-            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for c in range(ksub):
-                mask = assign == c
-                if mask.any():
-                    C[c] = S[mask].mean(axis=0)
+        C = _lloyd(X[:, j * dsub:(j + 1) * dsub], ksub, _PQ_KMEANS_ITERS)
         books.append([list(map(float, C[c])) for c in range(ksub)])
     return books, dim
 
@@ -701,12 +759,9 @@ def pq_topk(
 
     books, dim = _pq_codebooks(corpus, m, ksub, id_col, vec_col)
     dsub = dim // m
-    q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
-    if len(q_rows) > max_queries:
-        raise ValueError(
-            f"pq_topk query set violates the bounded-side contract: "
-            f"> {max_queries} rows would be collected to the driver."
-        )
+    q_rows = _collect_bounded(
+        queries.select(id_col, vec_col), max_queries, "pq_topk query set"
+    )
     spark = corpus.sparkSession
     tbl_rows = []
     for r in q_rows:

