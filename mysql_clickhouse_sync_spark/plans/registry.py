@@ -50,21 +50,21 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 # The external driver grades exactly the FIRST 50 registry entries
 # (CORRECTNESS_r{N}.json follows dict order).  This curated window
 # front-loads one representative of every operator family so the whole
-# engine surface gets driver-graded each round: the 4 CDC sentinels
-# (the reference's semantic core), 5 analytics shapes (agg / join /
-# window / as-of / sessionization), the 2 bound-checked sketches, and
-# the ENTIRE LLM-data-pipeline surface (text dedup + similarity +
-# multimodal + SQL views + sampling + set ops + behavior).  Queries
-# past the window keep their oracles and stay covered by
-# tools/check_oracle.py + the unit suite; TPC-H shapes rotated out
-# here were driver-green in rounds 1-2.
+# engine surface gets driver-graded each round.
 #
-# Rotation queue for the next round's window (added after this
-# window was frozen, all locally oracle-green): corpus_pii_scrub,
-# corpus_doc_chunks, corpus_lm_quality, corpus_contamination,
-# corpus_pack_assignments, corpus_pack_incremental,
-# corpus_curation_v2, emb_pq_topk, docs_leakage_safe_splits,
-# docs_char_bigram_profile (rotated out for emb_semantic_dedup).
+# ROUND-4 ROTATION (disclosed in full in PARITY.md "Driver-window
+# rotation ledger", per the round-3 advice: window deltas are
+# documented where round-over-round grades are compared, not only
+# here).  IN: the 9 round-3 corpus/PQ/splits queries that were
+# registered past the window (corpus_pii_scrub, corpus_doc_chunks,
+# corpus_lm_quality, corpus_contamination, corpus_pack_assignments,
+# corpus_pack_incremental, corpus_curation_v2, emb_pq_topk,
+# docs_leakage_safe_splits).  OUT: 9 rows that were driver-green in
+# round 3 and stay oracle-covered by tools/check_oracle.py +
+# tools/window_fidelity.py (5 set-ops, docs_top_words,
+# docs_subword_tokens, sql_region_revenue, docs_weighted_sample —
+# the exact set the round-3 verdict proposed).  Policy going
+# forward: new queries enter the window the round they are added.
 DRIVER_WINDOW = (
     # CDC sentinels
     "cdc_live_orders",
@@ -90,11 +90,18 @@ DRIVER_WINDOW = (
     "docs_simhash_pairs",
     "docs_fingerprints",
     "docs_lang_source_profile",
-    "docs_subword_tokens",
-    "docs_top_words",
     "docs_dup_clusters",
     "docs_tfidf_top_terms",
     "docs_curation_pipeline",
+    # corpus preparation (rotated in, round 4)
+    "corpus_pii_scrub",
+    "corpus_doc_chunks",
+    "corpus_lm_quality",
+    "corpus_contamination",
+    "corpus_pack_assignments",
+    "corpus_pack_incremental",
+    "corpus_curation_v2",
+    "docs_leakage_safe_splits",
     # embeddings / similarity search
     "emb_cosine_topk",
     "emb_label_near_pairs",
@@ -103,23 +110,16 @@ DRIVER_WINDOW = (
     "emb_cosine_topk_vectorized",
     "emb_near_dup_keeper",
     "emb_quantized_topk",
+    "emb_pq_topk",
     "emb_semantic_dedup",
     # multimodal
     "media_decode_features",
     "media_exact_dedup",
     "media_frame_sample",
     # SQL surface
-    "sql_region_revenue",
     "sql_live_segment_stats",
     # sampling
     "docs_stratified_sample",
-    "docs_weighted_sample",
-    # set operations
-    "nations_with_customers_and_suppliers",
-    "parts_never_bulk_ordered",
-    "active_nation_keys_union",
-    "order_priority_overlap_all",
-    "doc_sources_except_all",
     # behavior analytics
     "events_funnel",
     "events_retention_cohorts",

@@ -82,14 +82,24 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         "emb_cosine_topk", "emb_ivf_topk", "media_exact_dedup",
         "events_funnel", "events_retention_cohorts", "customer_rfm_segments",
         "events_user_count_sketch", "events_user_hll_distinct",
+        # round-4 rotation: the corpus-prep family is driver-graded
+        "corpus_pii_scrub", "corpus_doc_chunks", "corpus_lm_quality",
+        "corpus_contamination", "corpus_pack_assignments",
+        "corpus_pack_incremental", "corpus_curation_v2",
+        "emb_pq_topk", "docs_leakage_safe_splits",
     }
     assert required <= window, sorted(required - window)
-    # every docs_/emb_/media_/sql_ query is in the graded window
+    # every docs_/emb_/media_/sql_ query is in the graded window,
+    # except rows rotated out with at least one driver-green round on
+    # record (full ledger: PARITY.md "Driver-window rotation ledger")
     rotated_out = {
         "docs_top_jaccard_pairs",   # exact twin of the capped path
         "docs_char_bigram_profile",  # ceded its slot to emb_semantic_dedup
-        "emb_pq_topk",              # added late in round 3; rotates in next
-        "docs_leakage_safe_splits",  # added late in round 3; rotates in next
+        "docs_top_words",            # r4: green r3; slot to corpus family
+        "docs_subword_tokens",       # r4: green r3; slot to corpus family
+        "sql_region_revenue",        # r4: green r3; slot to corpus family
+        "docs_weighted_sample",      # r4: green r3; slot to corpus family
+        "doc_sources_except_all",    # r4: green r3; slot to corpus family
     }
     surface = {
         n for n in qs
