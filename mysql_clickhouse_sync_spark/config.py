@@ -168,10 +168,49 @@ class ReplicationConfig:
 
 
 @dataclass
+class KafkaConfig:
+    """Kafka changelog transport (``KAFKA_*`` env family) — the
+    production twin of the reference's direct binlog connection
+    (``/root/reference/src/cdc_replicator.py:99-145``).  The
+    reference's connection knobs map onto Spark's Kafka source:
+    ``server_id``/consumer identity -> ``group_id_prefix``; resume
+    from ``(file, position)`` -> the stream checkpoint's stored Kafka
+    offsets (``starting_offsets`` applies to the FIRST start only,
+    exactly like the reference starting from the current binlog tail
+    when no position file exists); ``only_tables`` -> topic selection
+    plus the table filter in the multi-table reader."""
+
+    bootstrap_servers: str = ""
+    topic: str = ""
+    starting_offsets: str = "earliest"  # first start only; then checkpoint
+    group_id_prefix: str = "mysql-clickhouse-sync"
+    fail_on_data_loss: bool = False
+    max_offsets_per_trigger: int = 0    # 0 = unbounded microbatches
+
+    @classmethod
+    def from_env(cls) -> "KafkaConfig":
+        return cls(
+            bootstrap_servers=os.environ.get("KAFKA_BOOTSTRAP_SERVERS", ""),
+            topic=os.environ.get("KAFKA_TOPIC", ""),
+            starting_offsets=os.environ.get(
+                "KAFKA_STARTING_OFFSETS", "earliest"
+            ),
+            group_id_prefix=os.environ.get(
+                "KAFKA_GROUP_ID_PREFIX", "mysql-clickhouse-sync"
+            ),
+            fail_on_data_loss=_env_bool("KAFKA_FAIL_ON_DATA_LOSS"),
+            max_offsets_per_trigger=_env_int(
+                "KAFKA_MAX_OFFSETS_PER_TRIGGER", 0
+            ),
+        )
+
+
+@dataclass
 class Settings:
     mysql: MySQLConfig = field(default_factory=MySQLConfig)
     clickhouse: ClickHouseConfig = field(default_factory=ClickHouseConfig)
     replication: ReplicationConfig = field(default_factory=ReplicationConfig)
+    kafka: KafkaConfig = field(default_factory=KafkaConfig)
 
     @classmethod
     def from_env(cls) -> "Settings":
@@ -179,6 +218,7 @@ class Settings:
             mysql=MySQLConfig.from_env(),
             clickhouse=ClickHouseConfig.from_env(),
             replication=ReplicationConfig.from_env(),
+            kafka=KafkaConfig.from_env(),
         )
 
 

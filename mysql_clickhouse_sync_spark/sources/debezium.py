@@ -130,6 +130,84 @@ def debezium_file_stream(
     return parse_debezium(raw, row_schema)
 
 
+def kafka_reader_options(cfg) -> dict[str, str]:
+    """``KafkaConfig`` -> Spark Kafka-source options.
+
+    A pure mapping (unit-testable without a broker) mirroring the
+    reference's binlog-reader construction
+    (``/root/reference/src/cdc_replicator.py:99-145``):
+
+    * ``subscribe`` <- topic (the reference's ``only_schemas`` — a
+      Debezium deployment publishes one server/database per topic
+      prefix, so topic selection IS source-side table pushdown);
+    * ``startingOffsets`` <- first-start position.  After the first
+      microbatch, the stream checkpoint's stored offsets win — the
+      exact twin of the reference's ``resume_stream`` +
+      ``(log_file, log_pos)`` resume, with the position file replaced
+      by the checkpoint WAL (C6);
+    * ``failOnDataLoss`` <- whether a truncated topic (expired binlog
+      in the reference) is fatal or resumes from the new tail;
+    * ``maxOffsetsPerTrigger`` <- microbatch size cap, the backpressure
+      twin of the reference's per-event loop never batching more than
+      it can apply.
+    """
+    if not cfg.bootstrap_servers:
+        raise ValueError("KafkaConfig.bootstrap_servers is required")
+    if not cfg.topic:
+        raise ValueError("KafkaConfig.topic is required")
+    opts = {
+        "kafka.bootstrap.servers": cfg.bootstrap_servers,
+        "subscribe": cfg.topic,
+        "startingOffsets": cfg.starting_offsets,
+        "failOnDataLoss": str(bool(cfg.fail_on_data_loss)).lower(),
+        "kafka.group.id.prefix": cfg.group_id_prefix,
+    }
+    if cfg.max_offsets_per_trigger:
+        opts["maxOffsetsPerTrigger"] = str(cfg.max_offsets_per_trigger)
+    return opts
+
+
+def read_kafka_changelog(
+    spark, cfg, row_schema: StructType
+) -> DataFrame:
+    """``readStream.format("kafka")`` -> the engine changelog contract
+    ``(op, seq, <cols>)`` — the production transport for the Debezium
+    path.  Same output relation as :func:`debezium_file_stream`, so
+    ``CDCStreamPipeline`` / ``cdc_apply`` / ``live_view`` consume
+    either transport unchanged; only the source exchange differs.
+    (No broker exists in the test harness, so this function is
+    covered by the option-mapping unit tests plus the file-transport
+    contract tests over identical envelopes.)"""
+    raw = (
+        spark.readStream.format("kafka")
+        .options(**kafka_reader_options(cfg))
+        .load()
+        .selectExpr("CAST(value AS STRING) AS value")
+    )
+    return parse_debezium(raw, row_schema)
+
+
+def read_kafka_changelog_multi(
+    spark, cfg, only_tables: list[str] | None = None
+) -> DataFrame:
+    """Kafka transport for the multiplexed multi-table contract
+    (``streaming/multi_table.py::MUX_SCHEMA``): one topic carrying a
+    whole database.  ``only_tables`` reproduces the reference's
+    ``only_tables`` binlog filter
+    (``/root/reference/src/cdc_replicator.py:128-129``) as a pushed
+    predicate on the decoded ``source.table`` column."""
+    raw = (
+        spark.readStream.format("kafka")
+        .options(**kafka_reader_options(cfg))
+        .load()
+        .selectExpr("CAST(value AS STRING) AS value")
+    )
+    out = parse_debezium_multi(raw)
+    if only_tables:
+        out = out.filter(F.col("table").isin(list(only_tables)))
+    return out
+
+
 def parse_debezium_multi(
     raw: DataFrame, value_col: str = "value"
 ) -> DataFrame:

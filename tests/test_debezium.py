@@ -217,3 +217,110 @@ def test_multi_table_debezium_routes_and_skips(spark, dirs):
     }
     assert mux.live("items").count() == 0  # deleted
     assert mux.skipped_events == 1
+
+
+def test_kafka_reader_options_mapping():
+    """KafkaConfig -> Spark Kafka-source options, mirroring the
+    reference's binlog-reader construction
+    (/root/reference/src/cdc_replicator.py:99-145): topic selection,
+    first-start offsets (checkpoint wins afterwards), data-loss
+    policy, microbatch cap."""
+    from mysql_clickhouse_sync_spark.config import KafkaConfig
+    from mysql_clickhouse_sync_spark.sources.debezium import (
+        kafka_reader_options,
+    )
+
+    cfg = KafkaConfig(
+        bootstrap_servers="k1:9092,k2:9092",
+        topic="dbserver1.inventory.orders",
+        starting_offsets="latest",
+        fail_on_data_loss=True,
+        max_offsets_per_trigger=50_000,
+    )
+    opts = kafka_reader_options(cfg)
+    assert opts["kafka.bootstrap.servers"] == "k1:9092,k2:9092"
+    assert opts["subscribe"] == "dbserver1.inventory.orders"
+    assert opts["startingOffsets"] == "latest"
+    assert opts["failOnDataLoss"] == "true"
+    assert opts["maxOffsetsPerTrigger"] == "50000"
+    # unbounded microbatches -> option omitted entirely
+    assert "maxOffsetsPerTrigger" not in kafka_reader_options(
+        KafkaConfig(bootstrap_servers="k:9092", topic="t")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kafka_reader_options(KafkaConfig(topic="t"))
+    with _pytest.raises(ValueError):
+        kafka_reader_options(KafkaConfig(bootstrap_servers="k:9092"))
+
+
+def test_kafka_config_from_env(monkeypatch):
+    from mysql_clickhouse_sync_spark.config import KafkaConfig
+
+    monkeypatch.setenv("KAFKA_BOOTSTRAP_SERVERS", "broker:9092")
+    monkeypatch.setenv("KAFKA_TOPIC", "cdc.orders")
+    monkeypatch.setenv("KAFKA_STARTING_OFFSETS", "latest")
+    monkeypatch.setenv("KAFKA_FAIL_ON_DATA_LOSS", "yes")
+    monkeypatch.setenv("KAFKA_MAX_OFFSETS_PER_TRIGGER", "1234")
+    cfg = KafkaConfig.from_env()
+    assert cfg.bootstrap_servers == "broker:9092"
+    assert cfg.topic == "cdc.orders"
+    assert cfg.starting_offsets == "latest"
+    assert cfg.fail_on_data_loss is True
+    assert cfg.max_offsets_per_trigger == 1234
+
+
+def test_transport_equivalence_value_column_contract(spark):
+    """Both transports feed parse_debezium the SAME one-string-column
+    relation (`value` — the Kafka reader CASTs value AS STRING, the
+    file reader scans text lines), so the changelog output is
+    transport-agnostic.  The broker is absent in the harness; this
+    pins the contract seam read_kafka_changelog plugs into."""
+    got = parse_debezium(_raw(spark, EVENTS + GARBAGE), ROW_SCHEMA)
+    rows = {(r.op, r.seq, r.id, r.name) for r in got.collect()}
+    assert len(rows) == len(EVENTS)
+    # same-ms updates keep distinct seq via binlog pos (resume/total
+    # order parity with the reference position file)
+    seqs = sorted(s for (_, s, i, _) in rows if i == 1)
+    assert len(seqs) == len(set(seqs)) == 3
+
+
+def test_multi_table_only_tables_filter(spark):
+    """only_tables parity with the reference's binlog filter
+    (/root/reference/src/cdc_replicator.py:128-129): rows from
+    unreplicated tables are dropped, replicated ones survive with
+    payload intact."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from mysql_clickhouse_sync_spark.sources.debezium import (
+        parse_debezium_multi,
+    )
+
+    def env_for(table, rid, pos):
+        return _json.dumps(
+            {
+                "payload": {
+                    "before": None,
+                    "after": {"id": rid},
+                    "source": {
+                        "ts_ms": 1000,
+                        "file": "binlog.000001",
+                        "pos": pos,
+                        "db": "shop",
+                        "table": table,
+                    },
+                    "op": "c",
+                    "ts_ms": 1000,
+                }
+            }
+        )
+
+    raw = _raw(
+        spark, [env_for("orders", 1, 1), env_for("skipme", 2, 2)]
+    )
+    out = parse_debezium_multi(raw).filter(F.col("table").isin(["orders"]))
+    rows = out.collect()
+    assert [r.table for r in rows] == ["orders"]
