@@ -29,11 +29,21 @@ def _build_parser() -> argparse.ArgumentParser:
 
     env = ReplicationConfig.from_env()
     ap = argparse.ArgumentParser(prog="spark-sync-engine")
+    modes = ("snapshot", "cdc", "compact", "zorder", "curate")
+    # argparse does NOT validate defaults against `choices`, so an
+    # invalid REPLICATION_MODE would silently fall through dispatch
+    # and surface as a confusing downstream error; validate it here
+    # and treat empty string as unset (round-3 advice).
+    env_mode = (os.environ.get("REPLICATION_MODE") or "").strip()
+    if env_mode and env_mode not in modes:
+        ap.error(
+            f"invalid REPLICATION_MODE {env_mode!r} "
+            f"(choose from {', '.join(modes)})"
+        )
     ap.add_argument("--mode",
-                    choices=("snapshot", "cdc", "compact", "zorder",
-                             "curate"),
-                    default=os.environ.get("REPLICATION_MODE") or None,
-                    required="REPLICATION_MODE" not in os.environ)
+                    choices=modes,
+                    default=env_mode or None,
+                    required=not env_mode)
     ap.add_argument("--source-dir", default=env.source_dir or None,
                     help="directory of <table>.parquet source files "
                     "(snapshot/cdc modes) [env: REPLICATION_SOURCE_DIR]")
@@ -46,7 +56,12 @@ def _build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--parallel-tables", type=int,
                     default=env.parallel_tables,
                     help="[env: REPLICATION_PARALLEL_TABLES]")
-    ap.add_argument("--drop-existing", action="store_true",
+    # Booleans use BooleanOptionalAction (--flag / --no-flag) so an
+    # env-enabled default can still be overridden OFF from the CLI —
+    # the documented "explicit CLI flag > env var" precedence in both
+    # directions (round-3 advice).
+    ap.add_argument("--drop-existing",
+                    action=argparse.BooleanOptionalAction,
                     default=env.drop_existing,
                     help="[env: REPLICATION_DROP_EXISTING]")
     # CDC-only:
@@ -58,16 +73,19 @@ def _build_parser() -> argparse.ArgumentParser:
                     "[env: REPLICATION_TABLE]")
     ap.add_argument("--pks", default=env.pks,
                     help="csv primary keys for CDC [env: REPLICATION_PKS]")
-    ap.add_argument("--follow", action="store_true", default=env.follow,
+    ap.add_argument("--follow", action=argparse.BooleanOptionalAction,
+                    default=env.follow,
                     help="keep streaming (processingTime) instead of "
                     "drain-and-stop [env: REPLICATION_FOLLOW]")
     # compact-only:
-    ap.add_argument("--full", action="store_true", default=env.full,
+    ap.add_argument("--full", action=argparse.BooleanOptionalAction,
+                    default=env.full,
                     help="compact mode: full CDC OPTIMIZE (collapse row "
                     "versions via dedup-latest) instead of policy-gated "
                     "small-file bin-packing; needs --pks "
                     "[env: REPLICATION_FULL]")
-    ap.add_argument("--drop-tombstones", action="store_true",
+    ap.add_argument("--drop-tombstones",
+                    action=argparse.BooleanOptionalAction,
                     default=env.drop_tombstones,
                     help="with --full: physically drop deleted rows "
                     "(ClickHouse OPTIMIZE ... CLEANUP) "

@@ -40,6 +40,12 @@ _MID_BITS = 33
 _MID_MASK = (1 << _MID_BITS) - 1
 
 
+#: offset-lookup strategy switch: up to this many partitions the
+#: cumulative offsets fold into an O(1)-indexed array literal
+#: (64k longs = 512 KB plan constant); beyond it a broadcast join of
+#: the (pid, offset) relation keeps the plan small.
+_MAX_OFFSET_LITERALS = 65_536
+
 #: target rows per range partition when sizing adaptively: ranks are
 #: narrow rows, so 1M rows ≈ tens of MB per task — thousands of
 #: partitions at billions of rows, ONE at harness scale (partition
@@ -95,31 +101,45 @@ def with_global_rank(
         .agg(F.count("*").alias("_n"))
         .collect()
     }
-    offsets: dict[int, int] = {}
+    # Dense cumulative offsets indexed by partition id (range
+    # partitions are 0..num_partitions-1; empty ones just inherit the
+    # running offset — no row references them).
+    dense: list[int] = [0] * max(num_partitions, 1)
     acc = 0
-    for p in sorted(counts):
-        offsets[p] = acc
-        acc += counts[p]
-    off_expr = (
-        F.coalesce(
-            F.create_map(
-                *[
-                    lit
-                    for p, off in offsets.items()
-                    for lit in (F.lit(p), F.lit(off).cast("long"))
-                ]
-            )[pid],
-            F.lit(0).cast("long"),
-        )
-        if offsets
-        else F.lit(0).cast("long")
-    )
+    for p in range(len(dense)):
+        dense[p] = acc
+        acc += counts.get(p, 0)
     local_rank = F.col("_mid").bitwiseAND(F.lit(_MID_MASK)) + F.lit(1)
-    return (
-        ranged.withColumn(rank_col, (local_rank + off_expr).cast("long"))
-        .drop("_mid"),
-        acc,
+    if len(dense) <= _MAX_OFFSET_LITERALS:
+        # element_at on a FOLDABLE array literal is O(1) positional
+        # access; the previous create_map literal paid a linear
+        # GetMapValue scan — O(num_partitions) comparisons per row,
+        # a per-row hot loop at the thousands of partitions this
+        # operator targets (round-3 advice).
+        arr = F.array(*[F.lit(o).cast("long") for o in dense])
+        off_expr = F.element_at(arr, (pid + F.lit(1)).cast("int"))
+        return (
+            ranged.withColumn(
+                rank_col, (local_rank + off_expr).cast("long")
+            ).drop("_mid"),
+            acc,
+        )
+    # Extreme partition counts (beyond what belongs in a plan
+    # literal): broadcast-join the tiny (pid, offset) relation.
+    spark_ = ranged.sparkSession
+    off_df = spark_.createDataFrame(
+        list(enumerate(dense)), "_pid long, _off long"
     )
+    joined = (
+        ranged.withColumn("_pid", pid.cast("long"))
+        .join(F.broadcast(off_df), "_pid", "left")
+        .withColumn(
+            rank_col,
+            (local_rank + F.coalesce("_off", F.lit(0))).cast("long"),
+        )
+        .drop("_mid", "_pid", "_off")
+    )
+    return joined, acc
 
 
 def ntile_from_rank(rank: Column, total: int, n: int) -> Column:

@@ -173,3 +173,50 @@ def test_curate_mode_writes_pack_assignments(spark, tmp_path):
         "doc_id", "source", "lang", "stream_id", "n_tokens",
         "pack_id", "pack_offset",
     }
+
+
+def test_invalid_replication_mode_rejected(monkeypatch, capsys):
+    """argparse doesn't validate defaults against choices, so an
+    invalid REPLICATION_MODE must be rejected explicitly instead of
+    falling through dispatch (round-3 advice)."""
+    import pytest
+
+    from mysql_clickhouse_sync_spark.main import _build_parser
+
+    monkeypatch.setenv("REPLICATION_MODE", "bogus")
+    with pytest.raises(SystemExit):
+        _build_parser().parse_args(["--target-dir", "/tmp/x"])
+    assert "invalid REPLICATION_MODE" in capsys.readouterr().err
+
+
+def test_empty_replication_mode_treated_as_unset(monkeypatch, capsys):
+    import pytest
+
+    from mysql_clickhouse_sync_spark.main import _build_parser
+
+    monkeypatch.setenv("REPLICATION_MODE", "")
+    with pytest.raises(SystemExit):  # --mode becomes required again
+        _build_parser().parse_args(["--target-dir", "/tmp/x"])
+    assert "--mode" in capsys.readouterr().err
+
+
+def test_env_enabled_boolean_can_be_disabled_from_cli(monkeypatch):
+    """'explicit CLI flag > env var' must hold in BOTH directions:
+    --no-follow turns off an env-enabled REPLICATION_FOLLOW
+    (round-3 advice; BooleanOptionalAction)."""
+    from mysql_clickhouse_sync_spark.main import _build_parser
+
+    monkeypatch.setenv("REPLICATION_FOLLOW", "true")
+    monkeypatch.setenv("REPLICATION_DROP_EXISTING", "1")
+    args = _build_parser().parse_args(
+        ["--mode", "snapshot", "--target-dir", "/tmp/x",
+         "--no-follow", "--no-drop-existing"]
+    )
+    assert args.follow is False
+    assert args.drop_existing is False
+    # and env defaults still win when the CLI is silent
+    args2 = _build_parser().parse_args(
+        ["--mode", "snapshot", "--target-dir", "/tmp/x"]
+    )
+    assert args2.follow is True
+    assert args2.drop_existing is True

@@ -125,3 +125,28 @@ def test_equal_freq_bucket_property(spark):
             .count()
         )
         assert diff == 0, (n_rows, n_buckets, parts)
+
+
+def test_global_rank_broadcast_join_path_matches(spark, values, monkeypatch):
+    """Beyond _MAX_OFFSET_LITERALS partitions the offset lookup
+    switches from an array-literal index to a broadcast join; both
+    strategies must produce identical ranks (round-3 advice: the old
+    map-literal lookup paid O(num_partitions) per row)."""
+    import mysql_clickhouse_sync_spark.operators.rank as rank_mod
+
+    order = [F.col("v"), F.col("id")]
+    expected = [
+        r["global_rank"]
+        for r in sorted(
+            with_global_rank(values, order, num_partitions=7)[0].collect(),
+            key=lambda r: r["id"],
+        )
+    ]
+    monkeypatch.setattr(rank_mod, "_MAX_OFFSET_LITERALS", 0)
+    via_join, total = with_global_rank(values, order, num_partitions=7)
+    got = [
+        r["global_rank"]
+        for r in sorted(via_join.collect(), key=lambda r: r["id"])
+    ]
+    assert got == expected
+    assert total == 997
