@@ -94,3 +94,69 @@ def test_replay_is_idempotent(spark, events):
     c1 = sorted(map(tuple, dedup_latest(once, ["id"]).collect()))
     c2 = sorted(map(tuple, dedup_latest(twice, ["id"]).collect()))
     assert c1 == c2
+
+
+def test_pk_changing_update_leaks_old_row_bug_compatibly(spark):
+    """Reference fidelity (SURVEY.md §7 risk register): the reference
+    applies UPDATE events as an append of ``after_values`` ONLY
+    (``/root/reference/src/cdc_replicator.py:184`` — the before-image
+    is discarded, no tombstone for the old key), so an UPDATE that
+    changes the primary key leaves the OLD row live forever alongside
+    the new one.  The engine's changelog contract reproduces this
+    bug-compatibly: an ``op='U'`` row is just a new version of
+    whatever key it carries, and since no event ever carried a delete
+    for the old key, the old key survives in the live view.
+
+    Scenario: INSERT (id=1, v=10), then a source-side
+    ``UPDATE ... SET id=2`` arrives as U(id=2, v=10).  A
+    semantics-fixing engine would emit live = {2}; the reference —
+    and therefore this engine — emits live = {1, 2}.
+    """
+    events = [
+        ("I", 1, 1, 10),   # seq 1: insert pk=1
+        ("U", 2, 2, 10),   # seq 2: pk-changing update arrives as
+                           # after-image only (pk=2) — no tombstone
+    ]
+    changes = stamp_changelog(
+        spark.createDataFrame(
+            events, "op string, seq long, id long, v long"
+        ),
+        op_col="op",
+        seq_col="seq",
+    )
+    empty = spark.createDataFrame([], changes.schema)
+    live = {
+        r["id"]: r["v"]
+        for r in live_view(cdc_apply(empty, changes), ["id"]).collect()
+    }
+    # bug-compatible: the pre-update row is still live under its old pk
+    assert live == {1: 10, 2: 10}
+    # and the Debezium adapter produces exactly this event shape from a
+    # pk-changing update envelope (after-image only for op='u'):
+    import json
+
+    from pyspark.sql import Row
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mysql_clickhouse_sync_spark.sources.debezium import parse_debezium
+
+    env = json.dumps(
+        {
+            "payload": {
+                "before": {"id": 1, "v": 10},
+                "after": {"id": 2, "v": 10},
+                "source": {"ts_ms": 2, "file": "b.1", "pos": 2,
+                           "db": "d", "table": "t"},
+                "op": "u",
+                "ts_ms": 2,
+            }
+        }
+    )
+    schema = StructType(
+        [StructField("id", LongType(), False),
+         StructField("v", LongType(), True)]
+    )
+    raw = spark.createDataFrame([Row(value=env)], "value string")
+    parsed = parse_debezium(raw, schema).collect()
+    assert len(parsed) == 1
+    assert (parsed[0]["op"], parsed[0]["id"]) == ("U", 2)
