@@ -143,14 +143,21 @@ def _ann_recall_audit(
     matched = a.join(e, ["query_id", "neighbor_id"]).groupBy(
         "query_id"
     ).agg(F.count("*").alias("_m"))
+    # Every relation below is O(|queries|) rows (bounded by the
+    # 65k-query contract): broadcast the build sides so the audit
+    # adds zero sort-merge exchanges to the ANN plan.
     per_q = (
         e.groupBy("query_id").agg(F.count("*").alias("_k"))
         .join(
-            a.groupBy("query_id").agg(F.count("*").alias("n_returned")),
+            F.broadcast(
+                a.groupBy("query_id").agg(
+                    F.count("*").alias("n_returned")
+                )
+            ),
             "query_id",
             "left",
         )
-        .join(matched, "query_id", "left")
+        .join(F.broadcast(matched), "query_id", "left")
         .na.fill(0, ["n_returned", "_m"])
     )
     mean_ok = per_q.agg(

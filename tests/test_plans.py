@@ -187,3 +187,43 @@ def test_contamination_broadcasts_benchmark(spark):
     against it."""
     plan = _plan(all_queries()["corpus_contamination"].fn(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_ivf_probe_join_broadcasts_and_rank_is_partition_local(spark):
+    """The IVF audit plan must keep its 100 TB shape: the probe join
+    broadcasts the tiny (query, centroid) side against the partitioned
+    corpus (never a shuffled SortMergeJoin), and no stage funnels the
+    corpus through a SinglePartition exchange except the final
+    bounded mean-contract aggregate (1 row per query upstream)."""
+    plan = _plan(all_queries()["emb_ivf_topk"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_lsh_twin_contract_carries_ids_not_vectors(spark):
+    """emb_lsh_pairs' banding shuffle must still exchange 8-byte ids,
+    never embedding arrays (the r2 optimization the twin contract
+    must not regress): no Exchange input contains the embedding
+    column."""
+    plan = _plan(all_queries()["emb_lsh_pairs"].fn(spark, SF_DIR))
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "embedding" not in m.group(1), m.group(0)
+
+
+def test_global_rank_offsets_are_array_literal_not_map(spark):
+    """with_global_rank's offset lookup must be the O(1) element_at
+    on an array literal (or broadcast join at extreme partition
+    counts) — never the O(P)-per-row GetMapValue scan on a map
+    literal (round-3 advice)."""
+    from mysql_clickhouse_sync_spark.operators.rank import with_global_rank
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    )
+    ranked, _ = with_global_rank(df, [F.col("v"), F.col("id")],
+                                 num_partitions=4)
+    plan = _plan(ranked)
+    assert "map_keys" not in plan and "keys:" not in plan
+    assert "element_at" in plan, plan
