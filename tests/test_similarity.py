@@ -359,3 +359,43 @@ def test_semantic_dedup_retains_full_corpus_mass(spark):
     out = _semantic_dedup_impl(emb)
     assert out.count() == emb.count()
     assert out.select("vec_id").distinct().count() == emb.count()
+
+
+def test_ann_recall_audit_arithmetic(spark):
+    """The audit helper the driver contracts depend on: per-query
+    matched counts, missing-query fill, and the exact integer /
+    half-integer mean bound."""
+    from pyspark.sql import Row
+
+    from mysql_clickhouse_sync_spark.plans.similarity_queries import (
+        _ann_recall_audit,
+    )
+
+    def pairs(rows):
+        return spark.createDataFrame(
+            [Row(query_id=q, neighbor_id=n) for q, n in rows],
+            "query_id long, neighbor_id long",
+        )
+
+    exact = pairs([(1, 10), (1, 11), (2, 10), (2, 12)])   # k=2 per query
+    ann = pairs([(1, 10), (1, 99), (2, 10), (2, 12)])     # q1: 1/2, q2: 2/2
+    out = {
+        r.query_id: r
+        for r in _ann_recall_audit(
+            ann, exact, min_matched=2, mean_min_matched=1.5
+        ).collect()
+    }
+    assert out[1].n_returned == 2 and out[1].recall_ok is False
+    assert out[2].n_returned == 2 and out[2].recall_ok is True
+    # total matched = 3 >= 1.5 * 2 queries -> mean bound holds
+    assert out[1].mean_recall_ok is True and out[2].mean_recall_ok is True
+    # a query the ANN missed entirely -> n_returned 0, recall_ok False
+    out2 = {
+        r.query_id: r
+        for r in _ann_recall_audit(
+            pairs([(1, 10)]), exact, min_matched=1, mean_min_matched=1.0
+        ).collect()
+    }
+    assert out2[2].n_returned == 0 and out2[2].recall_ok is False
+    # mean: total matched 1 < 1.0 * 2 queries -> bound fails
+    assert out2[1].mean_recall_ok is False
