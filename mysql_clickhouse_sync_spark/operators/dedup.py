@@ -321,7 +321,7 @@ def minhash_signatures_vectorized(
     return hashed.mapInPandas(run, out_schema)
 
 
-def minhash_lsh_candidates(
+def minhash_band_index(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -329,15 +329,18 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingle_n: int = 3,
     vectorized: bool = False,
-    max_bucket: int | None = None,
 ) -> DataFrame:
-    """LSH candidate pairs: docs agreeing on >= 1 full band.
+    """Banded MinHash signature relation ``(_id, _band, _bh)`` — the
+    persistable LSH INDEX of a corpus.
 
-    bands x rows_per_band = num_perm.  Explode to (band_idx, band_hash)
-    and expand pairs inside each band bucket (``bucket_pairs``) — the
-    shuffle key is the band hash, so bucket sizes follow collision
-    probability, not corpus size, and signatures are computed once.
-    Output: (id_a, id_b, n_bands_match).
+    This is the write-once artifact incremental dedup needs at 100 TB:
+    band a corpus once, store ~bands x 16 bytes per doc (not the
+    text), and every future batch joins its own banded signatures
+    against the stored relation instead of re-shingling history
+    (:func:`minhash_lsh_candidates_vs_index`).  The same relation,
+    pair-expanded in place, yields the batch self-dedup
+    (:func:`minhash_lsh_candidates`) — one banding code path, two
+    consumption patterns.
 
     ``vectorized=True`` swaps in the numpy signature kernel
     (:func:`minhash_signatures_vectorized` — bit-identical, so the
@@ -349,7 +352,7 @@ def minhash_lsh_candidates(
         minhash_signatures_vectorized if vectorized else minhash_signatures
     )
     sigs = sig_fn(spread(df), id_col, text_col, num_perm, shingle_n)
-    banded = sigs.select(
+    return sigs.select(
         "_id",
         F.posexplode(
             F.array(
@@ -368,11 +371,81 @@ def minhash_lsh_candidates(
             )
         ).alias("_band", "_bh"),
     )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    vectorized: bool = False,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """LSH candidate pairs: docs agreeing on >= 1 full band.
+
+    bands x rows_per_band = num_perm.  Explode to (band_idx, band_hash)
+    (:func:`minhash_band_index`) and expand pairs inside each band
+    bucket (``bucket_pairs``) — the shuffle key is the band hash, so
+    bucket sizes follow collision probability, not corpus size, and
+    signatures are computed once.  Output: (id_a, id_b, n_bands_match).
+    """
+    banded = minhash_band_index(
+        df, id_col, text_col, num_perm, bands, shingle_n, vectorized
+    )
     return (
         bucket_pairs(
             banded, ["_band", "_bh"], F.col("_id"), max_bucket=max_bucket
         )
         .groupBy(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
+        .agg(F.count("*").alias("n_bands_match"))
+    )
+
+
+def minhash_lsh_candidates_vs_index(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    vectorized: bool = False,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Incremental near-dup candidates: NEW batch vs a stored corpus
+    band index — the daily-ingest path at 100 TB, where re-banding
+    history every run is unaffordable.
+
+    The new batch is banded once (same expressions as the index was
+    built with — identical permutation seeds, so signatures are
+    comparable across runs) and equi-joined against the index on
+    ``(_band, _bh)``; work tracks |batch| x collision probability,
+    never |history|.  ``max_bucket`` drops degenerate INDEX buckets
+    whole (a band value shared by >max_bucket historical docs carries
+    ~zero similarity signal and would fan every colliding new doc out
+    by the bucket size — the same hot-key guard ``bucket_pairs``
+    applies to self-dedup).  Output: ``(new_id, old_id,
+    n_bands_match)``.
+    """
+    new_banded = minhash_band_index(
+        new_df, id_col, text_col, num_perm, bands, shingle_n, vectorized
+    ).select(
+        F.col("_id").alias("new_id"), "_band", "_bh"
+    )
+    idx = index.select(F.col("_id").alias("old_id"), "_band", "_bh")
+    if max_bucket is not None:
+        keep = (
+            idx.groupBy("_band", "_bh")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("_band", "_bh")
+        )
+        idx = idx.join(keep, ["_band", "_bh"])
+    return (
+        new_banded.join(idx, ["_band", "_bh"])
+        .groupBy("new_id", "old_id")
         .agg(F.count("*").alias("n_bands_match"))
     )
 

@@ -21,6 +21,7 @@ from ..operators.cdc import live_view
 from ..operators.multimodal import (
     decode_and_featurize,
     media_dedup_keys,
+    resize_images,
     sample_frames,
 )
 from ..sources.changelog import ORDERS_PK
@@ -116,6 +117,34 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = _docs_as_media(spark, sf_dir)
     return sample_frames(media, every_ms=1000, decode_kind="fake").select(
         "media_id", "frame_idx", "ts_ms", F.length("frame").alias("frame_bytes")
+    )
+
+
+@register(
+    "media_resized_images",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(64 AS INT) AS out_width,
+           CAST(48 AS INT) AS out_height,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+    description="Image resize stage as an Arrow-batched mapInPandas "
+    "pass (codec stubbed: the fake kernel filters to kind='image', "
+    "stamps target geometry, passes the payload through — a real "
+    "deployment decodes/resamples/re-encodes in the same batch "
+    "loop).  Fully hash-checkable: image selection (doc_id % 3 = 0), "
+    "geometry stamps and payload byte length are all pure functions "
+    "DuckDB regenerates, so a broken kind filter, dropped batch or "
+    "payload corruption in the Python stage goes driver-red",
+)
+def media_resized_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _docs_as_media(spark, sf_dir)
+    return resize_images(media, width=64, height=48, decode_kind="fake").select(
+        "media_id",
+        "out_width",
+        "out_height",
+        F.length("payload").alias("n_bytes"),
     )
 
 

@@ -64,7 +64,12 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 # tools/window_fidelity.py (5 set-ops, docs_top_words,
 # docs_subword_tokens, sql_region_revenue, docs_weighted_sample —
 # the exact set the round-3 verdict proposed).  Policy going
-# forward: new queries enter the window the round they are added.
+# forward: new queries enter the window the round they are added —
+# applied immediately to round 4's own additions:
+# docs_dedup_incremental and media_resized_images enter (evicting
+# docs_lang_source_profile and docs_tfidf_top_terms, both r3-green;
+# the text family keeps 10 graded rows, so per-family coverage
+# holds).  Ledgered in PARITY.md alongside the 9+9 swap.
 DRIVER_WINDOW = (
     # CDC sentinels
     "cdc_live_orders",
@@ -87,11 +92,10 @@ DRIVER_WINDOW = (
     "docs_language_id",
     "docs_top_jaccard_pairs_capped",
     "docs_minhash_candidates",
+    "docs_dedup_incremental",
     "docs_simhash_pairs",
     "docs_fingerprints",
-    "docs_lang_source_profile",
     "docs_dup_clusters",
-    "docs_tfidf_top_terms",
     "docs_curation_pipeline",
     # corpus preparation (rotated in, round 4)
     "corpus_pii_scrub",
@@ -116,6 +120,7 @@ DRIVER_WINDOW = (
     "media_decode_features",
     "media_exact_dedup",
     "media_frame_sample",
+    "media_resized_images",
     # SQL surface
     "sql_live_segment_stats",
     # sampling

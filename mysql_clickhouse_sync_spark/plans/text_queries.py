@@ -289,6 +289,84 @@ def docs_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_dedup_incremental",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id AS _id, {_SQL_SHINGLES} AS _sh,
+               len({_SQL_SHINGLES}) AS _n
+        FROM documents
+    ), ex AS (
+        SELECT _id, _n, unnest(_sh) AS _shingle FROM sh
+    ), kept AS (
+        SELECT * FROM ex WHERE _shingle IN (
+            SELECT _shingle FROM ex GROUP BY _shingle
+            HAVING count(*) <= {_MAX_BUCKET}
+        )
+    ), pairs AS (
+        SELECT a._id AS id_a, b._id AS id_b, a._n AS n_a, b._n AS n_b,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM kept a JOIN kept b ON a._shingle = b._shingle AND a._id < b._id
+        GROUP BY a._id, b._id, a._n, b._n
+    ), near AS (
+        SELECT id_a, id_b,
+               CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
+        FROM pairs
+        WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.8
+          AND (id_a + id_b) % 2 = 1
+    )
+    SELECT CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END AS new_id,
+           CASE WHEN id_a % 2 = 1 THEN id_b ELSE id_a END AS old_id,
+           jaccard, TRUE AS lsh_caught
+    FROM near
+    """,
+    description="INCREMENTAL near-dup dedup: odd-id docs play the "
+    "daily ingest batch, even-id docs the historical corpus whose "
+    "band index (minhash_band_index — the persistable ~128 B/doc "
+    "artifact) was built in a prior run; candidates come from "
+    "equi-joining the batch's banded signatures against the index, so "
+    "work tracks |batch|, never |history| — the only affordable "
+    "dedup shape at 100 TB daily ingest.  Self-check contract as the "
+    "oracle (same pattern as docs_minhash_candidates): output rows "
+    "are the EXACT capped-Jaccard cross-parity pairs >= 0.8 and "
+    "lsh_caught asserts the index join surfaced each one "
+    "(deterministic — identical permutation seeds across runs is "
+    "precisely what makes signatures comparable run-over-run)",
+)
+def docs_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import (
+        minhash_band_index,
+        minhash_lsh_candidates_vs_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    index = minhash_band_index(old)
+    cand = minhash_lsh_candidates_vs_index(
+        new, index, max_bucket=_MAX_BUCKET
+    ).select("new_id", "old_id", F.lit(True).alias("_hit"))
+    exact = shingle_pairs_jaccard(docs, max_bucket=_MAX_BUCKET).filter(
+        (F.col("jaccard") >= 0.8)
+        & ((F.col("id_a") + F.col("id_b")) % 2 == 1)
+    )
+    directed = exact.select(
+        F.when(F.col("id_a") % 2 == 1, F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("new_id"),
+        F.when(F.col("id_a") % 2 == 1, F.col("id_b"))
+        .otherwise(F.col("id_a"))
+        .alias("old_id"),
+        "jaccard",
+    )
+    return directed.join(cand, ["new_id", "old_id"], "left").select(
+        "new_id",
+        "old_id",
+        "jaccard",
+        F.coalesce("_hit", F.lit(False)).alias("lsh_caught"),
+    )
+
+
+@register(
     "docs_simhash_pairs",
     oracle="""
     SELECT doc_id, TRUE AS twin_caught, TRUE AS recall_ok

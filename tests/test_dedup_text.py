@@ -194,3 +194,67 @@ def test_registered_near_dup_queries_cap_hot_buckets(spark, tmp_path):
     assert qs["docs_minhash_candidates"].fn(spark, str(tmp_path)).count() == 0
     # sanity: the exact twin on the same corpus does expand
     assert qs["docs_top_jaccard_pairs"].fn(spark, str(tmp_path)).count() == 20
+
+
+def test_incremental_candidates_match_batch_lsh_cross_pairs(spark):
+    """The incremental index join must surface exactly the cross-split
+    subset of what one-shot LSH over the union finds (same seeds ->
+    same signatures -> same band collisions), and the stored index
+    must be reusable: building it in one 'run' (separate DataFrame)
+    and joining a new batch later yields identical candidates."""
+    from pyspark.sql import functions as F
+
+    from mysql_clickhouse_sync_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_lsh_candidates,
+        minhash_lsh_candidates_vs_index,
+    )
+    from mysql_clickhouse_sync_spark.sources.parquet import load_table
+
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    full = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(docs).collect()
+    }
+    cross_expected = {
+        (a, b) for a, b in full if (a + b) % 2 == 1
+    }
+    inc = {
+        (min(r.new_id, r.old_id), max(r.new_id, r.old_id))
+        for r in minhash_lsh_candidates_vs_index(
+            new, minhash_band_index(old)
+        ).collect()
+    }
+    assert inc == cross_expected
+    assert inc, "no cross-split candidates on harness data"
+
+
+def test_incremental_index_bucket_cap_drops_hot_bands(spark):
+    """A degenerate index band bucket (> max_bucket historical docs)
+    is dropped whole instead of fanning every colliding new doc out
+    by the bucket size."""
+    from pyspark.sql import Row
+
+    from mysql_clickhouse_sync_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_lsh_candidates_vs_index,
+    )
+
+    # 9 identical history docs + 1 identical new doc: every band
+    # bucket holds 9 index rows.
+    old = spark.createDataFrame(
+        [Row(doc_id=i, text="alpha beta gamma delta epsilon zeta")
+         for i in range(9)]
+    )
+    new = spark.createDataFrame(
+        [Row(doc_id=101, text="alpha beta gamma delta epsilon zeta")]
+    )
+    idx = minhash_band_index(old)
+    uncapped = minhash_lsh_candidates_vs_index(new, idx)
+    assert uncapped.count() == 9
+    capped = minhash_lsh_candidates_vs_index(new, idx, max_bucket=4)
+    assert capped.count() == 0

@@ -100,6 +100,8 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         "sql_region_revenue",        # r4: green r3; slot to corpus family
         "docs_weighted_sample",      # r4: green r3; slot to corpus family
         "doc_sources_except_all",    # r4: green r3; slot to corpus family
+        "docs_lang_source_profile",  # r4: green r3; slot to new r4 queries
+        "docs_tfidf_top_terms",      # r4: green r3; slot to new r4 queries
     }
     surface = {
         n for n in qs
