@@ -78,9 +78,12 @@ HEADLINE_SEMANTICS_CHANGES = {
 # (suspected host jitter): measure best-of-3 instead of best-of-2.
 _EXTRA_REPEATS = {"emb_ivf_topk": 3, "emb_cosine_topk": 3}
 
-# Round-3 additions, timed separately so the headline total stays
-# comparable across rounds.
+# Post-round-2 additions, timed separately so the headline total
+# stays comparable across rounds (r3: corpus family + PQ + semantic
+# dedup; r4: incremental band-index dedup + resize stage).
 EXTENDED = (
+    "docs_dedup_incremental",
+    "media_resized_images",
     "corpus_pii_scrub",
     "corpus_doc_chunks",
     "corpus_lm_quality",
