@@ -28,18 +28,28 @@ def _build_parser() -> argparse.ArgumentParser:
     from .config import ReplicationConfig
 
     env = ReplicationConfig.from_env()
-    ap = argparse.ArgumentParser(prog="spark-sync-engine")
     modes = ("snapshot", "cdc", "compact", "zorder", "curate")
-    # argparse does NOT validate defaults against `choices`, so an
-    # invalid REPLICATION_MODE would silently fall through dispatch
-    # and surface as a confusing downstream error; validate it here
-    # and treat empty string as unset (round-3 advice).
     env_mode = (os.environ.get("REPLICATION_MODE") or "").strip()
-    if env_mode and env_mode not in modes:
-        ap.error(
-            f"invalid REPLICATION_MODE {env_mode!r} "
-            f"(choose from {', '.join(modes)})"
-        )
+
+    class _Parser(argparse.ArgumentParser):
+        """argparse does NOT validate defaults against `choices`, so
+        an invalid REPLICATION_MODE would silently fall through
+        dispatch.  Validate post-parse, and ONLY when the env value
+        would actually be used as the mode: an explicit valid
+        ``--mode`` on the CLI must win over a stale env var in the
+        shell ('explicit CLI flag > env var' precedence, both
+        directions — round-4 advice)."""
+
+        def parse_args(self, args=None, namespace=None):  # type: ignore[override]
+            ns = super().parse_args(args, namespace)
+            if getattr(ns, "mode", None) not in modes:
+                self.error(
+                    f"invalid REPLICATION_MODE {ns.mode!r} "
+                    f"(choose from {', '.join(modes)})"
+                )
+            return ns
+
+    ap = _Parser(prog="spark-sync-engine")
     ap.add_argument("--mode",
                     choices=modes,
                     default=env_mode or None,

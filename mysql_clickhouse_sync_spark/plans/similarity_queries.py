@@ -405,7 +405,17 @@ def emb_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_transform(v, x -> x / sqrt({_dot('v', 'v')})) AS u
         FROM e
     ), cents AS (
-        SELECT vec_id AS cid, u AS cu FROM n ORDER BY vec_id LIMIT 8
+        -- Mirrors _semantic_centroid_count(N): k = max(8, N // 1000),
+        -- so engine and oracle agree at EVERY scale factor (a
+        -- hard-coded LIMIT 8 would diverge once the corpus passes
+        -- 9000 embeddings even though the engine is correct).
+        SELECT vec_id AS cid, u AS cu FROM (
+            SELECT vec_id, u,
+                   row_number() OVER (ORDER BY vec_id) AS _crn
+            FROM n
+        ) WHERE _crn <= greatest(
+            8, (SELECT count(*) FROM embeddings) // 1000
+        )
     ), scored AS (
         SELECT n.vec_id, n.u, c.cid,
                {_dot('n.u', 'c.cu')} AS cos_c
@@ -498,10 +508,10 @@ def _semantic_dedup_impl(emb_raw: DataFrame) -> DataFrame:
             ).alias("u"),
         )
     )
-    # Quantizer sized to the corpus via one cheap count job (k = 8 at
-    # harness SFs, matching the oracle's LIMIT 8; k grows as N/1000
-    # beyond ~8k vectors so buckets never approach the max_bucket
-    # guard).  The quantizer itself stays the deterministic
+    # Quantizer sized to the corpus via one cheap count job; the
+    # oracle mirrors the same k = max(8, N // 1000) rule, so engine
+    # and oracle stay in lockstep at every scale factor and buckets
+    # never approach the max_bucket guard.  The quantizer stays the
     # first-k-by-id rule so the DuckDB oracle can mirror it exactly;
     # IVF's trained k-means is the right tool when recall, not
     # SQL-mirrorability, is the goal.

@@ -466,9 +466,19 @@ def docs_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_tokens",
             (F.col("_n") == 1).alias("fp_unique"),
-            F.coalesce(
-                F.col("_tfp") == F.col("fingerprint"), F.lit(True)
-            ).alias("twin_fp_match"),
+            # Planted docs (doc_id % 25 == 0) MUST find their twin: a
+            # missing twin fingerprint there means the stage dropped
+            # the row, so it fails the check instead of a blanket
+            # NULL->TRUE coalesce hiding 'twin lost' as 'no twin'.
+            F.when(
+                F.col("doc_id") % 25 == 0,
+                F.coalesce(
+                    F.col("_tfp") == F.col("fingerprint"),
+                    F.lit(False),
+                ),
+            )
+            .otherwise(F.lit(True))
+            .alias("twin_fp_match"),
         )
     )
 

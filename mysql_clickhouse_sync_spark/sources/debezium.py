@@ -160,7 +160,11 @@ def kafka_reader_options(cfg) -> dict[str, str]:
         "subscribe": cfg.topic,
         "startingOffsets": cfg.starting_offsets,
         "failOnDataLoss": str(bool(cfg.fail_on_data_loss)).lower(),
-        "kafka.group.id.prefix": cfg.group_id_prefix,
+        # Spark source-level option (NOT a kafka.* consumer passthrough):
+        # `kafka.group.id.prefix` would reach the Kafka consumer as the
+        # unknown config `group.id.prefix` and be silently ignored, so
+        # the configured consumer identity would never apply.
+        "groupIdPrefix": cfg.group_id_prefix,
     }
     if cfg.max_offsets_per_trigger:
         opts["maxOffsetsPerTrigger"] = str(cfg.max_offsets_per_trigger)

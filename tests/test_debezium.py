@@ -243,6 +243,11 @@ def test_kafka_reader_options_mapping():
     assert opts["startingOffsets"] == "latest"
     assert opts["failOnDataLoss"] == "true"
     assert opts["maxOffsetsPerTrigger"] == "50000"
+    # Consumer-group identity must use Spark's source-level option
+    # `groupIdPrefix`; a `kafka.group.id.prefix` passthrough reaches
+    # the consumer as an unknown config and is silently dropped.
+    assert opts["groupIdPrefix"] == "mysql-clickhouse-sync"
+    assert "kafka.group.id.prefix" not in opts
     # unbounded microbatches -> option omitted entirely
     assert "maxOffsetsPerTrigger" not in kafka_reader_options(
         KafkaConfig(bootstrap_servers="k:9092", topic="t")

@@ -189,6 +189,20 @@ def test_invalid_replication_mode_rejected(monkeypatch, capsys):
     assert "invalid REPLICATION_MODE" in capsys.readouterr().err
 
 
+def test_explicit_cli_mode_beats_stale_env_mode(monkeypatch):
+    """A stale invalid REPLICATION_MODE in the shell must NOT break an
+    invocation that passes a valid --mode explicitly — the env value
+    is only validated when it would actually be used as the default
+    (round-4 advice: 'explicit CLI flag > env var', both directions)."""
+    from mysql_clickhouse_sync_spark.main import _build_parser
+
+    monkeypatch.setenv("REPLICATION_MODE", "bogus")
+    args = _build_parser().parse_args(
+        ["--mode", "snapshot", "--target-dir", "/tmp/x"]
+    )
+    assert args.mode == "snapshot"
+
+
 def test_empty_replication_mode_treated_as_unset(monkeypatch, capsys):
     import pytest
 
