@@ -1,21 +1,39 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (round-4 verdict items 1-2):
+
+* The FINAL stdout line is ONE compact JSON object, kept well under
+  2,000 chars so a tail capture always contains the whole object:
+  headline total, per-query best-of-n seconds, extended total,
+  snapshot/CDC throughput, repeat count, and the correctness-gate
+  status.
+* Full per-query detail — every run, best/median/spread — goes to
+  ``bench_detail.json`` (and human-readable lines to stderr), so
+  regression vs contention is distinguishable without re-running
+  anything out-of-band.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _ROOT)
 
 from mysql_clickhouse_sync_spark.plans.registry import all_queries
 from mysql_clickhouse_sync_spark.session import get_spark
 
+# Round-5 headline mix change (disclosed in HEADLINE_SEMANTICS_CHANGES
+# below + PARITY.md): the headline times PRODUCTION paths only.  The
+# in-query exact-Jaccard audit twins that made docs_minhash_candidates
+# (+~4s) and docs_dedup_incremental hash-verifiable stay registered and
+# driver-graded, but are timed under EXTENDED; the *_raw variants here
+# run the identical LSH/index-join operators without the audit mass.
 HEADLINE = (
     "cdc_live_orders",        # the reference's semantic core end-to-end
     "cdc_live_agg",
@@ -41,7 +59,8 @@ HEADLINE = (
     "orders_in_promo_windows",
     "docs_exact_dedup",
     "docs_top_jaccard_pairs_capped",
-    "docs_minhash_candidates",
+    "docs_minhash_candidates_raw",
+    "docs_dedup_incremental_raw",
     "docs_subword_tokens",
     "emb_cosine_topk",
     "emb_cosine_topk_vectorized",
@@ -51,9 +70,7 @@ HEADLINE = (
 
 # Comparability ledger (round-3 advice: annotate the headline total
 # wherever round totals are compared, instead of silently changing the
-# mix).  The HEADLINE tuple keeps the same names across rounds; when a
-# named query's SEMANTICS change, the change and its expected cost
-# impact are recorded here and emitted in the JSON output.
+# mix).  Emitted in bench_detail.json.
 HEADLINE_SEMANTICS_CHANGES = {
     "round_3": (
         "docs_top_jaccard_pairs -> docs_top_jaccard_pairs_capped "
@@ -65,23 +82,30 @@ HEADLINE_SEMANTICS_CHANGES = {
         "emb_cosine_topk_vectorized (and extended emb_quantized_topk, "
         "emb_pq_topk) now run in-query self-check contracts so the "
         "driver can hash-verify them: minhash adds an exact "
-        "capped-Jaccard twin (~+6s), IVF doubles nprobe 4->8 to meet "
+        "capped-Jaccard twin (~+4s), IVF doubles nprobe 4->8 to meet "
         "the recall>=0.8 contract and adds a vectorized exact twin "
         "(~+2s), vectorized top-k adds fold re-scoring of winners "
-        "(~+0.1s).  The added seconds buy hash-verified correctness, "
-        "not engine slowdown; like-for-like totals are derivable from "
-        "the per-query timings"
+        "(~+0.2s).  The added seconds buy hash-verified correctness, "
+        "not engine slowdown"
+    ),
+    "round_5": (
+        "headline swaps docs_minhash_candidates -> "
+        "docs_minhash_candidates_raw (same LSH operators, exact-twin "
+        "audit stripped, ~-4s) and adds docs_dedup_incremental_raw "
+        "(the index join alone, sub-second); the contract-bearing "
+        "versions stay driver-graded and are timed under EXTENDED.  "
+        "The headline total now measures engine work only (round-4 "
+        "verdict item 3); every headline query is best-of-3 with "
+        "spread recorded in bench_detail.json (item 2)"
     ),
 }
 
-# Queries whose r3 timings moved >20% with no in-path code change
-# (suspected host jitter): measure best-of-3 instead of best-of-2.
-_EXTRA_REPEATS = {"emb_ivf_topk": 3, "emb_cosine_topk": 3}
-
 # Post-round-2 additions, timed separately so the headline total
 # stays comparable across rounds (r3: corpus family + PQ + semantic
-# dedup; r4: incremental band-index dedup + resize stage).
+# dedup; r4: incremental band-index dedup + resize stage; r5: the
+# audit-carrying contract twins swapped out of the headline).
 EXTENDED = (
+    "docs_minhash_candidates",
     "docs_dedup_incremental",
     "media_resized_images",
     "corpus_pii_scrub",
@@ -95,6 +119,9 @@ EXTENDED = (
     "emb_pq_topk",
     "emb_quantized_topk",
 )
+
+_HEADLINE_REPEATS = 3   # round-4 verdict: best-of-3 minimum, in-artifact
+_EXTENDED_REPEATS = 2
 
 
 def throughput_metrics(spark, sf_dir: str) -> dict[str, float]:
@@ -137,6 +164,67 @@ def throughput_metrics(spark, sf_dir: str) -> dict[str, float]:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _time_queries(
+    registry, names, spark, sf_dir: str, repeats: int, tag: str
+) -> dict[str, dict]:
+    """Per query: run `repeats` times, keep every wall-clock sample.
+    The min reflects the plan cost on a shared host (single runs show
+    up to 5x transient jitter); spread = max-min distinguishes
+    contention from regression without out-of-band re-runs."""
+    out: dict[str, dict] = {}
+    for name in names:
+        q = registry[name]
+        runs: list[float] = []
+        n_rows = 0
+        for _ in range(repeats):
+            t0 = time.time()
+            n_rows = q.fn(spark, sf_dir).count()
+            runs.append(round(time.time() - t0, 3))
+        s = sorted(runs)
+        out[name] = {
+            "best": s[0],
+            "median": s[len(s) // 2],
+            "spread": round(s[-1] - s[0], 3),
+            "n": repeats,
+            "runs": runs,
+            "rows": n_rows,
+        }
+        print(
+            f"# {name}: best={s[0]}s median={s[len(s) // 2]}s "
+            f"spread={out[name]['spread']}s ({n_rows} rows, {tag})",
+            file=sys.stderr,
+        )
+    return out
+
+
+def _run_gate() -> dict:
+    """Correctness-gate line for the bench artifact (round-4 verdict
+    item 7): subprocess so the vanilla-session gate cannot collide
+    with bench's tuned session.  SPARK_GRAFT_GATE: window (default,
+    driver-replica window_fidelity at sf0.01) | full (ci_gate:
+    window_fidelity + all-query check_oracle) | off."""
+    mode = os.environ.get("SPARK_GRAFT_GATE", "window")
+    gate_sf = os.environ.get(
+        "SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    if mode == "off":
+        return {"mode": "off"}
+    script = "ci_gate.py" if mode == "full" else "window_fidelity.py"
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, os.path.join(_ROOT, "tools", script), gate_sf],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+    )
+    return {
+        "mode": mode,
+        "sf_dir": gate_sf,
+        "status": "ALL_PASS" if proc.returncode == 0 else "FAIL",
+        "sec": round(time.time() - t0, 1),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -153,47 +241,55 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
-    # Best-of-2 per query: the container host is shared, and single
-    # runs show up to 5x transient jitter; the min reflects the actual
-    # plan cost.
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        q = registry[name]
-        best, n = float("inf"), 0
-        for _ in range(_EXTRA_REPEATS.get(name, 2)):
-            t0 = time.time()
-            n = q.fn(spark, sf_dir).count()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
-
-    total = round(sum(timings.values()), 3)
-    ext: dict[str, float] = {}
-    for name in EXTENDED:
-        q = registry[name]
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            q.fn(spark, sf_dir).count()
-            best = min(best, time.time() - t0)
-        ext[name] = round(best, 3)
-        print(f"# {name}: {ext[name]}s (extended)", file=sys.stderr)
-    tp = throughput_metrics(spark, sf_dir)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "extended_queries": ext,
-                "extended_total": round(sum(ext.values()), 3),
-                "headline_semantics_changes": HEADLINE_SEMANTICS_CHANGES,
-                **tp,
-            }
-        )
+    detail_head = _time_queries(
+        registry, HEADLINE, spark, sf_dir, _HEADLINE_REPEATS, "headline"
     )
+    detail_ext = _time_queries(
+        registry, EXTENDED, spark, sf_dir, _EXTENDED_REPEATS, "extended"
+    )
+    tp = throughput_metrics(spark, sf_dir)
+    gate = _run_gate()
+
+    timings = {n: d["best"] for n, d in detail_head.items()}
+    total = round(sum(timings.values()), 3)
+    ext_total = round(sum(d["best"] for d in detail_ext.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    detail = {
+        "sf": sf_val,
+        "headline_total_sec": total,
+        "extended_total_sec": ext_total,
+        "headline": detail_head,
+        "extended": detail_ext,
+        "headline_semantics_changes": HEADLINE_SEMANTICS_CHANGES,
+        "gate": gate,
+        **tp,
+    }
+    detail_path = os.path.join(_ROOT, "bench_detail.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    print(f"# full per-query detail -> {detail_path}", file=sys.stderr)
+
+    # FINAL stdout line: one compact JSON object, < 2,000 chars.
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "queries": timings,
+        "extended_total": ext_total,
+        "repeats": _HEADLINE_REPEATS,
+        "gate": {
+            k: gate[k] for k in ("mode", "status", "sec") if k in gate
+        },
+        "detail": "bench_detail.json",
+        **tp,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # hard guard: never regress the tail capture
+        compact.pop("queries")
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

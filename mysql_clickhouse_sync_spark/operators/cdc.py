@@ -127,6 +127,55 @@ def dedup_latest(
     )
 
 
+def dedup_latest_agg(
+    df: DataFrame,
+    pks: Sequence[str],
+    version_col: str = VERSION_COL,
+    tiebreak_col: str | None = SEQ_COL,
+) -> DataFrame:
+    """Skew-safe twin of :func:`dedup_latest`: same keep-latest
+    semantics as one hash AGGREGATION instead of a ranking window.
+
+    Why it exists (round-4 verdict item 5): the window path hashes
+    every version of a PK into ONE task and sorts there.  A hot key —
+    a counter row rewritten once per event, realistic in CDC — with
+    millions of versions serializes into a single straggler task at
+    100x scale.  ``max_by(struct(<all cols>), struct(version, seq))``
+    is a declarative aggregate, so Spark runs a PARTIAL aggregation
+    map-side before the shuffle: each map partition forwards at most
+    ONE candidate row per key, and the hot key crosses the wire
+    ``num_map_partitions`` times instead of ``num_versions`` times.
+    Reduce-side work per key is O(candidates), not O(versions) — no
+    sort, no straggler, regardless of skew.
+
+    Tie semantics match the window path exactly: the ordering key is
+    ``struct(version, seq)`` and Spark orders struct fields
+    left-to-right with NULL smallest, which reproduces
+    ``version DESC, seq DESC NULLS LAST`` under max().  ``seq`` is
+    unique per key in any changelog (it is the apply sequence), so
+    the winner is deterministic — asserted equal to the window path,
+    including on planted hot keys, in tests/test_cdc_skew.py.
+
+    The window path stays the default: at harness scales it is
+    slightly faster (no struct materialization per row) and its plan
+    (Exchange + WindowExec) is pinned by tests.  Use this variant
+    when key skew is expected; ``compact``-style maintenance jobs at
+    100 TB should prefer it unconditionally.
+    """
+    if not pks:
+        raise ValueError("dedup_latest_agg requires at least one key column")
+    ord_fields = [F.col(version_col)]
+    if tiebreak_col and tiebreak_col in df.columns:
+        ord_fields.append(F.col(tiebreak_col))
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    winner = (
+        df.groupBy(*[F.col(k) for k in pks])
+        .agg(F.max_by(payload, F.struct(*ord_fields)).alias("_row"))
+        .select("_row.*")
+    )
+    return winner
+
+
 def live_view(
     df: DataFrame,
     pks: Sequence[str],

@@ -289,6 +289,28 @@ def docs_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_minhash_candidates_raw",
+    oracle=None,
+    description="PRODUCTION path of docs_minhash_candidates with the "
+    "in-query exact-Jaccard audit stripped: MinHash(32) signatures -> "
+    "8-band LSH -> capped bucket pair expansion, nothing else.  "
+    "Bench-only by design (registered past the driver window, "
+    "rows-only locally): the audit twin computes an exact all-pairs "
+    "shingle join that exists to hash-verify THIS code path — "
+    "docs_minhash_candidates calls the identical "
+    "minhash_lsh_candidates(max_bucket) operator, so its driver-green "
+    "hash covers this variant's correctness while this entry times "
+    "what a user actually runs (round-4 verdict: the headline should "
+    "measure engine work, not oracle-support mass)",
+)
+def docs_minhash_candidates_raw(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(docs, max_bucket=_MAX_BUCKET)
+
+
+@register(
     "docs_dedup_incremental",
     oracle=f"""
     WITH sh AS (
@@ -363,6 +385,37 @@ def docs_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "old_id",
         "jaccard",
         F.coalesce("_hit", F.lit(False)).alias("lsh_caught"),
+    )
+
+
+@register(
+    "docs_dedup_incremental_raw",
+    oracle=None,
+    description="PRODUCTION path of docs_dedup_incremental with the "
+    "exact-Jaccard audit twin stripped: band the odd-id ingest batch, "
+    "equi-join it against the even-id corpus band index "
+    "(minhash_band_index) on (_band, _bh) — work tracks |batch|, "
+    "never |history|.  Bench-only (past the driver window, rows-only "
+    "locally): docs_dedup_incremental drives the identical "
+    "minhash_band_index + minhash_lsh_candidates_vs_index operators "
+    "under a driver-green hash contract; this entry times the daily "
+    "ingest join a user actually pays for (round-4 verdict: split "
+    "audit mass out of the headline)",
+)
+def docs_dedup_incremental_raw(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import (
+        minhash_band_index,
+        minhash_lsh_candidates_vs_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    index = minhash_band_index(old)
+    return minhash_lsh_candidates_vs_index(
+        new, index, max_bucket=_MAX_BUCKET
     )
 
 

@@ -258,3 +258,47 @@ def test_incremental_index_bucket_cap_drops_hot_bands(spark):
     assert uncapped.count() == 9
     capped = minhash_lsh_candidates_vs_index(new, idx, max_bucket=4)
     assert capped.count() == 0
+
+
+def test_band_index_parquet_round_trip(spark, tmp_path):
+    """The band index is documented as the write-once persistable
+    artifact of incremental dedup (operators/dedup.py:
+    minhash_band_index).  Prove it: write the index to parquet, RELOAD
+    it in a fresh DataFrame (fresh lineage, schema from disk), join a
+    batch against the reloaded relation, and assert candidates
+    identical to the in-plan path — i.e. nothing about the candidates
+    depends on in-memory lineage, only on the stored (_id, _band, _bh)
+    rows.  This is the seam a daily-ingest deployment actually uses:
+    band history once, store ~128 B/doc, join each day's batch against
+    the stored relation."""
+    from pyspark.sql import functions as F
+
+    from mysql_clickhouse_sync_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_lsh_candidates_vs_index,
+    )
+    from mysql_clickhouse_sync_spark.sources.parquet import load_table
+
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+
+    idx_path = str(tmp_path / "band_index.parquet")
+    in_plan_idx = minhash_band_index(old)
+    in_plan_idx.write.parquet(idx_path)
+    reloaded_idx = spark.read.parquet(idx_path)
+    assert dict(reloaded_idx.dtypes) == dict(in_plan_idx.dtypes)
+
+    key = lambda rows: {  # noqa: E731
+        (r.new_id, r.old_id, r.n_bands_match) for r in rows
+    }
+    from_disk = key(
+        minhash_lsh_candidates_vs_index(new, reloaded_idx).collect()
+    )
+    from_plan = key(
+        minhash_lsh_candidates_vs_index(new, in_plan_idx).collect()
+    )
+    assert from_disk == from_plan
+    assert from_disk, "no cross-split candidates on harness data"

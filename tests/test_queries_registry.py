@@ -102,6 +102,13 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         "doc_sources_except_all",    # r4: green r3; slot to corpus family
         "docs_lang_source_profile",  # r4: green r3; slot to new r4 queries
         "docs_tfidf_top_terms",      # r4: green r3; slot to new r4 queries
+        # r5 bench-only raw production variants: the contract-bearing
+        # twins (docs_minhash_candidates, docs_dedup_incremental) are
+        # driver-graded and exercise the identical operators; these
+        # exist so the bench headline times engine work, not the
+        # in-query exact-Jaccard audits (round-4 verdict item 3)
+        "docs_minhash_candidates_raw",
+        "docs_dedup_incremental_raw",
     }
     surface = {
         n for n in qs
