@@ -64,7 +64,7 @@ HEADLINE = (
     "docs_subword_tokens",
     "emb_cosine_topk",
     "emb_cosine_topk_vectorized",
-    "emb_ivf_topk",
+    "emb_ivf_topk_raw",
     "media_decode_features",
 )
 
@@ -91,12 +91,14 @@ HEADLINE_SEMANTICS_CHANGES = {
     "round_5": (
         "headline swaps docs_minhash_candidates -> "
         "docs_minhash_candidates_raw (same LSH operators, exact-twin "
-        "audit stripped, ~-4s) and adds docs_dedup_incremental_raw "
-        "(the index join alone, sub-second); the contract-bearing "
-        "versions stay driver-graded and are timed under EXTENDED.  "
-        "The headline total now measures engine work only (round-4 "
-        "verdict item 3); every headline query is best-of-3 with "
-        "spread recorded in bench_detail.json (item 2)"
+        "audit stripped, ~-4s), emb_ivf_topk -> emb_ivf_topk_raw "
+        "(same IVF search, brute-force twin + recall join stripped, "
+        "~-2s), and adds docs_dedup_incremental_raw (the index join "
+        "alone); the contract-bearing versions stay driver-graded "
+        "and are timed under EXTENDED.  The headline total now "
+        "measures engine work only (round-4 verdict item 3); every "
+        "headline query is best-of-3 with spread recorded in "
+        "bench_detail.json (item 2)"
     ),
 }
 
@@ -107,6 +109,7 @@ HEADLINE_SEMANTICS_CHANGES = {
 EXTENDED = (
     "docs_minhash_candidates",
     "docs_dedup_incremental",
+    "emb_ivf_topk",
     "media_resized_images",
     "corpus_pii_scrub",
     "corpus_doc_chunks",

@@ -246,6 +246,25 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_ivf_topk_raw",
+    oracle=None,
+    description="PRODUCTION path of emb_ivf_topk with the audit "
+    "stripped: Lloyd's-trained 16-list IVF, nprobe=8, top-5 per "
+    "query — no exact brute-force twin, no recall join.  Bench-only "
+    "by design (registered past the driver window, rows-only "
+    "locally): emb_ivf_topk calls the identical ivf_topk(emb, "
+    "queries, k=5, n_centroids=16, nprobe=8) and its driver-green "
+    "hash contract covers this path's correctness; this entry times "
+    "the ANN search a user actually pays for (round-4 verdict item "
+    "3 applied to the similarity family)",
+)
+def emb_ivf_topk_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=8)
+
+
+@register(
     "emb_cosine_topk_vectorized",
     oracle=f"""
     WITH q AS (

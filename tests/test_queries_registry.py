@@ -109,6 +109,7 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         # in-query exact-Jaccard audits (round-4 verdict item 3)
         "docs_minhash_candidates_raw",
         "docs_dedup_incremental_raw",
+        "emb_ivf_topk_raw",
     }
     surface = {
         n for n in qs
