@@ -202,6 +202,59 @@ def live_view(
     return live.select(*user_cols)
 
 
+def scd2_history(
+    df: DataFrame,
+    pks: Sequence[str],
+    version_col: str = VERSION_COL,
+    tiebreak_col: str | None = SEQ_COL,
+) -> DataFrame:
+    """Slowly-changing-dimension Type-2 view of the applied table:
+    one row per (pk, version) with a validity interval.
+
+    The reference stores every version of every row
+    (``ReplacingMergeTree`` keeps history until background merges,
+    ``/root/reference/src/schema_converter.py:118``) but only exposes
+    the latest via ``FINAL``.  This operator turns that same append-only
+    version log into queryable history — the standard warehouse SCD-2
+    shape: ``valid_from = _version``, ``valid_to = next version's
+    _version`` (NULL while current), ``is_current`` for open, live rows.
+    Tombstones appear as closed terminal intervals.
+
+    Single-shuffle plan: both windows partition by the PK, so Catalyst
+    plans ONE Exchange; the replay-dedup (at-least-once delivery can
+    repeat an event, ``/root/reference/README.md:478-497``) keeps the
+    last row of each version run in the (version ASC, seq ASC) sort —
+    no second shuffle for a (pk, version) partitioning.  The lead()
+    after the filter reuses the same distribution and sort order.
+    """
+    if not pks:
+        raise ValueError("scd2_history requires at least one key column")
+    keys = [F.col(k) for k in pks]
+    order = [F.col(version_col).asc()]
+    if tiebreak_col and tiebreak_col in df.columns:
+        order.append(F.col(tiebreak_col).asc_nulls_first())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    nxt = F.lead(F.col(version_col)).over(w)
+    # Survivor of each version group = last row of its run: the next
+    # row (in version, seq order) has a different version or is absent.
+    survivors = (
+        df.withColumn("__nv", nxt)
+        .filter(F.col("__nv").isNull() | (F.col("__nv") != F.col(version_col)))
+        .drop("__nv")
+    )
+    valid_to = F.lead(F.col(version_col)).over(
+        Window.partitionBy(*keys).orderBy(F.col(version_col).asc())
+    )
+    return (
+        survivors.withColumn("valid_from", F.col(version_col))
+        .withColumn("valid_to", valid_to)
+        .withColumn(
+            "is_current",
+            F.col("valid_to").isNull() & (F.col(DELETED_COL) == 0),
+        )
+    )
+
+
 def compact(
     df: DataFrame,
     pks: Sequence[str],

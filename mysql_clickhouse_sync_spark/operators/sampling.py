@@ -54,6 +54,79 @@ def weighted_sample(
     )
 
 
+def domain_mixture(
+    df: DataFrame,
+    domain_col: str,
+    token_col: str,
+    budget_frac: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget mixture sampling across domains (the static-weights
+    half of DoReMi / The-Pile-style corpus mixing): give every domain an
+    EQUAL share of a global token budget, cap each domain's sampling
+    rate at 1.0 (a small domain cannot be upsampled without
+    replacement), and select documents by deterministic id-hash so the
+    realized sample is reproducible under retries and by the oracle.
+
+    ``budget_frac`` is the target total as a fraction of the corpus's
+    token mass, so the operator is scale-free (the same query text is
+    correct at sf0.001 and at 100 TB).
+
+    Plan (100 TB): one map-side-combined per-domain aggregate (tiny
+    result: one row per domain), a single-row total aggregate
+    cross-joined onto it (both broadcast), then the rate table
+    broadcast-joined back to the corpus scan for the conditional
+    selection sums.  The corpus is scanned twice but never shuffled on
+    a text-bearing key; no SinglePartition window anywhere.
+
+    Output per domain: ``n_docs``, ``domain_tokens``, ``rate``,
+    ``n_selected``, ``selected_tokens``.
+    """
+    if not 0 < budget_frac <= 1:
+        raise ValueError("budget_frac must be in (0, 1]")
+    per_domain = df.groupBy(domain_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col(token_col).cast("long")).alias("domain_tokens"),
+    )
+    totals = per_domain.agg(
+        F.sum("domain_tokens").alias("_total_tokens"),
+        F.count("*").alias("_n_domains"),
+    )
+    rates = per_domain.crossJoin(F.broadcast(totals)).withColumn(
+        "rate",
+        F.least(
+            F.lit(1.0),
+            (
+                F.col("_total_tokens").cast("double")
+                * F.lit(budget_frac)
+                / F.col("_n_domains")
+            )
+            / F.col("domain_tokens").cast("double"),
+        ),
+    )
+    picked = (
+        df.join(
+            F.broadcast(rates.select(domain_col, "rate")), on=domain_col
+        )
+        .withColumn("_u", id_uniform(F.col(id_col)))
+        .groupBy(domain_col)
+        .agg(
+            F.sum(F.when(F.col("_u") < F.col("rate"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_selected"),
+            F.sum(
+                F.when(
+                    F.col("_u") < F.col("rate"),
+                    F.col(token_col).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("selected_tokens"),
+        )
+    )
+    return rates.select(
+        domain_col, "n_docs", "domain_tokens", "rate"
+    ).join(picked, on=domain_col)
+
+
 def leakage_safe_splits(
     df: DataFrame,
     pairs: DataFrame,

@@ -44,6 +44,130 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """All word n-grams (NOT distinct — repetition is the signal).
+
+    Indexed ``transform`` over a 1..len-n+1 sequence; empty array when
+    the doc is shorter than n tokens (``sequence`` would count DOWN for
+    an empty range, so the guard is explicit).
+    """
+    count = F.size(toks) - F.lit(n - 1)
+    return F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _run_stats(sorted_arr: Column) -> Column:
+    """One ``aggregate`` pass over a SORTED n-gram array returning
+    ``struct(best, dup)``:
+
+    * ``best`` — longest run of equal values = multiplicity of the most
+      frequent n-gram;
+    * ``dup``  — total elements in runs of length >= 2 = every
+      occurrence of any value that occurs more than once (Gopher's
+      duplicate-n-gram mass at token granularity).
+
+    CRITICAL perf shape: the array is the HOF's *traversed* argument,
+    so it is evaluated ONCE per row; the lambda touches only the
+    accumulator and the current element.  (Indexing a non-materialized
+    array with ``element_at`` inside a lambda re-evaluates the whole
+    array expression per element — lambdas defeat subexpression reuse —
+    which turns the scan O(n^2): measured 500x slower on this exact
+    operator.)  Sentinel '' cannot collide: n-grams of non-empty tokens
+    are never empty.
+    """
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit(0).alias("dup"),
+    )
+
+    def merge(acc: Column, x: Column) -> Column:
+        same = x == acc.prev
+        run2 = F.when(same, acc.run + F.lit(1)).otherwise(F.lit(1))
+        closed = F.when(acc.run >= 2, acc.run).otherwise(F.lit(0))
+        return F.struct(
+            x.alias("prev"),
+            run2.alias("run"),
+            F.greatest(acc.best, run2).alias("best"),
+            F.when(same, acc.dup).otherwise(acc.dup + closed).alias("dup"),
+        )
+
+    def finish(acc: Column) -> Column:
+        closed = F.when(acc.run >= 2, acc.run).otherwise(F.lit(0))
+        return F.struct(
+            acc.best.alias("best"), (acc.dup + closed).alias("dup")
+        )
+
+    return F.aggregate(sorted_arr, init, merge, finish)
+
+
+def with_repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    top_bigram_max_frac: float = 0.2,
+    dup_5gram_max_frac: float = 0.3,
+) -> DataFrame:
+    """Gopher-style intra-document repetition filters (Rae et al. 2021,
+    "Scaling Language Models", Table A1) at word-n-gram granularity:
+
+    * ``top_bigram_frac``  — fraction of all word bigrams taken by the
+      single most frequent bigram (catches "free online casino free
+      online casino ..." boilerplate);
+    * ``dup_5gram_frac``   — fraction of word 5-grams whose value occurs
+      more than once in the doc (all occurrences counted);
+    * ``repetition_ok``    — both under their thresholds (Gopher uses
+      0.18/0.20 for top-2-gram and ~0.30 for dup-5-gram mass).
+
+    100 TB design: pure narrow per-row HOF compute — ``array_sort`` +
+    one ``aggregate`` scan per n-gram size, nothing leaves the row, no
+    explode/shuffle; cost is O(len·log len) per document regardless of
+    corpus size.  The explode+groupBy formulation (what the DuckDB
+    oracle runs) would shuffle the full n-gram mass of the corpus.
+    Every intermediate array is materialized as a column so each is
+    computed once per row (see ``_run_stats`` on why inlining them
+    into lambdas is O(n^2)).
+    """
+    d = (
+        df.withColumn("_toks", tokens_col(F.col(text_col)))
+        .withColumn("_bi", F.array_sort(_word_ngrams(F.col("_toks"), 2)))
+        .withColumn("_five", F.array_sort(_word_ngrams(F.col("_toks"), 5)))
+        .withColumn("_bs", _run_stats(F.col("_bi")))
+        .withColumn("_fs", _run_stats(F.col("_five")))
+    )
+    d = (
+        d.withColumn("n_bigrams", F.size(F.col("_bi")).cast("long"))
+        .withColumn("top_bigram_count", F.col("_bs.best").cast("long"))
+        .withColumn("n_5grams", F.size(F.col("_five")).cast("long"))
+        .withColumn("dup_5gram_count", F.col("_fs.dup").cast("long"))
+        .drop("_toks", "_bi", "_five", "_bs", "_fs")
+    )
+    top_frac = F.when(
+        F.col("n_bigrams") > 0,
+        F.col("top_bigram_count").cast("double") / F.col("n_bigrams"),
+    ).otherwise(F.lit(0.0))
+    dup_frac = F.when(
+        F.col("n_5grams") > 0,
+        F.col("dup_5gram_count").cast("double") / F.col("n_5grams"),
+    ).otherwise(F.lit(0.0))
+    return (
+        d.withColumn("top_bigram_frac", top_frac)
+        .withColumn("dup_5gram_frac", dup_frac)
+        .withColumn(
+            "repetition_ok",
+            (F.col("top_bigram_frac") <= F.lit(top_bigram_max_frac))
+            & (F.col("dup_5gram_frac") <= F.lit(dup_5gram_max_frac)),
+        )
+    )
+
+
 def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality components + a composite score.
 

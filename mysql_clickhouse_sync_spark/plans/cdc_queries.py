@@ -12,7 +12,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.cdc import cdc_apply, dedup_latest, live_view, stamp_changelog
+from ..operators.cdc import (
+    cdc_apply,
+    dedup_latest,
+    live_view,
+    scd2_history,
+    stamp_changelog,
+)
 from ..sources.changelog import (
     ORDERS_PK,
     derive_orders_changelog,
@@ -128,6 +134,53 @@ def cdc_versions_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cdc_compacted_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_latest(_applied_orders(spark, sf_dir), ORDERS_PK).select(
         "o_orderkey", "_version", "_deleted"
+    )
+
+
+@register(
+    "cdc_scd2_history",
+    oracle=_ORACLE_CDC_CTES
+    + """
+    , ver AS (
+        SELECT o_orderkey, _version, _deleted, o_orderstatus,
+               o_orderpriority,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+               row_number() OVER (
+                   PARTITION BY o_orderkey, _version
+                   ORDER BY _seq DESC NULLS LAST
+               ) AS __vn
+        FROM applied
+    ), hist AS (
+        SELECT o_orderkey, _version AS valid_from,
+               lead(_version) OVER (
+                   PARTITION BY o_orderkey ORDER BY _version
+               ) AS valid_to,
+               _deleted, o_orderstatus, o_orderpriority, price_cents
+        FROM ver WHERE __vn = 1
+    )
+    SELECT o_orderkey, valid_from, valid_to, _deleted,
+           (valid_to IS NULL AND _deleted = 0) AS is_current,
+           o_orderstatus, o_orderpriority, price_cents
+    FROM hist
+    """,
+    description="SCD Type-2 history view over the version log: validity "
+    "intervals [valid_from, valid_to) per key with is_current flags — "
+    "the append-only ReplacingMergeTree store "
+    "(/root/reference/src/schema_converter.py:118) exposed as queryable "
+    "history, replay-deduped; one shuffle (both windows share the PK "
+    "partitioning)",
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hist = scd2_history(_applied_orders(spark, sf_dir), ORDERS_PK)
+    return hist.select(
+        "o_orderkey",
+        "valid_from",
+        "valid_to",
+        "_deleted",
+        "is_current",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
     )
 
 

@@ -19,6 +19,8 @@ from ..operators.corpus import (
     scrub_pii,
     unigram_logprob_scores,
 )
+from ..operators.sampling import domain_mixture
+from ..operators.text import with_token_stats
 from ..sources.parquet import load_table
 from .registry import register
 
@@ -380,4 +382,57 @@ def corpus_pack_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pack_documents_incremental(
         new, prior, budget=256, stream_cols=("source", "lang"), n_streams=4
+    )
+
+
+@register(
+    "docs_domain_mixture",
+    oracle=r"""
+    WITH d AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ), per AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS domain_tokens
+        FROM d GROUP BY source
+    ), tot AS (
+        SELECT CAST(sum(domain_tokens) AS BIGINT) AS total_tokens,
+               CAST(count(*) AS BIGINT) AS n_domains
+        FROM per
+    ), rates AS (
+        SELECT source, n_docs, domain_tokens,
+               least(1.0, (CAST(total_tokens AS DOUBLE) * 0.4 / n_domains)
+                          / CAST(domain_tokens AS DOUBLE)) AS rate
+        FROM per, tot
+    ), sel AS (
+        SELECT d.source,
+               CAST(sum(CASE WHEN ((doc_id * 2654435761) % 4294967296 + 1)
+                                  / 4294967297.0 < rate
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+               CAST(sum(CASE WHEN ((doc_id * 2654435761) % 4294967296 + 1)
+                                  / 4294967297.0 < rate
+                             THEN n_tokens ELSE 0 END) AS BIGINT)
+                   AS selected_tokens
+        FROM d JOIN rates USING (source) GROUP BY d.source
+    )
+    SELECT rates.source, n_docs, domain_tokens, rate, n_selected,
+           selected_tokens
+    FROM rates JOIN sel USING (source)
+    """,
+    description="Domain-mixture sampling under a global token budget "
+    "(DoReMi/Pile-style static mixing, budget = 40% of corpus token "
+    "mass, equal share per source domain, rate capped at 1.0): "
+    "deterministic id-hash selection, so the realized mixture is "
+    "retry-stable and oracle-reproducible.  Plan: tiny per-domain "
+    "aggregate + broadcast rate join back to the scan — the corpus is "
+    "never shuffled on a text-bearing key",
+)
+def docs_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_token_stats(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_id", "source", "n_tokens")
+    return domain_mixture(
+        docs, domain_col="source", token_col="n_tokens", budget_frac=0.4
     )

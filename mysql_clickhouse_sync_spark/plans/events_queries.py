@@ -479,3 +479,104 @@ def events_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+@register(
+    "events_value_quantiles",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY value, event_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    )
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
+           max(CASE WHEN rn = CAST(floor(0.50 * (n - 1)) AS BIGINT) + 1
+                    THEN value END) AS p50,
+           max(CASE WHEN rn = CAST(floor(0.90 * (n - 1)) AS BIGINT) + 1
+                    THEN value END) AS p90,
+           max(CASE WHEN rn = CAST(floor(0.99 * (n - 1)) AS BIGINT) + 1
+                    THEN value END) AS p99,
+           TRUE AS ok50, TRUE AS ok90, TRUE AS ok99
+    FROM ranked GROUP BY event_type
+    """,
+    description="Per-type value quantiles: the PRODUCTION path is "
+    "percentile_approx (Greenwald-Khanna sketch, mergeable, map-side "
+    "partial aggregation — the only sane plan at 100 TB); the exact "
+    "order statistics (rank-selected, no interpolation, so bit-equal "
+    "across engines) are the in-query audit, and ok50/ok90/ok99 assert "
+    "each sketch value lands within the +/-0.005 rank band around its "
+    "target (5x GK's guaranteed 1/accuracy=0.001).  A sketch drifting "
+    "out of its error bound goes driver-red",
+)
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "event_id"
+    )
+    # Production path: one mergeable-sketch aggregate.
+    apx = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.percentile_approx(
+            "value", [0.50, 0.90, 0.99], 1000
+        ).alias("_apx"),
+    )
+    # Audit path: exact rank selection (window sort per type).
+    n1 = F.col("n_events") - 1
+    targets = apx.select(
+        "event_type",
+        "n_events",
+        "_apx",
+        *[
+            F.floor(F.lit(p) * n1).cast("long").alias(f"_r{tag}")
+            for tag, p in (("50", 0.50), ("90", 0.90), ("99", 0.99))
+        ],
+        *[
+            F.floor(F.lit(max(p - 0.005, 0.0)) * n1)
+            .cast("long")
+            .alias(f"_lo{tag}")
+            for tag, p in (("50", 0.50), ("90", 0.90), ("99", 0.99))
+        ],
+        *[
+            F.ceil(F.lit(min(p + 0.005, 1.0)) * n1)
+            .cast("long")
+            .alias(f"_hi{tag}")
+            for tag, p in (("50", 0.50), ("90", 0.90), ("99", 0.99))
+        ],
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    ranked = ev.withColumn("_rn", F.row_number().over(w) - 1)
+    j = ranked.join(F.broadcast(targets), "event_type")
+
+    def _pick(rank_col: str):
+        return F.max(
+            F.when(F.col("_rn") == F.col(rank_col), F.col("value"))
+        )
+
+    out = j.groupBy("event_type").agg(
+        F.first("n_events").alias("n_events"),
+        F.first("_apx").alias("_apx"),
+        *[
+            _pick(f"_{kind}{tag}").alias(f"_{kind}{tag}v")
+            for kind in ("r", "lo", "hi")
+            for tag in ("50", "90", "99")
+        ],
+    )
+    cols = [F.col("event_type"), F.col("n_events")]
+    for i, tag in enumerate(("50", "90", "99")):
+        cols.append(F.col(f"_r{tag}v").alias(f"p{tag}"))
+    for i, tag in enumerate(("50", "90", "99")):
+        apx_i = F.col("_apx")[i]
+        cols.append(
+            F.coalesce(
+                (apx_i >= F.col(f"_lo{tag}v"))
+                & (apx_i <= F.col(f"_hi{tag}v")),
+                F.lit(False),
+            ).alias(f"ok{tag}")
+        )
+    # Column order must match the oracle: p50 p90 p99 then ok flags.
+    ordered = cols[:2] + [cols[2], cols[3], cols[4], cols[5], cols[6], cols[7]]
+    return out.select(*ordered)

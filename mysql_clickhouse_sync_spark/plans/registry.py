@@ -70,12 +70,25 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 # docs_lang_source_profile and docs_tfidf_top_terms, both r3-green;
 # the text family keeps 10 graded rows, so per-family coverage
 # holds).  Ledgered in PARITY.md alongside the 9+9 swap.
+#
+# ROUND-5 ROTATION (ledgered in PARITY.md): the four r5 additions
+# enter per policy — cdc_scd2_history (SCD-2 history view),
+# docs_repetition_stats (Gopher repetition filter),
+# docs_domain_mixture (token-budget mixture sampling),
+# events_value_quantiles (GK quantile sketch w/ exact-rank audit).
+# OUT (all driver-green r4, all still hash-checked by
+# tools/check_oracle.py + ci_gate): docs_token_stats and
+# docs_quality_score (both composited inside the still-graded
+# docs_curation_pipeline), events_user_count_sketch (CMS; the sketch
+# family keeps HLL + theta graded), emb_label_near_pairs (similarity
+# keeps 8 graded rows).
 DRIVER_WINDOW = (
     # CDC sentinels
     "cdc_live_orders",
     "cdc_versions_per_key",
     "cdc_compacted_state",
     "cdc_live_agg",
+    "cdc_scd2_history",
     # representative analytics shapes
     "q1_pricing_summary",
     "q2_min_cost_supplier",
@@ -83,12 +96,10 @@ DRIVER_WINDOW = (
     "events_last_purchase_asof",
     "events_sessionization",
     # bound-checked sketches
-    "events_user_count_sketch",
     "events_user_hll_distinct",
     # text / dedup pipeline
     "docs_exact_dedup",
-    "docs_token_stats",
-    "docs_quality_score",
+    "docs_repetition_stats",
     "docs_language_id",
     "docs_top_jaccard_pairs_capped",
     "docs_minhash_candidates",
@@ -106,9 +117,9 @@ DRIVER_WINDOW = (
     "corpus_pack_incremental",
     "corpus_curation_v2",
     "docs_leakage_safe_splits",
+    "docs_domain_mixture",
     # embeddings / similarity search
     "emb_cosine_topk",
-    "emb_label_near_pairs",
     "emb_lsh_pairs",
     "emb_ivf_topk",
     "emb_cosine_topk_vectorized",
@@ -130,6 +141,7 @@ DRIVER_WINDOW = (
     "events_retention_cohorts",
     "lineitem_grouping_sets",
     "events_daily_anomaly_zscore",
+    "events_value_quantiles",
     "customer_rfm_segments",
 )
 

@@ -22,6 +22,7 @@ from ..operators.text import (
     with_fingerprint,
     with_language_id,
     with_quality_score,
+    with_repetition_stats,
     with_token_stats,
 )
 from ..sources.parquet import load_table
@@ -98,6 +99,83 @@ def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_quality_score(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "distinct_ratio", "alpha_ratio", "digit_ratio",
         "quality_score",
+    )
+
+
+@register(
+    "docs_repetition_stats",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, {_SQL_TOKS} AS t, len({_SQL_TOKS}) AS n
+        FROM documents
+    ), bi AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(n - 1, 0) + 1),
+                   i -> array_to_string(t[i:i+1], ' '))) AS g
+        FROM base
+    ), bic AS (
+        SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g
+    ), bis AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+               CAST(max(c) AS BIGINT) AS top_bigram_count
+        FROM bic GROUP BY doc_id
+    ), fv AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(n - 4, 0) + 1),
+                   i -> array_to_string(t[i:i+4], ' '))) AS g
+        FROM base
+    ), fvc AS (
+        SELECT doc_id, g, count(*) AS c FROM fv GROUP BY doc_id, g
+    ), fvs AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_5grams,
+               CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+                   AS dup_5gram_count
+        FROM fvc GROUP BY doc_id
+    ), j AS (
+        SELECT base.doc_id,
+               coalesce(n_bigrams, 0) AS n_bigrams,
+               coalesce(top_bigram_count, 0) AS top_bigram_count,
+               coalesce(n_5grams, 0) AS n_5grams,
+               coalesce(dup_5gram_count, 0) AS dup_5gram_count
+        FROM base
+        LEFT JOIN bis USING (doc_id) LEFT JOIN fvs USING (doc_id)
+    )
+    SELECT doc_id, n_bigrams, top_bigram_count,
+           CASE WHEN n_bigrams > 0
+                THEN CAST(top_bigram_count AS DOUBLE) / n_bigrams
+                ELSE 0.0 END AS top_bigram_frac,
+           n_5grams, dup_5gram_count,
+           CASE WHEN n_5grams > 0
+                THEN CAST(dup_5gram_count AS DOUBLE) / n_5grams
+                ELSE 0.0 END AS dup_5gram_frac,
+           (CASE WHEN n_bigrams > 0
+                 THEN CAST(top_bigram_count AS DOUBLE) / n_bigrams
+                 ELSE 0.0 END) <= 0.2
+           AND (CASE WHEN n_5grams > 0
+                     THEN CAST(dup_5gram_count AS DOUBLE) / n_5grams
+                     ELSE 0.0 END) <= 0.3 AS repetition_ok
+    FROM j
+    """,
+    description="Gopher-style intra-doc repetition filter: top-bigram "
+    "mass fraction + duplicate-5-gram mass fraction + keep/drop flag.  "
+    "Engine path is narrow per-row HOF compute (array_sort + one "
+    "aggregate scan, NO explode/shuffle — the oracle's explode+groupBy "
+    "formulation would shuffle the corpus's full n-gram mass at 100 TB)",
+)
+def docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_repetition_stats(
+        load_table(spark, sf_dir, "documents")
+    ).select(
+        "doc_id",
+        "n_bigrams",
+        "top_bigram_count",
+        "top_bigram_frac",
+        "n_5grams",
+        "dup_5gram_count",
+        "dup_5gram_frac",
+        "repetition_ok",
     )
 
 

@@ -178,3 +178,54 @@ def test_dedup_requires_keys(spark):
     base = _snapshot(spark, [(1, "a@x", "Alice")])
     with pytest.raises(ValueError):
         dedup_latest(base, [])
+
+
+def test_scd2_history_intervals_chain(spark):
+    from mysql_clickhouse_sync_spark.operators.cdc import scd2_history
+
+    base = _snapshot(spark, [(1, "a@x", "Alice"), (2, "b@x", "Bob")])
+    chg = stamp_changelog(
+        _changelog(
+            spark,
+            [
+                ("U", 1, 1, "a@x", "Alice2"),
+                ("U", 1, 1, "a@x", "Alice2"),  # at-least-once replay
+                ("U", 3, 1, "a@x", "Alice3"),
+                ("D", 2, 2, "b@x", "Bob"),
+            ],
+        ),
+        seq_col="seq",
+    )
+    hist = scd2_history(cdc_apply(base, chg), ["id"])
+    rows = {
+        (r["id"], r["valid_from"]): r for r in hist.collect()
+    }
+    # replay collapsed: one row per (key, version)
+    assert len(rows) == 5
+    # key 1: 0 -> 1 -> 3, open current at version 3
+    assert rows[(1, 0)]["valid_to"] == 1
+    assert rows[(1, 1)]["valid_to"] == 3
+    assert rows[(1, 3)]["valid_to"] is None
+    assert rows[(1, 3)]["is_current"] and rows[(1, 3)]["name"] == "Alice3"
+    assert not rows[(1, 0)]["is_current"] and not rows[(1, 1)]["is_current"]
+    # key 2: snapshot then tombstone -> closed interval, no current row
+    assert rows[(2, 0)]["valid_to"] == 2
+    assert rows[(2, 2)]["valid_to"] is None
+    assert not rows[(2, 2)]["is_current"]  # tombstone is never current
+
+
+def test_scd2_single_shuffle_plan(spark):
+    from mysql_clickhouse_sync_spark.operators.cdc import scd2_history
+
+    base = _snapshot(spark, [(1, "a@x", "Alice")])
+    chg = stamp_changelog(
+        _changelog(spark, [("U", 1, 1, "a@x", "A2")]), seq_col="seq"
+    )
+    plan = (
+        scd2_history(cdc_apply(base, chg), ["id"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # Both windows partition on the PK: exactly one exchange.
+    assert plan.count("Exchange") == 1, plan

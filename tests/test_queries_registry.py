@@ -81,7 +81,11 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         "docs_curation_pipeline", "docs_top_jaccard_pairs_capped",
         "emb_cosine_topk", "emb_ivf_topk", "media_exact_dedup",
         "events_funnel", "events_retention_cohorts", "customer_rfm_segments",
-        "events_user_count_sketch", "events_user_hll_distinct",
+        "events_user_hll_distinct",
+        # round-5 rotation: SCD-2 history, repetition filter, domain
+        # mixture, quantile sketch enter the round they were added
+        "cdc_scd2_history", "docs_repetition_stats",
+        "docs_domain_mixture", "events_value_quantiles",
         # round-4 rotation: the corpus-prep family is driver-graded
         "corpus_pii_scrub", "corpus_doc_chunks", "corpus_lm_quality",
         "corpus_contamination", "corpus_pack_assignments",
@@ -102,6 +106,9 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         "doc_sources_except_all",    # r4: green r3; slot to corpus family
         "docs_lang_source_profile",  # r4: green r3; slot to new r4 queries
         "docs_tfidf_top_terms",      # r4: green r3; slot to new r4 queries
+        "docs_token_stats",          # r5: green r1-r4; slot to r5 queries
+        "docs_quality_score",        # r5: green r1-r4; slot to r5 queries
+        "emb_label_near_pairs",      # r5: green r2-r4; slot to r5 queries
         # r5 bench-only raw production variants: the contract-bearing
         # twins (docs_minhash_candidates, docs_dedup_incremental) are
         # driver-graded and exercise the identical operators; these

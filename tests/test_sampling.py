@@ -85,3 +85,57 @@ def test_leakage_safe_splits_validates_fractions(spark):
     pairs = docs.limit(0).selectExpr("doc_id as id_a", "doc_id as id_b")
     with pytest.raises(ValueError):
         leakage_safe_splits(docs, pairs, fractions=(0.9, 0.2))
+
+
+def test_domain_mixture_budget_and_caps(spark):
+    from mysql_clickhouse_sync_spark.operators.sampling import domain_mixture
+
+    # big: 1000 docs x 100 tokens; small: 20 docs x 50 tokens.
+    df = spark.range(0, 1020).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 1000, F.lit("big"))
+        .otherwise(F.lit("small"))
+        .alias("source"),
+        F.when(F.col("id") < 1000, F.lit(100))
+        .otherwise(F.lit(50))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    out = {
+        r["source"]: r
+        for r in domain_mixture(
+            df, "source", "n_tokens", budget_frac=0.4, id_col="doc_id"
+        ).collect()
+    }
+    total = 1000 * 100 + 20 * 50  # 101_000
+    target_per_domain = total * 0.4 / 2  # 20_200
+    # small domain (1_000 tokens) is under its share -> rate caps at 1.0
+    assert out["small"]["rate"] == 1.0
+    assert out["small"]["n_selected"] == 20
+    assert out["small"]["selected_tokens"] == 1000
+    # big domain is downsampled toward its 20_200-token share
+    assert abs(out["big"]["rate"] - target_per_domain / 100_000) < 1e-12
+    got = out["big"]["selected_tokens"]
+    assert 0.7 * target_per_domain < got < 1.3 * target_per_domain, got
+    # deterministic: second run selects the identical sample
+    out2 = {
+        r["source"]: r
+        for r in domain_mixture(
+            df, "source", "n_tokens", budget_frac=0.4, id_col="doc_id"
+        ).collect()
+    }
+    assert out2["big"]["n_selected"] == out["big"]["n_selected"]
+
+
+def test_domain_mixture_rejects_bad_budget(spark):
+    import pytest
+
+    from mysql_clickhouse_sync_spark.operators.sampling import domain_mixture
+
+    df = spark.range(1).select(
+        F.col("id").alias("doc_id"),
+        F.lit("s").alias("source"),
+        F.lit(1).alias("n_tokens"),
+    )
+    with pytest.raises(ValueError):
+        domain_mixture(df, "source", "n_tokens", budget_frac=0.0)
