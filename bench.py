@@ -91,14 +91,18 @@ HEADLINE_SEMANTICS_CHANGES = {
     "round_5": (
         "headline swaps docs_minhash_candidates -> "
         "docs_minhash_candidates_raw (same LSH operators, exact-twin "
-        "audit stripped, ~-4s), emb_ivf_topk -> emb_ivf_topk_raw "
-        "(same IVF search, brute-force twin + recall join stripped, "
-        "~-2s), and adds docs_dedup_incremental_raw (the index join "
-        "alone); the contract-bearing versions stay driver-graded "
-        "and are timed under EXTENDED.  The headline total now "
-        "measures engine work only (round-4 verdict item 3); every "
-        "headline query is best-of-3 with spread recorded in "
-        "bench_detail.json (item 2)"
+        "audit stripped: measured ~-4s), emb_ivf_topk -> "
+        "emb_ivf_topk_raw (same IVF search minus the audit — "
+        "measured ~-0.1s only: the vectorized brute-force twin + "
+        "broadcast recall joins are nearly free, fixed job overheads "
+        "dominate IVF at sf0.1; kept for mix clarity), and adds "
+        "docs_dedup_incremental_raw (the index join alone); the "
+        "contract-bearing versions stay driver-graded and are timed "
+        "under EXTENDED.  Also in r5: single-scan changelog "
+        "derivation (1 read of orders instead of 5), per-side norm "
+        "precompute in all pairwise-cosine plans (bit-identical), "
+        "and semantic-dedup pairs carry vectors through bucket_pairs "
+        "(two join-backs removed; ~9.6s -> ~8.2s)"
     ),
 }
 

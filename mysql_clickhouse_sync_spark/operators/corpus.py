@@ -120,6 +120,56 @@ def chunk_documents(
     )
 
 
+def duplicate_chunk_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_len: int = 64,
+    stride: int = 56,
+) -> DataFrame:
+    """Cross-document repeated-span detection (the chunk-granularity
+    form of RefinedWeb/CCNet exact-substring dedup): a chunk is
+    "shared" when its hash occurs in >= 2 DISTINCT documents, and a
+    document whose shared-chunk mass crosses half its chunks is
+    flagged as substring-duplicated (template/boilerplate/mirror
+    content that doc-level exact dedup misses because the docs differ
+    elsewhere).
+
+    Plan: chunk explode is narrow; one map-combinable groupBy on the
+    chunk hash counts distinct carrier docs; a shuffle join on the
+    hash (uniform key — no skew by construction) carries the count
+    back; one groupBy per doc aggregates.  Only 8+32-byte hash keys
+    ever shuffle, never chunk text.  (A window-over-hash formulation
+    would collect_set per hash group — a hot boilerplate chunk shared
+    by millions of docs serializes into one task at 100 TB, so the
+    join shape is deliberate.)
+
+    Output per doc: ``n_chunks``, ``n_shared_chunks``,
+    ``shared_tokens``, ``shared_chunk_frac``, ``substring_dup``.
+    """
+    chunks = chunk_documents(df, id_col, text_col, max_len, stride)
+    carriers = chunks.groupBy("chunk_hash").agg(
+        F.countDistinct(id_col).alias("_docs")
+    )
+    j = chunks.join(carriers, "chunk_hash")
+    shared = F.col("_docs") >= 2
+    out = j.groupBy(id_col).agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.when(shared, 1).otherwise(0)).cast("long").alias(
+            "n_shared_chunks"
+        ),
+        F.sum(
+            F.when(shared, F.col("n_chunk_tokens")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("shared_tokens"),
+    )
+    frac = F.col("n_shared_chunks").cast("double") / F.col("n_chunks")
+    return out.withColumn("shared_chunk_frac", frac).withColumn(
+        "substring_dup", F.col("shared_chunk_frac") >= 0.5
+    )
+
+
 # -- unigram LM scoring ----------------------------------------------
 
 def unigram_logprob_scores(

@@ -436,3 +436,52 @@ def docs_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_mixture(
         docs, domain_col="source", token_col="n_tokens", budget_frac=0.4
     )
+
+
+@register(
+    "docs_duplicate_chunks",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_SQL_LTOKS} AS toks FROM documents
+    ), ch AS (
+        SELECT doc_id,
+               CAST(len(toks[(i * 56 + 1):(i * 56 + 64)]) AS BIGINT)
+                   AS n_chunk_tokens,
+               md5(array_to_string(toks[(i * 56 + 1):(i * 56 + 64)], ' '))
+                   AS chunk_hash
+        FROM t, unnest(range(0,
+            CAST(floor((greatest(len(toks), 1) - 1) / 56) AS BIGINT) + 1))
+            AS u(i)
+    ), carriers AS (
+        SELECT chunk_hash, count(DISTINCT doc_id) AS docs
+        FROM ch GROUP BY chunk_hash
+    ), agg AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_shared_chunks,
+               CAST(sum(CASE WHEN docs >= 2 THEN n_chunk_tokens
+                             ELSE 0 END) AS BIGINT) AS shared_tokens
+        FROM ch JOIN carriers USING (chunk_hash)
+        GROUP BY doc_id
+    )
+    SELECT doc_id, n_chunks, n_shared_chunks, shared_tokens,
+           CAST(n_shared_chunks AS DOUBLE) / n_chunks
+               AS shared_chunk_frac,
+           CAST(n_shared_chunks AS DOUBLE) / n_chunks >= 0.5
+               AS substring_dup
+    FROM agg
+    """,
+    description="Cross-document repeated-span detection (chunk-level "
+    "exact-substring dedup, RefinedWeb-style): a chunk shared by >= 2 "
+    "distinct docs counts toward its carriers' shared mass; docs with "
+    ">= 50% shared chunks are flagged as substring duplicates "
+    "(templates/mirrors that doc-level exact dedup misses).  Only "
+    "hash keys shuffle; the carrier count is a map-combinable groupBy "
+    "+ uniform-key join, deliberately NOT a window (a hot boilerplate "
+    "chunk would serialize a window into one task at 100 TB)",
+)
+def docs_duplicate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import duplicate_chunk_stats
+
+    return duplicate_chunk_stats(load_table(spark, sf_dir, "documents"))

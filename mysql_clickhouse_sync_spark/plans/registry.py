@@ -81,7 +81,9 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 # docs_quality_score (both composited inside the still-graded
 # docs_curation_pipeline), events_user_count_sketch (CMS; the sketch
 # family keeps HLL + theta graded), emb_label_near_pairs (similarity
-# keeps 8 graded rows).
+# keeps 8 graded rows), media_exact_dedup (slot to
+# docs_duplicate_chunks, the 5th r5 addition — cross-doc repeated
+# chunk spans; media keeps decode/frame/resize graded).
 DRIVER_WINDOW = (
     # CDC sentinels
     "cdc_live_orders",
@@ -118,6 +120,7 @@ DRIVER_WINDOW = (
     "corpus_curation_v2",
     "docs_leakage_safe_splits",
     "docs_domain_mixture",
+    "docs_duplicate_chunks",
     # embeddings / similarity search
     "emb_cosine_topk",
     "emb_lsh_pairs",
@@ -129,7 +132,6 @@ DRIVER_WINDOW = (
     "emb_semantic_dedup",
     # multimodal
     "media_decode_features",
-    "media_exact_dedup",
     "media_frame_sample",
     "media_resized_images",
     # SQL surface

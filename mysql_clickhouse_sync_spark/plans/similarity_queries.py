@@ -13,8 +13,10 @@ from pyspark.sql import functions as F
 from ..operators.similarity import (
     brute_force_topk,
     cosine,
+    dot,
     ivf_topk,
     lsh_bucketed_pairs,
+    norm,
     _to_double,
 )
 from ..sources.parquet import load_table
@@ -93,11 +95,13 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(blocking bounds the pair space like LSH buckets do at scale)",
 )
 def emb_label_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-row norm materialized before the self-join: bit-equal to
+    # cosine() inline, 1/3 the per-pair fold work (see brute_force_topk)
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _to_double(F.col("embedding")).alias("v")
-    )
+    ).withColumn("_n", norm(F.col("v")))
     a, b = e.alias("a"), e.alias("b")
-    sim = cosine(F.col("a.v"), F.col("b.v"))
+    sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a._n") * F.col("b._n"))
     return (
         a.join(
             b,
@@ -366,13 +370,16 @@ def emb_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_near_dup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _to_double(F.col("embedding")).alias("v")
-    )
+    ).withColumn("_n", norm(F.col("v")))
     a, b = e.alias("a"), e.alias("b")
     pairs = a.join(
         b,
         (F.col("a.label") == F.col("b.label"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).filter(cosine(F.col("a.v"), F.col("b.v")) > 0.3).select(
+    ).filter(
+        dot(F.col("a.v"), F.col("b.v")) / (F.col("a._n") * F.col("b._n"))
+        > 0.3
+    ).select(
         F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
     )
     keepers = pairs.groupBy(F.col("id_b").alias("vec_id")).agg(
@@ -562,18 +569,21 @@ def _semantic_dedup_impl(emb_raw: DataFrame) -> DataFrame:
     # bucket size) so buckets stay ~1k members; a bucket past the cap
     # means the quantizer collapsed and is dropped whole rather than
     # expanding quadratically in one task.
-    candidates = bucket_pairs(
-        assigned.select("cid", "vec_id"), ["cid"], F.col("vec_id"),
-        max_bucket=4096,
-    ).select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
-    vecs = assigned.select(F.col("vec_id").alias("_vid"), F.col("u"))
+    # The unit vector rides through bucket_pairs as pair payload, so
+    # both sides of every candidate pair arrive in one row — no
+    # join-back to fetch vectors (two joins + shuffles saved; the
+    # pair sort keys on vec_id first, so pair order is unchanged).
     pairs = (
-        candidates.join(vecs, candidates.id_a == vecs._vid)
-        .withColumnRenamed("u", "_ua").drop("_vid")
-        .join(vecs, candidates.id_b == vecs._vid)
-        .withColumnRenamed("u", "_ub").drop("_vid")
-        .filter(_vdot(F.col("_ua"), F.col("_ub")) >= 0.35)
-        .select("id_a", "id_b")
+        bucket_pairs(
+            assigned.select("cid", "vec_id", "u"), ["cid"],
+            F.struct(F.col("vec_id"), F.col("u")),
+            max_bucket=4096,
+        )
+        .filter(_vdot(F.col("a.u"), F.col("b.u")) >= 0.35)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+        )
     )
     clusters = dedup_clusters(
         assigned.select("vec_id"), pairs, id_col="vec_id"

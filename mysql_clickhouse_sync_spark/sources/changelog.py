@@ -42,40 +42,49 @@ _USER_COLS = (
 )
 
 
-def _event(df: DataFrame, op: str, seq: int) -> DataFrame:
-    return df.select(
-        F.lit(op).alias("op"),
-        F.lit(seq).cast("long").alias("seq"),
-        *[F.col(c) for c in _USER_COLS],
-    )
-
-
 def derive_orders_changelog(orders: DataFrame) -> DataFrame:
-    """Build the raw changelog DataFrame ``(op, seq, <user cols>)``."""
-    u1 = _event(
-        orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
-            "o_totalprice", F.col("o_totalprice") * F.lit(1.1)
+    """Build the raw changelog DataFrame ``(op, seq, <user cols>)``.
+
+    SINGLE-SCAN derivation: each order row conditionally emits its
+    events as an array of structs which is then exploded — one pass
+    over the table instead of four filtered scans union'd together
+    (the rows produced are identical; at 100 TB the 4 saved scans are
+    the difference between one read of the table and five).  The u1
+    event appears twice: duplicate delivery (at-least-once replay).
+    """
+    key = F.col("o_orderkey")
+
+    def ev(valid, op: str, seq: int, price, prio):
+        return F.struct(
+            valid.alias("valid"),
+            F.lit(op).alias("op"),
+            F.lit(seq).cast("long").alias("seq"),
+            key.alias("o_orderkey"),
+            F.col("o_custkey").alias("o_custkey"),
+            F.col("o_orderstatus").alias("o_orderstatus"),
+            price.alias("o_totalprice"),
+            F.col("o_orderdate").alias("o_orderdate"),
+            prio.alias("o_orderpriority"),
+        )
+
+    price = F.col("o_totalprice")
+    prio = F.col("o_orderpriority")
+    u1 = ev(key % 7 == 0, "U", 1, price * F.lit(1.1), prio)
+    events = F.filter(
+        F.array(
+            u1,
+            u1,  # duplicate delivery: u1 replayed
+            ev(key % 7 == 1, "D", 2, price, prio),
+            ev(key % 14 == 0, "U", 3, price * F.lit(1.2), prio),
+            ev(key % 14 == 1, "I", 4, price, F.lit(REINSERT_MARKER)),
         ),
-        "U",
-        1,
+        lambda x: x["valid"],
     )
-    d2 = _event(orders.filter(F.col("o_orderkey") % 7 == 1), "D", 2)
-    u3 = _event(
-        orders.filter(F.col("o_orderkey") % 14 == 0).withColumn(
-            "o_totalprice", F.col("o_totalprice") * F.lit(1.2)
-        ),
-        "U",
-        3,
+    return (
+        orders.select(F.explode(events).alias("_e"))
+        .select("_e.*")
+        .drop("valid")
     )
-    i4 = _event(
-        orders.filter(F.col("o_orderkey") % 14 == 1).withColumn(
-            "o_orderpriority", F.lit(REINSERT_MARKER)
-        ),
-        "I",
-        4,
-    )
-    # u1 appears twice: duplicate delivery (at-least-once replay).
-    return u1.unionByName(u1).unionByName(d2).unionByName(u3).unionByName(i4)
 
 
 def snapshot_with_cdc_columns(orders: DataFrame) -> DataFrame:

@@ -197,3 +197,38 @@ def test_pack_invariants_property(spark):
                 assert r["pack_id"] == start // budget, (trial, r)
                 assert r["pack_offset"] == start % budget, (trial, r)
                 start += r["n_tokens"]
+
+
+def test_duplicate_chunk_stats_flags_cross_doc_spans(spark):
+    from pyspark.sql import Row
+
+    from mysql_clickhouse_sync_spark.operators.corpus import (
+        duplicate_chunk_stats,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(64))
+    uniq_a = " ".join(f"a{i}" for i in range(64))
+    uniq_b = " ".join(f"b{i}" for i in range(64))
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=shared),            # fully shared with 1
+            Row(doc_id=1, text=shared),
+            Row(doc_id=2, text=uniq_a),            # unique
+            Row(doc_id=3, text=uniq_b + " " + shared),  # partially shared
+        ]
+    )
+    # stride=64: non-overlapping chunks make the expectation exact
+    got = {
+        r["doc_id"]: r
+        for r in duplicate_chunk_stats(
+            df, max_len=64, stride=64
+        ).collect()
+    }
+    assert got[0]["substring_dup"] and got[0]["shared_chunk_frac"] == 1.0
+    assert got[1]["substring_dup"]
+    assert not got[2]["substring_dup"]
+    assert got[2]["n_shared_chunks"] == 0
+    # doc 3: chunk 1 = uniq_b (unique), chunk 2 = shared -> frac 0.5
+    assert got[3]["n_chunks"] == 2 and got[3]["n_shared_chunks"] == 1
+    assert got[3]["substring_dup"]  # 0.5 >= 0.5 threshold
+    assert got[3]["shared_tokens"] == 64

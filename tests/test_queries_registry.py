@@ -79,7 +79,7 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         "cdc_live_agg",
         "docs_exact_dedup", "docs_minhash_candidates", "docs_dup_clusters",
         "docs_curation_pipeline", "docs_top_jaccard_pairs_capped",
-        "emb_cosine_topk", "emb_ivf_topk", "media_exact_dedup",
+        "emb_cosine_topk", "emb_ivf_topk",
         "events_funnel", "events_retention_cohorts", "customer_rfm_segments",
         "events_user_hll_distinct",
         # round-5 rotation: SCD-2 history, repetition filter, domain
@@ -109,6 +109,7 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         "docs_token_stats",          # r5: green r1-r4; slot to r5 queries
         "docs_quality_score",        # r5: green r1-r4; slot to r5 queries
         "emb_label_near_pairs",      # r5: green r2-r4; slot to r5 queries
+        "media_exact_dedup",         # r5: green r2-r4; slot to r5 queries
         # r5 bench-only raw production variants: the contract-bearing
         # twins (docs_minhash_candidates, docs_dedup_incremental) are
         # driver-graded and exercise the identical operators; these
