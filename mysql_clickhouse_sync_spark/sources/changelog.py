@@ -55,36 +55,38 @@ def derive_orders_changelog(orders: DataFrame) -> DataFrame:
     key = F.col("o_orderkey")
 
     def ev(valid, op: str, seq: int, price, prio):
-        return F.struct(
-            valid.alias("valid"),
-            F.lit(op).alias("op"),
-            F.lit(seq).cast("long").alias("seq"),
-            key.alias("o_orderkey"),
-            F.col("o_custkey").alias("o_custkey"),
-            F.col("o_orderstatus").alias("o_orderstatus"),
-            price.alias("o_totalprice"),
-            F.col("o_orderdate").alias("o_orderdate"),
-            prio.alias("o_orderpriority"),
+        # NULL struct when the row does not emit this event;
+        # array_compact drops the NULLs.  when/struct/array_compact
+        # are all ordinary codegen-friendly expressions — an earlier
+        # HOF-lambda filter formulation ran interpreted and halved
+        # the bench's CDC apply throughput.
+        return F.when(
+            valid,
+            F.struct(
+                F.lit(op).alias("op"),
+                F.lit(seq).cast("long").alias("seq"),
+                key.alias("o_orderkey"),
+                F.col("o_custkey").alias("o_custkey"),
+                F.col("o_orderstatus").alias("o_orderstatus"),
+                price.alias("o_totalprice"),
+                F.col("o_orderdate").alias("o_orderdate"),
+                prio.alias("o_orderpriority"),
+            ),
         )
 
     price = F.col("o_totalprice")
     prio = F.col("o_orderpriority")
     u1 = ev(key % 7 == 0, "U", 1, price * F.lit(1.1), prio)
-    events = F.filter(
+    events = F.array_compact(
         F.array(
             u1,
             u1,  # duplicate delivery: u1 replayed
             ev(key % 7 == 1, "D", 2, price, prio),
             ev(key % 14 == 0, "U", 3, price * F.lit(1.2), prio),
             ev(key % 14 == 1, "I", 4, price, F.lit(REINSERT_MARKER)),
-        ),
-        lambda x: x["valid"],
+        )
     )
-    return (
-        orders.select(F.explode(events).alias("_e"))
-        .select("_e.*")
-        .drop("valid")
-    )
+    return orders.select(F.explode(events).alias("_e")).select("_e.*")
 
 
 def snapshot_with_cdc_columns(orders: DataFrame) -> DataFrame:
