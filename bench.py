@@ -109,8 +109,15 @@ HEADLINE_SEMANTICS_CHANGES = {
 # Post-round-2 additions, timed separately so the headline total
 # stays comparable across rounds (r3: corpus family + PQ + semantic
 # dedup; r4: incremental band-index dedup + resize stage; r5: the
-# audit-carrying contract twins swapped out of the headline).
+# audit-carrying contract twins swapped out of the headline, plus the
+# five new r5 queries — SCD-2 history, repetition filter, domain
+# mixture, quantile sketch, duplicate chunks).
 EXTENDED = (
+    "cdc_scd2_history",
+    "docs_repetition_stats",
+    "docs_domain_mixture",
+    "events_value_quantiles",
+    "docs_duplicate_chunks",
     "docs_minhash_candidates",
     "docs_dedup_incremental",
     "emb_ivf_topk",

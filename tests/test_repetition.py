@@ -61,3 +61,29 @@ def test_repetition_flag_thresholds(spark):
     assert got[1]["dup_5gram_frac"] == 0.0
     assert got[2]["repetition_ok"]
     assert got[2]["n_bigrams"] == 0 and got[2]["top_bigram_frac"] == 0.0
+
+
+def test_repetition_stats_property_random_corpora(spark):
+    """Hypothesis-style randomized cross-check without per-example
+    Spark jobs (one job for many random docs): n-gram run-length
+    machinery vs an independent Python Counter recount over corpora
+    drawn from tiny alphabets (maximal collision pressure)."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    texts = []
+    for _ in range(200):
+        vocab = [f"w{i}" for i in range(rng.randint(1, 6))]
+        n = rng.randint(0, 40)
+        texts.append(" ".join(rng.choice(vocab) for _ in range(n)))
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t if t else "x") for i, t in enumerate(texts)]
+    )
+    got = {r["doc_id"]: r for r in with_repetition_stats(df).collect()}
+    for i, t in enumerate(texts):
+        t = t if t else "x"
+        n_bi, top_bi, dup_bi = _py_stats(t, 2)
+        n_5, top_5, dup_5 = _py_stats(t, 5)
+        r = got[i]
+        assert (r["n_bigrams"], r["top_bigram_count"]) == (n_bi, top_bi), i
+        assert (r["n_5grams"], r["dup_5gram_count"]) == (n_5, dup_5), i
