@@ -226,6 +226,14 @@ def scd2_history(
     last row of each version run in the (version ASC, seq ASC) sort —
     no second shuffle for a (pk, version) partitioning.  The lead()
     after the filter reuses the same distribution and sort order.
+
+    Skew note: unlike keep-latest (where :func:`dedup_latest_agg`
+    gives a pre-aggregated escape hatch), a history view inherently
+    materializes EVERY version of a key, so a hot key with millions
+    of versions costs one task an O(n log n) sort here — that is the
+    output's own size, not plan waste.  At 100 TB, bound the history
+    window (filter versions by time range) before calling this when
+    hot counter keys exist.
     """
     if not pks:
         raise ValueError("scd2_history requires at least one key column")

@@ -227,3 +227,19 @@ def test_global_rank_offsets_are_array_literal_not_map(spark):
     plan = _plan(ranked)
     assert "map_keys" not in plan and "keys:" not in plan
     assert "element_at" in plan, plan
+
+
+def test_cdc_changelog_is_single_scan(spark):
+    """The derived changelog must read `orders` ONCE (conditional
+    event-struct explode), not as four filtered scans union'd
+    together: the full cdc_live_orders plan therefore contains
+    exactly TWO parquet scans — snapshot + changelog — where the
+    union formulation had five.  At 100 TB this is the difference
+    between reading the table once and five times."""
+    from mysql_clickhouse_sync_spark.plans.registry import all_queries
+
+    df = all_queries()["cdc_live_orders"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 2, plan
