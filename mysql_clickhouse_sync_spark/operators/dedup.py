@@ -126,12 +126,25 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     Texts shorter than n tokens contribute their full token join.
     """
     toks = tokens_col(text)
-    ln = F.size(toks)
-    shingled = F.transform(
-        F.sequence(F.lit(1), F.greatest(ln - (n - 1), F.lit(1))),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
-    return F.array_distinct(shingled)
+
+    def _sh(t: Column) -> Column:
+        ln = F.size(t)
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(ln - (n - 1), F.lit(1))),
+                lambda i: F.array_join(F.slice(t, i, n), " "),
+            )
+        )
+
+    # Bind the token array as a lambda VARIABLE (1-element-array
+    # transform = the expression-language `let`): HOF lambdas are
+    # interpreted, so a raw `toks` reference inside the per-shingle
+    # lambda would re-run the regex split once per shingle (~50x per
+    # doc; measured 2x end-to-end on the Jaccard pair scan).  A lambda
+    # variable is evaluated exactly once per row no matter how many
+    # shingles read it — and unlike a pre-projected column it cannot
+    # be inlined back by CollapseProject.
+    return F.transform(F.array(toks), _sh)[0]
 
 
 def shingle_pairs_jaccard(
