@@ -509,8 +509,6 @@ def _semantic_centroid_count(
 
 
 def _semantic_dedup_impl(emb_raw: DataFrame) -> DataFrame:
-    from pyspark.sql import Window
-
     from ..operators.dedup import bucket_pairs
     from ..operators.graph import dedup_clusters
 
@@ -551,17 +549,28 @@ def _semantic_dedup_impl(emb_raw: DataFrame) -> DataFrame:
         "vec_id", "u", "cid",
         _vdot(F.col("u"), F.col("cu")).alias("cos_c"),
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cos_c").desc(), F.col("cid")
-    )
+    # Nearest-centroid assignment as a partial-aggregating max_by
+    # (ordering key (cos_c, -cid) is unique per group because cid is,
+    # so the max is deterministic: argmax cosine, ties -> smaller
+    # cid — the exact row_number()-window rule the oracle mirrors).
+    # The broadcast cross join leaves each vector's k scored rows
+    # co-located, so the map-side partial collapses them to ONE row
+    # per vector before the exchange: the shuffle carries N rows
+    # instead of N*k and needs no sort (window formulation measured
+    # 1.7s vs 0.2s at sf0.1).
     # Four consumers read `assigned` (bucket pairs, two vector joins,
     # final cluster join); checkpoint once so the scan+assignment
     # subtree executes once, not per branch (graph.py does the same
     # for its edge list; on a cluster this is checkpoint()).
     assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "u", "cid")
+        scored.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct(F.col("u"), F.col("cid")),
+                F.struct(F.col("cos_c"), (-F.col("cid")).alias("_t")),
+            ).alias("_b")
+        )
+        .select("vec_id", F.col("_b.u").alias("u"), F.col("_b.cid").alias("cid"))
         .localCheckpoint()
     )
     # max_bucket is a degenerate-quantizer safety net, not the sizing
