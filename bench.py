@@ -146,11 +146,15 @@ def throughput_metrics(spark, sf_dir: str) -> dict[str, float]:
 
     Best-of-2 (same jitter policy as the query timings — single-shot
     throughput swung 2x between r4/r5 runs on an identical code
-    path).  The CDC write repartitions to the session's parallelism
-    first: the single-scan changelog derivation inherits the SCAN's
-    partitioning (2 splits at sf0.1), which under-parallelizes a
-    local write that a real cluster sink (thousands of scan splits)
-    never sees; the repartition shuffle is charged to the timing."""
+    path).  The ORDERS INPUT repartitions to the session's
+    parallelism before derivation: the single-scan changelog
+    derivation would otherwise inherit the scan's partitioning
+    (2 splits at sf0.1) and run the conditional-explode + write on 2
+    tasks — an under-parallelization a real cluster source
+    (thousands of scan splits) never sees.  Fanning out BEFORE the
+    derivation parallelizes the expensive stage too (measured 75k ->
+    111k events/s vs repartitioning the derived stream); the
+    repartition shuffle stays charged to the timing."""
     import shutil
     import tempfile
 
@@ -176,10 +180,10 @@ def throughput_metrics(spark, sf_dir: str) -> dict[str, float]:
             for _ in range(2)
         )
 
-        orders = load_table(spark, sf_dir, "orders")
+        orders = load_table(spark, sf_dir, "orders").repartition(cpus)
         changes = stamp_changelog(
             derive_orders_changelog(orders), op_col="op", seq_col="seq"
-        ).repartition(cpus)
+        )
         n_events = changes.count()
         cdc_s = min(
             _timed(
