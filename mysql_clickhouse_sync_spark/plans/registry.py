@@ -84,10 +84,18 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 # keeps 8 graded rows), media_exact_dedup (slot to
 # docs_duplicate_chunks, the 5th r5 addition — cross-doc repeated
 # chunk spans; media keeps decode/frame/resize graded).
+# Mid-round-5 addition: cdc_streaming_live — the ACTUAL Structured
+# Streaming pipeline (snapshot handoff + checkpointed availableNow
+# drain) graded against the batch cdc_live_orders oracle, upgrading
+# SURVEY §2.9 from unit-suite evidence to driver hash-green.  IN per
+# the new-queries-enter-immediately policy; OUT: cdc_versions_per_key
+# (r4-green observability histogram; CDC keeps 5 graded rows and the
+# version-chain mass stays hash-covered off-window by
+# tools/check_oracle.py + ci_gate).
 DRIVER_WINDOW = (
     # CDC sentinels
     "cdc_live_orders",
-    "cdc_versions_per_key",
+    "cdc_streaming_live",
     "cdc_compacted_state",
     "cdc_live_agg",
     "cdc_scd2_history",
@@ -162,6 +170,7 @@ def all_queries() -> dict[str, Query]:
     from . import set_queries  # noqa: F401
     from . import behavior_queries  # noqa: F401
     from . import corpus_queries  # noqa: F401
+    from . import streaming_queries  # noqa: F401
 
     missing = [n for n in DRIVER_WINDOW if n not in _REGISTRY]
     if missing:

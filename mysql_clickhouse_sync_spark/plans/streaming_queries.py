@@ -1,0 +1,113 @@
+"""Driver-graded Structured Streaming CDC query.
+
+Every other registry entry exercises the BATCH operators; this one
+runs the actual streaming runtime (SURVEY.md §2.9, C1-C6):
+``run_initial_sync_then_stream`` writes the version-0 snapshot, opens
+``readStream`` over a JSON changelog, drains it with an
+``availableNow`` trigger through the real ``foreachBatch`` apply path
+(checkpointed microbatch appends into the parquet sink), and the
+query returns the ``live_view`` over whatever the STREAM produced.
+
+The oracle is the same batch CTE block the ``cdc_live_orders``
+flagship uses — so a driver hash-green row here proves end-to-end
+that the streaming pipeline (snapshot handoff, microbatch apply,
+at-least-once replay absorption, merge-on-read) computes exactly the
+batch answer.  That equality is the pipeline's design contract
+("ALL semantics live in the batch operators", streaming/cdc_pipeline
+module docstring) — this entry makes the driver verify it, not just
+the unit suite.
+
+Parity: the full reference CDC loop
+(``/root/reference/src/cdc_replicator.py:99-212`` stream-read ->
+decode -> apply; ``:238-261`` initial sync + overlap handoff;
+``:347-356`` position checkpointing), executed through Spark
+Structured Streaming instead of a hand-rolled binlog loop.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+from ..sources.changelog import (
+    ORDERS_PK,
+    derive_orders_changelog,
+    snapshot_with_cdc_columns,
+)
+from ..sources.parquet import load_table
+from ..streaming.cdc_pipeline import (
+    CDCStreamPipeline,
+    run_initial_sync_then_stream,
+)
+from .cdc_queries import _ORACLE_CDC_CTES, _USER_COLS
+from .registry import register
+
+# Schema the stream decodes changelog JSON with — the analogue of the
+# reference's cached table schema for binlog decode
+# (/root/reference/src/cdc_replicator.py:150-155).
+_CHANGELOG_SCHEMA = StructType(
+    [
+        StructField("op", StringType(), False),
+        StructField("seq", LongType(), False),
+        StructField("o_orderkey", LongType(), True),
+        StructField("o_custkey", LongType(), True),
+        StructField("o_orderstatus", StringType(), True),
+        StructField("o_totalprice", DoubleType(), True),
+        # orders.parquet reads as TIMESTAMP_NTZ (naive, like the
+        # reference MySQL DATETIME); the JSON round-trip must decode to
+        # the same type or the sink's mergeSchema read fails.
+        StructField("o_orderdate", TimestampNTZType(), True),
+        StructField("o_orderpriority", StringType(), True),
+    ]
+)
+
+
+@register(
+    "cdc_streaming_live",
+    oracle=_ORACLE_CDC_CTES
+    + f"SELECT {_USER_COLS} FROM ranked WHERE __rn = 1 AND _deleted = 0",
+    description="END-TO-END STREAMING: snapshot handoff + "
+    "availableNow drain of the JSON changelog through the real "
+    "Structured Streaming pipeline (checkpointed foreachBatch "
+    "appends), then live_view over the sink the STREAM wrote.  "
+    "Oracle = the batch cdc_live_orders SQL, so the driver "
+    "hash-verifies that streaming and batch apply agree exactly "
+    "(C1-C6; the microbatch split is immaterial by construction — "
+    "dedup-latest resolves versions at read)",
+)
+def cdc_streaming_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    # Materialize the derived changelog as the stream's input files.
+    # 8 files against maxFilesPerTrigger=4 forces MULTIPLE microbatches
+    # so the checkpointed multi-batch path is what gets graded, not a
+    # degenerate single-batch drain.
+    base = tempfile.mkdtemp(prefix="cdc_streaming_live_")
+    changelog_dir = os.path.join(base, "changelog")
+    (
+        derive_orders_changelog(orders)
+        .repartition(8)
+        .write.mode("overwrite")
+        .json(changelog_dir)
+    )
+
+    pipe = CDCStreamPipeline(
+        spark, "orders", list(ORDERS_PK), _CHANGELOG_SCHEMA, base
+    )
+    run_initial_sync_then_stream(
+        pipe, snapshot_with_cdc_columns(orders), changelog_dir
+    )
+    # The returned DataFrame reads the parquet the stream appended;
+    # `base` intentionally outlives this call (the driver collects
+    # lazily) — it is a per-call tempdir, reclaimed with /tmp.
+    return pipe.live()

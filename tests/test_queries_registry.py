@@ -75,7 +75,7 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
     assert names[:50] == list(DRIVER_WINDOW)
     window = set(DRIVER_WINDOW)
     required = {
-        "cdc_live_orders", "cdc_versions_per_key", "cdc_compacted_state",
+        "cdc_live_orders", "cdc_streaming_live", "cdc_compacted_state",
         "cdc_live_agg",
         "docs_exact_dedup", "docs_minhash_candidates", "docs_dup_clusters",
         "docs_curation_pipeline", "docs_top_jaccard_pairs_capped",

@@ -430,3 +430,20 @@ def test_progress_logger_counts_rows_and_batches(spark, dirs):
     assert sum(listener.batches.values()) >= 1
     out = sink.getvalue()
     assert "rows total" in out and "started" in out
+
+
+def test_registered_streaming_query_matches_batch(spark):
+    """The driver-graded `cdc_streaming_live` row must equal the batch
+    flagship exactly: same live rows whether the changelog was applied
+    by the checkpointed Structured Streaming drain or the batch
+    union — the "ALL semantics live in the batch operators" contract,
+    asserted on full row content (not counts)."""
+    from conftest import SF_DIR
+
+    from mysql_clickhouse_sync_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    streamed = qs["cdc_streaming_live"].fn(spark, SF_DIR)
+    batch = qs["cdc_live_orders"].fn(spark, SF_DIR)
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
