@@ -219,22 +219,39 @@ def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     glyph runs).
     """
     toks = tokens_col(F.lower(F.col(text_col)))
-    d = df
-    for lang, words in STOPWORDS.items():
-        arr = F.array(*[F.lit(w) for w in words])
-        d = d.withColumn(
-            f"_hits_{lang}",
-            F.size(F.filter(toks, lambda t: F.array_contains(arr, t))),
+    langs = list(STOPWORDS)
+
+    def _scores(t: Column) -> Column:
+        # All per-language hit counts in ONE struct over the
+        # let-bound token array (the word_shingles trick): each
+        # per-language `filter` traverses the already-evaluated `t`,
+        # so the lowercase+split runs once per row instead of once
+        # per language column (len(STOPWORDS)+1 times).
+        fields = [
+            F.size(
+                F.filter(
+                    t,
+                    lambda x: F.array_contains(
+                        F.array(*[F.lit(w) for w in STOPWORDS[lang]]), x
+                    ),
+                )
+            ).alias(f"h_{lang}")
+            for lang in langs
+        ]
+        fields.append(
+            F.size(F.filter(t, lambda x: x.rlike("^[a-z]+$"))).alias(
+                "latin"
+            )
         )
-    latin = F.size(
-        F.filter(toks, lambda t: t.rlike("^[a-z]+$"))
-    )
-    best = F.greatest(*[F.col(f"_hits_{lang}") for lang in STOPWORDS])
-    pick = F.when(latin == 0, F.lit("zh"))
-    for lang in STOPWORDS:  # insertion order = fixed tie-break
-        pick = pick.when(F.col(f"_hits_{lang}") == best, F.lit(lang))
+        return F.struct(*fields)
+
+    d = df.withColumn("_ls", F.transform(F.array(toks), _scores)[0])
+    best = F.greatest(*[F.col(f"_ls.h_{lang}") for lang in langs])
+    pick = F.when(F.col("_ls.latin") == 0, F.lit("zh"))
+    for lang in langs:  # insertion order = fixed tie-break
+        pick = pick.when(F.col(f"_ls.h_{lang}") == best, F.lit(lang))
     d = d.withColumn("lang_pred", pick)
-    return d.drop(*[f"_hits_{lang}" for lang in STOPWORDS])
+    return d.drop("_ls")
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
