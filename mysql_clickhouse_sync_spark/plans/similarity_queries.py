@@ -508,6 +508,33 @@ def _semantic_centroid_count(
     return max(floor, n_vecs // target_bucket)
 
 
+def _assign_nearest_centroid(scored: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment as a partial-aggregating max_by
+    over ``(vec_id, u, cid, cos_c)`` scored rows.
+
+    The ordering key ``(cos_c, -cid)`` is unique per group because cid
+    is, so the max is deterministic: argmax cosine, ties -> smaller
+    cid — the exact row_number()-window rule the DuckDB oracle
+    mirrors.  The broadcast cross join that feeds this leaves each
+    vector's k scored rows co-located, so the map-side partial
+    collapses them to ONE row per vector before the exchange: the
+    shuffle carries N rows instead of N*k and needs no sort (the
+    window formulation measured 1.7s vs 0.2s at sf0.1; the
+    partial_max_by stage is pinned in tests/test_plans.py)."""
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct(F.col("u"), F.col("cid")),
+                F.struct(F.col("cos_c"), (-F.col("cid")).alias("_t")),
+            ).alias("_b")
+        )
+        .select(
+            "vec_id", F.col("_b.u").alias("u"), F.col("_b.cid").alias("cid")
+        )
+    )
+
+
 def _semantic_dedup_impl(emb_raw: DataFrame) -> DataFrame:
     from ..operators.dedup import bucket_pairs
     from ..operators.graph import dedup_clusters
@@ -549,30 +576,11 @@ def _semantic_dedup_impl(emb_raw: DataFrame) -> DataFrame:
         "vec_id", "u", "cid",
         _vdot(F.col("u"), F.col("cu")).alias("cos_c"),
     )
-    # Nearest-centroid assignment as a partial-aggregating max_by
-    # (ordering key (cos_c, -cid) is unique per group because cid is,
-    # so the max is deterministic: argmax cosine, ties -> smaller
-    # cid — the exact row_number()-window rule the oracle mirrors).
-    # The broadcast cross join leaves each vector's k scored rows
-    # co-located, so the map-side partial collapses them to ONE row
-    # per vector before the exchange: the shuffle carries N rows
-    # instead of N*k and needs no sort (window formulation measured
-    # 1.7s vs 0.2s at sf0.1).
     # Four consumers read `assigned` (bucket pairs, two vector joins,
     # final cluster join); checkpoint once so the scan+assignment
     # subtree executes once, not per branch (graph.py does the same
     # for its edge list; on a cluster this is checkpoint()).
-    assigned = (
-        scored.groupBy("vec_id")
-        .agg(
-            F.max_by(
-                F.struct(F.col("u"), F.col("cid")),
-                F.struct(F.col("cos_c"), (-F.col("cid")).alias("_t")),
-            ).alias("_b")
-        )
-        .select("vec_id", F.col("_b.u").alias("u"), F.col("_b.cid").alias("cid"))
-        .localCheckpoint()
-    )
+    assigned = _assign_nearest_centroid(scored).localCheckpoint()
     # max_bucket is a degenerate-quantizer safety net, not the sizing
     # mechanism: n_centroids must track corpus size (k ~ N / desired
     # bucket size) so buckets stay ~1k members; a bucket past the cap

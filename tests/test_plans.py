@@ -243,3 +243,54 @@ def test_cdc_changelog_is_single_scan(spark):
     )
     plan = _plan(df)
     assert plan.count("Scan parquet") == 2, plan
+
+
+def test_word_shingles_tokenize_once(spark):
+    """HOF lambdas are interpreted — no codegen subexpression reuse —
+    so a raw split() reference inside the per-shingle lambda would
+    re-tokenize once per shingle (~50x per doc, measured 2x on the
+    whole Jaccard pair scan).  word_shingles let-binds the token array
+    (1-element-array transform); the optimized plan must therefore
+    contain exactly ONE split() no matter what CollapseProject does."""
+    from mysql_clickhouse_sync_spark.operators.dedup import word_shingles
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("a b c d e",)], "text string")
+    plan = (
+        df.select(word_shingles(F.col("text")).alias("sh"))
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert plan.count("split(") == 1, plan
+
+
+def test_language_id_tokenizes_once(spark):
+    """Same invariant for language-ID: all per-language stopword hit
+    counts compute inside one struct over a let-bound token array —
+    one split() in the optimized plan, not len(STOPWORDS)+1."""
+    from mysql_clickhouse_sync_spark.operators.text import with_language_id
+
+    df = spark.createDataFrame([("the quick brown fox",)], "text string")
+    plan = (
+        with_language_id(df)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert plan.count("split(") == 1, plan
+
+
+def test_semantic_dedup_assignment_partial_aggregates(spark):
+    """Nearest-centroid assignment must be the max_by aggregate (one
+    row per vector crosses the exchange, no sort) — not a row_number
+    window over the N*k scored rows: the physical plan carries a
+    partial_max_by stage below the exchange and no Window operator."""
+    from pyspark.sql import functions as F
+    from mysql_clickhouse_sync_spark.plans.similarity_queries import (
+        _assign_nearest_centroid,
+    )
+
+    scored = spark.createDataFrame(
+        [(1, [1.0], 0, 0.5), (1, [1.0], 1, 0.9)],
+        "vec_id long, u array<double>, cid int, cos_c double",
+    )
+    plan = _plan(_assign_nearest_centroid(scored))
+    assert "partial_max_by" in plan, plan
+    assert "Window" not in plan, plan
