@@ -315,24 +315,35 @@ def ivf_topk(
     if not 0 < nprobe <= n_centroids:
         raise ValueError("nprobe must be in (0, n_centroids]")
     _require_small(queries, max_queries, "ivf_topk query set")
-    cents = [
-        F.array(*[F.lit(float(x)) for x in c])
-        for c in ivf_centroids(corpus, n_centroids, id_col, vec_col)
-    ]
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
 
-    def ranked_lists(v: Column) -> Column:
-        """array<struct<negdot,double, cid,int>> sorted best-first
-        (struct sort is lexicographic, so ties break on centroid id)."""
-        return F.array_sort(
-            F.array(
-                *[
-                    F.struct(
-                        (-dot(v, c)).alias("negdot"),
-                        F.lit(ci).cast("int").alias("cid"),
-                    )
-                    for ci, c in enumerate(cents)
-                ]
-            )
+    # The quantizer is folded in as ONE parsed SQL expression, not a
+    # Column-API tree: building n_centroids separate dot-fold trees
+    # via py4j costs one JVM round-trip per literal (n_centroids x dim
+    # floats, ~2s of DRIVER time per call at 16x64 — flat across every
+    # data scale, measured via the cross-SF sweep), while one
+    # expr() string is a single parse.  repr(float) is the shortest
+    # round-trip form, so the 'D' literals decode to bit-identical
+    # doubles and the fold matches dot() exactly (asserted: output
+    # identical to the Column-API formulation).
+    cents_sql = "array(" + ",".join(
+        "array(" + ",".join(repr(float(x)) + "D" for x in c) + ")"
+        for c in cents
+    ) + ")"
+
+    def ranked_sql(n: int) -> str:
+        """Best-first (negdot, cid) list for the let-bound vector `t`,
+        truncated to the top n — struct sort is lexicographic, so ties
+        break on centroid id.  The input vector is bound as a lambda
+        variable (1-element-array transform) so the cast runs once per
+        row, and every centroid scores inside ONE transform lambda."""
+        vd = f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))"
+        return (
+            f"transform(array({vd}), t -> slice(array_sort("
+            f"transform({cents_sql}, (c, i) -> named_struct("
+            "'negdot', -aggregate(zip_with(t, c, (x, y) -> x * y), "
+            "0.0D, (acc, x) -> acc + x), "
+            f"'cid', CAST(i AS INT)))), 1, {n}))[0]"
         )
 
     # Side norms materialized once per row (not per candidate pair):
@@ -341,16 +352,13 @@ def ivf_topk(
     assigned = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         _to_double(F.col(vec_col)).alias("_cv"),
-        F.element_at(ranked_lists(_to_double(F.col(vec_col))), 1)["cid"].alias("_cid"),
+        F.expr(ranked_sql(1))[0]["cid"].alias("_cid"),
     ).withColumn("_cn", norm(F.col("_cv")))
     probes = queries.select(
         F.col(id_col).alias("query_id"),
         _to_double(F.col(vec_col)).alias("_qv"),
         F.explode(
-            F.transform(
-                F.slice(ranked_lists(_to_double(F.col(vec_col))), 1, nprobe),
-                lambda s: s["cid"],
-            )
+            F.expr(f"transform({ranked_sql(nprobe)}, s -> s.cid)")
         ).alias("_cid"),
     ).withColumn("_qn", norm(F.col("_qv")))
     scored = (
