@@ -403,17 +403,39 @@ def _hyperplane_values(dim: int, n_planes: int) -> list[list[float]]:
 def hyperplane_signature(
     vec: Column, dim: int, n_planes: int = 32
 ) -> Column:
-    """r-bit sign signature of a vector under n_planes hyperplanes."""
+    """r-bit sign signature of a vector under n_planes hyperplanes.
+
+    The plane matrix is folded in as ONE parsed SQL literal (a
+    ``F.lit`` per component costs a py4j round-trip each — n_planes x
+    dim of them was ~2s of flat driver time per plan, same disease
+    the IVF quantizer had); the per-plane sign bits then compute in
+    one ``transform`` + OR-``aggregate`` over the let-bound input
+    vector.  Bit-identical to the explicit bitwiseOR chain (OR is
+    commutative; the dot fold is unchanged)."""
     planes = _hyperplane_values(dim, n_planes)
-    sig = F.lit(0).cast("long")
-    v = _to_double(vec)
-    for i, plane in enumerate(planes):
-        hp = F.array(*[F.lit(c) for c in plane])
-        bit = F.when(dot(v, hp) > 0, F.lit(1)).otherwise(F.lit(0))
-        sig = sig.bitwiseOR(
-            F.shiftleft(bit.cast("long"), i)
+    planes_col = F.expr(
+        "array(" + ",".join(
+            f"named_struct('w', {1 << i}L, 'p', array("
+            + ",".join(repr(float(x)) + "D" for x in p)
+            + "))"
+            for i, p in enumerate(planes)
+        ) + ")"
+    )
+
+    def _sig(t: Column) -> Column:
+        bits = F.transform(
+            planes_col,
+            lambda s: F.when(dot(t, s["p"]) > 0, s["w"]).otherwise(
+                F.lit(0).cast("long")
+            ),
         )
-    return sig
+        return F.aggregate(
+            bits,
+            F.lit(0).cast("long"),
+            lambda acc, b: acc.bitwiseOR(b),
+        )
+
+    return F.transform(F.array(_to_double(vec)), _sig)[0]
 
 
 def lsh_bucketed_pairs(
