@@ -13,16 +13,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.cdc import (
-    cdc_apply,
     dedup_latest,
     live_view,
     scd2_history,
-    stamp_changelog,
 )
 from ..sources.changelog import (
     ORDERS_PK,
-    derive_orders_changelog,
-    snapshot_with_cdc_columns,
+    applied_orders_single_scan,
 )
 from ..sources.parquet import load_table
 from .registry import register
@@ -81,12 +78,21 @@ WITH snap AS (
 
 
 def _applied_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    base = snapshot_with_cdc_columns(orders)
-    changes = stamp_changelog(
-        derive_orders_changelog(orders), op_col="op", seq_col="seq"
+    """The applied relation in ONE scan of orders: snapshot image and
+    events both derive from the same source row, so a single
+    conditional explode replaces the snapshot-scan + changelog-scan
+    union — the table is read once, not twice (pinned in
+    tests/test_plans.py; row-identical to the two-scan
+    ``cdc_apply(snapshot_with_cdc_columns(...),
+    stamp_changelog(derive_orders_changelog(...)))`` composition,
+    asserted in tests/test_cdc.py).  ``spread`` fans the explode out
+    on a small local scan and no-ops on a real cluster's many
+    splits."""
+    from ..util import spread
+
+    return applied_orders_single_scan(
+        spread(load_table(spark, sf_dir, "orders"))
     )
-    return cdc_apply(base, changes)
 
 
 @register(

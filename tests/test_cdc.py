@@ -229,3 +229,32 @@ def test_scd2_single_shuffle_plan(spark):
     )
     # Both windows partition on the PK: exactly one exchange.
     assert plan.count("Exchange") == 1, plan
+
+
+def test_applied_single_scan_equals_two_scan_composition(spark):
+    """applied_orders_single_scan must emit exactly the rows of the
+    two-scan composition (snapshot ∪ stamped changelog) — same
+    schema, same multiset of rows including the replayed u1 duplicate
+    and NULL-_seq snapshot images."""
+    from mysql_clickhouse_sync_spark.operators.cdc import (
+        cdc_apply,
+        stamp_changelog,
+    )
+    from mysql_clickhouse_sync_spark.sources.changelog import (
+        applied_orders_single_scan,
+        derive_orders_changelog,
+        snapshot_with_cdc_columns,
+    )
+    from mysql_clickhouse_sync_spark.sources.parquet import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    two = cdc_apply(
+        snapshot_with_cdc_columns(orders),
+        stamp_changelog(
+            derive_orders_changelog(orders), op_col="op", seq_col="seq"
+        ),
+    )
+    one = applied_orders_single_scan(orders)
+    assert one.schema == two.schema
+    assert one.exceptAll(two).count() == 0
+    assert two.exceptAll(one).count() == 0

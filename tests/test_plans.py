@@ -229,20 +229,21 @@ def test_global_rank_offsets_are_array_literal_not_map(spark):
     assert "element_at" in plan, plan
 
 
-def test_cdc_changelog_is_single_scan(spark):
-    """The derived changelog must read `orders` ONCE (conditional
-    event-struct explode), not as four filtered scans union'd
-    together: the full cdc_live_orders plan therefore contains
-    exactly TWO parquet scans — snapshot + changelog — where the
-    union formulation had five.  At 100 TB this is the difference
-    between reading the table once and five times."""
+def test_cdc_applied_relation_is_single_scan(spark):
+    """The applied relation must read `orders` ONCE: snapshot image
+    and events both derive from the same source row, so one
+    conditional struct explode covers the whole relation.  The full
+    cdc_live_orders plan therefore contains exactly ONE parquet scan
+    — the round-4 formulation had five (snapshot + four filtered
+    changelog scans), the early-round-5 one two.  At 100 TB this is
+    the difference between reading the table once and five times."""
     from mysql_clickhouse_sync_spark.plans.registry import all_queries
 
     df = all_queries()["cdc_live_orders"].fn(
         spark, "/root/testdata/sf0.001"
     )
     plan = _plan(df)
-    assert plan.count("Scan parquet") == 2, plan
+    assert plan.count("Scan parquet") == 1, plan
 
 
 def test_word_shingles_tokenize_once(spark):
