@@ -378,6 +378,16 @@ def theta_set_estimate(
     """
     group_cols = group_cols or []
     on = group_cols if group_cols else None
+    # Materialize each sketch ONCE: this function references `a` and
+    # `b` from multiple branches (state, theta, membership), and
+    # DataFrame branches re-evaluate their subtree per reference — the
+    # un-checkpointed plan re-ran each build (scan + distinct +
+    # bottom-k) EIGHT times, 16 source scans total for the ungrouped
+    # case (caught by tools/plan_audit.py).  A sketch is bounded at
+    # |groups| * k rows BY DESIGN, so eager materialization is O(k)
+    # — same precedent as the edge list in operators/graph.py.
+    a = a.localCheckpoint(eager=True)
+    b = b.localCheckpoint(eager=True)
     sa = _theta_state(a, group_cols, k, "_a")
     sb = _theta_state(b, group_cols, k, "_b")
     thetas = (
