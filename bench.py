@@ -112,8 +112,13 @@ HEADLINE_SEMANTICS_CHANGES = {
 # audit-carrying contract twins swapped out of the headline, plus the
 # five new r5 queries — SCD-2 history, repetition filter, domain
 # mixture, quantile sketch, duplicate chunks).
+# (cdc_streaming_live is deliberately NOT timed here: it is a
+# correctness surface — a ~9s end-to-end streaming drain whose cost is
+# checkpoint/trigger machinery, not engine work — graded by the driver
+# window and tools/window_fidelity.py instead.)
 EXTENDED = (
     "cdc_scd2_history",
+    "docs_bpe_first_merges",
     "docs_repetition_stats",
     "docs_domain_mixture",
     "events_value_quantiles",

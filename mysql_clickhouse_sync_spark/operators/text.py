@@ -254,6 +254,41 @@ def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return d.drop("_ls")
 
 
+def bpe_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-wide adjacent character-pair counts — the statistic the
+    FIRST iteration of BPE tokenizer training maximizes over (Sennrich
+    et al., "Neural Machine Translation of Rare Words with Subword
+    Units": merge the most frequent symbol pair; at iteration zero
+    every symbol is a character, so the candidates are exactly these
+    adjacent-char bigrams within tokens, weighted by occurrence).
+
+    Output: ``(pair, n_occurrences)`` — rank/limit is the caller's.
+
+    100 TB shape: explode(tokens) -> explode(char pairs) is a narrow
+    per-row fan-out; the groupBy key space is the CHARACTER-BIGRAM
+    vocabulary (a few thousand keys regardless of corpus size), so
+    map-side partial aggregation collapses the shuffle to
+    ~|vocab| x map-partitions rows — the canonical word-count shape.
+    Every stage is built-in expressions (split / substr / sequence),
+    no Python.
+    """
+    tok = F.explode(tokens_col(F.lower(F.col(text_col)))).alias("_tok")
+    toks = df.select(tok)
+    t = F.col("_tok")
+    pairs = F.when(
+        F.length(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - 1),
+            lambda i: t.substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        toks.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Polynomial rolling-hash document fingerprint over tokens.
 

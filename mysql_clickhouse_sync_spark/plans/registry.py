@@ -110,7 +110,7 @@ DRIVER_WINDOW = (
     # text / dedup pipeline
     "docs_exact_dedup",
     "docs_repetition_stats",
-    "docs_language_id",
+    "docs_bpe_first_merges",
     "docs_top_jaccard_pairs_capped",
     "docs_minhash_candidates",
     "docs_dedup_incremental",

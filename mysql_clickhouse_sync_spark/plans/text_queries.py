@@ -675,6 +675,42 @@ def docs_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_bpe_first_merges",
+    oracle=r"""
+    WITH tok AS (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        FROM documents
+    ), pr AS (
+        SELECT substr(t, CAST(i AS INT), 2) AS pair
+        FROM tok, unnest(range(1, len(t))) AS u(i)
+        WHERE len(t) >= 2
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM pr GROUP BY pair
+    ORDER BY n_occurrences DESC, pair
+    LIMIT 20
+    """,
+    description="BPE tokenizer-training support: the top-20 merge "
+    "candidates of the FIRST BPE iteration — corpus-wide adjacent "
+    "character-pair occurrence counts within tokens (Sennrich et al. "
+    "subword units; at iteration zero every symbol is a character).  "
+    "Scale shape: the groupBy key space is the char-bigram vocabulary "
+    "(thousands of keys at any corpus size), so map-side combine "
+    "collapses the shuffle to the canonical word-count pattern; "
+    "deterministic (count DESC, pair) tie-break on the top-k",
+)
+def docs_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bpe_pair_counts
+
+    return (
+        bpe_pair_counts(load_table(spark, sf_dir, "documents"))
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(20)
+        .select("pair", F.col("n_occurrences").cast("long").alias("n_occurrences"))
+    )
+
+
+@register(
     "docs_top_words",
     oracle=f"""
     SELECT word, CAST(count(*) AS BIGINT) AS n_occurrences,

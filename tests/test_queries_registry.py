@@ -110,6 +110,10 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         "docs_quality_score",        # r5: green r1-r4; slot to r5 queries
         "emb_label_near_pairs",      # r5: green r2-r4; slot to r5 queries
         "media_exact_dedup",         # r5: green r2-r4; slot to r5 queries
+        # mid-r5 swap: BPE first-merge candidates enter on add;
+        # language-ID rotates out (green r1-r4, and its gate is still
+        # driver-graded inside docs_curation_pipeline + corpus_curation_v2)
+        "docs_language_id",
         # r5 bench-only raw production variants: the contract-bearing
         # twins (docs_minhash_candidates, docs_dedup_incremental) are
         # driver-graded and exercise the identical operators; these
