@@ -276,8 +276,16 @@ def compact(
     default (they must continue to shadow any late-arriving older
     versions under at-least-once delivery); drop them only when the
     upstream guarantees no older duplicates remain.
+
+    Uses the skew-safe :func:`dedup_latest_agg` path: a full-table
+    OPTIMIZE is exactly where a hot key's whole version history (a
+    counter row rewritten per event since the last compaction) meets
+    one job, and the max_by partial aggregation crosses the shuffle
+    once per map partition instead of once per version — the
+    tests/test_cdc_skew.py scenario.  Winner-per-key is identical to
+    the window path (pinned there).
     """
-    out = dedup_latest(df, pks)
+    out = dedup_latest_agg(df, pks)
     if not keep_tombstones:
         out = out.filter(F.col(DELETED_COL) == 0)
     return out

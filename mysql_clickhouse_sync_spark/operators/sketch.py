@@ -412,21 +412,34 @@ def theta_set_estimate(
             *group_cols, "hv", F.lit(1).alias(tag)
         )
 
-    ka = below(a, "_in_a")
-    kb = below(b, "_in_b")
-    merged = ka.join(kb, on=(group_cols + ["hv"]) or ["hv"], how="outer")
+    # Membership via union + two-level aggregation, NOT a full-outer
+    # join: a full outer cannot broadcast either side, so Spark plans
+    # a sort-merge join (two sorts) even for these bounded sketch
+    # relations; the union form is one hash aggregation keyed on
+    # (group, hv) with map-side combine and no sort at all —
+    # identical (in_a, in_b) membership per retained hash.
+    ka = below(a, "_flag_a").withColumn("_flag_b", F.lit(0))
+    kb = below(b, "_flag_b").withColumn("_flag_a", F.lit(0))
+    merged = (
+        ka.unionByName(kb)
+        .groupBy(*group_cols, "hv")
+        .agg(
+            F.max("_flag_a").alias("_in_a"),
+            F.max("_flag_b").alias("_in_b"),
+        )
+    )
     counts = merged.groupBy(*group_cols).agg(
         F.count("*").alias("_n_union"),
         F.sum(
-            F.when(F.col("_in_a").isNotNull() & F.col("_in_b").isNotNull(), 1)
+            F.when((F.col("_in_a") == 1) & (F.col("_in_b") == 1), 1)
             .otherwise(0)
         ).alias("_n_inter"),
         F.sum(
-            F.when(F.col("_in_a").isNotNull() & F.col("_in_b").isNull(), 1)
+            F.when((F.col("_in_a") == 1) & (F.col("_in_b") == 0), 1)
             .otherwise(0)
         ).alias("_n_only_a"),
         F.sum(
-            F.when(F.col("_in_b").isNotNull() & F.col("_in_a").isNull(), 1)
+            F.when((F.col("_in_b") == 1) & (F.col("_in_a") == 0), 1)
             .otherwise(0)
         ).alias("_n_only_b"),
     )
