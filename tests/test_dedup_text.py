@@ -302,3 +302,36 @@ def test_band_index_parquet_round_trip(spark, tmp_path):
     )
     assert from_disk == from_plan
     assert from_disk, "no cross-split candidates on harness data"
+
+
+def test_bpe_pair_counts_matches_python_reference(spark):
+    """bpe_pair_counts == a trivial pure-Python recount on a corpus
+    covering the edge cases: multi-space runs, 1-char tokens (emit
+    nothing), unicode (multi-byte chars count as ONE character in both
+    substr semantics), repeated pairs within one token, and repeated
+    tokens across docs."""
+    import re
+    from collections import Counter
+
+    from mysql_clickhouse_sync_spark.operators.text import bpe_pair_counts
+
+    texts = [
+        "low lower lowest",
+        "a bb  ccc   low",
+        "héllo héllo naïve",
+        "aaaa",
+        " x ",
+        "日本語 テスト",
+    ]
+    expected: Counter[str] = Counter()
+    for txt in texts:
+        for tok in re.split(r"\s+", txt.strip().lower()):
+            for i in range(len(tok) - 1):
+                expected[tok[i:i + 2]] += 1
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {
+        r["pair"]: r["n_occurrences"]
+        for r in bpe_pair_counts(df).collect()
+    }
+    assert got == dict(expected)
