@@ -43,6 +43,7 @@ def connected_components(
     nodes: DataFrame | None = None,
     id_col: str = "id",
     max_iter: int = 25,
+    unique_edges: bool = False,
 ) -> DataFrame:
     """Label every node with the smallest node id in its component.
 
@@ -50,6 +51,15 @@ def connected_components(
     ``nodes`` optionally supplies the full vertex relation (column
     ``id_col``) so isolated nodes come back as their own singleton
     component; otherwise the vertex set is derived from the edges.
+
+    ``unique_edges=True`` skips the symmetrize-dedup shuffle: min-
+    propagation is CORRECT under duplicate edges regardless (min is
+    idempotent — duplicates only add redundant messages), so the
+    ``distinct`` is purely a message-volume optimization for callers
+    whose pair generators emit the same pair many times (multi-band
+    LSH).  Callers that already emit each pair once (a groupBy'd
+    Jaccard threshold, single-assignment bucket pairs) pay a full
+    edge-list shuffle for nothing — at any scale.
 
     Returns ``(id, component)``, one row per node, deterministic.
     """
@@ -63,7 +73,9 @@ def connected_components(
     )
     sym = e.unionByName(
         e.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
-    ).distinct()
+    )
+    if not unique_edges:
+        sym = sym.distinct()
 
     if nodes is not None:
         vertex = nodes.select(F.col(id_col).alias("id")).distinct()
@@ -111,6 +123,7 @@ def dedup_clusters(
     id_col: str = "doc_id",
     pair_a: str = "id_a",
     pair_b: str = "id_b",
+    unique_pairs: bool = False,
 ) -> DataFrame:
     """Full-corpus cluster assignment from candidate pairs: every row
     of ``df`` labeled with its duplicate-cluster id (smallest member)
@@ -120,8 +133,13 @@ def dedup_clusters(
     graph, typically a tiny fraction of the corpus after LSH/threshold
     filtering); untouched documents join back as their own singleton
     cluster in one final pass.  Labels shuffled per round are
-    O(|edges|), never O(|corpus|)."""
-    cc = connected_components(pairs, src=pair_a, dst=pair_b)
+    O(|edges|), never O(|corpus|).  ``unique_pairs`` passes through to
+    :func:`connected_components` — set it when the pair source emits
+    each pair exactly once (post-groupBy Jaccard, single-assignment
+    bucket pairs) to skip the symmetrize-dedup shuffle."""
+    cc = connected_components(
+        pairs, src=pair_a, dst=pair_b, unique_edges=unique_pairs
+    )
     return (
         df.select(F.col(id_col))
         .join(cc, df[id_col] == cc["id"], "left")

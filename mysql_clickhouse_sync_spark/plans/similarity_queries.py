@@ -602,8 +602,12 @@ def _semantic_dedup_impl(emb_raw: DataFrame) -> DataFrame:
             F.col("b.vec_id").alias("id_b"),
         )
     )
+    # Pairs are unique by construction (each vector sits in exactly
+    # one centroid bucket, bucket_pairs emits a<b once): skip the
+    # symmetrize-dedup shuffle in the components step.
     clusters = dedup_clusters(
-        assigned.select("vec_id"), pairs, id_col="vec_id"
+        assigned.select("vec_id"), pairs, id_col="vec_id",
+        unique_pairs=True,
     )
     return (
         assigned.select("vec_id", F.col("cid").cast("long").alias("centroid_id"))

@@ -827,7 +827,9 @@ def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = shingle_pairs_jaccard(docs).filter(F.col("jaccard") >= 0.5)
-    return dedup_clusters(docs, pairs)
+    # One row per pair by construction (the pair-count groupBy):
+    # min-propagation needs no symmetrize-dedup shuffle.
+    return dedup_clusters(docs, pairs, unique_pairs=True)
 
 
 @register(
