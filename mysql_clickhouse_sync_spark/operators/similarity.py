@@ -413,9 +413,13 @@ def hyperplane_signature(
     vector.  Bit-identical to the explicit bitwiseOR chain (OR is
     commutative; the dot fold is unchanged)."""
     planes = _hyperplane_values(dim, n_planes)
+    # Bit weights as shiftleft expressions, not numeric literals: the
+    # i=63 weight (2^63) overflows the bigint literal range and would
+    # fail to PARSE for n_planes=64, while shiftleft(1L, 63) constant-
+    # folds to the correct sign-bit long.
     planes_col = F.expr(
         "array(" + ",".join(
-            f"named_struct('w', {1 << i}L, 'p', array("
+            f"named_struct('w', shiftleft(1L, {i}), 'p', array("
             + ",".join(repr(float(x)) + "D" for x in p)
             + "))"
             for i, p in enumerate(planes)

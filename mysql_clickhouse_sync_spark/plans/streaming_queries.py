@@ -41,8 +41,8 @@ from pyspark.sql.types import (
 
 from ..sources.changelog import (
     ORDERS_PK,
+    _USER_COLS as _USER_COL_TUPLE,
     derive_orders_changelog,
-    snapshot_with_cdc_columns,
 )
 from ..sources.parquet import load_table
 from ..streaming.cdc_pipeline import (
@@ -88,11 +88,23 @@ _CHANGELOG_SCHEMA = StructType(
 def cdc_streaming_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
 
-    # Materialize the derived changelog as the stream's input files.
+    # One working dir per (session, sf_dir), REUSED across calls: a
+    # fresh mkdtemp per invocation would leak a full orders copy +
+    # changelog + checkpoint every time the driver / fidelity gate /
+    # bench calls this fn.  Keyed by applicationId so concurrent
+    # sessions (pytest vs driver) never share a dir; every stage below
+    # overwrites (changelog overwrite, snapshot overwrite, checkpoint
+    # rmtree inside run_initial_sync_then_stream), so reuse is safe
+    # within a session, and growth is bounded at one dir per session.
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"cdc_streaming_live_{spark.sparkContext.applicationId}_"
+        + os.path.basename(sf_dir.rstrip("/")),
+    )
+    os.makedirs(base, exist_ok=True)
     # 8 files against maxFilesPerTrigger=4 forces MULTIPLE microbatches
     # so the checkpointed multi-batch path is what gets graded, not a
     # degenerate single-batch drain.
-    base = tempfile.mkdtemp(prefix="cdc_streaming_live_")
     changelog_dir = os.path.join(base, "changelog")
     (
         derive_orders_changelog(orders)
@@ -104,10 +116,12 @@ def cdc_streaming_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipe = CDCStreamPipeline(
         spark, "orders", list(ORDERS_PK), _CHANGELOG_SCHEMA, base
     )
+    # The sink must not accumulate appends across reuse of the dir:
+    # the initial-sync snapshot write is mode("overwrite"), which
+    # clears the previous run's target before the stream re-drains.
     run_initial_sync_then_stream(
-        pipe, snapshot_with_cdc_columns(orders), changelog_dir
+        # unstamped user columns: run_initial_sync_then_stream stamps
+        # _version/_deleted/_seq itself (same contract as main.py)
+        pipe, orders.select(*_USER_COL_TUPLE), changelog_dir
     )
-    # The returned DataFrame reads the parquet the stream appended;
-    # `base` intentionally outlives this call (the driver collects
-    # lazily) — it is a per-call tempdir, reclaimed with /tmp.
     return pipe.live()

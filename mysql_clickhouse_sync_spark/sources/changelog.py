@@ -42,6 +42,40 @@ _USER_COLS = (
 )
 
 
+def _event_spec() -> list[tuple]:
+    """The ONE definition of the derived event scenario:
+    ``(valid, op, seq, price, prio)`` per emitted event, in delivery
+    order.  Both derivations below (the raw changelog and the fused
+    applied relation) consume this list, so the scenario cannot
+    silently diverge between them; the SQL oracle twin lives in
+    ``plans/cdc_queries.py::_ORACLE_CDC_CTES``.  The u1 event appears
+    twice: duplicate delivery (at-least-once replay,
+    ``/root/reference/README.md:478-497``).
+    """
+    key = F.col("o_orderkey")
+    price = F.col("o_totalprice")
+    prio = F.col("o_orderpriority")
+    u1 = (key % 7 == 0, "U", 1, price * F.lit(1.1), prio)
+    return [
+        u1,
+        u1,  # duplicate delivery: u1 replayed
+        (key % 7 == 1, "D", 2, price, prio),
+        (key % 14 == 0, "U", 3, price * F.lit(1.2), prio),
+        (key % 14 == 1, "I", 4, price, F.lit(REINSERT_MARKER)),
+    ]
+
+
+def _user_fields(price, prio) -> list:
+    return [
+        F.col("o_orderkey").alias("o_orderkey"),
+        F.col("o_custkey").alias("o_custkey"),
+        F.col("o_orderstatus").alias("o_orderstatus"),
+        price.alias("o_totalprice"),
+        F.col("o_orderdate").alias("o_orderdate"),
+        prio.alias("o_orderpriority"),
+    ]
+
+
 def derive_orders_changelog(orders: DataFrame) -> DataFrame:
     """Build the raw changelog DataFrame ``(op, seq, <user cols>)``.
 
@@ -49,10 +83,8 @@ def derive_orders_changelog(orders: DataFrame) -> DataFrame:
     events as an array of structs which is then exploded — one pass
     over the table instead of four filtered scans union'd together
     (the rows produced are identical; at 100 TB the 4 saved scans are
-    the difference between one read of the table and five).  The u1
-    event appears twice: duplicate delivery (at-least-once replay).
+    the difference between one read of the table and five).
     """
-    key = F.col("o_orderkey")
 
     def ev(valid, op: str, seq: int, price, prio):
         # NULL struct when the row does not emit this event;
@@ -65,27 +97,11 @@ def derive_orders_changelog(orders: DataFrame) -> DataFrame:
             F.struct(
                 F.lit(op).alias("op"),
                 F.lit(seq).cast("long").alias("seq"),
-                key.alias("o_orderkey"),
-                F.col("o_custkey").alias("o_custkey"),
-                F.col("o_orderstatus").alias("o_orderstatus"),
-                price.alias("o_totalprice"),
-                F.col("o_orderdate").alias("o_orderdate"),
-                prio.alias("o_orderpriority"),
+                *_user_fields(price, prio),
             ),
         )
 
-    price = F.col("o_totalprice")
-    prio = F.col("o_orderpriority")
-    u1 = ev(key % 7 == 0, "U", 1, price * F.lit(1.1), prio)
-    events = F.array_compact(
-        F.array(
-            u1,
-            u1,  # duplicate delivery: u1 replayed
-            ev(key % 7 == 1, "D", 2, price, prio),
-            ev(key % 14 == 0, "U", 3, price * F.lit(1.2), prio),
-            ev(key % 14 == 1, "I", 4, price, F.lit(REINSERT_MARKER)),
-        )
-    )
+    events = F.array_compact(F.array(*[ev(*spec) for spec in _event_spec()]))
     return orders.select(F.explode(events).alias("_e")).select("_e.*")
 
 
@@ -111,42 +127,36 @@ def applied_orders_single_scan(orders: DataFrame) -> DataFrame:
     stamp_changelog(derive_orders_changelog(orders)))` — same
     expressions, same arithmetic, null `_seq` on the snapshot image —
     asserted row-identical in tests; only the scan count differs
-    (pinned in tests/test_plans.py).
+    (pinned in tests/test_plans.py).  The SAME ``_event_spec`` drives
+    this and :func:`derive_orders_changelog`, with the stamping rule
+    (``_version = seq``, ``_deleted = (op == 'D')``, null ``_seq`` on
+    the snapshot image) applied inline, so the scenario cannot
+    diverge between the two derivations.
     """
-    key = F.col("o_orderkey")
 
-    def row(valid, version: int, deleted: int, seq, price, prio):
+    def row(valid, version, deleted, seq, price, prio):
         return F.when(
             valid,
             F.struct(
-                key.alias("o_orderkey"),
-                F.col("o_custkey").alias("o_custkey"),
-                F.col("o_orderstatus").alias("o_orderstatus"),
-                price.alias("o_totalprice"),
-                F.col("o_orderdate").alias("o_orderdate"),
-                prio.alias("o_orderpriority"),
+                *_user_fields(price, prio),
                 F.lit(version).cast("long").alias("_version"),
                 F.lit(deleted).alias("_deleted"),
-                (
-                    F.lit(seq).cast("long")
-                    if seq is not None
-                    else F.lit(None).cast("long")
-                ).alias("_seq"),
+                F.lit(seq).cast("long").alias("_seq"),
             ),
         )
 
-    price = F.col("o_totalprice")
-    prio = F.col("o_orderpriority")
-    snap = row(F.lit(True), 0, 0, None, price, prio)
-    u1 = row(key % 7 == 0, 1, 0, 1, price * F.lit(1.1), prio)
+    snap = row(
+        F.lit(True), 0, 0, None,
+        F.col("o_totalprice"), F.col("o_orderpriority"),
+    )
     rows = F.array_compact(
         F.array(
             snap,
-            u1,
-            u1,  # duplicate delivery: u1 replayed
-            row(key % 7 == 1, 2, 1, 2, price, prio),
-            row(key % 14 == 0, 3, 0, 3, price * F.lit(1.2), prio),
-            row(key % 14 == 1, 4, 0, 4, price, F.lit(REINSERT_MARKER)),
+            *[
+                # stamp_changelog's rule, applied at derivation time
+                row(valid, seq, 1 if op == "D" else 0, seq, price, prio)
+                for valid, op, seq, price, prio in _event_spec()
+            ],
         )
     )
     return orders.select(F.explode(rows).alias("_r")).select("_r.*")

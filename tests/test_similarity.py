@@ -399,3 +399,29 @@ def test_ann_recall_audit_arithmetic(spark):
     assert out2[2].n_returned == 0 and out2[2].recall_ok is False
     # mean: total matched 1 < 1.0 * 2 queries -> bound fails
     assert out2[1].mean_recall_ok is False
+
+
+def test_hyperplane_signature_supports_full_64_planes(spark):
+    """n_planes=64 must build and use the long's sign bit: the i=63
+    weight is 2^63, which overflows a bigint LITERAL — the weight must
+    be emitted as shiftleft(1L, 63) (regression: the first parsed-
+    literal formulation failed with INVALID_NUMERIC_LITERAL_RANGE at
+    plan construction for a previously-valid public argument)."""
+    from pyspark.sql import functions as F
+
+    from mysql_clickhouse_sync_spark.operators.similarity import (
+        hyperplane_signature,
+    )
+
+    df = spark.createDataFrame(
+        [([float(i % 7) - 3.0 for i in range(64)],),
+         ([3.0 - float(i % 5) for i in range(64)],)],
+        "embedding array<double>",
+    )
+    sigs = [
+        r["s"]
+        for r in df.select(
+            hyperplane_signature(F.col("embedding"), 64, 64).alias("s")
+        ).collect()
+    ]
+    assert len(sigs) == 2 and sigs[0] != sigs[1]

@@ -100,17 +100,33 @@ def main() -> None:
             times[name][lab] = _best_of(lambda: q.fn(spark, d).count(), repeats)
             print(f"# {name} @ {lab}: {times[name][lab]}s", file=sys.stderr)
 
+    # Data span derived from the sf values themselves (sf_dirs is an
+    # arbitrary CLI argument — assuming 10x per step would misgrade a
+    # sparse sweep like [sf0.001, sf0.1] where linear growth is r~100,
+    # not r~10).  Falls back to 10x-per-step only if a label doesn't
+    # parse.
+    def _sf_value(label: str) -> float | None:
+        try:
+            return float(label.replace("sf", ""))
+        except ValueError:
+            return None
+
+    sf_lo, sf_hi = _sf_value(labels[0]), _sf_value(labels[-1])
+    span = (
+        sf_hi / sf_lo
+        if sf_lo and sf_hi
+        else 10 ** (len(sf_dirs) - 1)
+    )
     lines = [
         "# SCALING — measured cost vs corpus size",
         "",
         f"Best-of-{repeats} wall-clock seconds per query per scale "
-        f"factor (local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]; "
-        "data grows ~10x per column).  `r` = t(last)/t(first) over a "
-        f"{10 ** (len(sf_dirs) - 1)}x data span; see tools/scaling.py "
-        "for how to read the two regimes (r~1: overhead-bound, plan "
-        "pins carry the scale argument; r near the data span: the "
-        "measured slope IS the argument; r >> span: scale-killer — "
-        "none present).",
+        f"factor (local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]).  "
+        f"`r` = t(last)/t(first) over a {span:g}x data span (derived "
+        "from the sf values); see tools/scaling.py for how to read "
+        "the two regimes (r~1: overhead-bound, plan pins carry the "
+        "scale argument; r near the data span: the measured slope IS "
+        "the argument; r >> span: scale-killer — none present).",
         "",
         "| query | " + " | ".join(labels) + " | r |",
         "|---|" + "---|" * (len(labels) + 1),
@@ -123,11 +139,10 @@ def main() -> None:
         ratios[name] = r
         cells = " | ".join(f"{row[lab]:.3f}" for lab in labels)
         lines.append(f"| {name} | {cells} | {r} |")
-    span = 10 ** (len(sf_dirs) - 1)
     worst = max(ratios, key=lambda n: ratios[n])
     lines += [
         "",
-        f"Worst growth: `{worst}` r={ratios[worst]} over a {span}x "
+        f"Worst growth: `{worst}` r={ratios[worst]} over a {span:g}x "
         "data span — "
         + (
             "sublinear; no superlinear (scale-killer) signature in the "
