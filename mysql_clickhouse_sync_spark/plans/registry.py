@@ -91,7 +91,14 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 # the new-queries-enter-immediately policy; OUT: cdc_versions_per_key
 # (r4-green observability histogram; CDC keeps 5 graded rows and the
 # version-chain mass stays hash-covered off-window by
-# tools/check_oracle.py + ci_gate).
+# tools/check_oracle.py + ci_gate).  Also mid-r5:
+# events_streaming_hourly (multi-microbatch stateful window
+# aggregation == batch, hash-verified) IN, lineitem_grouping_sets OUT
+# (green r3-r4; its one-Expand-scan shape stays plan-pinned in
+# tests/test_layout.py and hash-checked off-window); and
+# docs_bpe_first_merges IN (tokenizer-training support),
+# docs_language_id OUT (green r1-r4; its gate stays graded inside the
+# curation pipelines).
 DRIVER_WINDOW = (
     # CDC sentinels
     "cdc_live_orders",
@@ -149,7 +156,7 @@ DRIVER_WINDOW = (
     # behavior analytics
     "events_funnel",
     "events_retention_cohorts",
-    "lineitem_grouping_sets",
+    "events_streaming_hourly",
     "events_daily_anomaly_zscore",
     "events_value_quantiles",
     "customer_rfm_segments",

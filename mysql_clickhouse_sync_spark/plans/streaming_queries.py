@@ -27,9 +27,11 @@ Structured Streaming instead of a hand-rolled binlog loop.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -125,3 +127,83 @@ def cdc_streaming_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         pipe, orders.select(*_USER_COL_TUPLE), changelog_dir
     )
     return pipe.live()
+
+
+@register(
+    "events_streaming_hourly",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts)
+    """,
+    description="END-TO-END STREAMING AGGREGATION: the tumbling-hour "
+    "window of events_hourly_windows computed by Structured Streaming "
+    "— events re-sharded into 8 files, drained availableNow at "
+    "maxFilesPerTrigger=2 (4+ microbatches), windowed state merged "
+    "incrementally across batches in the state store, complete-mode "
+    "final state returned.  Oracle = the identical batch SQL, so the "
+    "driver hash-verifies that multi-microbatch stateful aggregation "
+    "equals the one-shot batch answer (DECIMAL sums make the result "
+    "arrival-order-insensitive).  Watermarked append-mode eviction "
+    "semantics are property-tested in tests/test_streaming_windows.py "
+    "— this row grades the state-merge path",
+)
+def events_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"events_streaming_hourly_{spark.sparkContext.applicationId}_"
+        + os.path.basename(sf_dir.rstrip("/")),
+    )
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    # Fresh checkpoint every call: the src files are rewritten below,
+    # and a stale offset log would make the drain process zero batches
+    # (leaving the memory table empty) or reference replaced files.
+    shutil.rmtree(ckpt, ignore_errors=True)
+    # 8 files vs maxFilesPerTrigger=2 forces >= 4 microbatches; the
+    # round-robin repartition scatters event time across batches, so
+    # the state store genuinely MERGES every window across batches
+    # (an event-time-ordered drain would trivially append).
+    ev.repartition(8).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        # watermark/window machinery requires an instant; the
+        # container is UTC so the cast is value-preserving and the
+        # window start casts back to the oracle's naive timestamp
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,4)")).alias("_tv"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("events_streaming_hourly_sink")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # localCheckpoint: the memory view is REPLACED by the next
+    # invocation, so pin this call's result before returning the
+    # (lazily-collected) DataFrame to the driver.
+    return (
+        spark.table("events_streaming_hourly_sink")
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("_tv").cast("double").alias("total_value"),
+        )
+        .localCheckpoint()
+    )
