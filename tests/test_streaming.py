@@ -447,3 +447,23 @@ def test_registered_streaming_query_matches_batch(spark):
     batch = qs["cdc_live_orders"].fn(spark, SF_DIR)
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_streaming_queries_are_idempotent_across_calls(spark):
+    """Both streaming registry fns REUSE a per-(session, sf) working
+    dir (tmp-leak fix): calling twice in one session must rebuild from
+    scratch — cleared checkpoint, overwritten sink/src — and return
+    identical results, never an empty drain from a stale offset log or
+    doubled appends."""
+    from conftest import SF_DIR
+
+    from mysql_clickhouse_sync_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    for name in ("cdc_streaming_live", "events_streaming_hourly"):
+        first = qs[name].fn(spark, SF_DIR)
+        rows1 = sorted(map(tuple, first.collect()))
+        second = qs[name].fn(spark, SF_DIR)
+        rows2 = sorted(map(tuple, second.collect()))
+        assert rows1, f"{name}: empty first run"
+        assert rows1 == rows2, f"{name}: rerun diverged"
