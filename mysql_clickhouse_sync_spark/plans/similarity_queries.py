@@ -483,8 +483,9 @@ def emb_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "-> cluster + keeper per vector.  At scale the centroid count "
     "tracks corpus size (k ~ N/1k keeps buckets ~1k members; "
     "max_bucket=4096 guards a collapsed quantizer); pair expansion "
-    "uses bucket_pairs (ids through the shuffle, vectors joined "
-    "back).  Oracle recomputes components with a recursive CTE",
+    "scores pairs in a bit-identical Arrow/numpy bucket kernel "
+    "(sequential-order accumulation == the fold, members-only "
+    "transfer).  Oracle recomputes components with a recursive CTE",
 )
 def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _semantic_dedup_impl(load_table(spark, sf_dir, "embeddings"))
@@ -536,7 +537,6 @@ def _assign_nearest_centroid(scored: DataFrame) -> DataFrame:
 
 
 def _semantic_dedup_impl(emb_raw: DataFrame) -> DataFrame:
-    from ..operators.dedup import bucket_pairs
     from ..operators.graph import dedup_clusters
 
     from ..operators.similarity import dot as _vdot, norm as _vnorm
@@ -586,21 +586,17 @@ def _semantic_dedup_impl(emb_raw: DataFrame) -> DataFrame:
     # bucket size) so buckets stay ~1k members; a bucket past the cap
     # means the quantizer collapsed and is dropped whole rather than
     # expanding quadratically in one task.
-    # The unit vector rides through bucket_pairs as pair payload, so
-    # both sides of every candidate pair arrive in one row — no
-    # join-back to fetch vectors (two joins + shuffles saved; the
-    # pair sort keys on vec_id first, so pair order is unchanged).
-    pairs = (
-        bucket_pairs(
-            assigned.select("cid", "vec_id", "u"), ["cid"],
-            F.struct(F.col("vec_id"), F.col("u")),
-            max_bucket=4096,
-        )
-        .filter(_vdot(F.col("a.u"), F.col("b.u")) >= 0.35)
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-        )
+    # Pair generation + threshold as ONE Arrow/numpy kernel per
+    # bucket: sequential-order accumulation is bit-identical to the
+    # interpreted fold (same doubles, same >= 0.35 decisions — pinned
+    # by a pair-set equality test), Arrow transfers only the bucket
+    # MEMBERS, and the quadratic pair mass scores at numpy rates
+    # inside the kernel (2.2s -> 0.6s on 251k candidates at sf0.1).
+    from ..operators.similarity import bucket_cosine_pairs_vectorized
+
+    pairs = bucket_cosine_pairs_vectorized(
+        assigned, "cid", "vec_id", "u",
+        threshold=0.35, max_bucket=4096,
     )
     # Pairs are unique by construction (each vector sits in exactly
     # one centroid bucket, bucket_pairs emits a<b once): skip the
