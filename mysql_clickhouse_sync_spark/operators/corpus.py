@@ -85,15 +85,23 @@ def token_chunks(
     """
     if not 0 < stride <= max_len:
         raise ValueError("need 0 < stride <= max_len")
-    n = F.size(toks)
-    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
-    return F.transform(
-        starts,
-        lambda s, i: F.struct(
-            i.cast("int").alias("chunk_idx"),
-            F.slice(toks, s, max_len).alias("chunk"),
-        ),
-    )
+
+    def _chunks(t: Column) -> Column:
+        starts = F.sequence(
+            F.lit(1), F.greatest(F.size(t), F.lit(1)), F.lit(stride)
+        )
+        return F.transform(
+            starts,
+            lambda s, i: F.struct(
+                i.cast("int").alias("chunk_idx"),
+                F.slice(t, s, max_len).alias("chunk"),
+            ),
+        )
+
+    # Let-bind the token array (the word_shingles trick): callers pass
+    # a raw tokenization expression, and a lambda that slices it
+    # directly would re-run the split once per chunk window.
+    return F.transform(F.array(toks), _chunks)[0]
 
 
 def chunk_documents(

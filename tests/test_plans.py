@@ -295,3 +295,19 @@ def test_semantic_dedup_assignment_partial_aggregates(spark):
     plan = _plan(_assign_nearest_centroid(scored))
     assert "partial_max_by" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_token_chunks_tokenize_once(spark):
+    """Chunking slices the token array once per row, not once per
+    chunk window: one split() in the optimized plan (same let-binding
+    invariant as word_shingles / language-ID)."""
+    from mysql_clickhouse_sync_spark.operators.corpus import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    plan = (
+        chunk_documents(df, max_len=4, stride=3)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert plan.count("split(") == 1, plan
