@@ -156,10 +156,13 @@ def bucket_cosine_pairs_vectorized(
     251k candidate pairs at sf0.1).
 
     Scale shape: Arrow transfers O(bucket members) rows; the
-    quadratic pair mass materializes only inside the kernel as index
-    arrays + one f64 accumulator (a k-member bucket peaks at
-    ~3 * k^2/2 * 8 bytes — ~200 MB at the 4096 cap, bounded).
-    Buckets past ``max_bucket`` are dropped whole — the identical
+    quadratic pair mass materializes only inside the kernel as the
+    two int index arrays plus four preallocated f64 pair-length
+    buffers (gather a/b, product, accumulator) reused across the
+    dimension loop — ~6 pair-length arrays total, ~400 MB peak at the
+    4096-member cap, bounded and allocation-stable (naive per-step
+    temporaries would double that and churn the allocator).  Buckets
+    past ``max_bucket`` are dropped whole — the identical
     degenerate-quantizer guard as ``bucket_pairs``.
 
     Output: ``(id_a, id_b)`` with ``id_a < id_b``.
@@ -183,9 +186,19 @@ def bucket_cosine_pairs_vectorized(
         U = np.stack(pdf[vec_col].to_numpy())[order].astype(np.float64)
         # sorted ids + upper-triangle indices => id_a < id_b for free
         ia, ib = np.triu_indices(n, k=1)
-        acc = np.zeros(len(ia))
+        npairs = len(ia)
+        acc = np.zeros(npairs)
+        ga = np.empty(npairs)
+        gb = np.empty(npairs)
+        tmp = np.empty(npairs)
+        # out= buffers keep the EXACT multiply-then-add IEEE sequence
+        # of the interpreted fold (bit-identity is the contract) while
+        # reusing memory across the dimension loop.
         for i in range(U.shape[1]):
-            acc = acc + U[ia, i] * U[ib, i]
+            np.take(U[:, i], ia, out=ga)
+            np.take(U[:, i], ib, out=gb)
+            np.multiply(ga, gb, out=tmp)
+            np.add(acc, tmp, out=acc)
         m = acc >= threshold
         return pd.DataFrame({"id_a": ids[ia[m]], "id_b": ids[ib[m]]})
 

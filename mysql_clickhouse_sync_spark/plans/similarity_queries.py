@@ -536,18 +536,27 @@ def _assign_nearest_centroid(scored: DataFrame) -> DataFrame:
     )
 
 
-def _semantic_dedup_impl(emb_raw: DataFrame) -> DataFrame:
-    from ..operators.graph import dedup_clusters
+def _semantic_assignment(emb_raw: DataFrame) -> DataFrame:
+    """Normalize -> first-k centroids -> max_by nearest-centroid
+    assignment: the shared front half of semantic dedup, returning
+    ``(vec_id, u, cid)`` (NOT checkpointed — the caller decides).
 
+    Shared by :func:`_semantic_dedup_impl` AND the kernel-equality
+    test, so the "bit-identical to production" pin always exercises
+    the production assignment, not a hand-copied twin.
+
+    Normalize ONCE per vector (mirrored exactly in the oracle), so
+    every downstream similarity is a single dot fold instead of
+    dot + two norms.  ``_n`` as a projected column evaluates the norm
+    fold ONCE per row; a norm call inside the transform lambda would
+    re-fold per element (64x the work, measured).  The quantizer is
+    sized to the corpus via one cheap count job and stays the
+    first-k-by-id rule so the DuckDB oracle can mirror it exactly
+    (IVF's trained k-means is the right tool when recall, not
+    SQL-mirrorability, is the goal).
+    """
     from ..operators.similarity import dot as _vdot, norm as _vnorm
 
-    # Normalize ONCE per vector (mirrored exactly in the oracle), so
-    # every downstream similarity is a single dot fold instead of
-    # dot + two norms — 3x fewer interpreted fold ops on the
-    # quadratic pair stage.
-    # _n as a projected column evaluates the norm fold ONCE per row;
-    # a norm call inside the transform lambda would re-fold per
-    # element (64x the work, measured on the assignment stage).
     emb = (
         emb_raw
         .select("vec_id", _to_double(F.col("embedding")).alias("_v"))
@@ -559,13 +568,6 @@ def _semantic_dedup_impl(emb_raw: DataFrame) -> DataFrame:
             ).alias("u"),
         )
     )
-    # Quantizer sized to the corpus via one cheap count job; the
-    # oracle mirrors the same k = max(8, N // 1000) rule, so engine
-    # and oracle stay in lockstep at every scale factor and buckets
-    # never approach the max_bucket guard.  The quantizer stays the
-    # first-k-by-id rule so the DuckDB oracle can mirror it exactly;
-    # IVF's trained k-means is the right tool when recall, not
-    # SQL-mirrorability, is the goal.
     n_centroids = _semantic_centroid_count(emb_raw.count())
     cents = (
         emb.orderBy("vec_id")
@@ -576,11 +578,18 @@ def _semantic_dedup_impl(emb_raw: DataFrame) -> DataFrame:
         "vec_id", "u", "cid",
         _vdot(F.col("u"), F.col("cu")).alias("cos_c"),
     )
+    return _assign_nearest_centroid(scored)
+
+
+def _semantic_dedup_impl(emb_raw: DataFrame) -> DataFrame:
+    from ..operators.graph import dedup_clusters
+    from ..operators.similarity import bucket_cosine_pairs_vectorized
+
     # Four consumers read `assigned` (bucket pairs, two vector joins,
     # final cluster join); checkpoint once so the scan+assignment
     # subtree executes once, not per branch (graph.py does the same
     # for its edge list; on a cluster this is checkpoint()).
-    assigned = _assign_nearest_centroid(scored).localCheckpoint()
+    assigned = _semantic_assignment(emb_raw).localCheckpoint()
     # max_bucket is a degenerate-quantizer safety net, not the sizing
     # mechanism: n_centroids must track corpus size (k ~ N / desired
     # bucket size) so buckets stay ~1k members; a bucket past the cap
@@ -592,8 +601,6 @@ def _semantic_dedup_impl(emb_raw: DataFrame) -> DataFrame:
     # by a pair-set equality test), Arrow transfers only the bucket
     # MEMBERS, and the quadratic pair mass scores at numpy rates
     # inside the kernel (2.2s -> 0.6s on 251k candidates at sf0.1).
-    from ..operators.similarity import bucket_cosine_pairs_vectorized
-
     pairs = bucket_cosine_pairs_vectorized(
         assigned, "cid", "vec_id", "u",
         threshold=0.35, max_bucket=4096,

