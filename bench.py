@@ -98,11 +98,16 @@ HEADLINE_SEMANTICS_CHANGES = {
         "dominate IVF at sf0.1; kept for mix clarity), and adds "
         "docs_dedup_incremental_raw (the index join alone); the "
         "contract-bearing versions stay driver-graded and are timed "
-        "under EXTENDED.  Also in r5: single-scan changelog "
-        "derivation (1 read of orders instead of 5), per-side norm "
-        "precompute in all pairwise-cosine plans (bit-identical), "
-        "and semantic-dedup pairs carry vectors through bucket_pairs "
-        "(two join-backs removed; ~9.6s -> ~8.2s)"
+        "under EXTENDED.  Also in r5 (all bit-identical, each "
+        "oracle-verified): the whole applied CDC relation derives in "
+        "ONE scan of orders (was 5 reads in r4); word_shingles / "
+        "language-ID / chunking tokenize once per row (lambda "
+        "let-binding); IVF quantizer + LSH hyperplanes fold in as one "
+        "parsed literal (~2s of flat driver time each removed); "
+        "semantic-dedup assignment partial-aggregates via max_by and "
+        "its pair stage runs a bit-identical Arrow/numpy kernel; "
+        "theta sketches checkpoint once (16 scans -> 0) with "
+        "union-based membership (no sort-merge join)"
     ),
 }
 
