@@ -67,6 +67,31 @@ def _to_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
+def _sql_double_literals(vals) -> str:
+    """Comma-joined double literals for folding a trained constant
+    (quantizer centroid / LSH hyperplane) into ONE parsed SQL
+    expression.  Non-finite components are rejected up front with the
+    real cause: ``repr(nan/inf)`` renders as ``'nan'``/``'inf'``,
+    which fails to PARSE at plan construction with an opaque syntax
+    error (the prior Column-API ``F.lit`` path tolerated them), and a
+    NaN component means a corrupt embedding reached training — the
+    fix belongs at ingest, not in a parser stack trace."""
+    import math
+
+    out = []
+    for x in vals:
+        f = float(x)
+        if not math.isfinite(f):
+            raise ValueError(
+                f"non-finite component {f!r} in a plan-folded constant: "
+                "a NaN/Inf embedding reached quantizer/hyperplane "
+                "training — filter or sanitize the embedding column "
+                "before building the index"
+            )
+        out.append(repr(f) + "D")
+    return ",".join(out)
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential left-fold dot product (IEEE-deterministic order)."""
     return F.aggregate(
@@ -165,8 +190,27 @@ def bucket_cosine_pairs_vectorized(
     past ``max_bucket`` are dropped whole — the identical
     degenerate-quantizer guard as ``bucket_pairs``.
 
-    Output: ``(id_a, id_b)`` with ``id_a < id_b``.
+    Output: ``(id_a, id_b)`` with ``id_a < id_b``, typed as the input
+    id column (integral ids only — the kernel sorts/gathers them as a
+    numpy integer array; a non-integral id fails HERE at planning with
+    the real cause, not inside an executor-side Arrow kernel).
     """
+    import numpy as np
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    _ID_TYPES = {
+        LongType(): ("bigint", np.int64),
+        IntegerType(): ("int", np.int32),
+        ShortType(): ("smallint", np.int16),
+        ByteType(): ("tinyint", np.int8),
+    }
+    id_type = df.schema[id_col].dataType
+    if id_type not in _ID_TYPES:
+        raise TypeError(
+            f"bucket_cosine_pairs_vectorized needs an integral id "
+            f"column; {id_col} is {id_type.simpleString()}"
+        )
+    sql_t, np_t = _ID_TYPES[id_type]
 
     def gen(key, pdf):
         import numpy as np
@@ -174,8 +218,8 @@ def bucket_cosine_pairs_vectorized(
 
         empty = pd.DataFrame(
             {
-                "id_a": np.array([], dtype=np.int64),
-                "id_b": np.array([], dtype=np.int64),
+                "id_a": np.array([], dtype=np_t),
+                "id_b": np.array([], dtype=np_t),
             }
         )
         n = len(pdf)
@@ -205,7 +249,7 @@ def bucket_cosine_pairs_vectorized(
     return (
         df.select(bucket_col, id_col, vec_col)
         .groupBy(bucket_col)
-        .applyInPandas(gen, "id_a long, id_b long")
+        .applyInPandas(gen, f"id_a {sql_t}, id_b {sql_t}")
     )
 
 
@@ -337,11 +381,18 @@ def ivf_centroids(
         .limit(_PQ_TRAIN_SAMPLE)
         .collect()
     )
-    if len(rows) < n_centroids:
-        raise ValueError(
-            f"corpus smaller than n_centroids={n_centroids}"
-        )
     X = np.array([r["v"] for r in rows], dtype=np.float64)
+    # A NaN/Inf sample vector would propagate through every mean into
+    # every centroid (and then fail literal folding downstream with a
+    # parse error); drop corrupt rows from the TRAINING sample only —
+    # assignment still sees every corpus row.
+    if len(X):
+        X = X[np.isfinite(X).all(axis=1)]
+    if len(X) < n_centroids:
+        raise ValueError(
+            f"corpus smaller than n_centroids={n_centroids} "
+            "(after dropping non-finite sample vectors)"
+        )
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
     C = X[:n_centroids].copy()
     for _ in range(_PQ_KMEANS_ITERS):
@@ -401,8 +452,7 @@ def ivf_topk(
     # doubles and the fold matches dot() exactly (asserted: output
     # identical to the Column-API formulation).
     cents_sql = "array(" + ",".join(
-        "array(" + ",".join(repr(float(x)) + "D" for x in c) + ")"
-        for c in cents
+        "array(" + _sql_double_literals(c) + ")" for c in cents
     ) + ")"
 
     def ranked_sql(n: int) -> str:
@@ -494,7 +544,7 @@ def hyperplane_signature(
     planes_col = F.expr(
         "array(" + ",".join(
             f"named_struct('w', shiftleft(1L, {i}), 'p', array("
-            + ",".join(repr(float(x)) + "D" for x in p)
+            + _sql_double_literals(p)
             + "))"
             for i, p in enumerate(planes)
         ) + ")"
@@ -726,9 +776,16 @@ def _pq_codebooks(
         .limit(_PQ_TRAIN_SAMPLE)
         .collect()
     )
-    if len(rows) < ksub:
-        raise ValueError(f"corpus smaller than ksub={ksub}")
     X = np.array([r["v"] for r in rows], dtype=np.float64)
+    # Same corrupt-sample guard as ivf_centroids: one NaN vector in
+    # the sample would poison every codebook centroid.
+    if len(X):
+        X = X[np.isfinite(X).all(axis=1)]
+    if len(X) < ksub:
+        raise ValueError(
+            f"corpus smaller than ksub={ksub} "
+            "(after dropping non-finite sample vectors)"
+        )
     dim = X.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")

@@ -126,7 +126,12 @@ def cdc_streaming_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         # _version/_deleted/_seq itself (same contract as main.py)
         pipe, orders.select(*_USER_COL_TUPLE), changelog_dir
     )
-    return pipe.live()
+    # localCheckpoint: live() is a LAZY parquet read over this
+    # session-reused dir — the next invocation overwrites the sink, so
+    # a DataFrame held from an earlier call would hit missing files or
+    # silently read replaced data.  Same pinning rule as
+    # events_streaming_hourly below.
+    return pipe.live().localCheckpoint()
 
 
 @register(

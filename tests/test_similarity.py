@@ -478,3 +478,77 @@ def test_bucket_cosine_pairs_vectorized_matches_fold(spark):
         )
     )
     assert fold == vec and len(vec) > 0
+
+
+def test_folded_literal_rejects_non_finite(spark):
+    """A NaN/Inf component in a plan-folded constant must fail at
+    construction with the REAL cause (corrupt embedding), not a SQL
+    parse error deep in py4j — the 'nan'/'inf' repr does not parse."""
+    import pytest
+
+    from mysql_clickhouse_sync_spark.operators.similarity import (
+        _sql_double_literals,
+    )
+
+    assert _sql_double_literals([1.0, -2.5]) == "1.0D,-2.5D"
+    with pytest.raises(ValueError, match="non-finite"):
+        _sql_double_literals([1.0, float("nan")])
+    with pytest.raises(ValueError, match="non-finite"):
+        _sql_double_literals([float("inf")])
+
+
+def test_ivf_centroids_drop_non_finite_sample_rows(spark):
+    """One corrupt vector in the training sample must not poison every
+    centroid (NaN means propagate through each Lloyd's mean): corrupt
+    rows drop from the SAMPLE; the trained quantizer stays finite and
+    foldable."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mysql_clickhouse_sync_spark.operators.similarity import (
+        ivf_centroids,
+    )
+
+    base = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("double") + F.lit(0.5),
+            (F.col("id") % 3).cast("double") - F.lit(1.0),
+        ).alias("embedding"),
+    )
+    corrupt = spark.range(1).select(
+        F.lit(999).cast("long").alias("vec_id"),
+        F.array(
+            F.lit(float("nan")), F.lit(1.0)
+        ).alias("embedding"),
+    )
+    cents = ivf_centroids(base.unionByName(corrupt), 4)
+    assert len(cents) == 4
+    assert all(math.isfinite(x) for c in cents for x in c)
+
+
+def test_bucket_pairs_vectorized_id_type_contract(spark):
+    """Kernel output ids follow the INPUT id type (int stays int), and
+    a non-integral id fails at planning with a clear error instead of
+    inside the executor-side Arrow kernel."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mysql_clickhouse_sync_spark.operators.similarity import (
+        bucket_cosine_pairs_vectorized,
+    )
+
+    df = spark.range(6).select(
+        F.col("id").cast("int").alias("vec_id"),
+        F.lit(0).alias("cid"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("u"),
+    )
+    out = bucket_cosine_pairs_vectorized(df, "cid", "vec_id", "u", 0.5)
+    assert dict(out.dtypes) == {"id_a": "int", "id_b": "int"}
+    assert out.count() == 15  # all 6 identical unit vectors pair up
+
+    bad = df.select(F.col("vec_id").cast("string").alias("vec_id"),
+                    "cid", "u")
+    with pytest.raises(TypeError, match="integral id"):
+        bucket_cosine_pairs_vectorized(bad, "cid", "vec_id", "u", 0.5)
