@@ -311,3 +311,51 @@ def test_token_chunks_tokenize_once(spark):
         ._jdf.queryExecution().optimizedPlan().toString()
     )
     assert plan.count("split(") == 1, plan
+
+
+def test_semantic_assignment_two_level_complexity(spark):
+    """The semantic-dedup centroid assignment must be TWO-LEVEL (the
+    round-5 verdict's one not-at-100TB plan shape was the flat
+    k~N/1000 broadcast cross join): candidate mass is N*sqrt(k)-ish,
+    not N*k, the k-row centroid table reaches vectors through an
+    EQUI-join on the cell id (hash/sort-merge — never a nested-loop
+    over the full quantizer), and the inner join loses no vector."""
+    from pyspark.sql import functions as F
+
+    from mysql_clickhouse_sync_spark.plans.similarity_queries import (
+        _assign_nearest_centroid,
+        _semantic_n_coarse,
+        _semantic_parts,
+        _two_level_scored,
+    )
+
+    n, target_bucket = 600, 10        # k = 60 centroids, 7 cells
+    emb_raw = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                F.sin(F.col("id") * F.lit(0.37 + 0.11 * j) + F.lit(j))
+                for j in range(8)
+            ]
+        ).alias("embedding"),
+    )
+    emb, cents, k = _semantic_parts(emb_raw, target_bucket)
+    assert k == 60 and _semantic_n_coarse(k) == 7
+    scored = _two_level_scored(emb, cents, k)
+
+    # Complexity pin: candidates well under the flat N*k mass (the
+    # expected mass is N * k/sqrt(k); allow slack for uneven cells).
+    total = scored.count()
+    assert 0 < total < n * k / 2, (total, n * k)
+
+    # Plan pin: scoring joins vectors to centroids on the cell id via
+    # a hash/sort-merge join; the only nested-loop sides are the
+    # sqrt(k)-row broadcast cell table (bounded by construction).
+    plan = _plan(scored)
+    assert "CartesianProduct" not in plan, plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan), plan
+
+    # No vector dropped by the cell equi-join (every cell holds at
+    # least its own centroid, ties break identically on both sides).
+    assigned = _assign_nearest_centroid(scored)
+    assert assigned.count() == n
