@@ -244,9 +244,18 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 25 == 0)
-    ann = ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=8)
+    ann = _ivf_search_stage(emb, queries)
     exact = brute_force_topk_vectorized(emb, queries, k=5)
     return _ann_recall_audit(ann, exact, min_matched=2, mean_min_matched=4.0)
+
+
+def _ivf_search_stage(emb: DataFrame, queries: DataFrame) -> DataFrame:
+    """The PRODUCTION IVF search, shared VERBATIM by the hash-graded
+    audit twin (emb_ivf_topk wraps it in the recall contract) and the
+    bench-timed raw variant (emb_ivf_topk_raw returns it as-is) — so
+    "raw == twin minus audit" holds by construction;
+    tests/test_similarity.py machine-checks the registry wiring."""
+    return ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=8)
 
 
 @register(
@@ -265,7 +274,7 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_ivf_topk_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 25 == 0)
-    return ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=8)
+    return _ivf_search_stage(emb, queries)
 
 
 @register(

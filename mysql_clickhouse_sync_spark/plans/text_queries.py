@@ -355,7 +355,7 @@ def docs_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = shingle_pairs_jaccard(docs, max_bucket=_MAX_BUCKET).filter(
         F.col("jaccard") >= 0.8
     )
-    cand = minhash_lsh_candidates(docs, max_bucket=_MAX_BUCKET).select(
+    cand = _minhash_candidate_stage(docs).select(
         "id_a", "id_b", F.lit(True).alias("_hit")
     )
     return exact.join(cand, ["id_a", "id_b"], "left").select(
@@ -385,6 +385,16 @@ def docs_minhash_candidates_raw(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    return _minhash_candidate_stage(docs)
+
+
+def _minhash_candidate_stage(docs: DataFrame) -> DataFrame:
+    """The PRODUCTION LSH candidate stage, shared VERBATIM by the
+    hash-graded audit twin (docs_minhash_candidates joins against it)
+    and the bench-timed raw variant (docs_minhash_candidates_raw
+    returns it as-is) — so "raw == twin minus audit" holds by
+    construction, and tests/test_dedup_text.py machine-checks the
+    registry wiring by collecting both."""
     return minhash_lsh_candidates(docs, max_bucket=_MAX_BUCKET)
 
 
@@ -433,18 +443,10 @@ def docs_minhash_candidates_raw(
     "precisely what makes signatures comparable run-over-run)",
 )
 def docs_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import (
-        minhash_band_index,
-        minhash_lsh_candidates_vs_index,
-    )
-
     docs = load_table(spark, sf_dir, "documents")
-    old = docs.filter(F.col("doc_id") % 2 == 0)
-    new = docs.filter(F.col("doc_id") % 2 == 1)
-    index = minhash_band_index(old)
-    cand = minhash_lsh_candidates_vs_index(
-        new, index, max_bucket=_MAX_BUCKET
-    ).select("new_id", "old_id", F.lit(True).alias("_hit"))
+    cand = _incremental_candidate_stage(docs).select(
+        "new_id", "old_id", F.lit(True).alias("_hit")
+    )
     exact = shingle_pairs_jaccard(docs, max_bucket=_MAX_BUCKET).filter(
         (F.col("jaccard") >= 0.8)
         & ((F.col("id_a") + F.col("id_b")) % 2 == 1)
@@ -483,17 +485,27 @@ def docs_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_dedup_incremental_raw(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    return _incremental_candidate_stage(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+def _incremental_candidate_stage(docs: DataFrame) -> DataFrame:
+    """The PRODUCTION incremental-dedup candidate stage (odd-id batch
+    banded + equi-joined against the even-id corpus band index),
+    shared VERBATIM by the hash-graded audit twin
+    (docs_dedup_incremental) and the bench-timed raw variant — same
+    by-construction + machine-checked contract as
+    :func:`_minhash_candidate_stage`."""
     from ..operators.dedup import (
         minhash_band_index,
         minhash_lsh_candidates_vs_index,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
     old = docs.filter(F.col("doc_id") % 2 == 0)
     new = docs.filter(F.col("doc_id") % 2 == 1)
-    index = minhash_band_index(old)
     return minhash_lsh_candidates_vs_index(
-        new, index, max_bucket=_MAX_BUCKET
+        new, minhash_band_index(old), max_bucket=_MAX_BUCKET
     )
 
 

@@ -335,3 +335,36 @@ def test_bpe_pair_counts_matches_python_reference(spark):
         for r in bpe_pair_counts(df).collect()
     }
     assert got == dict(expected)
+
+
+def test_raw_variants_equal_twin_preaudit_stage(spark):
+    """Machine-check of the "raw == contract twin minus audit" claim
+    (round-5 verdict item 2 — previously asserted in PARITY.md, never
+    executed): the REGISTERED bench-timed *_raw entries must produce
+    exactly the candidate set their hash-graded audit twins verify.
+    Both now share one stage function, so this pins the registry
+    wiring against drift (a param change on either side goes red)."""
+    from mysql_clickhouse_sync_spark.plans.registry import all_queries
+    from mysql_clickhouse_sync_spark.plans.text_queries import (
+        _incremental_candidate_stage,
+        _minhash_candidate_stage,
+    )
+    from mysql_clickhouse_sync_spark.sources.parquet import load_table
+
+    sf01 = "/root/testdata/sf0.01"
+    reg = all_queries()
+    docs = load_table(spark, sf01, "documents")
+
+    raw = sorted(
+        map(tuple, reg["docs_minhash_candidates_raw"].fn(spark, sf01).collect())
+    )
+    stage = sorted(map(tuple, _minhash_candidate_stage(docs).collect()))
+    assert raw == stage and len(raw) > 0
+
+    raw_inc = sorted(
+        map(tuple, reg["docs_dedup_incremental_raw"].fn(spark, sf01).collect())
+    )
+    stage_inc = sorted(
+        map(tuple, _incremental_candidate_stage(docs).collect())
+    )
+    assert raw_inc == stage_inc and len(raw_inc) > 0

@@ -552,3 +552,36 @@ def test_bucket_pairs_vectorized_id_type_contract(spark):
                     "cid", "u")
     with pytest.raises(TypeError, match="integral id"):
         bucket_cosine_pairs_vectorized(bad, "cid", "vec_id", "u", 0.5)
+
+
+def test_ivf_raw_equals_twin_search_stage(spark):
+    """Machine-check of "emb_ivf_topk_raw == emb_ivf_topk minus the
+    recall audit" (round-5 verdict item 2): the registered raw entry
+    must return exactly the search results the graded twin audits —
+    same trained quantizer, same nprobe, same top-5.  Shared stage
+    function makes it true by construction; this pins the wiring."""
+    from pyspark.sql import functions as F
+
+    from mysql_clickhouse_sync_spark.plans.registry import all_queries
+    from mysql_clickhouse_sync_spark.plans.similarity_queries import (
+        _ivf_search_stage,
+    )
+    from mysql_clickhouse_sync_spark.sources.parquet import load_table
+
+    sf01 = "/root/testdata/sf0.01"
+    raw = sorted(
+        map(
+            tuple,
+            all_queries()["emb_ivf_topk_raw"].fn(spark, sf01).collect(),
+        )
+    )
+    emb = load_table(spark, sf01, "embeddings")
+    stage = sorted(
+        map(
+            tuple,
+            _ivf_search_stage(
+                emb, emb.filter(F.col("vec_id") % 25 == 0)
+            ).collect(),
+        )
+    )
+    assert raw == stage and len(raw) > 0
