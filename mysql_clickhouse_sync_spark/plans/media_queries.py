@@ -19,7 +19,9 @@ from pyspark.sql import functions as F
 
 from ..operators.cdc import live_view
 from ..operators.multimodal import (
+    MEDIA_SCHEMA,
     decode_and_featurize,
+    image_stats,
     media_dedup_keys,
     resize_images,
     sample_frames,
@@ -67,6 +69,112 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_and_featurize(media, decode_kind="fake").select(
         "media_id", "kind", "n_bytes", "sha256"
     )
+
+
+def _gradient_bmp_media(docs: DataFrame) -> DataFrame:
+    """doc ids -> REAL tiny BMP payloads via the production encoder
+    (operators/codecs.py), in an Arrow-batched mapInPandas stage — the
+    re-encode shape a real ingest uses.  Geometry and pixels are
+    closed-form in the id so DuckDB can regenerate every expected
+    statistic:
+
+      width  = 4 + id % 5   (5..7 exercise the 4-byte row padding)
+      height = 3 + id % 4
+      pixel (x, y): r = (id + 3x + 7y) % 256
+                    g = (2id + 5x + y) % 256
+                    b = (3id + x + 11y) % 256
+    """
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.codecs import encode_bmp
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 5, 3 + did % 4
+                xx = np.arange(w)[None, :]
+                yy = np.arange(h)[:, None]
+                rgb = np.stack(
+                    [
+                        (did + 3 * xx + 7 * yy) % 256,
+                        (2 * did + 5 * xx + yy) % 256,
+                        (3 * did + xx + 11 * yy) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                rows.append(
+                    (
+                        did,
+                        "image",
+                        "image/bmp",
+                        bytearray(encode_bmp(rgb)),
+                        w,
+                        h,
+                        None,
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+                )
+
+    return docs.select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+
+
+@register(
+    "media_decode_real",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        FROM documents
+    ), s AS (
+        SELECT doc_id, w, h,
+           list_sum(flatten(list_transform(range(0, h), y ->
+               list_transform(range(0, w),
+                              x -> (doc_id + 3*x + 7*y) % 256)))) AS sr,
+           list_sum(flatten(list_transform(range(0, h), y ->
+               list_transform(range(0, w),
+                              x -> (2*doc_id + 5*x + y) % 256)))) AS sg,
+           list_sum(flatten(list_transform(range(0, h), y ->
+               list_transform(range(0, w),
+                              x -> (3*doc_id + x + 11*y) % 256)))) AS sb
+        FROM d
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(54 + h * ((3 * w + 3) // 4) * 4 AS BIGINT) AS n_bytes,
+           CAST(sr AS DOUBLE) / (w * h) AS mean_r,
+           CAST(sg AS DOUBLE) / (w * h) AS mean_g,
+           CAST(sb AS DOUBLE) / (w * h) AS mean_b,
+           CAST(doc_id % 256 AS INT) AS r00,
+           CAST((2 * doc_id) % 256 AS INT) AS g00,
+           CAST((3 * doc_id) % 256 AS INT) AS b00,
+           CAST((doc_id + 3 * (w - 1) + 7 * (h - 1)) % 256 AS INT) AS r_last,
+           CAST((2 * doc_id + 5 * (w - 1) + (h - 1)) % 256 AS INT) AS g_last,
+           CAST((3 * doc_id + (w - 1) + 11 * (h - 1)) % 256 AS INT) AS b_last
+    FROM s
+    """,
+    description="REAL-CODEC decode path end-to-end (closes the round-5 "
+    "residual: decode_kind='real' was an unexercised stub): tiny real "
+    "BMP images are encoded per doc by the production encoder, then "
+    "image_stats decodes them through the injected-codec registry "
+    "(pure-numpy 24-bit BMP codec, in-repo, no binary deps) and emits "
+    "geometry, exact channel means and the two diagonal corner "
+    "pixels.  Every output is a closed-form function of the id, so "
+    "DuckDB regenerates the full expected relation; the corner pixels "
+    "pin bottom-up row order and 4-byte row padding (widths 5..7), so "
+    "a hash-green row certifies pixel-accurate decoding, not header "
+    "parsing.  The decoder is additionally pinned against hand-written "
+    "golden bytes in tests (no shared encoder/decoder mirror bug)",
+)
+def media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return image_stats(_gradient_bmp_media(docs))
 
 
 @register(

@@ -99,21 +99,42 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 # docs_bpe_first_merges IN (tokenizer-training support),
 # docs_language_id OUT (green r1-r4; its gate stays graded inside the
 # curation pipelines).
+# ROUND-6 ROTATION (ledgered in PARITY.md).  IN, per the
+# new-queries-enter-immediately policy: media_decode_real (the real
+# injected-codec decode path) and events_streaming_append (append-mode
+# watermarked streaming).  IN, per the round-5 verdict item 3 (rotate
+# the never-driver-graded oracled queries through the window, 6 this
+# round, the rest in round 7): cdc_reconciliation, events_type_pivot,
+# events_hourly_gapfill, lineitem_cube_stats, orders_value_histogram,
+# customer_order_gaps.  OUT (all longest-green, all still hash-checked
+# every round by tools/check_oracle.py + ci_gate; per-family coverage
+# noted): cdc_live_agg (green r1-r5; CDC keeps 5 graded rows incl.
+# the new reconciliation), events_user_hll_distinct (green r1-r5;
+# sketch family keeps events_value_quantiles), docs_fingerprints,
+# docs_simhash_pairs (green r1-r5; text/dedup keeps 8 graded rows;
+# simhash recall floor stays pinned in tests/test_simhash_recall.py),
+# docs_dup_clusters (green r1-r5; connected components still graded
+# INSIDE emb_semantic_dedup), emb_near_dup_keeper, emb_quantized_topk
+# (green r2/r1-r5; similarity keeps 6 graded rows), events_funnel
+# (green r2-r5; behavior keeps retention + sessionization).
 DRIVER_WINDOW = (
     # CDC sentinels
     "cdc_live_orders",
     "cdc_streaming_live",
     "cdc_compacted_state",
-    "cdc_live_agg",
     "cdc_scd2_history",
+    "cdc_reconciliation",
     # representative analytics shapes
     "q1_pricing_summary",
     "q2_min_cost_supplier",
     "customer_top_orders",
     "events_last_purchase_asof",
     "events_sessionization",
-    # bound-checked sketches
-    "events_user_hll_distinct",
+    "events_type_pivot",
+    "events_hourly_gapfill",
+    "lineitem_cube_stats",
+    "orders_value_histogram",
+    "customer_order_gaps",
     # text / dedup pipeline
     "docs_exact_dedup",
     "docs_repetition_stats",
@@ -121,9 +142,6 @@ DRIVER_WINDOW = (
     "docs_top_jaccard_pairs_capped",
     "docs_minhash_candidates",
     "docs_dedup_incremental",
-    "docs_simhash_pairs",
-    "docs_fingerprints",
-    "docs_dup_clusters",
     "docs_curation_pipeline",
     # corpus preparation (rotated in, round 4)
     "corpus_pii_scrub",
@@ -141,22 +159,21 @@ DRIVER_WINDOW = (
     "emb_lsh_pairs",
     "emb_ivf_topk",
     "emb_cosine_topk_vectorized",
-    "emb_near_dup_keeper",
-    "emb_quantized_topk",
     "emb_pq_topk",
     "emb_semantic_dedup",
-    # multimodal
+    # multimodal (incl. the round-6 real-codec path)
     "media_decode_features",
     "media_frame_sample",
     "media_resized_images",
+    "media_decode_real",
     # SQL surface
     "sql_live_segment_stats",
     # sampling
     "docs_stratified_sample",
-    # behavior analytics
-    "events_funnel",
+    # behavior analytics + streaming
     "events_retention_cohorts",
     "events_streaming_hourly",
+    "events_streaming_append",
     "events_daily_anomaly_zscore",
     "events_value_quantiles",
     "customer_rfm_segments",

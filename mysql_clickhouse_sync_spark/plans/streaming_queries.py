@@ -135,6 +135,126 @@ def cdc_streaming_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_streaming_append",
+    oracle="""
+    WITH a AS (SELECT ts, value FROM events WHERE event_id % 4 <> 0),
+    b AS (SELECT ts, value FROM events WHERE event_id % 4 = 0),
+    w1 AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM a),
+    w2 AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events),
+    kept AS (
+        SELECT ts, value FROM a
+        UNION ALL
+        SELECT b.ts, b.value FROM b, w1
+        WHERE date_trunc('hour', b.ts) + INTERVAL 1 HOUR > w1.wm
+    ),
+    agg AS (
+        SELECT date_trunc('hour', ts) AS ws,
+               count(*) AS n,
+               SUM(CAST(value AS DECIMAL(12,4))) AS tv
+        FROM kept GROUP BY 1
+    )
+    SELECT CAST(epoch(ws) AS BIGINT) AS window_start_s,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(tv AS DOUBLE) AS total_value
+    FROM agg, w2
+    WHERE ws + INTERVAL 1 HOUR <= w2.wm
+    """,
+    description="END-TO-END APPEND-MODE WATERMARKED STREAMING (the "
+    "production output mode — round-5 verdict item 5; the hourly row "
+    "above grades complete-mode state merge): two availableNow drains "
+    "against one checkpoint.  Drain 1 aggregates the on-time 3/4 of "
+    "events (event_id % 4 <> 0) and leaves watermark W1 = max(a.ts) - "
+    "1h in the checkpoint; the remaining 1/4 is then appended as a "
+    "late file, and drain 2 DROPS its rows whose hour-window closed "
+    "before W1 (their state was already evicted and emitted), folds "
+    "the survivors into still-open windows, and finally emits every "
+    "window whose end <= W2 = max(ts) - 1h.  The parquet file sink "
+    "accumulates across both drains.  The batch oracle mirrors the "
+    "exact drop rule (window end > W1 survives) and emission rule "
+    "(window end <= W2), so the driver hash-verifies watermark "
+    "eviction, late-row drop and append finalization — not just state "
+    "merge (reference analogue: last-writer-wins late policy, "
+    "/root/reference/README.md:478-497, upgraded to event-time "
+    "semantics)",
+)
+def events_streaming_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"events_streaming_append_{spark.sparkContext.applicationId}_"
+        + os.path.basename(sf_dir.rstrip("/")),
+    )
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    sink = os.path.join(base, "sink")
+    # Fresh checkpoint AND sink every call: the checkpoint carries the
+    # watermark + seen-files log between the two drains (that is the
+    # point), but a third drain from a stale state would re-read
+    # nothing and the append-mode sink would double up.
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(sink, ignore_errors=True)
+
+    # withWatermark requires TIMESTAMP (an instant), and NTZ->TIMESTAMP
+    # casts go through the session timezone (half-hour zones would
+    # shift every bucket vs the tz-free oracle).  make_timestamp with
+    # an EXPLICIT 'UTC' argument maps the naive fields to an instant
+    # independently of the session zone, and the output is emitted as
+    # epoch SECONDS (unix_timestamp of an instant is tz-free), so the
+    # whole pipeline never consults spark.sql.session.timeZone.
+    _as_utc_instant = F.expr(
+        "make_timestamp(year(ts), month(ts), day(ts), hour(ts), "
+        "minute(ts), CAST(date_part('SECOND', ts) AS DECIMAL(16,6)), "
+        "'UTC')"
+    )
+    ev_i = ev.select("event_id", _as_utc_instant.alias("tsi"), "value")
+    on_time = ev_i.filter(F.col("event_id") % 4 != 0).drop("event_id")
+    late = ev_i.filter(F.col("event_id") % 4 == 0).drop("event_id")
+    # overwrite clears the previous invocation's late files too
+    on_time.repartition(4).write.mode("overwrite").parquet(src)
+
+    def drain() -> None:
+        # No maxFilesPerTrigger: each drain folds its files into ONE
+        # data microbatch, so the late-row filter runs against exactly
+        # the checkpointed watermark (deterministic regardless of file
+        # listing order); the trailing no-data batch then advances the
+        # watermark and emits newly-closed windows.
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("tsi", "1 hour")
+            .groupBy(F.window("tsi", "1 hour").alias("w"))
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(12,4)")).alias("_tv"),
+            )
+            .select(
+                F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+                F.col("n_events").cast("long").alias("n_events"),
+                F.col("_tv").cast("double").alias("total_value"),
+            )
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    late.repartition(2).write.mode("append").parquet(src)
+    drain()
+    # localCheckpoint: same pinning rule as the other streaming rows —
+    # the sink dir is cleared by the next invocation.
+    return spark.read.parquet(sink).localCheckpoint()
+
+
+@register(
     "events_streaming_hourly",
     oracle="""
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
@@ -151,9 +271,11 @@ def cdc_streaming_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     "final state returned.  Oracle = the identical batch SQL, so the "
     "driver hash-verifies that multi-microbatch stateful aggregation "
     "equals the one-shot batch answer (DECIMAL sums make the result "
-    "arrival-order-insensitive).  Watermarked append-mode eviction "
-    "semantics are property-tested in tests/test_streaming_windows.py "
-    "— this row grades the state-merge path",
+    "arrival-order-insensitive).  Watermarked append-mode eviction/"
+    "late-drop semantics are driver-graded end-to-end by "
+    "events_streaming_append above and property-tested in "
+    "tests/test_streaming_windows.py — this row grades the "
+    "state-merge path",
 )
 def events_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

@@ -76,12 +76,10 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
     window = set(DRIVER_WINDOW)
     required = {
         "cdc_live_orders", "cdc_streaming_live", "cdc_compacted_state",
-        "cdc_live_agg",
-        "docs_exact_dedup", "docs_minhash_candidates", "docs_dup_clusters",
+        "docs_exact_dedup", "docs_minhash_candidates",
         "docs_curation_pipeline", "docs_top_jaccard_pairs_capped",
         "emb_cosine_topk", "emb_ivf_topk",
-        "events_funnel", "events_retention_cohorts", "customer_rfm_segments",
-        "events_user_hll_distinct",
+        "events_retention_cohorts", "customer_rfm_segments",
         # round-5 rotation: SCD-2 history, repetition filter, domain
         # mixture, quantile sketch enter the round they were added
         "cdc_scd2_history", "docs_repetition_stats",
@@ -91,6 +89,14 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         "corpus_contamination", "corpus_pack_assignments",
         "corpus_pack_incremental", "corpus_curation_v2",
         "emb_pq_topk", "docs_leakage_safe_splits",
+        # round-6 rotation: the real-codec decode path and append-mode
+        # watermarked streaming enter on add; 6 of the 12
+        # never-driver-graded oracled queries rotate in (r5 verdict
+        # item 3 — the other 6 follow in round 7)
+        "media_decode_real", "events_streaming_append",
+        "cdc_reconciliation", "events_type_pivot",
+        "events_hourly_gapfill", "lineitem_cube_stats",
+        "orders_value_histogram", "customer_order_gaps",
     }
     assert required <= window, sorted(required - window)
     # every docs_/emb_/media_/sql_ query is in the graded window,
@@ -122,6 +128,17 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         "docs_minhash_candidates_raw",
         "docs_dedup_incremental_raw",
         "emb_ivf_topk_raw",
+        # r6: longest-green rows ceding slots to media_decode_real,
+        # events_streaming_append and the 6 never-driver-graded
+        # analytics rows (ledger: PARITY.md).  All stay hash-checked
+        # by check_oracle/ci_gate every round; simhash recall floor
+        # stays pinned in tests/test_simhash_recall.py; connected
+        # components stay driver-graded inside emb_semantic_dedup.
+        "docs_fingerprints",
+        "docs_simhash_pairs",
+        "docs_dup_clusters",
+        "emb_near_dup_keeper",
+        "emb_quantized_topk",
     }
     surface = {
         n for n in qs
