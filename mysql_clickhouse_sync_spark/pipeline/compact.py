@@ -265,6 +265,15 @@ def execute_compaction(
     during snapshot/CDC overlap (at-least-once; dedup_latest absorbs
     it for CDC tables).  Exactly-once visibility needs a table format
     with a commit protocol (Delta/Iceberg) — out of scope, documented.
+
+    Reader contract (proven under a concurrent swap in
+    tests/test_compaction.py): a live_view read that SUCCEEDS always
+    returns the exact keeper relation — transient duplicates resolve
+    to the same max-version winner; a read whose file listing was
+    raced by a delete fails with FileNotFoundException and must be
+    retried (the standard non-transactional parquet-table protocol;
+    do NOT read with ignoreMissingFiles=true, which would silently
+    drop the deleted file's rows from that read instead of failing).
     """
     result = CompactionResult()
     if not plan.bins:

@@ -255,3 +255,94 @@ def test_plan_invariants(files):
     # determinism under listing order
     bins2, _ = plan_compaction(list(reversed(files)), target_bytes=target)
     assert bins2 == bins
+
+
+def test_live_view_exact_under_concurrent_compaction(spark, tmp_path):
+    """Round-5 verdict item 8: the staging swap protocol claims a
+    reader never sees a TORN result — prove it while compaction is
+    actually swapping.  A CDC-shaped table (3 version waves x 16
+    files) is compacted in a background thread while the foreground
+    loops live_view reads.  Every successful read must return EXACTLY
+    the expected keeper relation: mid-swap listings can see the
+    compacted file alongside not-yet-deleted originals (transient
+    duplicates, documented), and dedup_latest absorbs them — a
+    duplicate changes nothing because the max-version winner is the
+    same row.  A listing raced by a delete can fail with
+    FileNotFoundException; that is the documented non-transactional
+    reader contract (retry the read), counted here and bounded.
+    After the swap: same relation, fewer files."""
+    import threading
+
+    path = str(tmp_path / "cdc_live")
+    base = spark.range(5000).select(
+        F.col("id").alias("k"), (F.col("id") % 11).alias("payload")
+    )
+    for version in (1, 2, 3):
+        wave = _stamped(
+            base.withColumn("payload", F.col("payload") + version),
+            "u",
+            version,
+        )
+        wave.repartition(16).write.mode("append").parquet(path)
+    assert len(list_data_files(path)) == 48
+
+    expected = {
+        tuple(r)
+        for r in live_view(spark.read.parquet(path), ["k"]).collect()
+    }
+    assert len(expected) == 5000
+
+    plan = plan_table_compaction(
+        path,
+        CompactionPolicy(max_small_files=4, target_bytes=64 * 1024 * 1024),
+        only_triggered=True,
+    )
+    assert plan.n_input_files == 48
+
+    errors: list[str] = []
+    done = threading.Event()
+
+    def compact():
+        try:
+            res = execute_compaction(spark, plan, max_concurrent_bins=1)
+            errors.extend(res.errors)
+        except Exception as exc:  # noqa: BLE001 — surfaced below
+            errors.append(repr(exc))
+        finally:
+            done.set()
+
+    t = threading.Thread(target=compact)
+    t.start()
+    reads_ok, retries = 0, 0
+    try:
+        while not done.is_set() or reads_ok == 0:
+            try:
+                got = {
+                    tuple(r)
+                    for r in live_view(
+                        spark.read.parquet(path), ["k"]
+                    ).collect()
+                }
+            except Exception as exc:  # noqa: BLE001 — FNF retry contract
+                msg = repr(exc)
+                if ("FileNotFound" in msg or "does not exist" in msg
+                        or "REFRESH" in msg):
+                    retries += 1
+                    assert retries < 50, msg
+                    continue
+                raise
+            assert got == expected, (
+                f"torn/mutated read during swap: {len(got)} rows "
+                f"vs {len(expected)} expected"
+            )
+            reads_ok += 1
+    finally:
+        t.join(timeout=300)
+    assert errors == []
+    assert reads_ok > 0
+    assert len(list_data_files(path)) < 48
+    final = {
+        tuple(r)
+        for r in live_view(spark.read.parquet(path), ["k"]).collect()
+    }
+    assert final == expected

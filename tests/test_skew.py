@@ -61,3 +61,164 @@ def test_two_phase_agg_matches_direct(spark):
     d = {r.l_returnflag: (r.s, r.n) for r in direct.collect()}
     s = {r.l_returnflag: (r.s, r.n) for r in salted.collect()}
     assert d == s
+
+
+def _q18_shape_tables(spark, n_orders=300_000, n_cust=50_000):
+    """Planted q18-shape skew: one customer owns 10% of the orders."""
+    orders = spark.range(0, n_orders, 1, 32).select(
+        F.col("id").alias("o_orderkey"),
+        F.when(F.col("id") % 10 == 0, F.lit(0))       # 10% hot key
+        .otherwise(F.col("id") % n_cust)
+        .alias("o_custkey"),
+        (F.col("id") % 1000).cast("double").alias("o_totalprice"),
+    )
+    cust = spark.range(0, n_cust, 1, 8).select(
+        F.col("id").alias("c_custkey"),
+        F.concat(F.lit("Customer#"), F.col("id")).alias("c_name"),
+    )
+    return orders, cust
+
+
+# Skew thresholds scaled so the test-size hot partition (~35k rows,
+# tens of KB of compressed shuffle bytes) crosses the same RELATIVE
+# trigger a multi-GB partition crosses under the production defaults
+# (256 MB / factor 5); broadcast disabled to model a dimension too big
+# to broadcast at 100 TB; coalescing disabled because it would merge
+# the small test partitions before the skew check can observe them.
+_SKEW_CONFS = {
+    "spark.sql.shuffle.partitions": "64",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+    # the advisory size is the SPLIT UNIT: a skewed partition is cut
+    # into ~advisory-sized reads, so it must sit well below the hot
+    # partition's bytes for a split to be possible at test scale
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+    "spark.sql.adaptive.coalescePartitions.enabled": "false",
+}
+
+
+def _with_confs(spark, confs, fn):
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        return fn()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def test_q18_shape_hot_customer_aqe_skew_split(spark):
+    """Planted join skew for the ANALYTICS join family (round-5
+    verdict item 6 — the mirror of tests/test_cdc_skew.py's hot-key
+    test): one customer owns 10% of 300k orders, and the q18-shape
+    shuffle join must be runtime-split by AQE — the final adaptive
+    plan carries SortMergeJoin(skew=true) — while agreeing exactly
+    with the broadcast reference."""
+    import time
+
+    orders, cust = _q18_shape_tables(spark)
+
+    def run():
+        j = orders.join(
+            cust, orders.o_custkey == cust.c_custkey
+        ).select("o_orderkey", "c_name")
+        t0 = time.time()
+        n = j.count()
+        # the SAME DataFrame must be executed for its adaptive plan to
+        # finalize; count() above planned separately
+        rows = {tuple(r) for r in j.collect()}
+        elapsed = time.time() - t0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        return n, rows, elapsed, plan
+
+    n, rows, elapsed, plan = _with_confs(spark, _SKEW_CONFS, run)
+    assert "SortMergeJoin(skew=true)" in plan, plan
+    assert "AQEShuffleRead skewed" in plan, plan
+
+    reference = {
+        tuple(r)
+        for r in orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .select("o_orderkey", "c_name")
+        .collect()
+    }
+    assert rows == reference and n == 300_000
+    # Jitter-proof bound: the split join must not be a single-straggler
+    # plan (measured ~2-4s on local[32]).
+    assert elapsed < 60, elapsed
+
+
+def test_q18_shape_agg_on_join_key_salting_and_force_flag(spark):
+    """DOCUMENTED BEHAVIOR + the shippable mitigations for the exact
+    q18 rollup shape (aggregate grouped by the JOIN key): under the
+    default AQE settings the partial aggregate consumes the join's
+    hash distribution in the same stage, so OptimizeSkewedJoin
+    declines to split (an extra shuffle would be needed) and the hot
+    customer stays a single straggler.  Two mitigations, both
+    verified to produce exactly the plain join's relation:
+
+    * ``spark.sql.adaptive.forceOptimizeSkewedJoin=true`` — lets AQE
+      split anyway, paying the extra aggregate shuffle;
+    * ``salted_join`` (operators/skew.py) — scatters the hot key
+      across salt buckets with no conf changes.
+
+    Both branches are pinned so a Spark upgrade that changes the
+    default behavior shows up here."""
+    orders, cust = _q18_shape_tables(spark)
+
+    def per_customer(joined):
+        return joined.groupBy("c_custkey").agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_totalprice").alias("total"),
+        )
+
+    def run_plain():
+        agg = per_customer(
+            orders.join(cust, orders.o_custkey == cust.c_custkey)
+        )
+        rows = {tuple(r) for r in agg.collect()}
+        return rows, agg._jdf.queryExecution().executedPlan().toString()
+
+    # Default: no split (the limitation this test documents).
+    default_rows, default_plan = _with_confs(spark, _SKEW_CONFS, run_plain)
+    assert "skew=true" not in default_plan, (
+        "AQE now splits agg-on-join-key skew by default — update the "
+        "PLANS.md q18 note and consider retiring the salting guidance"
+    )
+
+    # Mitigation 1: the force flag buys the split.
+    forced_rows, forced_plan = _with_confs(
+        spark,
+        {**_SKEW_CONFS, "spark.sql.adaptive.forceOptimizeSkewedJoin": "true"},
+        run_plain,
+    )
+    assert "skew=true" in forced_plan, forced_plan
+
+    # Mitigation 2: explicit salting, no conf changes.
+    salted_rows = _with_confs(
+        spark,
+        _SKEW_CONFS,
+        lambda: {
+            tuple(r)
+            for r in per_customer(
+                salted_join(
+                    orders,
+                    cust.withColumnRenamed("c_custkey", "o_custkey"),
+                    ["o_custkey"],
+                ).withColumn("c_custkey", F.col("o_custkey"))
+            ).collect()
+        },
+    )
+
+    reference = {
+        tuple(r)
+        for r in per_customer(
+            orders.join(cust, orders.o_custkey == cust.c_custkey)
+        ).collect()
+    }
+    assert default_rows == reference
+    assert forced_rows == reference
+    assert salted_rows == reference
+    hot = next(r for r in reference if r[0] == 0)
+    assert hot[1] == 30_000
