@@ -124,11 +124,13 @@ HEADLINE_SEMANTICS_CHANGES = {
 # audit-carrying contract twins swapped out of the headline, plus the
 # five new r5 queries — SCD-2 history, repetition filter, domain
 # mixture, quantile sketch, duplicate chunks).
-# (cdc_streaming_live is deliberately NOT timed here: it is a
-# correctness surface — a ~9s end-to-end streaming drain whose cost is
-# checkpoint/trigger machinery, not engine work — graded by the driver
-# window and tools/window_fidelity.py instead.)
+# (cdc_streaming_live and events_streaming_append are deliberately NOT
+# timed here: they are correctness surfaces — multi-second end-to-end
+# streaming drains whose cost is checkpoint/trigger machinery, not
+# engine work — graded by the driver window and
+# tools/window_fidelity.py instead.)
 EXTENDED = (
+    "media_decode_real",      # r6: injected-codec BMP decode path
     "cdc_scd2_history",
     "docs_bpe_first_merges",
     "docs_repetition_stats",
@@ -224,6 +226,21 @@ def _timed(fn) -> float:
     return time.time() - t0
 
 
+def _overhead_floor(spark, repeats: int = 5) -> float:
+    """Fixed per-query job overhead at harness scale (round-5 verdict
+    item 7): the wall-clock of a no-op job — 1-row range -> count,
+    nothing to plan, scan or shuffle — through the same timing path
+    the queries use.  At sf0.1 this 0.1-0.4s scheduler/py4j floor is
+    paid ~31 times by the headline and dilutes engine-work deltas;
+    ``headline_minus_floor_sec`` in bench_detail.json subtracts
+    floor x n_queries so round-over-round engine comparisons aren't
+    dominated by it.  Best-of-n like every other timing."""
+    return round(
+        min(_timed(lambda: spark.range(1).count()) for _ in range(repeats)),
+        4,
+    )
+
+
 def _time_queries(
     registry, names, spark, sf_dir: str, repeats: int, tag: str
 ) -> dict[str, dict]:
@@ -314,11 +331,20 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     ext_total = round(sum(d["best"] for d in detail_ext.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    floor = _overhead_floor(spark)
 
     detail = {
         "sf": sf_val,
         "headline_total_sec": total,
         "extended_total_sec": ext_total,
+        # Fixed job-overhead floor and the floor-corrected headline:
+        # engine-work deltas across rounds should be read off
+        # headline_minus_floor_sec (the floor is harness-scale noise a
+        # 1000-executor cluster amortizes over minutes-long stages).
+        "overhead_floor_sec": floor,
+        "headline_minus_floor_sec": round(
+            max(0.0, total - floor * len(detail_head)), 3
+        ),
         "headline": detail_head,
         "extended": detail_ext,
         "headline_semantics_changes": HEADLINE_SEMANTICS_CHANGES,
@@ -338,6 +364,8 @@ def main() -> None:
         "sf": sf_val,
         "queries": timings,
         "extended_total": ext_total,
+        "floor": floor,
+        "minus_floor": detail["headline_minus_floor_sec"],
         "repeats": _HEADLINE_REPEATS,
         "gate": {
             k: gate[k] for k in ("mode", "status", "sec") if k in gate

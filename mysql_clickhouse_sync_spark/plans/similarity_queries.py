@@ -709,10 +709,16 @@ def _semantic_parts(
         )
     )
     n_centroids = _semantic_centroid_count(emb_raw.count(), target_bucket)
+    # localCheckpoint: three consumers read cents (coarse derivation,
+    # centroid-cell assignment, in-cell scoring join) — without the
+    # pin each would re-execute the TakeOrdered over the full corpus;
+    # pinned, the corpus pays that pass ONCE and the k-row result is
+    # reused (on a cluster this is checkpoint(), same as `assigned`).
     cents = (
         emb.orderBy("vec_id")
         .limit(n_centroids)
         .select(F.col("vec_id").alias("cid"), F.col("u").alias("cu"))
+        .localCheckpoint()
     )
     return emb, cents, n_centroids
 

@@ -324,9 +324,9 @@ def test_live_view_exact_under_concurrent_compaction(spark, tmp_path):
                     ).collect()
                 }
             except Exception as exc:  # noqa: BLE001 — FNF retry contract
-                msg = repr(exc)
+                msg = str(exc)   # Py4JJavaError's repr omits the cause
                 if ("FileNotFound" in msg or "does not exist" in msg
-                        or "REFRESH" in msg):
+                        or "FILE_NOT_EXIST" in msg or "REFRESH" in msg):
                     retries += 1
                     assert retries < 50, msg
                     continue
