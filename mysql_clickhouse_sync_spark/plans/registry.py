@@ -117,6 +117,11 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 # INSIDE emb_semantic_dedup), emb_near_dup_keeper, emb_quantized_topk
 # (green r2/r1-r5; similarity keeps 6 graded rows), events_funnel
 # (green r2-r5; behavior keeps retention + sessionization).
+# Mid-round-6 addition: events_streaming_dedup (total re-delivery
+# absorbed exactly-once by dropDuplicatesWithinWatermark, graded on
+# the real runtime) IN per the enter-on-add policy; OUT:
+# events_sessionization (green r1-r5; stays a bench headline query
+# and hash-checked off-window every round).
 DRIVER_WINDOW = (
     # CDC sentinels
     "cdc_live_orders",
@@ -129,7 +134,7 @@ DRIVER_WINDOW = (
     "q2_min_cost_supplier",
     "customer_top_orders",
     "events_last_purchase_asof",
-    "events_sessionization",
+    "events_streaming_dedup",
     "events_type_pivot",
     "events_hourly_gapfill",
     "lineitem_cube_stats",

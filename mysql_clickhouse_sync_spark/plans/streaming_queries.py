@@ -255,6 +255,76 @@ def events_streaming_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_streaming_dedup",
+    oracle="""
+    SELECT event_id, value FROM events
+    """,
+    description="END-TO-END STREAMING DEDUPLICATION "
+    "(dropDuplicatesWithinWatermark — the at-least-once absorber for "
+    "streams with no _version column): the full events table is "
+    "drained once (every row emitted, state keyed by event_id), then "
+    "the ENTIRE table is re-delivered as a second drain against the "
+    "same checkpoint — a total re-delivery, the worst at-least-once "
+    "case.  Re-delivered rows either match live state (duplicate -> "
+    "dropped) or arrive below the checkpointed watermark (late -> "
+    "dropped, their state already freed), so the sink holds each "
+    "event EXACTLY once; the oracle is simply every event, once.  "
+    "Cross-batch state, watermark expiry and late-drop all exercised "
+    "on the real runtime (same two-drain determinism pattern as "
+    "events_streaming_append)",
+)
+def events_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import dedup_within_watermark
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"events_streaming_dedup_{spark.sparkContext.applicationId}_"
+        + os.path.basename(sf_dir.rstrip("/")),
+    )
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    sink = os.path.join(base, "sink")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(sink, ignore_errors=True)
+
+    # Same tz-free instant construction as events_streaming_append.
+    ev_i = ev.select(
+        "event_id",
+        F.expr(
+            "make_timestamp(year(ts), month(ts), day(ts), hour(ts), "
+            "minute(ts), CAST(date_part('SECOND', ts) AS DECIMAL(16,6)), "
+            "'UTC')"
+        ).alias("tsi"),
+        "value",
+    )
+    ev_i.repartition(4).write.mode("overwrite").parquet(src)
+
+    def drain() -> None:
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .parquet(src)
+        )
+        deduped = dedup_within_watermark(
+            stream, ["event_id"], ts_col="tsi", watermark="1 hour"
+        ).select("event_id", "value")
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    ev_i.repartition(4).write.mode("append").parquet(src)   # re-delivery
+    drain()
+    return spark.read.parquet(sink).localCheckpoint()
+
+
+@register(
     "events_streaming_hourly",
     oracle="""
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,

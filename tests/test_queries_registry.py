@@ -94,6 +94,7 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         # never-driver-graded oracled queries rotate in (r5 verdict
         # item 3 — the other 6 follow in round 7)
         "media_decode_real", "events_streaming_append",
+        "events_streaming_dedup",
         "cdc_reconciliation", "events_type_pivot",
         "events_hourly_gapfill", "lineitem_cube_stats",
         "orders_value_histogram", "customer_order_gaps",
