@@ -124,11 +124,11 @@ HEADLINE_SEMANTICS_CHANGES = {
 # audit-carrying contract twins swapped out of the headline, plus the
 # five new r5 queries — SCD-2 history, repetition filter, domain
 # mixture, quantile sketch, duplicate chunks).
-# (cdc_streaming_live and events_streaming_append are deliberately NOT
-# timed here: they are correctness surfaces — multi-second end-to-end
-# streaming drains whose cost is checkpoint/trigger machinery, not
-# engine work — graded by the driver window and
-# tools/window_fidelity.py instead.)
+# (cdc_streaming_live, events_streaming_append and
+# events_streaming_dedup are deliberately NOT timed here: they are
+# correctness surfaces — multi-second end-to-end streaming drains
+# whose cost is checkpoint/trigger machinery, not engine work —
+# graded by the driver window and tools/window_fidelity.py instead.)
 EXTENDED = (
     "media_decode_real",      # r6: injected-codec BMP decode path
     "cdc_scd2_history",

@@ -339,8 +339,10 @@ IMAGE_STATS_SCHEMA = StructType(
 
 def image_stats(df: DataFrame) -> DataFrame:
     """REAL image decode -> per-image pixel statistics, the
-    driver-gradable face of the injected-codec path: every payload is
-    parsed by the registered codec (BMP built-in), and the outputs —
+    driver-gradable face of the injected-codec path: every IMAGE row's
+    payload (kind filter, same as resize_images; audio/video rows pass
+    through untouched) is parsed by the registered codec (BMP
+    built-in), and the outputs —
     geometry, exact per-channel means (integer sum, ONE double
     division), and the two diagonal corner pixels — are pure functions
     of the decoded pixel array.  The corners pin row ORDER and row
@@ -354,18 +356,23 @@ def image_stats(df: DataFrame) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
+            img = pdf[pdf["kind"] == "image"]   # same filter as resize
             rows = []
-            for _, r in pdf.iterrows():
-                rgb = _require_image_codec(r["mime"]).decode(r["payload"])
+            # zip over the three consumed columns — iterrows would
+            # build a dtype-coerced Series per row for all columns
+            for mid, mime, payload in zip(
+                img["media_id"], img["mime"], img["payload"]
+            ):
+                rgb = _require_image_codec(mime).decode(payload)
                 h, w = rgb.shape[:2]
                 sums = rgb.reshape(-1, 3).astype(np.int64).sum(axis=0)
                 n = h * w
                 rows.append(
                     {
-                        "media_id": int(r["media_id"]),
+                        "media_id": int(mid),
                         "width": w,
                         "height": h,
-                        "n_bytes": len(r["payload"]),
+                        "n_bytes": len(payload),
                         "mean_r": sums[0] / n,
                         "mean_g": sums[1] / n,
                         "mean_b": sums[2] / n,

@@ -463,13 +463,17 @@ def emb_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ))) AS BIGINT))
     ), cent_cell AS (
         -- Each centroid's nearest cell: argmax dot, ties -> smaller
-        -- gid (the max_by struct rule in _assign_nearest_cell).
+        -- gid (the max_by struct rule in _assign_nearest_cell);
+        -- UNION each cell's own centroid so no cell is ever vacated
+        -- (mirrors the engine's self-row union).
         SELECT cid, cu, gid FROM (
             SELECT c.cid, c.cu, g.gid, row_number() OVER (
                 PARTITION BY c.cid
                 ORDER BY {_dot('c.cu', 'g.gu')} DESC, g.gid
             ) AS _cr FROM cents c CROSS JOIN coarse g
         ) WHERE _cr = 1
+        UNION
+        SELECT gid AS cid, gu AS cu, gid FROM coarse
     ), vec_cell AS (
         SELECT vec_id, u, gid FROM (
             SELECT n.vec_id, n.u, g.gid, row_number() OVER (
@@ -636,11 +640,18 @@ def _two_level_scored(
     whose build side is the k-row centroid table, NEVER a broadcast
     that scales with the corpus and NEVER a cross join (AQE handles
     residual cell skew; per-cell work is |cell vectors| x |cell
-    centroids| x d).  Every vector's cell is guaranteed non-empty:
-    centroids are unit vectors, so cell g's own centroid scores
-    dot = 1 against itself — the maximum possible — and any exact tie
-    (duplicate vector) breaks to the same smaller gid for vectors and
-    centroids alike, so the inner join drops no one.
+    centroids| x d).
+
+    No vector can be dropped by the inner join: cent_cell unions in
+    each cell's OWN centroid (cid = gid), so every cell is non-empty
+    by construction.  The argmax alone almost guarantees that — a
+    unit centroid scores dot = 1 against itself — but normalization
+    rounding can leave near-duplicate "unit" vectors at 1 +/- ulp,
+    letting a cell's centroid defect to a near-twin's cell while some
+    vector still argmaxes to the vacated cell; the self-row union
+    closes that hole (and is a no-op when the argmax already kept the
+    centroid home, the overwhelmingly common case).  The oracle
+    mirrors the identical UNION.
     """
     from ..operators.similarity import dot as _vdot
 
@@ -650,7 +661,15 @@ def _two_level_scored(
         .limit(n_coarse)
         .select(F.col("cid").alias("gid"), F.col("cu").alias("gu"))
     )
-    cent_cell = _assign_nearest_cell(cents, "cid", "cu", coarse)
+    cent_cell = (
+        _assign_nearest_cell(cents, "cid", "cu", coarse)
+        .unionByName(
+            coarse.select(
+                F.col("gid").alias("cid"), F.col("gu").alias("cu"), "gid"
+            )
+        )
+        .dropDuplicates(["cid", "gid"])
+    )
     vec_cell = _assign_nearest_cell(emb, "vec_id", "u", coarse)
     return vec_cell.join(cent_cell, "gid").select(
         "vec_id", "u", "cid",

@@ -134,6 +134,72 @@ def cdc_streaming_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipe.live().localCheckpoint()
 
 
+def _utc_instant(ts_col: str = "ts"):
+    """Naive NTZ fields -> a TIMESTAMP instant interpreted as UTC.
+
+    withWatermark requires TIMESTAMP (an instant), and NTZ->TIMESTAMP
+    casts go through the session timezone (half-hour zones would shift
+    every bucket vs the tz-free oracles).  make_timestamp with an
+    EXPLICIT 'UTC' argument maps the naive fields to an instant
+    independently of the session zone; emit outputs as epoch seconds
+    (``unix_timestamp`` of an instant is tz-free) and nothing in the
+    pipeline consults spark.sql.session.timeZone.  Shared by every
+    two-drain streaming query below — the DECIMAL(16,6) seconds cast
+    keeps microsecond fractions."""
+    return F.expr(
+        f"make_timestamp(year({ts_col}), month({ts_col}), "
+        f"day({ts_col}), hour({ts_col}), minute({ts_col}), "
+        f"CAST(date_part('SECOND', {ts_col}) AS DECIMAL(16,6)), 'UTC')"
+    )
+
+
+def _two_drain_dirs(
+    spark: SparkSession, prefix: str, sf_dir: str
+) -> tuple[str, str, str]:
+    """(src, ckpt, sink) for a checkpointed two-drain streaming query,
+    keyed per (session, sf_dir) like the other streaming rows.  Fresh
+    checkpoint AND sink every call: the checkpoint carries the
+    watermark + seen-files log BETWEEN the two drains (that is the
+    point), but reusing it across invocations would re-read nothing
+    and double up the append-mode sink."""
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"{prefix}_{spark.sparkContext.applicationId}_"
+        + os.path.basename(sf_dir.rstrip("/")),
+    )
+    src, ckpt, sink = (
+        os.path.join(base, d) for d in ("src", "ckpt", "sink")
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(sink, ignore_errors=True)
+    return src, ckpt, sink
+
+
+def _drain_append(spark: SparkSession, src, ckpt, sink, transform) -> None:
+    """One availableNow drain: parquet stream over ``src`` ->
+    ``transform(stream)`` -> append-mode parquet ``sink``.
+
+    No maxFilesPerTrigger: each drain folds its files into ONE data
+    microbatch, so late-row filtering runs against exactly the
+    checkpointed watermark (deterministic regardless of file listing
+    order); the trailing no-data batch then advances the watermark
+    and emits newly-closed state."""
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .parquet(src)
+    )
+    q = (
+        transform(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 @register(
     "events_streaming_append",
     oracle="""
@@ -179,51 +245,17 @@ def cdc_streaming_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_streaming_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
-
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"events_streaming_append_{spark.sparkContext.applicationId}_"
-        + os.path.basename(sf_dir.rstrip("/")),
+    src, ckpt, sink = _two_drain_dirs(
+        spark, "events_streaming_append", sf_dir
     )
-    src = os.path.join(base, "src")
-    ckpt = os.path.join(base, "ckpt")
-    sink = os.path.join(base, "sink")
-    # Fresh checkpoint AND sink every call: the checkpoint carries the
-    # watermark + seen-files log between the two drains (that is the
-    # point), but a third drain from a stale state would re-read
-    # nothing and the append-mode sink would double up.
-    shutil.rmtree(ckpt, ignore_errors=True)
-    shutil.rmtree(sink, ignore_errors=True)
-
-    # withWatermark requires TIMESTAMP (an instant), and NTZ->TIMESTAMP
-    # casts go through the session timezone (half-hour zones would
-    # shift every bucket vs the tz-free oracle).  make_timestamp with
-    # an EXPLICIT 'UTC' argument maps the naive fields to an instant
-    # independently of the session zone, and the output is emitted as
-    # epoch SECONDS (unix_timestamp of an instant is tz-free), so the
-    # whole pipeline never consults spark.sql.session.timeZone.
-    _as_utc_instant = F.expr(
-        "make_timestamp(year(ts), month(ts), day(ts), hour(ts), "
-        "minute(ts), CAST(date_part('SECOND', ts) AS DECIMAL(16,6)), "
-        "'UTC')"
-    )
-    ev_i = ev.select("event_id", _as_utc_instant.alias("tsi"), "value")
+    ev_i = ev.select("event_id", _utc_instant().alias("tsi"), "value")
     on_time = ev_i.filter(F.col("event_id") % 4 != 0).drop("event_id")
     late = ev_i.filter(F.col("event_id") % 4 == 0).drop("event_id")
     # overwrite clears the previous invocation's late files too
     on_time.repartition(4).write.mode("overwrite").parquet(src)
 
-    def drain() -> None:
-        # No maxFilesPerTrigger: each drain folds its files into ONE
-        # data microbatch, so the late-row filter runs against exactly
-        # the checkpointed watermark (deterministic regardless of file
-        # listing order); the trailing no-data batch then advances the
-        # watermark and emits newly-closed windows.
-        stream = (
-            spark.readStream.schema(spark.read.parquet(src).schema)
-            .parquet(src)
-        )
-        agg = (
+    def windowed(stream: DataFrame) -> DataFrame:
+        return (
             stream.withWatermark("tsi", "1 hour")
             .groupBy(F.window("tsi", "1 hour").alias("w"))
             .agg(
@@ -236,19 +268,10 @@ def events_streaming_append(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("_tv").cast("double").alias("total_value"),
             )
         )
-        q = (
-            agg.writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", sink)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
 
-    drain()
+    _drain_append(spark, src, ckpt, sink, windowed)
     late.repartition(2).write.mode("append").parquet(src)
-    drain()
+    _drain_append(spark, src, ckpt, sink, windowed)
     # localCheckpoint: same pinning rule as the other streaming rows —
     # the sink dir is cleared by the next invocation.
     return spark.read.parquet(sink).localCheckpoint()
@@ -277,50 +300,20 @@ def events_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import dedup_within_watermark
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"events_streaming_dedup_{spark.sparkContext.applicationId}_"
-        + os.path.basename(sf_dir.rstrip("/")),
+    src, ckpt, sink = _two_drain_dirs(
+        spark, "events_streaming_dedup", sf_dir
     )
-    src = os.path.join(base, "src")
-    ckpt = os.path.join(base, "ckpt")
-    sink = os.path.join(base, "sink")
-    shutil.rmtree(ckpt, ignore_errors=True)
-    shutil.rmtree(sink, ignore_errors=True)
-
-    # Same tz-free instant construction as events_streaming_append.
-    ev_i = ev.select(
-        "event_id",
-        F.expr(
-            "make_timestamp(year(ts), month(ts), day(ts), hour(ts), "
-            "minute(ts), CAST(date_part('SECOND', ts) AS DECIMAL(16,6)), "
-            "'UTC')"
-        ).alias("tsi"),
-        "value",
-    )
+    ev_i = ev.select("event_id", _utc_instant().alias("tsi"), "value")
     ev_i.repartition(4).write.mode("overwrite").parquet(src)
 
-    def drain() -> None:
-        stream = (
-            spark.readStream.schema(spark.read.parquet(src).schema)
-            .parquet(src)
-        )
-        deduped = dedup_within_watermark(
+    def deduped(stream: DataFrame) -> DataFrame:
+        return dedup_within_watermark(
             stream, ["event_id"], ts_col="tsi", watermark="1 hour"
         ).select("event_id", "value")
-        q = (
-            deduped.writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", sink)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
 
-    drain()
+    _drain_append(spark, src, ckpt, sink, deduped)
     ev_i.repartition(4).write.mode("append").parquet(src)   # re-delivery
-    drain()
+    _drain_append(spark, src, ckpt, sink, deduped)
     return spark.read.parquet(sink).localCheckpoint()
 
 
