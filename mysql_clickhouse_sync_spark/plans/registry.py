@@ -122,6 +122,23 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 # the real runtime) IN per the enter-on-add policy; OUT:
 # events_sessionization (green r1-r5; stays a bench headline query
 # and hash-checked off-window every round).
+#
+# Late-round-6: the round-7 half of the rotation backlog lands a
+# round early — the LAST 6 never-driver-graded oracled queries enter
+# (cdc_tombstoned_keys, events_value_percentiles,
+# docs_char_bigram_profile, docs_top_jaccard_pairs,
+# orders_in_promo_windows, events_props_profile), so after this
+# round's grade every oracled registry query has a driver-green round
+# on record or is in the current window; the only never-graded rows
+# left are the 3 disclosed bench-only *_raw variants whose equality
+# to graded twins is machine-checked.  OUT (longest-green; family
+# coverage noted): q1_pricing_summary (r1-r5; TPC-H keeps q2 + the 5
+# newly-rotated analytics shapes), customer_top_orders (r1-r5;
+# window-fn family keeps scd2/rfm/order_gaps),
+# events_last_purchase_asof (r1-r5; as-of join stays gate-checked),
+# emb_lsh_pairs, emb_cosine_topk_vectorized (r1/r4-r5; similarity
+# keeps 4 graded rows incl. the reshaped semantic dedup),
+# media_frame_sample (r2-r5; media keeps decode/resize/real).
 DRIVER_WINDOW = (
     # CDC sentinels
     "cdc_live_orders",
@@ -130,10 +147,10 @@ DRIVER_WINDOW = (
     "cdc_scd2_history",
     "cdc_reconciliation",
     # representative analytics shapes
-    "q1_pricing_summary",
+    "orders_in_promo_windows",
     "q2_min_cost_supplier",
-    "customer_top_orders",
-    "events_last_purchase_asof",
+    "events_props_profile",
+    "events_value_percentiles",
     "events_streaming_dedup",
     "events_type_pivot",
     "events_hourly_gapfill",
@@ -161,14 +178,14 @@ DRIVER_WINDOW = (
     "docs_duplicate_chunks",
     # embeddings / similarity search
     "emb_cosine_topk",
-    "emb_lsh_pairs",
+    "docs_top_jaccard_pairs",
     "emb_ivf_topk",
-    "emb_cosine_topk_vectorized",
+    "docs_char_bigram_profile",
     "emb_pq_topk",
     "emb_semantic_dedup",
     # multimodal (incl. the round-6 real-codec path)
     "media_decode_features",
-    "media_frame_sample",
+    "cdc_tombstoned_keys",
     "media_resized_images",
     "media_decode_real",
     # SQL surface

@@ -98,14 +98,20 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         "cdc_reconciliation", "events_type_pivot",
         "events_hourly_gapfill", "lineitem_cube_stats",
         "orders_value_histogram", "customer_order_gaps",
+        # late-r6: the final 6 never-driver-graded oracled queries
+        # land a round early — after this round only the 3
+        # machine-checked *_raw variants lack a driver-graded round
+        "cdc_tombstoned_keys", "events_value_percentiles",
+        "docs_char_bigram_profile", "docs_top_jaccard_pairs",
+        "orders_in_promo_windows", "events_props_profile",
     }
     assert required <= window, sorted(required - window)
     # every docs_/emb_/media_/sql_ query is in the graded window,
     # except rows rotated out with at least one driver-green round on
     # record (full ledger: PARITY.md "Driver-window rotation ledger")
     rotated_out = {
-        "docs_top_jaccard_pairs",   # exact twin of the capped path
-        "docs_char_bigram_profile",  # ceded its slot to emb_semantic_dedup
+        # (docs_top_jaccard_pairs and docs_char_bigram_profile, rotated
+        # out in earlier rounds, re-entered the window late in r6)
         "docs_top_words",            # r4: green r3; slot to corpus family
         "docs_subword_tokens",       # r4: green r3; slot to corpus family
         "sql_region_revenue",        # r4: green r3; slot to corpus family
@@ -140,6 +146,12 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         "docs_dup_clusters",
         "emb_near_dup_keeper",
         "emb_quantized_topk",
+        # late-r6: slots ceded to the final never-driver-graded six;
+        # all three stay hash-checked every round by check_oracle/
+        # ci_gate (lsh/vectorized keep their in-query contracts there)
+        "emb_lsh_pairs",
+        "emb_cosine_topk_vectorized",
+        "media_frame_sample",
     }
     surface = {
         n for n in qs
