@@ -123,6 +123,13 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 # events_sessionization (green r1-r5; stays a bench headline query
 # and hash-checked off-window every round).
 #
+# Late-round-6 addition (enter-on-add): cdc_streaming_upsert — the
+# push-based applyInPandasWithState upsert view graded end-to-end
+# against the batch ranked-CTE live view (the last unit-only
+# streaming operator).  OUT: media_decode_features (green r1-r5;
+# stays bench-timed + gate-checked; the decode path is now more
+# strongly graded by media_decode_real).
+#
 # Late-round-6: the round-7 half of the rotation backlog lands a
 # round early — the LAST 6 never-driver-graded oracled queries enter
 # (cdc_tombstoned_keys, events_value_percentiles,
@@ -146,6 +153,7 @@ DRIVER_WINDOW = (
     "cdc_compacted_state",
     "cdc_scd2_history",
     "cdc_reconciliation",
+    "cdc_streaming_upsert",
     # representative analytics shapes
     "orders_in_promo_windows",
     "q2_min_cost_supplier",
@@ -184,7 +192,6 @@ DRIVER_WINDOW = (
     "emb_pq_topk",
     "emb_semantic_dedup",
     # multimodal (incl. the round-6 real-codec path)
-    "media_decode_features",
     "cdc_tombstoned_keys",
     "media_resized_images",
     "media_decode_real",

@@ -134,6 +134,87 @@ def cdc_streaming_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipe.live().localCheckpoint()
 
 
+@register(
+    "cdc_streaming_upsert",
+    oracle=_ORACLE_CDC_CTES
+    + """
+    SELECT o_orderkey AS id,
+           CAST(_version AS BIGINT) AS version,
+           o_orderpriority AS payload
+    FROM ranked WHERE __rn = 1 AND _deleted = 0
+    """,
+    description="PUSH-BASED STREAMING UPSERT VIEW graded end-to-end "
+    "(streaming_upsert_view / applyInPandasWithState — the last "
+    "streaming operator that carried only unit-suite evidence): the "
+    "applied orders changelog streams through per-key state in 4+ "
+    "microbatches (maxFilesPerTrigger), each key's state holding one "
+    "(version, seq, deleted, payload) tuple and emitting ONLY when "
+    "the key's live state advances — duplicate deliveries (the "
+    "twice-delivered v1 update) and stale replays absorb silently at "
+    "the state store.  Emissions append to a parquet sink via "
+    "foreachBatch; because per-key emissions are monotone in "
+    "(version, seq), the max_by over the sink is the final live "
+    "state regardless of how the drain batched, and the oracle is "
+    "the same ranked-CTE live view the batch path uses — so the "
+    "driver hash-verifies that push-based state upserts == "
+    "merge-on-read dedup_latest",
+)
+def cdc_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import streaming_upsert_view
+    from .cdc_queries import _applied_orders
+
+    rows = _applied_orders(spark, sf_dir).select(
+        F.col("o_orderkey").alias("id"),
+        F.col("_version").cast("long"),
+        # the snapshot wave carries NULL _seq in the batch model; the
+        # state tuple compares ints, and version 0 is snapshot-only,
+        # so coalescing to 0 cannot reorder anything
+        F.coalesce(F.col("_seq"), F.lit(0)).cast("long").alias("_seq"),
+        F.col("_deleted").cast("int"),
+        F.col("o_orderpriority").alias("payload"),
+    )
+    src, ckpt, sink = _two_drain_dirs(
+        spark, "cdc_streaming_upsert", sf_dir
+    )
+    # 8 files vs maxFilesPerTrigger=2 forces 4+ microbatches, so keys
+    # updated across waves genuinely exercise cross-batch state.
+    rows.repartition(8).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        streaming_upsert_view(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(
+            lambda batch, _id: batch.write.mode("append").parquet(sink)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    emitted = spark.read.parquet(sink)
+    latest = F.max_by(
+        F.struct("_version", "_seq", "_deleted", "payload"),
+        F.struct("_version", "_seq"),
+    )
+    return (
+        emitted.groupBy("id")
+        .agg(latest.alias("_b"))
+        .filter(F.col("_b._deleted") == 0)
+        .select(
+            "id",
+            F.col("_b._version").alias("version"),
+            F.col("_b.payload").alias("payload"),
+        )
+        .localCheckpoint()
+    )
+
+
 def _utc_instant(ts_col: str = "ts"):
     """Naive NTZ fields -> a TIMESTAMP instant interpreted as UTC.
 

@@ -152,6 +152,9 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         "emb_lsh_pairs",
         "emb_cosine_topk_vectorized",
         "media_frame_sample",
+        # late-r6: slot ceded to cdc_streaming_upsert; decode path now
+        # more strongly graded by media_decode_real
+        "media_decode_features",
     }
     surface = {
         n for n in qs
