@@ -185,17 +185,29 @@ def cdc_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 2)
         .parquet(src)
     )
-    q = (
-        streaming_upsert_view(stream)
-        .writeStream.outputMode("update")
-        .foreachBatch(
-            lambda batch, _id: batch.write.mode("append").parquet(sink)
+    # The state store creates shuffle.partitions stores PER BATCH (the
+    # width is frozen into the checkpoint at first start — the real
+    # production sizing knob for stateful queries).  A vanilla
+    # 200-partition session pays 200 Python state tasks x 4 batches
+    # for 15k keys (~100 s of pure task overhead, measured); size the
+    # stateful width to the harness and restore the session conf after
+    # the drain — batch reads below are unaffected.
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            streaming_upsert_view(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(
+                lambda batch, _id: batch.write.mode("append").parquet(sink)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
 
     emitted = spark.read.parquet(sink)
     latest = F.max_by(
