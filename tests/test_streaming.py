@@ -460,7 +460,15 @@ def test_streaming_queries_are_idempotent_across_calls(spark):
     from mysql_clickhouse_sync_spark.plans.registry import all_queries
 
     qs = all_queries()
-    for name in ("cdc_streaming_live", "events_streaming_hourly"):
+    for name in (
+        "cdc_streaming_live",
+        "events_streaming_hourly",
+        # the r6 two-drain rows: a stale checkpoint would make drain 1
+        # a no-op and drain 2 re-deliver against last call's watermark
+        "events_streaming_append",
+        "events_streaming_dedup",
+        "cdc_streaming_upsert",
+    ):
         first = qs[name].fn(spark, SF_DIR)
         rows1 = sorted(map(tuple, first.collect()))
         second = qs[name].fn(spark, SF_DIR)
@@ -479,6 +487,27 @@ def test_streaming_hourly_is_timezone_independent(spark):
     from mysql_clickhouse_sync_spark.plans.registry import all_queries
 
     fn = all_queries()["events_streaming_hourly"].fn
+    utc = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+    try:
+        ist = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    assert utc == ist and len(utc) > 0
+
+
+def test_streaming_append_is_timezone_independent(spark):
+    """The append-mode row claims full session-timezone independence
+    (make_timestamp with an explicit 'UTC' argument in, epoch seconds
+    out): rerun under a half-hour-offset zone must produce identical
+    rows — an NTZ->instant cast anywhere in the path would shift
+    every hour bucket."""
+    from conftest import SF_DIR
+
+    from mysql_clickhouse_sync_spark.plans.registry import all_queries
+
+    fn = all_queries()["events_streaming_append"].fn
     utc = sorted(map(tuple, fn(spark, SF_DIR).collect()))
     old = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
