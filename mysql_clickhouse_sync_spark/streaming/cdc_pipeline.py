@@ -115,6 +115,50 @@ class CDCStreamPipeline:
         if plan.bins:
             execute_compaction(self.spark, plan)
 
+    def evolve_schema(self, new_schema: StructType) -> None:
+        """ADDITIVE schema evolution — a capability the reference
+        documents as unsupported (no DDL replication,
+        ``/root/reference/README.md:585-588``): when the source table
+        gains columns, widen the changelog decode schema and restart
+        the stream on the SAME checkpoint.
+
+        Why this is safe, mechanically: file-source offsets are keyed
+        by file, not schema, so committed files are never re-read;
+        new files decode with the wider schema; the parquet sink
+        appends wider rows alongside the old files; and
+        ``table_df()``'s mergeSchema read + ``live_view``'s derived
+        projection surface the union schema with NULLs on
+        pre-evolution rows — merge-on-read absorbs schema history the
+        same way it absorbs version history.
+
+        Enforced constraints (the changes that are NOT expressible as
+        at-least-once appends): every existing column keeps its name
+        and type — drops, renames and retypes are rejected — and new
+        columns must be nullable (pre-evolution rows cannot
+        retroactively receive a value).
+        """
+        old = {f.name: f.dataType for f in self.changelog_schema.fields}
+        new = {f.name: f.dataType for f in new_schema.fields}
+        for name, dtype in old.items():
+            if name not in new:
+                raise ValueError(
+                    f"schema evolution cannot drop column {name!r} "
+                    "(append sinks cannot unwrite history; create a "
+                    "projection view instead)"
+                )
+            if new[name] != dtype:
+                raise ValueError(
+                    f"schema evolution cannot retype column {name!r}: "
+                    f"{dtype.simpleString()} -> {new[name].simpleString()}"
+                )
+        for f in new_schema.fields:
+            if f.name not in old and not f.nullable:
+                raise ValueError(
+                    f"new column {f.name!r} must be nullable: "
+                    "pre-evolution rows have no value for it"
+                )
+        self.changelog_schema = new_schema
+
     def start(self, changelog_dir: str, available_now: bool = True):
         """Open the changelog stream (S5) and start the sink.
 

@@ -516,3 +516,64 @@ def test_streaming_append_is_timezone_independent(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
     assert utc == ist and len(utc) > 0
+
+
+def test_schema_evolution_adds_column_across_restart(spark, dirs):
+    """Additive schema evolution (beyond the reference, which
+    documents DDL replication as unsupported): the source gains a
+    column mid-stream; evolve_schema widens the decode schema, the
+    restart on the SAME checkpoint processes only the new files, and
+    the live view surfaces the union schema — NULL on pre-evolution
+    rows, populated on post-evolution rows."""
+    base_dir, changelog_dir = dirs
+    _write_events(
+        changelog_dir,
+        [{"op": "I", "seq": 1, "id": 1, "email": "a@x", "name": "A"}],
+        filename="f1.json",
+    )
+    p = CDCStreamPipeline(spark, "users", ["id"], CHANGELOG_SCHEMA, base_dir)
+    p.start(changelog_dir).awaitTermination()
+
+    wider = StructType(
+        CHANGELOG_SCHEMA.fields + [StructField("phone", StringType(), True)]
+    )
+    p.evolve_schema(wider)
+    _write_events(
+        changelog_dir,
+        [
+            {"op": "I", "seq": 2, "id": 2, "email": "b@x", "name": "B",
+             "phone": "555"},
+            {"op": "U", "seq": 3, "id": 1, "email": "a@x", "name": "A2",
+             "phone": "111"},
+        ],
+        filename="f2.json",
+    )
+    p.start(changelog_dir).awaitTermination()
+
+    live = {r["id"]: (r["name"], r["phone"]) for r in p.live().collect()}
+    assert live == {1: ("A2", "111"), 2: ("B", "555")}
+    # pre-evolution history rows carry NULL for the new column
+    first_insert = [
+        r for r in p.table_df().collect() if r["_seq"] == 1
+    ]
+    assert len(first_insert) == 1 and first_insert[0]["phone"] is None
+
+    # the changes that are NOT appendable are rejected loudly
+    import pytest as _pytest
+
+    dropped = StructType([f for f in wider.fields if f.name != "email"])
+    with _pytest.raises(ValueError, match="drop column"):
+        p.evolve_schema(dropped)
+    retyped = StructType(
+        [
+            f if f.name != "phone" else StructField("phone", LongType(), True)
+            for f in wider.fields
+        ]
+    )
+    with _pytest.raises(ValueError, match="retype column"):
+        p.evolve_schema(retyped)
+    non_null = StructType(
+        wider.fields + [StructField("fax", StringType(), False)]
+    )
+    with _pytest.raises(ValueError, match="must be nullable"):
+        p.evolve_schema(non_null)
