@@ -61,6 +61,10 @@ SWEEP = (
     "docs_subword_tokens",           # narrow per-row regex compute
     "emb_cosine_topk_vectorized",    # Arrow/numpy brute-force ANN
     "emb_ivf_topk_raw",              # IVF probe-join ANN
+    "emb_semantic_dedup",            # two-level assignment + bucketed
+                                     # pairs + connected components
+                                     # (r6: the reworked quantizer
+                                     # shape, swept directly)
     "media_decode_features",         # Arrow decode pipeline
     "corpus_curation_v2",            # multi-stage corpus pipeline
 )
