@@ -124,8 +124,8 @@ HEADLINE_SEMANTICS_CHANGES = {
 # audit-carrying contract twins swapped out of the headline, plus the
 # five new r5 queries — SCD-2 history, repetition filter, domain
 # mixture, quantile sketch, duplicate chunks).
-# (cdc_streaming_live, events_streaming_append and
-# events_streaming_dedup are deliberately NOT timed here: they are
+# (cdc_streaming_live, events_streaming_append, events_streaming_dedup
+# and cdc_streaming_upsert are deliberately NOT timed here: they are
 # correctness surfaces — multi-second end-to-end streaming drains
 # whose cost is checkpoint/trigger machinery, not engine work —
 # graded by the driver window and tools/window_fidelity.py instead.)
@@ -230,8 +230,10 @@ def _overhead_floor(spark, repeats: int = 5) -> float:
     """Fixed per-query job overhead at harness scale (round-5 verdict
     item 7): the wall-clock of a no-op job — 1-row range -> count,
     nothing to plan, scan or shuffle — through the same timing path
-    the queries use.  At sf0.1 this 0.1-0.4s scheduler/py4j floor is
-    paid ~31 times by the headline and dilutes engine-work deltas;
+    the queries use.  Measured 0.07-0.08s on this host at rest (pure
+    scheduler/py4j cost; per-query plan translation is deliberately
+    excluded).  Paid ~31 times by the headline at sf0.1, diluting
+    engine-work deltas;
     ``headline_minus_floor_sec`` in bench_detail.json subtracts
     floor x n_queries so round-over-round engine comparisons aren't
     dominated by it.  Best-of-n like every other timing."""

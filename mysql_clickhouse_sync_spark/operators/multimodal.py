@@ -340,9 +340,10 @@ IMAGE_STATS_SCHEMA = StructType(
 def image_stats(df: DataFrame) -> DataFrame:
     """REAL image decode -> per-image pixel statistics, the
     driver-gradable face of the injected-codec path: every IMAGE row's
-    payload (kind filter, same as resize_images; audio/video rows pass
-    through untouched) is parsed by the registered codec (BMP
-    built-in), and the outputs —
+    payload is parsed by the registered codec (BMP built-in); non-image
+    rows are EXCLUDED from the output (same kind filter as
+    resize_images — pixel statistics are only defined for images), and
+    the outputs —
     geometry, exact per-channel means (integer sum, ONE double
     division), and the two diagonal corner pixels — are pure functions
     of the decoded pixel array.  The corners pin row ORDER and row

@@ -147,32 +147,43 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 # keeps 4 graded rows incl. the reshaped semantic dedup),
 # media_frame_sample (r2-r5; media keeps decode/resize/real).
 DRIVER_WINDOW = (
-    # CDC sentinels
+    # CDC sentinels (7 graded rows)
     "cdc_live_orders",
     "cdc_streaming_live",
+    "cdc_streaming_upsert",
     "cdc_compacted_state",
     "cdc_scd2_history",
     "cdc_reconciliation",
-    "cdc_streaming_upsert",
+    "cdc_tombstoned_keys",
     # representative analytics shapes
-    "orders_in_promo_windows",
     "q2_min_cost_supplier",
+    "orders_in_promo_windows",
+    "orders_value_histogram",
+    "lineitem_cube_stats",
+    "customer_order_gaps",
+    "customer_rfm_segments",
+    # event analytics
     "events_props_profile",
     "events_value_percentiles",
-    "events_streaming_dedup",
     "events_type_pivot",
     "events_hourly_gapfill",
-    "lineitem_cube_stats",
-    "orders_value_histogram",
-    "customer_order_gaps",
+    "events_retention_cohorts",
+    "events_daily_anomaly_zscore",
+    "events_value_quantiles",
+    # streaming runtimes (end-to-end, batch-oracle-verified)
+    "events_streaming_hourly",
+    "events_streaming_append",
+    "events_streaming_dedup",
     # text / dedup pipeline
     "docs_exact_dedup",
     "docs_repetition_stats",
     "docs_bpe_first_merges",
+    "docs_top_jaccard_pairs",
     "docs_top_jaccard_pairs_capped",
     "docs_minhash_candidates",
     "docs_dedup_incremental",
     "docs_curation_pipeline",
+    "docs_char_bigram_profile",
     # corpus preparation (rotated in, round 4)
     "corpus_pii_scrub",
     "corpus_doc_chunks",
@@ -186,26 +197,16 @@ DRIVER_WINDOW = (
     "docs_duplicate_chunks",
     # embeddings / similarity search
     "emb_cosine_topk",
-    "docs_top_jaccard_pairs",
     "emb_ivf_topk",
-    "docs_char_bigram_profile",
     "emb_pq_topk",
     "emb_semantic_dedup",
     # multimodal (incl. the round-6 real-codec path)
-    "cdc_tombstoned_keys",
     "media_resized_images",
     "media_decode_real",
     # SQL surface
     "sql_live_segment_stats",
     # sampling
     "docs_stratified_sample",
-    # behavior analytics + streaming
-    "events_retention_cohorts",
-    "events_streaming_hourly",
-    "events_streaming_append",
-    "events_daily_anomaly_zscore",
-    "events_value_quantiles",
-    "customer_rfm_segments",
 )
 
 

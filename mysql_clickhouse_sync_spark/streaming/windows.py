@@ -175,7 +175,17 @@ def _upsert_fn(
         for v, s, d, p in zip(
             pdf["_version"], pdf["_seq"], pdf["_deleted"], pdf["payload"]
         ):
-            cand = (int(v), int(s), int(d), str(p))
+            # A NULL payload must stay NULL: pandas hands None (object
+            # column) or NaN (numeric) here, and str() would smuggle
+            # the literal strings 'None'/'nan' into state and out to
+            # the sink — diverging from the batch live view, which
+            # keeps SQL NULL.
+            payload = (
+                None
+                if p is None or (isinstance(p, float) and p != p)
+                else str(p)
+            )
+            cand = (int(v), int(s), int(d), payload)
             # last-writer-wins: (_version, _seq) lexicographic
             if cur is None or (cand[0], cand[1]) > (cur[0], cur[1]):
                 cur, changed = cand, True

@@ -395,3 +395,49 @@ def test_streaming_upsert_view_matches_dedup_latest(spark, tmp_path):
     assert resolved == want
     # the stale replay for id=2 must NOT have produced a second emission
     assert emitted.filter("id = 2").count() == 1
+
+
+def test_streaming_upsert_view_preserves_null_payload(spark, tmp_path):
+    """A NULL payload must survive the state round-trip as SQL NULL —
+    str(None) would smuggle the literal string 'None' into state and
+    out to the sink, silently diverging from the batch live view
+    (review finding: latent in the driver-graded cdc_streaming_upsert
+    path, masked because o_orderpriority is never NULL)."""
+    from pyspark.sql.types import IntegerType
+
+    from mysql_clickhouse_sync_spark.streaming.windows import (
+        streaming_upsert_view,
+    )
+
+    schema = StructType([
+        StructField("id", LongType(), False),
+        StructField("_version", LongType(), False),
+        StructField("_seq", LongType(), False),
+        StructField("_deleted", IntegerType(), False),
+        StructField("payload", StringType(), True),
+    ])
+    src = str(tmp_path / "np_src")
+    out = str(tmp_path / "np_out")
+    ck = str(tmp_path / "np_ck")
+    _write(src, [
+        {"id": 1, "_version": 10, "_seq": 1, "_deleted": 0, "payload": None},
+        {"id": 2, "_version": 10, "_seq": 2, "_deleted": 0, "payload": "x"},
+        {"id": 2, "_version": 20, "_seq": 3, "_deleted": 0, "payload": None},
+    ], "f1.json")
+    stream = spark.readStream.schema(schema).json(src)
+    q = (
+        streaming_upsert_view(stream, pk_col="id")
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, _id: df.write.mode("append").parquet(out))
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    from mysql_clickhouse_sync_spark.operators.cdc import dedup_latest
+
+    got = {r.id: r.payload for r in dedup_latest(
+        spark.read.parquet(out), ["id"]
+    ).collect()}
+    assert got == {1: None, 2: None}
