@@ -59,6 +59,10 @@ class Dialect:
     driver: str = ""
     url_prefix: str = "jdbc:"
     quote_char: str = '"'
+    # ALTER TABLE ... ADD COLUMN IF NOT EXISTS support: Postgres and
+    # ClickHouse have it; MySQL 8 does not (re-running the statement
+    # there raises a duplicate-column error the operator must absorb).
+    add_column_if_not_exists: bool = False
 
     # ---------------------------------------------------------- identifiers
 
@@ -98,6 +102,25 @@ class Dialect:
         return (
             f"CREATE TABLE IF NOT EXISTS {self.qualified(db, table)} (\n"
             f"  {cols}{pk}\n)"
+        )
+
+    def add_column_ddl(self, db: str, table: str, f: StructField) -> str:
+        """Target-side half of additive schema evolution (pairs with
+        ``CDCStreamPipeline.evolve_schema``, which widens the decode
+        side): ALTER TABLE ... ADD COLUMN for the new field.  The same
+        constraint applies for the same reason — the column must be
+        nullable, because existing target rows have no value to
+        backfill.  Dialects with IF NOT EXISTS emit it so replays of
+        the evolution step are idempotent."""
+        if not f.nullable:
+            raise ValueError(
+                f"new column {f.name!r} must be nullable: existing "
+                "target rows have no value to backfill"
+            )
+        ine = "IF NOT EXISTS " if self.add_column_if_not_exists else ""
+        return (
+            f"ALTER TABLE {self.qualified(db, table)} "
+            f"ADD COLUMN {ine}{self.column_ddl(f)}"
         )
 
     # ---------------------------------------------------------- DML
@@ -171,6 +194,7 @@ class PostgresDialect(Dialect):
             driver="org.postgresql.Driver",
             url_prefix="jdbc:postgresql://",
             quote_char='"',
+            add_column_if_not_exists=True,
         )
 
     def ddl_type(self, dt: DataType) -> str:
@@ -221,6 +245,7 @@ class ClickHouseDialect(Dialect):
             driver="com.clickhouse.jdbc.ClickHouseDriver",
             url_prefix="jdbc:clickhouse://",
             quote_char="`",
+            add_column_if_not_exists=True,
         )
 
     def ddl_type(self, dt: DataType) -> str:

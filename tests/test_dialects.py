@@ -191,3 +191,33 @@ def test_jdbc_hash_bucket_expressions_per_dialect():
         preds = captured["predicates"]
         assert len(preds) == 4
         assert preds[0] == f"{frag} = 0"
+
+
+def test_add_column_ddl_per_dialect():
+    """Target-side half of additive schema evolution: ALTER ... ADD
+    COLUMN per engine, IF NOT EXISTS only where the engine supports it
+    (Postgres/ClickHouse yes; MySQL 8 no), non-nullable additions
+    rejected for the same backfill reason evolve_schema rejects them."""
+    import pytest
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    from mysql_clickhouse_sync_spark.sources.dialects import get_dialect
+
+    f = StructField("phone", StringType(), True)
+    assert get_dialect("mysql").add_column_ddl("db", "users", f) == (
+        "ALTER TABLE `db`.`users` ADD COLUMN `phone` TEXT"
+    )
+    assert get_dialect("postgresql").add_column_ddl("db", "users", f) == (
+        'ALTER TABLE "db"."users" ADD COLUMN IF NOT EXISTS "phone" TEXT'
+    )
+    ch = get_dialect("clickhouse").add_column_ddl("db", "users", f)
+    assert ch.startswith(
+        "ALTER TABLE `db`.`users` ADD COLUMN IF NOT EXISTS `phone` "
+    )
+    # ClickHouse wraps nullable columns in Nullable(...)
+    assert "Nullable(String)" in ch
+
+    bad = StructField("fax", LongType(), False)
+    for name in ("mysql", "postgresql", "clickhouse"):
+        with pytest.raises(ValueError, match="must be nullable"):
+            get_dialect(name).add_column_ddl("db", "users", bad)
