@@ -42,6 +42,37 @@ from ..operators.cdc import live_view, stamp_changelog
 from ..schema.mysql_types import validate_identifier
 
 
+def validate_additive_evolution(
+    old_schema: StructType, new_schema: StructType
+) -> None:
+    """The changes that ARE expressible as at-least-once appends:
+    every existing column keeps its name and type — drops, renames
+    and retypes are rejected — and new columns must be nullable
+    (pre-evolution rows cannot retroactively receive a value).
+    Shared by the single-table pipeline and the multi-table
+    dispatcher."""
+    old = {f.name: f.dataType for f in old_schema.fields}
+    new = {f.name: f.dataType for f in new_schema.fields}
+    for name, dtype in old.items():
+        if name not in new:
+            raise ValueError(
+                f"schema evolution cannot drop column {name!r} "
+                "(append sinks cannot unwrite history; create a "
+                "projection view instead)"
+            )
+        if new[name] != dtype:
+            raise ValueError(
+                f"schema evolution cannot retype column {name!r}: "
+                f"{dtype.simpleString()} -> {new[name].simpleString()}"
+            )
+    for f in new_schema.fields:
+        if f.name not in old and not f.nullable:
+            raise ValueError(
+                f"new column {f.name!r} must be nullable: "
+                "pre-evolution rows have no value for it"
+            )
+
+
 class CDCStreamPipeline:
     """File-source changelog stream -> stamped append sink.
 
@@ -129,34 +160,11 @@ class CDCStreamPipeline:
         ``table_df()``'s mergeSchema read + ``live_view``'s derived
         projection surface the union schema with NULLs on
         pre-evolution rows — merge-on-read absorbs schema history the
-        same way it absorbs version history.
-
-        Enforced constraints (the changes that are NOT expressible as
-        at-least-once appends): every existing column keeps its name
-        and type — drops, renames and retypes are rejected — and new
-        columns must be nullable (pre-evolution rows cannot
-        retroactively receive a value).
+        same way it absorbs version history.  (The matching
+        target-side DDL for JDBC sinks is
+        ``sources/dialects.py::add_column_ddl``.)
         """
-        old = {f.name: f.dataType for f in self.changelog_schema.fields}
-        new = {f.name: f.dataType for f in new_schema.fields}
-        for name, dtype in old.items():
-            if name not in new:
-                raise ValueError(
-                    f"schema evolution cannot drop column {name!r} "
-                    "(append sinks cannot unwrite history; create a "
-                    "projection view instead)"
-                )
-            if new[name] != dtype:
-                raise ValueError(
-                    f"schema evolution cannot retype column {name!r}: "
-                    f"{dtype.simpleString()} -> {new[name].simpleString()}"
-                )
-        for f in new_schema.fields:
-            if f.name not in old and not f.nullable:
-                raise ValueError(
-                    f"new column {f.name!r} must be nullable: "
-                    "pre-evolution rows have no value for it"
-                )
+        validate_additive_evolution(self.changelog_schema, new_schema)
         self.changelog_schema = new_schema
 
     def start(self, changelog_dir: str, available_now: bool = True):

@@ -78,6 +78,23 @@ class MultiTableCDCStream:
     def target_dir(self, table: str) -> str:
         return os.path.join(self.base_dir, f"{table}_cdc")
 
+    def evolve_table_schema(self, table: str, new_schema: StructType) -> None:
+        """Per-table additive schema evolution (same contract and
+        validation as ``CDCStreamPipeline.evolve_schema``): the
+        ``from_json`` decode reads ``self.schemas`` at microbatch
+        time, so the wider schema applies from the NEXT microbatch —
+        no restart required here, because the mux wire schema
+        (table/op/seq/payload) never changes; only the per-table
+        payload decode widens.  The reference's schema cache refresh
+        (/root/reference/src/cdc_replicator.py:286-294) re-reads a
+        fixed schema; this is the upgrade it cannot do."""
+        from .cdc_pipeline import validate_additive_evolution
+
+        if table not in self.schemas:
+            raise KeyError(f"table {table!r} is not replicated")
+        validate_additive_evolution(self.schemas[table], new_schema)
+        self.schemas[table] = new_schema
+
     def apply_microbatch(self, batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.cache()
         try:

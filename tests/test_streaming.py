@@ -577,3 +577,63 @@ def test_schema_evolution_adds_column_across_restart(spark, dirs):
     )
     with _pytest.raises(ValueError, match="must be nullable"):
         p.evolve_schema(non_null)
+
+
+def test_multi_table_schema_evolution_mid_stream(spark, tmp_path):
+    """Per-table additive evolution on the mux dispatcher: the wider
+    payload schema applies from the next drain (the mux wire schema
+    never changes), pre-evolution rows surface NULL for the new
+    column, and the sibling table is untouched."""
+    import json as _json
+
+    from mysql_clickhouse_sync_spark.streaming.multi_table import (
+        MultiTableCDCStream,
+    )
+
+    base = str(tmp_path / "ev_tables")
+    changelog = str(tmp_path / "ev_changelog")
+    users_schema = StructType([
+        StructField("id", LongType(), False),
+        StructField("name", StringType(), True),
+    ])
+
+    def row(table, op, seq, **payload):
+        return {"table": table, "op": op, "seq": seq,
+                "payload": _json.dumps(payload)}
+
+    _write_events(changelog, [row("users", "I", 1, id=1, name="A")],
+                  filename="f1.json")
+    mux = MultiTableCDCStream(
+        spark,
+        schemas={"users": users_schema},
+        pks={"users": ["id"]},
+        base_dir=base,
+    )
+    mux.start(changelog).awaitTermination()
+
+    wider = StructType(
+        users_schema.fields + [StructField("phone", StringType(), True)]
+    )
+    mux.evolve_table_schema("users", wider)
+    _write_events(
+        changelog,
+        [row("users", "I", 2, id=2, name="B", phone="555")],
+        filename="f2.json",
+    )
+    mux.start(changelog).awaitTermination()
+
+    live = {
+        r["id"]: (r["name"], r["phone"])
+        for r in mux.live("users").collect()
+    }
+    assert live == {1: ("A", None), 2: ("B", "555")}
+
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError, match="not replicated"):
+        mux.evolve_table_schema("ghost", wider)
+    with _pytest.raises(ValueError, match="drop column"):
+        mux.evolve_table_schema(
+            "users",
+            StructType([f for f in wider.fields if f.name != "name"]),
+        )
