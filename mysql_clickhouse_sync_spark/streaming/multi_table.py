@@ -140,5 +140,11 @@ class MultiTableCDCStream:
     def live(
         self, table: str, user_cols: Sequence[str] | None = None
     ) -> DataFrame:
-        df = self.spark.read.parquet(self.target_dir(table))
+        # mergeSchema: without it the reader samples ONE file's footer
+        # for the schema, so after evolve_table_schema a pre-evolution
+        # file being sampled would silently drop the new column from
+        # every row (same rule as CDCStreamPipeline.table_df).
+        df = self.spark.read.option("mergeSchema", "true").parquet(
+            self.target_dir(table)
+        )
         return live_view(df, self.pks[table], user_cols)
