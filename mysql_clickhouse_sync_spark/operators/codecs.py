@@ -130,6 +130,22 @@ def image_codec_for(mime: str | None):
     return _IMAGE_CODECS.get(mime or "")
 
 
+def image_codecs_snapshot() -> dict[str, object]:
+    """Shallow copy for capture into a UDF closure: executor-side
+    Python workers import this module FRESH, so runtime registrations
+    only reach them by travelling WITH the plan (cloudpickle ships
+    the codec objects).  Operators snapshot at plan-build time."""
+    return dict(_IMAGE_CODECS)
+
+
+def audio_codecs_snapshot() -> dict[str, object]:
+    return dict(_AUDIO_CODECS)
+
+
+def video_demuxers_snapshot() -> dict[str, object]:
+    return dict(_VIDEO_DEMUXERS)
+
+
 def audio_codec_for(mime: str | None):
     return _AUDIO_CODECS.get(mime or "")
 

@@ -89,12 +89,19 @@ def _fake_decode(payload: bytes) -> list[float]:
     return [b / 255.0 for b in digest[:_FEATURE_DIM]]
 
 
-def _require_image_codec(mime):
-    """Resolve the injected codec for a MIME type or fail at the
-    decode site with the registration hook spelled out."""
-    from .codecs import image_codec_for
+def _require_image_codec(mime, registry):
+    """Resolve the codec for a MIME type from a plan-time registry
+    SNAPSHOT or fail at the decode site with the registration hook
+    spelled out.
 
-    codec = image_codec_for(mime)
+    The snapshot matters: these lookups run inside Python workers,
+    which import the codecs module FRESH — a codec registered on the
+    driver after import would be invisible there.  Each operator
+    therefore captures ``codecs.image_codecs_snapshot()`` into its UDF
+    closure when the plan is BUILT (cloudpickle ships the codec
+    objects to the workers), which is also the right semantics: the
+    plan uses the codecs available when it was constructed."""
+    codec = registry.get(mime or "")
     if codec is None:
         raise NotImplementedError(
             f"no image codec registered for mime={mime!r}; register "
@@ -104,19 +111,19 @@ def _require_image_codec(mime):
     return codec
 
 
-def _real_decode(payload: bytes, mime, kind) -> list[float]:
-    """REAL decode -> 16-dim feature, dispatched by kind through the
-    injected-codec registries.  Images: geometry, per-channel means
-    and an 8-bin grayscale histogram — deterministic functions of the
-    decoded pixels (integer sums divided once).  Audio: sample count,
-    mean, RMS from the registered codec's waveform.  Video: demux is a
-    1:N operation — use :func:`sample_frames`; featurize raises."""
+def _real_decode(payload: bytes, mime, kind, img_reg, aud_reg) -> list[float]:
+    """REAL decode -> 16-dim feature, dispatched by kind through
+    plan-time snapshots of the injected-codec registries (see
+    :func:`_require_image_codec` for why snapshots).  Images:
+    geometry, per-channel means and an 8-bin grayscale histogram —
+    deterministic functions of the decoded pixels (integer sums
+    divided once).  Audio: sample count, mean, RMS from the
+    registered codec's waveform.  Video: demux is a 1:N operation —
+    use :func:`sample_frames`; featurize raises."""
     import numpy as np
 
     if kind == "audio":
-        from .codecs import audio_codec_for
-
-        codec = audio_codec_for(mime)
+        codec = aud_reg.get(mime or "")
         if codec is None:
             raise NotImplementedError(
                 f"no audio codec registered for mime={mime!r}; register "
@@ -135,7 +142,7 @@ def _real_decode(payload: bytes, mime, kind) -> list[float]:
             "video featurization is 1:N — demux via sample_frames "
             "(operators.codecs.register_video_demuxer)"
         )
-    rgb = _require_image_codec(mime).decode(payload)
+    rgb = _require_image_codec(mime, img_reg).decode(payload)
     h, w = rgb.shape[:2]
     n = h * w
     flat = rgb.reshape(-1, 3).astype(np.int64)
@@ -157,6 +164,10 @@ def decode_and_featurize(
     """
     if decode_kind not in ("fake", "real"):
         raise ValueError(f"unknown decode_kind: {decode_kind}")
+    from .codecs import audio_codecs_snapshot, image_codecs_snapshot
+
+    img_reg = image_codecs_snapshot()
+    aud_reg = audio_codecs_snapshot()
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -164,11 +175,12 @@ def decode_and_featurize(
         for pdf in batches:
             payloads = pdf["payload"]
             if decode_kind == "real":
-                # Injected-codec path (codecs.py registry): real pixel
-                # decode per payload, still batch-shaped — the codec
-                # call is the only per-row Python.
+                # Injected-codec path (plan-time registry snapshots —
+                # see _require_image_codec): real pixel decode per
+                # payload, still batch-shaped — the codec call is the
+                # only per-row Python.
                 feats = [
-                    _real_decode(p, m, k)
+                    _real_decode(p, m, k, img_reg, aud_reg)
                     for p, m, k in zip(payloads, pdf["mime"], pdf["kind"])
                 ]
             else:
@@ -219,6 +231,9 @@ def resize_images(
     (payload-independent plumbing tests)."""
     if decode_kind not in ("fake", "real"):
         raise ValueError(f"unknown decode_kind: {decode_kind}")
+    from .codecs import image_codecs_snapshot
+
+    img_reg = image_codecs_snapshot()
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -227,7 +242,7 @@ def resize_images(
             out = pdf[pdf["kind"] == "image"]
             if decode_kind == "real":
                 payloads = [
-                    (codec := _require_image_codec(m)).encode(
+                    (codec := _require_image_codec(m, img_reg)).encode(
                         resize_nearest(codec.decode(p), width, height)
                     )
                     for p, m in zip(out["payload"], out["mime"])
@@ -265,6 +280,9 @@ def sample_frames(
     ``duration_ms``."""
     if decode_kind not in ("fake", "real"):
         raise ValueError(f"unknown decode_kind: {decode_kind}")
+    from .codecs import video_demuxers_snapshot
+
+    vid_reg = video_demuxers_snapshot()
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -274,14 +292,13 @@ def sample_frames(
             rows = []
             for _, r in vids.iterrows():
                 if decode_kind == "real":
-                    # Injection seam (codecs.py registry): a real
-                    # demuxer yields (frame_idx, ts_ms, frame_bytes).
-                    # No honest pure-python container demuxer exists,
-                    # so the default registry is empty and the lookup
-                    # names the hook.
-                    from .codecs import video_demuxer_for
-
-                    demux = video_demuxer_for(r["mime"])
+                    # Injection seam (plan-time snapshot of the
+                    # demuxer registry): a real demuxer yields
+                    # (frame_idx, ts_ms, frame_bytes).  No honest
+                    # pure-python container demuxer exists, so the
+                    # default registry is empty and the lookup names
+                    # the hook.
+                    demux = vid_reg.get(r["mime"] or "")
                     if demux is None:
                         raise NotImplementedError(
                             f"no video demuxer registered for mime="
@@ -353,6 +370,10 @@ def image_stats(df: DataFrame) -> DataFrame:
     decoding, not just header parsing."""
     import numpy as np
 
+    from .codecs import image_codecs_snapshot
+
+    img_reg = image_codecs_snapshot()
+
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
@@ -364,7 +385,7 @@ def image_stats(df: DataFrame) -> DataFrame:
             for mid, mime, payload in zip(
                 img["media_id"], img["mime"], img["payload"]
             ):
-                rgb = _require_image_codec(mime).decode(payload)
+                rgb = _require_image_codec(mime, img_reg).decode(payload)
                 h, w = rgb.shape[:2]
                 sums = rgb.reshape(-1, 3).astype(np.int64).sum(axis=0)
                 n = h * w

@@ -203,3 +203,43 @@ def test_image_stats_pins_orientation_and_padding(spark):
     n = 15
     assert r["mean_r"] == img[:, :, 0].astype(np.int64).sum() / n
     assert r["n_bytes"] == 54 + 3 * (((3 * 5 + 3) // 4) * 4)
+
+
+def test_custom_codec_injection_end_to_end(spark):
+    """The registry is the deployment seam: a user-registered codec
+    (a PIL stand-in here) must be picked up by the operators for its
+    MIME type without touching operator code, and deregistration must
+    restore the honest NotImplementedError."""
+    from mysql_clickhouse_sync_spark.operators import codecs
+    from mysql_clickhouse_sync_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        image_stats,
+    )
+
+    class FakePngCodec:
+        """Pretends every payload is a 2x1 image whose first pixel is
+        the payload's first byte."""
+
+        def decode(self, payload):
+            b = payload[0] if payload else 0
+            return np.array([[[b, 0, 0], [0, 0, 0]]], dtype=np.uint8)
+
+        def encode(self, rgb):
+            return bytes([int(rgb[0, 0, 0])])
+
+    media = spark.createDataFrame(
+        [(1, "image", "image/png", bytearray(b"\x2a"), 2, 1, None)],
+        MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="no image codec registered"):
+        image_stats(media).collect()
+
+    codecs.register_image_codec("image/png", FakePngCodec())
+    try:
+        row = image_stats(media).collect()[0]
+        assert (row["width"], row["height"]) == (2, 1)
+        assert row["r00"] == 0x2A and row["r_last"] == 0
+    finally:
+        del codecs._IMAGE_CODECS["image/png"]
+    with pytest.raises(Exception, match="no image codec registered"):
+        image_stats(media).collect()
