@@ -124,11 +124,15 @@ HEADLINE_SEMANTICS_CHANGES = {
 # audit-carrying contract twins swapped out of the headline, plus the
 # five new r5 queries — SCD-2 history, repetition filter, domain
 # mixture, quantile sketch, duplicate chunks).
-# (cdc_streaming_live, events_streaming_append, events_streaming_dedup
-# and cdc_streaming_upsert are deliberately NOT timed here: they are
-# correctness surfaces — multi-second end-to-end streaming drains
-# whose cost is checkpoint/trigger machinery, not engine work —
-# graded by the driver window and tools/window_fidelity.py instead.)
+# (The five streaming drains — cdc_streaming_live,
+# events_streaming_hourly, events_streaming_append,
+# events_streaming_dedup and cdc_streaming_upsert — are deliberately
+# NOT timed here: they are correctness surfaces — multi-second
+# end-to-end runs whose cost is checkpoint/trigger machinery, not
+# engine work — graded by the driver window and
+# tools/window_fidelity.py instead.  Pinned in
+# tests/test_bench_contract.py so a new heavyweight streaming row
+# cannot silently skip both the ledger and the timing lists.)
 EXTENDED = (
     "media_decode_real",      # r6: injected-codec BMP decode path
     "cdc_scd2_history",

@@ -1,0 +1,49 @@
+"""bench.py contract pins: the timing lists must stay consistent with
+the query registry, or the driver's per-round bench run dies at
+runtime with a KeyError — after the round's work is already done."""
+
+from __future__ import annotations
+
+
+def test_bench_lists_resolve_against_registry():
+    import bench
+    from mysql_clickhouse_sync_spark.plans.registry import all_queries
+
+    names = set(all_queries())
+    missing = (set(bench.HEADLINE) | set(bench.EXTENDED)) - names
+    assert not missing, f"bench names not in registry: {sorted(missing)}"
+
+
+def test_bench_lists_are_disjoint_and_unique():
+    import bench
+
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)
+    assert len(set(bench.EXTENDED)) == len(bench.EXTENDED)
+    overlap = set(bench.HEADLINE) & set(bench.EXTENDED)
+    assert not overlap, (
+        f"timed in both lists (double-counted): {sorted(overlap)}"
+    )
+
+
+def test_untimed_streaming_surfaces_are_only_the_disclosed_ones():
+    """Every registered query is either timed (HEADLINE/EXTENDED),
+    graded-only streaming machinery (the four disclosed drains), or a
+    query superseded by a timed variant — pin the DISCLOSED untimed
+    streaming set so a new heavyweight streaming row can't silently
+    skip both the ledger and the timing lists."""
+    import bench
+    from mysql_clickhouse_sync_spark.plans.registry import all_queries
+
+    timed = set(bench.HEADLINE) | set(bench.EXTENDED)
+    streaming_rows = {
+        n for n in all_queries()
+        if "streaming" in n or n == "cdc_streaming_upsert"
+    }
+    untimed_streaming = streaming_rows - timed
+    assert untimed_streaming == {
+        "cdc_streaming_live",
+        "events_streaming_hourly",
+        "events_streaming_append",
+        "events_streaming_dedup",
+        "cdc_streaming_upsert",
+    }, sorted(untimed_streaming)
