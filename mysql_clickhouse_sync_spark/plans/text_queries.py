@@ -571,19 +571,21 @@ def docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT doc_id,
            CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
-           TRUE AS fp_unique, TRUE AS twin_fp_match
+           TRUE AS fp_groups_match, TRUE AS twin_fp_match
     FROM documents
     """,
     description="Order-sensitive rolling-hash document fingerprint "
     "(aggregate fold, JVM-side) with the injectivity+consistency "
     "contract as the oracle: fingerprint-equality must coincide with "
-    "exact-text-group equality.  The harness corpus has 500 distinct "
-    "texts, so fp_unique asserts all 500 fingerprints are distinct "
-    "(injectivity: a 31-bit-modulus polynomial collision or a "
-    "degenerate fold would go red); twin_fp_match re-inserts every "
-    "25th doc under id+10M with identical text and asserts the twin's "
-    "fingerprint equals the original's (consistency: same token "
-    "sequence -> same fingerprint)",
+    "exact-text-group equality.  fp_groups_match asserts each doc's "
+    "FINGERPRINT-group size equals its exact-TEXT-group size — "
+    "injectivity across distinct texts (a 31-bit-modulus polynomial "
+    "collision or a degenerate fold inflates the fp group -> red) "
+    "AND consistency within duplicates, at ANY corpus scale (the "
+    "earlier all-distinct assertion broke on sf0.1, whose corpus "
+    "plants 8 duplicate texts); twin_fp_match re-inserts every 25th "
+    "doc under id+10M with identical text and asserts the twin's "
+    "fingerprint equals the original's",
 )
 def docs_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import tokens_col
@@ -604,14 +606,23 @@ def docs_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") - F.lit(_TWIN_OFFSET)).alias("doc_id"),
         F.col("fingerprint").alias("_tfp"),
     )
-    counts = orig.groupBy("fingerprint").agg(F.count("*").alias("_n"))
+    counts = orig.groupBy("fingerprint").agg(F.count("*").alias("_nf"))
+    text_counts = (
+        docs.groupBy("text").agg(F.count("*").alias("_nt"))
+    )
+    doc_text_n = (
+        docs.select("doc_id", "text")
+        .join(text_counts, "text")
+        .select("doc_id", "_nt")
+    )
     return (
         orig.join(counts, "fingerprint")
+        .join(doc_text_n, "doc_id")
         .join(twin_fp, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",
-            (F.col("_n") == 1).alias("fp_unique"),
+            (F.col("_nf") == F.col("_nt")).alias("fp_groups_match"),
             # Planted docs (doc_id % 25 == 0) MUST find their twin: a
             # missing twin fingerprint there means the stage dropped
             # the row, so it fails the check instead of a blanket
