@@ -606,14 +606,15 @@ def docs_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") - F.lit(_TWIN_OFFSET)).alias("doc_id"),
         F.col("fingerprint").alias("_tfp"),
     )
+    from pyspark.sql import Window
+
     counts = orig.groupBy("fingerprint").agg(F.count("*").alias("_nf"))
-    text_counts = (
-        docs.groupBy("text").agg(F.count("*").alias("_nt"))
-    )
-    doc_text_n = (
-        docs.select("doc_id", "text")
-        .join(text_counts, "text")
-        .select("doc_id", "_nt")
+    # text-group size as ONE window pass: a groupBy(text) + join-back
+    # would shuffle every full document body twice; the window shuffles
+    # it once and yields the same per-doc count.
+    doc_text_n = docs.select(
+        "doc_id",
+        F.count("*").over(Window.partitionBy("text")).alias("_nt"),
     )
     return (
         orig.join(counts, "fingerprint")

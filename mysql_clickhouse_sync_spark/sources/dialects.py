@@ -60,9 +60,14 @@ class Dialect:
     url_prefix: str = "jdbc:"
     quote_char: str = '"'
     # ALTER TABLE ... ADD COLUMN IF NOT EXISTS support: Postgres and
-    # ClickHouse have it; MySQL 8 does not (re-running the statement
-    # there raises a duplicate-column error the operator must absorb).
+    # ClickHouse have it; MySQL 8 does not, so replaying the evolution
+    # step there raises a duplicate-column error.  The executor of the
+    # statement owns making that idempotent: treat the error codes in
+    # ``duplicate_column_errcodes`` as success (MySQL 1060 =
+    # ER_DUP_FIELDNAME) — add_column_ddl's docstring restates this,
+    # and a test pins the codes.
     add_column_if_not_exists: bool = False
+    duplicate_column_errcodes: tuple[int, ...] = ()
 
     # ---------------------------------------------------------- identifiers
 
@@ -111,7 +116,11 @@ class Dialect:
         constraint applies for the same reason — the column must be
         nullable, because existing target rows have no value to
         backfill.  Dialects with IF NOT EXISTS emit it so replays of
-        the evolution step are idempotent."""
+        the evolution step are idempotent; for dialects without it
+        (MySQL 8), the statement's EXECUTOR must treat the engine's
+        duplicate-column error codes (``duplicate_column_errcodes``,
+        MySQL 1060) as success — this module only generates strings,
+        so the absorption necessarily lives with whoever runs them."""
         if not f.nullable:
             raise ValueError(
                 f"new column {f.name!r} must be nullable: existing "
@@ -146,6 +155,7 @@ class MySQLDialect(Dialect):
             driver="com.mysql.cj.jdbc.Driver",
             url_prefix="jdbc:mysql://",
             quote_char="`",
+            duplicate_column_errcodes=(1060,),  # ER_DUP_FIELDNAME
         )
 
     def ddl_type(self, dt: DataType) -> str:

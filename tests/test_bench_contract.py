@@ -26,19 +26,15 @@ def test_bench_lists_are_disjoint_and_unique():
 
 
 def test_untimed_streaming_surfaces_are_only_the_disclosed_ones():
-    """Every registered query is either timed (HEADLINE/EXTENDED),
-    graded-only streaming machinery (the four disclosed drains), or a
-    query superseded by a timed variant — pin the DISCLOSED untimed
-    streaming set so a new heavyweight streaming row can't silently
-    skip both the ledger and the timing lists."""
+    """Every registered query is either timed (HEADLINE/EXTENDED) or
+    graded-only streaming machinery (the five disclosed drains) — pin
+    the DISCLOSED untimed streaming set so a new heavyweight streaming
+    row can't silently skip both the ledger and the timing lists."""
     import bench
     from mysql_clickhouse_sync_spark.plans.registry import all_queries
 
     timed = set(bench.HEADLINE) | set(bench.EXTENDED)
-    streaming_rows = {
-        n for n in all_queries()
-        if "streaming" in n or n == "cdc_streaming_upsert"
-    }
+    streaming_rows = {n for n in all_queries() if "streaming" in n}
     untimed_streaming = streaming_rows - timed
     assert untimed_streaming == {
         "cdc_streaming_live",

@@ -221,3 +221,17 @@ def test_add_column_ddl_per_dialect():
     for name in ("mysql", "postgresql", "clickhouse"):
         with pytest.raises(ValueError, match="must be nullable"):
             get_dialect(name).add_column_ddl("db", "users", bad)
+
+
+def test_duplicate_column_errcodes_contract():
+    """MySQL lacks ADD COLUMN IF NOT EXISTS, so evolution replays
+    there raise ER_DUP_FIELDNAME — the statement executor absorbs the
+    pinned code as success; engines with IF NOT EXISTS need none."""
+    from mysql_clickhouse_sync_spark.sources.dialects import get_dialect
+
+    assert get_dialect("mysql").duplicate_column_errcodes == (1060,)
+    assert not get_dialect("mysql").add_column_if_not_exists
+    for name in ("postgresql", "clickhouse"):
+        d = get_dialect(name)
+        assert d.add_column_if_not_exists
+        assert d.duplicate_column_errcodes == ()
