@@ -27,6 +27,7 @@ shared mirror-image bug.
 from __future__ import annotations
 
 import struct
+from contextlib import contextmanager
 
 _FILE_HEADER = "<2sIHHI"        # magic, file size, res, res, data offset
 _INFO_HEADER = "<IiiHHIIiiII"   # size, w, h, planes, bpp, comp, img size,
@@ -49,6 +50,13 @@ def encode_bmp(rgb) -> bytes:
         raise ValueError(
             f"encode_bmp needs an (h, w, 3) uint8 array, got "
             f"shape={arr.shape} dtype={arr.dtype}"
+        )
+    # Zero-dimension arrays would encode headers the decoder then
+    # rejects ("bad BMP geometry") — fail the round-trip symmetrically
+    # at encode time instead.
+    if arr.shape[0] == 0 or arr.shape[1] == 0:
+        raise ValueError(
+            f"encode_bmp needs non-empty dimensions, got shape={arr.shape}"
         )
     h, w = arr.shape[:2]
     stride = _stride(w)
@@ -167,3 +175,46 @@ def register_audio_codec(mime: str, codec) -> None:
 
 def register_video_demuxer(mime: str, demuxer) -> None:
     _VIDEO_DEMUXERS[mime] = demuxer
+
+
+def unregister_image_codec(mime: str) -> None:
+    """Undo a registration (tests, hot-swap).  Unknown MIME is a
+    no-op — cleanup paths should be idempotent."""
+    _IMAGE_CODECS.pop(mime, None)
+
+
+def unregister_audio_codec(mime: str) -> None:
+    _AUDIO_CODECS.pop(mime, None)
+
+
+def unregister_video_demuxer(mime: str) -> None:
+    _VIDEO_DEMUXERS.pop(mime, None)
+
+
+@contextmanager
+def temporary_codec(kind: str, mime: str, codec):
+    """Scoped registration: ``with temporary_codec("image", m, c):``
+    registers for the block and restores the prior state (previous
+    codec or absence) on exit — so tests and short-lived injections
+    never touch the private dicts.  Plans BUILT inside the block keep
+    the codec (operators snapshot the registry at plan time), so the
+    scope governs registration visibility, not plan lifetime."""
+    reg = {
+        "image": _IMAGE_CODECS,
+        "audio": _AUDIO_CODECS,
+        "video": _VIDEO_DEMUXERS,
+    }.get(kind)
+    if reg is None:
+        raise ValueError(
+            f"unknown codec kind {kind!r}: expected image|audio|video"
+        )
+    sentinel = object()
+    prev = reg.get(mime, sentinel)
+    reg[mime] = codec
+    try:
+        yield codec
+    finally:
+        if prev is sentinel:
+            reg.pop(mime, None)
+        else:
+            reg[mime] = prev

@@ -122,6 +122,15 @@ def _real_decode(payload: bytes, mime, kind, img_reg, aud_reg) -> list[float]:
     use :func:`sample_frames`; featurize raises."""
     import numpy as np
 
+    # Validate kind FIRST: letting an unknown kind (NULL, 'document', a
+    # typo) fall through to the image branch would raise a misleading
+    # "no image codec registered" error instead of naming the real
+    # problem — a row whose kind the operator does not dispatch.
+    if kind not in ("image", "audio", "video"):
+        raise ValueError(
+            f"unknown media kind {kind!r}: expected one of "
+            "'image', 'audio', 'video'"
+        )
     if kind == "audio":
         codec = aud_reg.get(mime or "")
         if codec is None:

@@ -192,6 +192,16 @@ def cdc_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # for 15k keys (~100 s of pure task overhead, measured); size the
     # stateful width to the harness and restore the session conf after
     # the drain — batch reads below are unaffected.
+    # CONCURRENCY CONTRACT: the override is session-global for the
+    # duration of the drain (OSS Spark has no per-stream knob for the
+    # stateful width — it is read from the session conf at first
+    # start), so a query running CONCURRENTLY on this session during
+    # the drain would inherit 8 shuffle partitions.  Registry queries
+    # run sequentially in the driver/gate/bench harnesses (the
+    # registry's execution model), which is what makes the
+    # set-try-finally-restore pattern safe here; a multi-tenant
+    # deployment should run stateful streams in their own session
+    # (SparkSession.newSession() carries an independent conf).
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")

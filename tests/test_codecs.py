@@ -99,6 +99,40 @@ def test_encode_rejects_wrong_shape():
         encode_bmp(np.zeros((2, 2), dtype=np.uint8))
 
 
+def test_encode_rejects_zero_dimensions():
+    # symmetric round-trip contract: geometry the decoder rejects must
+    # not be encodable either
+    with pytest.raises(ValueError, match="non-empty"):
+        encode_bmp(np.zeros((0, 3, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="non-empty"):
+        encode_bmp(np.zeros((3, 0, 3), dtype=np.uint8))
+
+
+def test_unregister_and_temporary_codec_restore_prior():
+    from mysql_clickhouse_sync_spark.operators import codecs
+
+    class A:
+        pass
+
+    class B:
+        pass
+
+    # unregister of an unknown MIME is an idempotent no-op
+    codecs.unregister_image_codec("image/never-registered")
+    # temporary_codec restores a PREVIOUS registration, not just absence
+    codecs.register_image_codec("image/x-tmp", A())
+    try:
+        with codecs.temporary_codec("image", "image/x-tmp", B()):
+            assert isinstance(codecs.image_codec_for("image/x-tmp"), B)
+        assert isinstance(codecs.image_codec_for("image/x-tmp"), A)
+    finally:
+        codecs.unregister_image_codec("image/x-tmp")
+    assert codecs.image_codec_for("image/x-tmp") is None
+    with pytest.raises(ValueError, match="unknown codec kind"):
+        with codecs.temporary_codec("text", "x", A()):
+            pass
+
+
 def test_registry_default_and_injection():
     assert isinstance(image_codec_for("image/bmp"), BmpImageCodec)
     assert image_codec_for("image/png") is None
@@ -234,12 +268,11 @@ def test_custom_codec_injection_end_to_end(spark):
     with pytest.raises(Exception, match="no image codec registered"):
         image_stats(media).collect()
 
-    codecs.register_image_codec("image/png", FakePngCodec())
-    try:
+    # scoped registration: the context manager restores prior state
+    # (absence here) on exit, so the test never touches private dicts
+    with codecs.temporary_codec("image", "image/png", FakePngCodec()):
         row = image_stats(media).collect()[0]
         assert (row["width"], row["height"]) == (2, 1)
         assert row["r00"] == 0x2A and row["r_last"] == 0
-    finally:
-        del codecs._IMAGE_CODECS["image/png"]
     with pytest.raises(Exception, match="no image codec registered"):
         image_stats(media).collect()

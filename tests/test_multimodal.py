@@ -40,6 +40,16 @@ def test_real_decode_raises_cleanly(spark):
         decode_and_featurize(media, decode_kind="nope")
 
 
+def test_real_decode_rejects_unknown_kind():
+    from mysql_clickhouse_sync_spark.operators.multimodal import _real_decode
+
+    # an unmapped kind must name the real problem, not fall through to
+    # the image branch's "no image codec registered"
+    for bad in (None, "document", "imagee"):
+        with pytest.raises(ValueError, match="unknown media kind"):
+            _real_decode(b"x", "image/bmp", bad, {}, {})
+
+
 def test_resize_filters_to_images(spark):
     media = synthetic_media(spark, 12)
     out = resize_images(media, 32, 32).collect()
