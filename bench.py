@@ -155,6 +155,11 @@ EXTENDED = (
     "emb_semantic_dedup",
     "emb_pq_topk",
     "emb_quantized_topk",
+    # r7: the stored-index incremental lifecycle rows (audit-carrying
+    # contract versions; the underlying search/pair operators are the
+    # same family already timed above)
+    "emb_topk_vs_index",
+    "emb_dedup_incremental",
 )
 
 _HEADLINE_REPEATS = 3   # round-4 verdict: best-of-3 minimum, in-artifact

@@ -253,6 +253,110 @@ def bucket_cosine_pairs_vectorized(
     )
 
 
+def bucket_cosine_pairs_vs_index_vectorized(
+    df: DataFrame,
+    bucket_col: str,
+    id_col: str,
+    vec_col: str,
+    new_col: str,
+    threshold: float,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Within-bucket cosine-threshold pairs INVOLVING AT LEAST ONE NEW
+    row — the incremental twin of
+    :func:`bucket_cosine_pairs_vectorized` for the batch-vs-stored-
+    index lifecycle: stored members pair only against the batch, never
+    against each other (their pairs were computed and persisted at
+    index-build time), so per-bucket score work is
+    O((|new| x |old| + |new|^2/2) x d), tracking the BATCH, never the
+    history — the same work contract as
+    ``dedup.minhash_lsh_candidates_vs_index``.
+
+    ``new_col`` is a boolean column marking batch rows.  Pair index
+    arrays are built directly as (new x old) + triu(new) — memory
+    tracks emitted candidates, not the full in-bucket triangle — and
+    the dimension loop is the identical sequential multiply-then-add
+    sequence as the self-dedup kernel, so scores are bit-equal to the
+    interpreted fold (same doubles, same threshold decisions).
+    ``max_bucket`` caps the TOTAL (old + new) bucket size, dropped
+    whole — the same degenerate-quantizer guard.
+
+    Output: ``(id_a, id_b)`` with ``id_a < id_b``, typed as the input
+    id column (integral ids only, checked at planning).
+    """
+    import numpy as np
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    _ID_TYPES = {
+        LongType(): ("bigint", np.int64),
+        IntegerType(): ("int", np.int32),
+        ShortType(): ("smallint", np.int16),
+        ByteType(): ("tinyint", np.int8),
+    }
+    id_type = df.schema[id_col].dataType
+    if id_type not in _ID_TYPES:
+        raise TypeError(
+            f"bucket_cosine_pairs_vs_index_vectorized needs an integral "
+            f"id column; {id_col} is {id_type.simpleString()}"
+        )
+    sql_t, np_t = _ID_TYPES[id_type]
+
+    def gen(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "id_a": np.array([], dtype=np_t),
+                "id_b": np.array([], dtype=np_t),
+            }
+        )
+        n = len(pdf)
+        if n < 2 or (max_bucket is not None and n > max_bucket):
+            return empty
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        U = np.stack(pdf[vec_col].to_numpy())[order].astype(np.float64)
+        is_new = pdf[new_col].to_numpy()[order].astype(bool)
+        idx_new = np.flatnonzero(is_new)
+        idx_old = np.flatnonzero(~is_new)
+        parts_a, parts_b = [], []
+        if len(idx_new) and len(idx_old):
+            a = np.repeat(idx_new, len(idx_old))
+            b = np.tile(idx_old, len(idx_new))
+            parts_a.append(np.minimum(a, b))
+            parts_b.append(np.maximum(a, b))
+        if len(idx_new) >= 2:
+            ta, tb = np.triu_indices(len(idx_new), k=1)
+            parts_a.append(idx_new[ta])
+            parts_b.append(idx_new[tb])
+        if not parts_a:
+            return empty
+        ia = np.concatenate(parts_a)
+        ib = np.concatenate(parts_b)
+        npairs = len(ia)
+        acc = np.zeros(npairs)
+        ga = np.empty(npairs)
+        gb = np.empty(npairs)
+        tmp = np.empty(npairs)
+        # identical multiply-then-add IEEE sequence as the self-dedup
+        # kernel and the interpreted fold — bit-identity is the contract
+        for i in range(U.shape[1]):
+            np.take(U[:, i], ia, out=ga)
+            np.take(U[:, i], ib, out=gb)
+            np.multiply(ga, gb, out=tmp)
+            np.add(acc, tmp, out=acc)
+        m = acc >= threshold
+        # ids sorted ascending => index order == id order => id_a < id_b
+        return pd.DataFrame({"id_a": ids[ia[m]], "id_b": ids[ib[m]]})
+
+    return (
+        df.select(bucket_col, id_col, vec_col, new_col)
+        .groupBy(bucket_col)
+        .applyInPandas(gen, f"id_a {sql_t}, id_b {sql_t}")
+    )
+
+
 def brute_force_topk_vectorized(
     corpus: DataFrame,
     queries: DataFrame,
@@ -405,84 +509,89 @@ def ivf_centroids(
     return [list(map(float, C[c])) for c in range(n_centroids)]
 
 
-def ivf_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    n_centroids: int = 16,
-    nprobe: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    max_queries: int = MAX_QUERY_ROWS,
-) -> DataFrame:
-    """Approximate top-k via an IVF (inverted-file) coarse quantizer.
-
-    The standard two-level ANN layout: a coarse quantizer TRAINED with
-    spherical k-means on a bounded deterministic sample
-    (:func:`ivf_centroids` — n_centroids * dim floats, tiny by design,
-    exactly how FAISS-style IVF trains on a sample), every corpus
-    vector is assigned to its nearest centroid in ONE narrow pass
-    against folded centroid literals, and each query probes only the
-    ``nprobe`` nearest inverted lists.  Work drops from
-    |corpus| x |queries| to ~(nprobe / n_centroids) of it; recall < 1
-    by construction, so the registry query wraps this in a recall
-    self-check (see plans/similarity_queries.py).
-
-    Output: (query_id, neighbor_id, cosine_sim, rnk).
-    """
-    from pyspark.sql import Window
-
-    if not 0 < n_centroids <= MAX_CENTROIDS:
-        raise ValueError(
-            f"n_centroids must be in (0, {MAX_CENTROIDS}]: the coarse "
-            f"quantizer is collected driver-side and folded into the plan"
-        )
-    if not 0 < nprobe <= n_centroids:
-        raise ValueError("nprobe must be in (0, n_centroids]")
-    _require_small(queries, max_queries, "ivf_topk query set")
-    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
-
-    # The quantizer is folded in as ONE parsed SQL expression, not a
-    # Column-API tree: building n_centroids separate dot-fold trees
-    # via py4j costs one JVM round-trip per literal (n_centroids x dim
-    # floats, ~2s of DRIVER time per call at 16x64 — flat across every
-    # data scale, measured via the cross-SF sweep), while one
-    # expr() string is a single parse.  repr(float) is the shortest
-    # round-trip form, so the 'D' literals decode to bit-identical
-    # doubles and the fold matches dot() exactly (asserted: output
-    # identical to the Column-API formulation).
-    cents_sql = "array(" + ",".join(
+def _cents_array_sql(cents) -> str:
+    """The trained quantizer folded in as ONE parsed SQL expression,
+    not a Column-API tree: building n_centroids separate dot-fold
+    trees via py4j costs one JVM round-trip per literal (n_centroids x
+    dim floats, ~2s of DRIVER time per call at 16x64 — flat across
+    every data scale, measured via the cross-SF sweep), while one
+    expr() string is a single parse.  repr(float) is the shortest
+    round-trip form, so the 'D' literals decode to bit-identical
+    doubles and the fold matches dot() exactly (asserted: output
+    identical to the Column-API formulation)."""
+    return "array(" + ",".join(
         "array(" + _sql_double_literals(c) + ")" for c in cents
     ) + ")"
 
-    def ranked_sql(n: int) -> str:
-        """Best-first (negdot, cid) list for the let-bound vector `t`,
-        truncated to the top n — struct sort is lexicographic, so ties
-        break on centroid id.  The input vector is bound as a lambda
-        variable (1-element-array transform) so the cast runs once per
-        row, and every centroid scores inside ONE transform lambda."""
-        vd = f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))"
-        return (
-            f"transform(array({vd}), t -> slice(array_sort("
-            f"transform({cents_sql}, (c, i) -> named_struct("
-            "'negdot', -aggregate(zip_with(t, c, (x, y) -> x * y), "
-            "0.0D, (acc, x) -> acc + x), "
-            f"'cid', CAST(i AS INT)))), 1, {n}))[0]"
-        )
 
-    # Side norms materialized once per row (not per candidate pair):
-    # same bit-exact float tree as cosine(), 1/3 the interpreted fold
-    # work on the |list| x |probe| candidate set — see brute_force_topk.
-    assigned = spread(corpus).select(
-        F.col(id_col).alias("neighbor_id"),
+def _ranked_cells_sql(cents_sql: str, vec_col: str, n: int) -> str:
+    """Best-first (negdot, cid) list for the let-bound vector `t`,
+    truncated to the top n — struct sort is lexicographic, so ties
+    break on centroid id.  The input vector is bound as a lambda
+    variable (1-element-array transform) so the cast runs once per
+    row, and every centroid scores inside ONE transform lambda."""
+    vd = f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))"
+    return (
+        f"transform(array({vd}), t -> slice(array_sort("
+        f"transform({cents_sql}, (c, i) -> named_struct("
+        "'negdot', -aggregate(zip_with(t, c, (x, y) -> x * y), "
+        "0.0D, (acc, x) -> acc + x), "
+        f"'cid', CAST(i AS INT)))), 1, {n}))[0]"
+    )
+
+
+def _assign_postings(
+    corpus: DataFrame, cents, id_col: str, vec_col: str
+) -> DataFrame:
+    """Every corpus vector with its inverted-list cell: ``(id_col,
+    _cid int, _cv array<double>, _cn double)`` — ONE narrow pass
+    against folded centroid literals, no shuffle.  Side norms
+    materialized once per row (not per candidate pair): same bit-exact
+    float tree as cosine(), 1/3 the interpreted fold work on the
+    |list| x |probe| candidate set — see brute_force_topk."""
+    cents_sql = _cents_array_sql(cents)
+    return spread(corpus).select(
+        F.col(id_col),
         _to_double(F.col(vec_col)).alias("_cv"),
-        F.expr(ranked_sql(1))[0]["cid"].alias("_cid"),
+        F.expr(_ranked_cells_sql(cents_sql, vec_col, 1))[0]["cid"].alias(
+            "_cid"
+        ),
     ).withColumn("_cn", norm(F.col("_cv")))
+
+
+def _ivf_search(
+    cents,
+    postings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+    max_queries: int,
+) -> DataFrame:
+    """Shared IVF search core: queries probe their ``nprobe`` nearest
+    cells (folded centroid literals), candidates come from an equi-join
+    on ``_cid`` against the postings relation, exact cosine only on
+    candidates, per-query top-k window.  Used by both the
+    train-and-search path (:func:`ivf_topk`) and the stored-index path
+    (:func:`ivf_topk_vs_index`)."""
+    from pyspark.sql import Window
+
+    if not 0 < nprobe <= len(cents):
+        raise ValueError("nprobe must be in (0, n_centroids]")
+    _require_small(queries, max_queries, "IVF search query set")
+    cents_sql = _cents_array_sql(cents)
+    assigned = postings.select(
+        F.col(id_col).alias("neighbor_id"), "_cv", "_cid", "_cn"
+    )
     probes = queries.select(
         F.col(id_col).alias("query_id"),
         _to_double(F.col(vec_col)).alias("_qv"),
         F.explode(
-            F.expr(f"transform({ranked_sql(nprobe)}, s -> s.cid)")
+            F.expr(
+                f"transform({_ranked_cells_sql(cents_sql, vec_col, nprobe)},"
+                " s -> s.cid)"
+            )
         ).alias("_cid"),
     ).withColumn("_qn", norm(F.col("_qv")))
     scored = (
@@ -507,6 +616,135 @@ def ivf_topk(
             "cosine_sim",
             F.col("rnk").cast("int").alias("rnk"),
         )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = MAX_QUERY_ROWS,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer.
+
+    The standard two-level ANN layout: a coarse quantizer TRAINED with
+    spherical k-means on a bounded deterministic sample
+    (:func:`ivf_centroids` — n_centroids * dim floats, tiny by design,
+    exactly how FAISS-style IVF trains on a sample), every corpus
+    vector is assigned to its nearest centroid in ONE narrow pass
+    against folded centroid literals, and each query probes only the
+    ``nprobe`` nearest inverted lists.  Work drops from
+    |corpus| x |queries| to ~(nprobe / n_centroids) of it; recall < 1
+    by construction, so the registry query wraps this in a recall
+    self-check (see plans/similarity_queries.py).
+
+    This is the train-per-run convenience path; at 100 TB the index is
+    built ONCE (:func:`ivf_build_index`), persisted, and every later
+    batch searches the stored relation (:func:`ivf_topk_vs_index`).
+
+    Output: (query_id, neighbor_id, cosine_sim, rnk).
+    """
+    if not 0 < n_centroids <= MAX_CENTROIDS:
+        raise ValueError(
+            f"n_centroids must be in (0, {MAX_CENTROIDS}]: the coarse "
+            f"quantizer is collected driver-side and folded into the plan"
+        )
+    if not 0 < nprobe <= n_centroids:   # fail BEFORE paying training
+        raise ValueError("nprobe must be in (0, n_centroids]")
+    # bounded-side contract BEFORE training too: an oversized query
+    # set should fail fast, not after paying the quantizer collect
+    # (the cheap limit(max+1) probe re-runs inside _ivf_search — one
+    # trivial extra job, kept for the vs-index path's independence)
+    _require_small(queries, max_queries, "ivf_topk query set")
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    postings = _assign_postings(corpus, cents, id_col, vec_col)
+    return _ivf_search(
+        cents, postings, queries, k, nprobe, id_col, vec_col, max_queries
+    )
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Build the PERSISTABLE IVF index of a corpus — the embedding
+    twin of ``operators/dedup.py::minhash_band_index``: train once,
+    store, and every future batch searches the stored relations
+    instead of re-training and re-scanning history.
+
+    Returns ``(centroids, postings)``:
+
+    * ``centroids`` — ``(cid int, cu array<double>)``, the trained
+      spherical-k-means quantizer (k rows, tiny);
+    * ``postings`` — ``(id_col, _cid int, _cv array<double>,
+      _cn double)``, every corpus vector with its inverted-list cell
+      and precomputed norm.
+
+    Persistence contract: write both to parquet — postings
+    ``partitionBy("_cid")`` so a search's ``nprobe`` cell probes prune
+    to nprobe/k of the files at the SCAN (partition pruning turns the
+    IVF candidate reduction into an I/O reduction, which is the whole
+    point at 100 TB); reload with ``spark.read.parquet`` and hand both
+    to :func:`ivf_topk_vs_index`.  Round-trip equality is pinned in
+    tests/test_similarity.py.
+    """
+    if not 0 < n_centroids <= MAX_CENTROIDS:
+        raise ValueError(
+            f"n_centroids must be in (0, {MAX_CENTROIDS}]: the coarse "
+            f"quantizer is collected driver-side and folded into the plan"
+        )
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    centroids = corpus.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "cid int, cu array<double>",
+    )
+    return centroids, _assign_postings(corpus, cents, id_col, vec_col)
+
+
+def ivf_topk_vs_index(
+    centroids: DataFrame,
+    postings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = MAX_QUERY_ROWS,
+) -> DataFrame:
+    """ANN search of a query batch against a STORED IVF index
+    (:func:`ivf_build_index`, typically reloaded from parquet) — the
+    daily-batch lifecycle at 100 TB: no re-training, no corpus
+    re-assignment; the only driver-side work is collecting the k-row
+    centroid table (bounded by contract) to fold the probe expression,
+    and the scan touches only the probed cells when the postings are
+    partitioned by ``_cid``.
+
+    Output: (query_id, neighbor_id, cosine_sim, rnk) — identical
+    contract to :func:`ivf_topk`; searching an index built from the
+    same corpus returns the identical result (pinned in tests).
+    """
+    rows = _collect_bounded(
+        centroids.select("cid", "cu").orderBy("cid"),
+        MAX_CENTROIDS,
+        "ivf_topk_vs_index centroid table",
+    )
+    if not rows:
+        raise ValueError("empty centroid table: build the index first")
+    if [r["cid"] for r in rows] != list(range(len(rows))):
+        raise ValueError(
+            "centroid table must carry dense cids 0..k-1 (the probe "
+            "expression indexes cells by position); rebuild via "
+            "ivf_build_index"
+        )
+    cents = [list(map(float, r["cu"])) for r in rows]
+    return _ivf_search(
+        cents, postings, queries, k, nprobe, id_col, vec_col, max_queries
     )
 
 

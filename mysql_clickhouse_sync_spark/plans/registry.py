@@ -146,6 +146,17 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 # emb_lsh_pairs, emb_cosine_topk_vectorized (r1/r4-r5; similarity
 # keeps 4 graded rows incl. the reshaped semantic dedup),
 # media_frame_sample (r2-r5; media keeps decode/resize/real).
+#
+# ROUND-7 ROTATION (quiet-window round per the r6 verdict item 8:
+# enter-on-add ONLY, ledgered in PARITY.md).  IN: emb_topk_vs_index
+# and emb_dedup_incremental — the persisted incremental embedding
+# index (r6 verdict item 1): ANN search of a query batch against a
+# stored IVF index, and batch semantic dedup against a stored
+# centroid/assignment/pair index, the embedding twins of the minhash
+# daily-batch path.  OUT (longest-green; family coverage noted):
+# events_daily_anomaly_zscore (r1-r6; events keeps 6 analytics +
+# 3 streaming graded rows), docs_duplicate_chunks (r5-r6; text keeps
+# 8 graded rows).
 DRIVER_WINDOW = (
     # CDC sentinels (7 graded rows)
     "cdc_live_orders",
@@ -168,7 +179,6 @@ DRIVER_WINDOW = (
     "events_type_pivot",
     "events_hourly_gapfill",
     "events_retention_cohorts",
-    "events_daily_anomaly_zscore",
     "events_value_quantiles",
     # streaming runtimes (end-to-end, batch-oracle-verified)
     "events_streaming_hourly",
@@ -194,12 +204,14 @@ DRIVER_WINDOW = (
     "corpus_curation_v2",
     "docs_leakage_safe_splits",
     "docs_domain_mixture",
-    "docs_duplicate_chunks",
-    # embeddings / similarity search
+    # embeddings / similarity search (incl. the round-7 stored-index
+    # incremental lifecycle rows)
     "emb_cosine_topk",
     "emb_ivf_topk",
     "emb_pq_topk",
     "emb_semantic_dedup",
+    "emb_topk_vs_index",
+    "emb_dedup_incremental",
     # multimodal (incl. the round-6 real-codec path)
     "media_resized_images",
     "media_decode_real",

@@ -707,16 +707,16 @@ def _semantic_assignment(
     )
 
 
-def _semantic_parts(
-    emb_raw: DataFrame, target_bucket: int = 1000
-) -> tuple[DataFrame, DataFrame, int]:
-    """Normalized vectors + the first-k centroid table + k: the shared
-    front half of :func:`_semantic_assignment`, exposed so the
-    complexity test drives the PRODUCTION candidate stage
-    (:func:`_two_level_scored`) rather than a hand-copied twin."""
+def _normalized_vectors(emb_raw: DataFrame) -> DataFrame:
+    """``(vec_id, u)`` with u the L2-normalized double-widened
+    embedding.  ``_n`` as a projected column evaluates the norm fold
+    ONCE per row; a norm call inside the transform lambda would
+    re-fold per element (64x the work, measured).  Shared by the
+    full-corpus assignment AND the incremental batch path, so both
+    normalize identically (bit-equal inputs to the pair kernel)."""
     from ..operators.similarity import norm as _vnorm
 
-    emb = (
+    return (
         emb_raw
         .select("vec_id", _to_double(F.col("embedding")).alias("_v"))
         .withColumn("_n", _vnorm(F.col("_v")))
@@ -727,6 +727,16 @@ def _semantic_parts(
             ).alias("u"),
         )
     )
+
+
+def _semantic_parts(
+    emb_raw: DataFrame, target_bucket: int = 1000
+) -> tuple[DataFrame, DataFrame, int]:
+    """Normalized vectors + the first-k centroid table + k: the shared
+    front half of :func:`_semantic_assignment`, exposed so the
+    complexity test drives the PRODUCTION candidate stage
+    (:func:`_two_level_scored`) rather than a hand-copied twin."""
+    emb = _normalized_vectors(emb_raw)
     n_centroids = _semantic_centroid_count(emb_raw.count(), target_bucket)
     # localCheckpoint: three consumers read cents (coarse derivation,
     # centroid-cell assignment, in-cell scoring join) — without the
@@ -778,6 +788,270 @@ def _semantic_dedup_impl(emb_raw: DataFrame) -> DataFrame:
         .join(clusters, "vec_id")
         .select("vec_id", "centroid_id", "cluster_id", "is_keeper")
     )
+
+
+# -- incremental embedding index (the minhash_band_index twin) --------
+
+
+def semantic_index_build(
+    emb_raw: DataFrame, target_bucket: int = 1000
+) -> dict[str, DataFrame]:
+    """Build the PERSISTABLE semantic-dedup index of a corpus — the
+    embedding twin of ``operators/dedup.py::minhash_band_index``:
+    compute once, store, and every future ingest batch dedups against
+    the stored relations instead of re-assigning and re-pairing
+    history (at 100 TB you never re-cluster the corpus daily).
+
+    Returns three relations (write each to parquet; ``assigned``
+    ``partitionBy("cid")`` so the batch's within-cell joins prune to
+    touched cells at the scan):
+
+    * ``centroids`` — ``(cid, cu)``: the first-k-by-id quantizer
+      (k ~ |corpus|/target_bucket, the SQL-mirrorable rule
+      ``emb_semantic_dedup`` uses);
+    * ``assigned`` — ``(vec_id, u, cid)``: every corpus vector,
+      normalized, with its centroid cell (two-level assignment);
+    * ``pairs`` — ``(id_a, id_b)``: the corpus' own within-cell
+      >= 0.35-cosine near-dup pairs (each once, a < b).
+
+    Round-trip + merge equality is pinned in tests/test_similarity.py.
+    """
+    from ..operators.similarity import bucket_cosine_pairs_vectorized
+
+    emb, cents, n_centroids = _semantic_parts(emb_raw, target_bucket)
+    assigned = _assign_nearest_centroid(
+        _two_level_scored(emb, cents, n_centroids)
+    ).localCheckpoint()
+    pairs = bucket_cosine_pairs_vectorized(
+        assigned, "cid", "vec_id", "u", threshold=0.35, max_bucket=4096
+    )
+    return {"centroids": cents, "assigned": assigned, "pairs": pairs}
+
+
+def semantic_dedup_vs_index(
+    centroids: DataFrame,
+    assigned: DataFrame,
+    pairs: DataFrame,
+    new_raw: DataFrame,
+) -> DataFrame:
+    """INCREMENTAL semantic dedup: a new ingest batch against a stored
+    index (:func:`semantic_index_build`, typically reloaded from
+    parquet).  The batch is normalized and assigned to the STORED
+    centroids via the same two-level cell rule, paired ONLY within its
+    cells and ONLY against (stored + batch) members — stored-stored
+    pairs come from the index, so pair work tracks the batch — and the
+    merged pair set feeds connected components over the full corpus.
+
+    By construction the merged pair set equals what a from-scratch run
+    with the SAME centroids would produce (stored pairs ∪
+    batch-involving pairs = all within-cell pairs), so the output is
+    the exact clustering of the grown corpus under the stored
+    quantizer — the deterministic contract the DuckDB oracle mirrors.
+
+    Output: ``(vec_id, centroid_id, cluster_id, is_keeper, is_new)``
+    for EVERY vector (stored + batch) — ``is_new`` marks batch rows.
+    """
+    from ..operators.graph import dedup_clusters
+    from ..operators.similarity import (
+        bucket_cosine_pairs_vs_index_vectorized,
+    )
+
+    n_centroids = centroids.count()   # k rows by contract — cheap
+    new_assigned = _assign_nearest_centroid(
+        _two_level_scored(_normalized_vectors(new_raw), centroids,
+                          n_centroids)
+    )
+    combined = (
+        assigned.select("vec_id", "u", "cid")
+        .withColumn("_is_new", F.lit(False))
+        .unionByName(new_assigned.withColumn("_is_new", F.lit(True)))
+        .localCheckpoint()
+    )
+    new_pairs = bucket_cosine_pairs_vs_index_vectorized(
+        combined, "cid", "vec_id", "u", "_is_new",
+        threshold=0.35, max_bucket=4096,
+    )
+    # disjoint by construction: stored pairs are old-old, new_pairs
+    # involve >= 1 batch row — union keeps each pair exactly once
+    all_pairs = pairs.select("id_a", "id_b").unionByName(new_pairs)
+    clusters = dedup_clusters(
+        combined.select("vec_id"), all_pairs, id_col="vec_id",
+        unique_pairs=True,
+    )
+    return (
+        combined.select(
+            "vec_id",
+            F.col("cid").cast("long").alias("centroid_id"),
+            F.col("_is_new").alias("is_new"),
+        )
+        .join(clusters, "vec_id")
+        .select("vec_id", "centroid_id", "cluster_id", "is_keeper",
+                "is_new")
+    )
+
+
+@register(
+    "emb_dedup_incremental",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+        SELECT vec_id, vec_id % 2 = 1 AS is_new,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), n AS (
+        SELECT vec_id, is_new,
+               list_transform(v, x -> x / sqrt({_dot('v', 'v')})) AS u
+        FROM e
+    ), cents AS (
+        -- The STORED quantizer: first k_old centroids drawn from the
+        -- OLD (even-id) corpus only, k_old = max(8, |old| // 1000) —
+        -- mirroring semantic_index_build over the even half.
+        SELECT vec_id AS cid, u AS cu FROM (
+            SELECT vec_id, u,
+                   row_number() OVER (ORDER BY vec_id) AS _crn
+            FROM n WHERE NOT is_new
+        ) WHERE _crn <= greatest(
+            8, (SELECT count(*) FROM embeddings WHERE vec_id % 2 = 0)
+               // 1000
+        )
+    ), coarse AS (
+        SELECT cid AS gid, cu AS gu FROM (
+            SELECT cid, cu, row_number() OVER (ORDER BY cid) AS _grn
+            FROM cents
+        ) WHERE _grn <= greatest(1, CAST(floor(sqrt(greatest(
+            8, (SELECT count(*) FROM embeddings WHERE vec_id % 2 = 0)
+               // 1000
+        ))) AS BIGINT))
+    ), cent_cell AS (
+        SELECT cid, cu, gid FROM (
+            SELECT c.cid, c.cu, g.gid, row_number() OVER (
+                PARTITION BY c.cid
+                ORDER BY {_dot('c.cu', 'g.gu')} DESC, g.gid
+            ) AS _cr FROM cents c CROSS JOIN coarse g
+        ) WHERE _cr = 1
+        UNION
+        SELECT gid AS cid, gu AS cu, gid FROM coarse
+    ), vec_cell AS (
+        -- BOTH halves assign through the stored cells: old rows were
+        -- assigned at index-build time, new rows at ingest — same rule
+        SELECT vec_id, is_new, u, gid FROM (
+            SELECT n.vec_id, n.is_new, n.u, g.gid, row_number() OVER (
+                PARTITION BY n.vec_id
+                ORDER BY {_dot('n.u', 'g.gu')} DESC, g.gid
+            ) AS _vr FROM n CROSS JOIN coarse g
+        ) WHERE _vr = 1
+    ), scored AS (
+        SELECT v.vec_id, v.is_new, v.u, c.cid,
+               {_dot('v.u', 'c.cu')} AS cos_c
+        FROM vec_cell v JOIN cent_cell c ON v.gid = c.gid
+    ), assigned AS (
+        SELECT vec_id, is_new, u, cid FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cos_c DESC, cid
+            ) AS rn FROM scored
+        ) WHERE rn = 1
+    ), pairs AS (
+        -- stored old-old pairs ∪ batch-involving pairs = ALL
+        -- within-cell pairs: the merge-equality the engine holds by
+        -- construction
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM assigned a JOIN assigned b
+          ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE {_dot('a.u', 'b.u')} >= 0.35
+    ), sym AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+        UNION SELECT id_a, id_a FROM pairs
+        UNION SELECT id_b, id_b FROM pairs
+    ), reach(id, r) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
+    ), comp AS (
+        SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT a.vec_id,
+           CAST(a.cid AS BIGINT) AS centroid_id,
+           CAST(COALESCE(c.cluster_id, a.vec_id) AS BIGINT) AS cluster_id,
+           COALESCE(c.cluster_id, a.vec_id) = a.vec_id AS is_keeper,
+           a.is_new
+    FROM assigned a LEFT JOIN comp c ON a.vec_id = c.id
+    """,
+    description="INCREMENTAL semantic dedup — the embedding twin of "
+    "docs_dedup_incremental: even-id vectors play the stored corpus "
+    "whose index (semantic_index_build: centroids + per-cell "
+    "assignments + the corpus' own near-dup pairs, all persistable "
+    "parquet relations) was built in a prior run; odd-id vectors play "
+    "the ingest batch, assigned to the STORED centroids via the same "
+    "two-level cell rule and paired ONLY against (stored + batch) "
+    "cell members — stored-stored pairs come from the index, so pair "
+    "work tracks |batch|, never |history| (the only affordable "
+    "embedding-dedup shape at 100 TB daily ingest).  Merged pairs "
+    "feed connected components over the grown corpus.  The oracle "
+    "mirrors the identical stored-quantizer rule (first-k over the "
+    "OLD half only) and recomputes the merged clustering with a "
+    "recursive CTE — a full hash contract, not a rows-only check; "
+    "parquet persist/reload equality is pinned in "
+    "tests/test_similarity.py",
+)
+def emb_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = semantic_index_build(old)
+    return semantic_dedup_vs_index(
+        idx["centroids"], idx["assigned"], idx["pairs"], new
+    )
+
+
+_VS_INDEX_AUDIT_ORACLE = """
+    SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_returned,
+           TRUE AS recall_ok, TRUE AS mean_recall_ok
+    FROM embeddings WHERE vec_id % 50 = 1
+    """
+
+
+@register(
+    "emb_topk_vs_index",
+    oracle=_VS_INDEX_AUDIT_ORACLE,
+    description="ANN SEARCH AGAINST A STORED IVF INDEX — the "
+    "daily-batch lifecycle for the similarity family (mirror of the "
+    "minhash index-join path): even-id vectors form the corpus whose "
+    "trained index (ivf_build_index: k-row centroid table + "
+    "per-cell postings with precomputed norms, both persistable "
+    "parquet relations; postings partitionBy(_cid) makes nprobe "
+    "probes prune the SCAN) was built in a prior run; odd vec_id % "
+    "50 = 1 vectors arrive as the query batch and search the stored "
+    "relations — no re-training, no corpus re-assignment.  Wrapped "
+    "in the per-query recall self-check contract (the HLL "
+    "bound-contract pattern): recall_ok asserts >= 2/5 exact "
+    "neighbors per query, mean_recall_ok asserts corpus mean "
+    "recall@5 >= 0.8 vs the vectorized exact twin over the same "
+    "indexed corpus (nprobe=10 of 16 cells: measured min 3/5 and "
+    "mean 4.3-4.5 across all three harness scales — nprobe=8's "
+    "sf0.1 mean of 3.85 failed the multi-scale sweep, the same "
+    "fragility the sweep caught in emb_pq_topk's fixed shortlist).  "
+    "Persist/reload round-trip equality is pinned in "
+    "tests/test_similarity.py",
+)
+def emb_topk_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import (
+        brute_force_topk_vectorized,
+        ivf_build_index,
+        ivf_topk_vs_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    queries = emb.filter(F.col("vec_id") % 50 == 1)
+    centroids, postings = ivf_build_index(corpus, n_centroids=16)
+    # localCheckpoint: the postings relation is the STORED artifact —
+    # pin it so the search below reads materialized postings (the
+    # reloaded-parquet shape), not a re-derived assignment plan.
+    ann = ivf_topk_vs_index(
+        centroids, postings.localCheckpoint(), queries, k=5, nprobe=10
+    )
+    exact = brute_force_topk_vectorized(corpus, queries, k=5)
+    return _ann_recall_audit(ann, exact, min_matched=2, mean_min_matched=4.0)
 
 
 @register(

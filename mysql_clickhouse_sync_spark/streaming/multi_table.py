@@ -98,15 +98,23 @@ class MultiTableCDCStream:
     def apply_microbatch(self, batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.cache()
         try:
-            present = [
-                r["table"]
-                for r in batch_df.select("table").distinct().collect()
-            ]
-            for t in present:
+            # ONE aggregation pass feeds both the dispatch list and the
+            # skip counter: collecting at most |tables| (name, count)
+            # rows.  The previous shape ran a separate
+            # filter(table==t).count() job per SKIPPED table per
+            # microbatch — O(skipped tables) extra jobs per batch when
+            # the changelog carries many non-replicated tables (r6
+            # verdict nit 1; the job-count is pinned in
+            # tests/test_streaming.py).
+            counts = {
+                r["table"]: r["n"]
+                for r in batch_df.groupBy("table")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            for t in counts:
                 if t not in self.schemas:  # P5 membership filter
-                    self.skipped_events += batch_df.filter(
-                        F.col("table") == t
-                    ).count()
+                    self.skipped_events += counts[t]
                     continue
                 decoded = (
                     batch_df.filter(F.col("table") == t)

@@ -162,44 +162,55 @@ def dedup_within_watermark(
     )
 
 
-def _upsert_fn(
-    key: tuple[Any, ...],
-    pdfs: Iterator["pd.DataFrame"],
-    state: GroupState,
-) -> Iterator["pd.DataFrame"]:
-    import pandas as pd
+def _make_upsert_fn(pk_col: str, payload_cols: list[str]):
+    """Build the per-key state function for :func:`streaming_upsert_view`
+    over an ARBITRARY payload column list (the column names are closed
+    over; cloudpickle ships the closure to the Python workers)."""
 
-    cur = state.get if state.exists else None
-    changed = False
-    for pdf in pdfs:
-        for v, s, d, p in zip(
-            pdf["_version"], pdf["_seq"], pdf["_deleted"], pdf["payload"]
-        ):
-            # A NULL payload must stay NULL: pandas hands None (object
-            # column) or NaN (numeric) here, and str() would smuggle
-            # the literal strings 'None'/'nan' into state and out to
-            # the sink — diverging from the batch live view, which
-            # keeps SQL NULL.
-            payload = (
-                None
-                if p is None or (isinstance(p, float) and p != p)
-                else str(p)
-            )
-            cand = (int(v), int(s), int(d), payload)
-            # last-writer-wins: (_version, _seq) lexicographic
-            if cur is None or (cand[0], cand[1]) > (cur[0], cur[1]):
-                cur, changed = cand, True
-    if changed:
-        state.update(cur)
-        yield pd.DataFrame(
-            {
-                "id": [key[0]],
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cur = state.get if state.exists else None
+        changed = False
+        for pdf in pdfs:
+            cols = [pdf["_version"], pdf["_seq"], pdf["_deleted"]]
+            cols += [pdf[c] for c in payload_cols]
+            for row in zip(*cols):
+                v, s, d = row[0], row[1], row[2]
+                # A NULL payload must stay NULL: pandas hands None
+                # (object column) or NaN (numeric) here, and leaking
+                # NaN into state would smuggle it out to the sink —
+                # diverging from the batch live view, which keeps SQL
+                # NULL.  (A nullable integral payload column arrives
+                # float64-widened from Arrow — pandas semantics; the
+                # output schema coerces it back on emit.)
+                payload = tuple(
+                    None
+                    if p is None or (isinstance(p, float) and p != p)
+                    else p
+                    for p in row[3:]
+                )
+                cand = (int(v), int(s), int(d), *payload)
+                # last-writer-wins: (_version, _seq) lexicographic
+                if cur is None or (cand[0], cand[1]) > (cur[0], cur[1]):
+                    cur, changed = cand, True
+        if changed:
+            state.update(cur)
+            out = {
+                pk_col: [key[0]],
                 "_version": [cur[0]],
                 "_seq": [cur[1]],
                 "_deleted": [cur[2]],
-                "payload": [cur[3]],
             }
-        )
+            for i, c in enumerate(payload_cols):
+                out[c] = [cur[3 + i]]
+            yield pd.DataFrame(out)
+
+    return fn
 
 
 def streaming_upsert_view(stream: DataFrame, pk_col: str = "id") -> DataFrame:
@@ -212,11 +223,17 @@ def streaming_upsert_view(stream: DataFrame, pk_col: str = "id") -> DataFrame:
     (/root/reference/README.md:493-497) enforced at the state store
     instead of at read time.
 
-    Input rows: (``pk_col``, _version long, _seq long, _deleted int,
-    payload string).  Output: the same columns, only for keys whose
-    latest state changed in the microbatch.
+    Input rows: ``pk_col`` (any atomic type), ``_version``/``_seq``
+    (integral), ``_deleted`` (integral), plus ANY other columns — all
+    carried as the payload.  The state/output schemas are DERIVED from
+    the input schema (pk + stamps + payload columns keep their input
+    types), so a string primary key or a multi-column payload works
+    without touching this function; a missing stamp column fails at
+    planning with the real cause.  Output: the input columns in
+    (pk, _version, _seq, _deleted, payload...) order, only for keys
+    whose latest state changed in the microbatch.
 
-    State per key is ONE tuple (version, seq, deleted, payload) —
+    State per key is ONE tuple (version, seq, deleted, payload...) —
     O(live keys), RocksDB-backed on a cluster; contrast with the
     stateless merge-on-read path which keeps nothing but pays a
     window at query time.  Both views agree by construction (tested).
@@ -225,12 +242,44 @@ def streaming_upsert_view(stream: DataFrame, pk_col: str = "id") -> DataFrame:
     drop-in upgrade where its protobuf runtime dependency is
     available.
     """
-    if pk_col != "id":
-        stream = stream.withColumnRenamed(pk_col, "id")
-    out_schema = "id long, _version long, _seq long, _deleted int, payload string"
-    state_schema = "version long, seq long, deleted int, payload string"
-    return stream.groupBy("id").applyInPandasWithState(
-        _upsert_fn,
+    from pyspark.sql.types import StructField, StructType
+
+    fields = {f.name: f for f in stream.schema.fields}
+    if pk_col not in fields:
+        raise ValueError(
+            f"streaming_upsert_view: pk column {pk_col!r} not in input "
+            f"schema {stream.schema.simpleString()}"
+        )
+    for req in ("_version", "_seq", "_deleted"):
+        if req not in fields:
+            raise ValueError(
+                f"streaming_upsert_view needs a {req!r} column "
+                "(stamp the changelog first — operators/cdc.py::"
+                "stamp_changelog)"
+            )
+    payload_cols = [
+        f.name
+        for f in stream.schema.fields
+        if f.name not in (pk_col, "_version", "_seq", "_deleted")
+    ]
+    out_schema = StructType(
+        [fields[pk_col], fields["_version"], fields["_seq"],
+         fields["_deleted"]]
+        + [fields[c] for c in payload_cols]
+    )
+    state_schema = StructType(
+        [
+            StructField("version", fields["_version"].dataType),
+            StructField("seq", fields["_seq"].dataType),
+            StructField("deleted", fields["_deleted"].dataType),
+        ]
+        + [
+            StructField(f"p{i}", fields[c].dataType)
+            for i, c in enumerate(payload_cols)
+        ]
+    )
+    return stream.groupBy(pk_col).applyInPandasWithState(
+        _make_upsert_fn(pk_col, payload_cols),
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="update",

@@ -104,6 +104,10 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         "cdc_tombstoned_keys", "events_value_percentiles",
         "docs_char_bigram_profile", "docs_top_jaccard_pairs",
         "orders_in_promo_windows", "events_props_profile",
+        # round-7 rotation: the persisted incremental embedding index
+        # rows enter on add (the embedding twins of the minhash
+        # daily-batch path)
+        "emb_topk_vs_index", "emb_dedup_incremental",
     }
     assert required <= window, sorted(required - window)
     # every docs_/emb_/media_/sql_ query is in the graded window,
@@ -155,6 +159,11 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         # late-r6: slot ceded to cdc_streaming_upsert; decode path now
         # more strongly graded by media_decode_real
         "media_decode_features",
+        # r7 (quiet-window, enter-on-add only): slot ceded to the
+        # incremental embedding-index rows (emb_topk_vs_index,
+        # emb_dedup_incremental); green r5-r6, cross-doc chunk spans
+        # stay hash-checked by check_oracle/ci_gate every round
+        "docs_duplicate_chunks",
     }
     surface = {
         n for n in qs

@@ -585,3 +585,179 @@ def test_ivf_raw_equals_twin_search_stage(spark):
         )
     )
     assert raw == stage and len(raw) > 0
+
+
+def test_ivf_index_parquet_round_trip(spark, tmp_path):
+    """The IVF index is the persistable artifact of the stored-corpus
+    ANN lifecycle (operators/similarity.py: ivf_build_index).  Prove
+    the seam: write centroids + postings to parquet (postings
+    partitioned by cell, the layout that makes probes prune the scan),
+    RELOAD both (fresh lineage, schema from disk), search a batch
+    against the reloaded relations, and assert results identical to
+    (a) the in-plan index and (b) the train-per-run ivf_topk over the
+    same corpus — nothing depends on in-memory lineage, only on the
+    stored rows."""
+    from pyspark.sql import functions as F
+
+    from mysql_clickhouse_sync_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_topk,
+        ivf_topk_vs_index,
+    )
+    from mysql_clickhouse_sync_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    queries = emb.filter(F.col("vec_id") % 50 == 1)
+
+    centroids, postings = ivf_build_index(corpus, n_centroids=8)
+    cdir, pdir = str(tmp_path / "cents"), str(tmp_path / "postings")
+    centroids.write.parquet(cdir)
+    postings.write.partitionBy("_cid").parquet(pdir)
+    r_cents = spark.read.parquet(cdir)
+    r_post = spark.read.parquet(pdir)
+
+    key = lambda rows: {  # noqa: E731
+        (r.query_id, r.neighbor_id, r.rnk) for r in rows
+    }
+    from_disk = key(
+        ivf_topk_vs_index(r_cents, r_post, queries, k=3, nprobe=4).collect()
+    )
+    in_plan = key(
+        ivf_topk_vs_index(centroids, postings, queries, k=3, nprobe=4)
+        .collect()
+    )
+    fresh_train = key(
+        ivf_topk(corpus, queries, k=3, n_centroids=8, nprobe=4).collect()
+    )
+    assert from_disk == in_plan == fresh_train
+    assert len(from_disk) > 0
+
+
+def test_ivf_vs_index_rejects_bad_centroid_table(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mysql_clickhouse_sync_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_topk_vs_index,
+    )
+
+    vecs = _vecs(spark, [[1, 0], [0, 1], [1, 1], [2, 1]] * 3)
+    centroids, postings = ivf_build_index(vecs, n_centroids=2)
+    gappy = centroids.withColumn("cid", F.col("cid") + 5)
+    with pytest.raises(ValueError, match="dense cids"):
+        ivf_topk_vs_index(gappy, postings, vecs.limit(1), k=1, nprobe=1)
+    with pytest.raises(ValueError, match="empty centroid table"):
+        ivf_topk_vs_index(
+            centroids.limit(0), postings, vecs.limit(1), k=1, nprobe=1
+        )
+
+
+def test_vs_index_pair_kernel_equals_restricted_full_kernel(spark):
+    """The incremental pair kernel must emit EXACTLY the
+    batch-involving subset of the full self-dedup kernel's pairs (same
+    buckets, same threshold decisions — bit-equal scores by shared
+    accumulation order), never an old-old pair."""
+    from pyspark.sql import functions as F
+
+    from mysql_clickhouse_sync_spark.operators.similarity import (
+        bucket_cosine_pairs_vectorized,
+        bucket_cosine_pairs_vs_index_vectorized,
+    )
+    from mysql_clickhouse_sync_spark.plans.similarity_queries import (
+        _normalized_vectors,
+    )
+    from mysql_clickhouse_sync_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    u = _normalized_vectors(emb).withColumn(
+        "cid", (F.col("vec_id") % 5).cast("int")
+    ).withColumn("_is_new", F.col("vec_id") % 2 == 1)
+
+    thr = 0.2   # loose threshold so the set is non-trivially large
+    full = {
+        (r.id_a, r.id_b)
+        for r in bucket_cosine_pairs_vectorized(
+            u, "cid", "vec_id", "u", threshold=thr
+        ).collect()
+    }
+    restricted = {
+        (a, b) for a, b in full if (a % 2 == 1) or (b % 2 == 1)
+    }
+    incremental = {
+        (r.id_a, r.id_b)
+        for r in bucket_cosine_pairs_vs_index_vectorized(
+            u, "cid", "vec_id", "u", "_is_new", threshold=thr
+        ).collect()
+    }
+    assert incremental == restricted
+    assert len(incremental) > 0
+    assert all(a < b for a, b in incremental)
+
+
+def test_vs_index_pair_kernel_rejects_non_integral_ids(spark):
+    import pytest
+
+    from mysql_clickhouse_sync_spark.operators.similarity import (
+        bucket_cosine_pairs_vs_index_vectorized,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 0, [1.0], True)],
+        "vec_id string, cid int, u array<double>, _is_new boolean",
+    )
+    with pytest.raises(TypeError, match="integral id"):
+        bucket_cosine_pairs_vs_index_vectorized(
+            df, "cid", "vec_id", "u", "_is_new", 0.5
+        )
+
+
+def test_semantic_index_parquet_round_trip(spark, tmp_path):
+    """The semantic-dedup index (centroids + assignments + the
+    corpus' own pairs) is the persistable artifact of incremental
+    embedding dedup.  Prove the lifecycle: persist all three
+    relations, RELOAD them, dedup a batch against the reloaded index,
+    and assert the merged clustering is identical to the in-plan
+    path."""
+    from pyspark.sql import functions as F
+
+    from mysql_clickhouse_sync_spark.plans.similarity_queries import (
+        semantic_dedup_vs_index,
+        semantic_index_build,
+    )
+    from mysql_clickhouse_sync_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+
+    idx = semantic_index_build(old)
+    paths = {}
+    for name, df in idx.items():
+        paths[name] = str(tmp_path / name)
+        if name == "assigned":
+            df.write.partitionBy("cid").parquet(paths[name])
+        else:
+            df.write.parquet(paths[name])
+    reloaded = {n: spark.read.parquet(p) for n, p in paths.items()}
+
+    key = lambda rows: {  # noqa: E731
+        (r.vec_id, r.centroid_id, r.cluster_id, r.is_keeper, r.is_new)
+        for r in rows
+    }
+    from_disk = key(
+        semantic_dedup_vs_index(
+            reloaded["centroids"], reloaded["assigned"],
+            reloaded["pairs"], new,
+        ).collect()
+    )
+    in_plan = key(
+        semantic_dedup_vs_index(
+            idx["centroids"], idx["assigned"], idx["pairs"], new
+        ).collect()
+    )
+    assert from_disk == in_plan
+    n_total = emb.count()
+    assert len(from_disk) == n_total
+    assert sum(1 for t in from_disk if t[4]) == new.count()

