@@ -135,6 +135,7 @@ HEADLINE_SEMANTICS_CHANGES = {
 # cannot silently skip both the ledger and the timing lists.)
 EXTENDED = (
     "media_decode_real",      # r6: injected-codec BMP decode path
+    "media_decode_png",       # r7: compressed-format (zlib PNG) decode
     "cdc_scd2_history",
     "docs_bpe_first_merges",
     "docs_repetition_stats",
@@ -245,11 +246,50 @@ def _overhead_floor(spark, repeats: int = 5) -> float:
     engine-work deltas;
     ``headline_minus_floor_sec`` in bench_detail.json subtracts
     floor x n_queries so round-over-round engine comparisons aren't
-    dominated by it.  Best-of-n like every other timing."""
+    dominated by it.  Best-of-n like every other timing.  Measured
+    BOTH before and after the query loops (round-6 advice: a single
+    post-hoc floor can over- or under-correct when ambient load
+    shifted between the query runs and the floor probe) — the
+    artifact records both plus their spread, and the correction uses
+    the min."""
     return round(
         min(_timed(lambda: spark.range(1).count()) for _ in range(repeats)),
         4,
     )
+
+
+def _await_idle_host(
+    gate: float | None = None, max_wait: int = 120, poll: int = 15
+) -> dict:
+    """Idle-host protocol (round-6 verdict item 2: the +9.7% r6
+    headline was pure ambient load, uninterpretable from the artifact
+    alone).  Before timing anything: if 1-minute load average >= the
+    gate (default 1.0, override SPARK_GRAFT_LOAD_GATE; 0 disables),
+    wait in short polls up to ``max_wait`` seconds for the host to
+    quiet down, then proceed either way — the artifact records the
+    wait and whether the gate was met, so a loaded-host headline is
+    SELF-DESCRIBING (load_ok=false) instead of silently inflated."""
+    if gate is None:
+        gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "1.0"))
+    if gate <= 0:
+        return {"gate": gate, "waited_sec": 0, "load_ok": True,
+                "load_1m": round(os.getloadavg()[0], 2)}
+    waited = 0
+    while os.getloadavg()[0] >= gate and waited < max_wait:
+        print(
+            f"# host load {os.getloadavg()[0]:.2f} >= gate {gate}; "
+            f"waiting ({waited}/{max_wait}s)",
+            file=sys.stderr,
+        )
+        time.sleep(poll)
+        waited += poll
+    load = os.getloadavg()[0]
+    return {
+        "gate": gate,
+        "waited_sec": waited,
+        "load_ok": load < gate,
+        "load_1m": round(load, 2),
+    }
 
 
 def _time_queries(
@@ -316,6 +356,7 @@ def _run_gate() -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    idle = _await_idle_host()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()
@@ -329,30 +370,48 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
+    floor_pre = _overhead_floor(spark)
+    load_before = round(os.getloadavg()[0], 2)
     detail_head = _time_queries(
         registry, HEADLINE, spark, sf_dir, _HEADLINE_REPEATS, "headline"
     )
+    load_after_headline = round(os.getloadavg()[0], 2)
     detail_ext = _time_queries(
         registry, EXTENDED, spark, sf_dir, _EXTENDED_REPEATS, "extended"
     )
+    floor_post = _overhead_floor(spark)
     tp = throughput_metrics(spark, sf_dir)
     gate = _run_gate()
+    load_end = round(os.getloadavg()[0], 2)
 
     timings = {n: d["best"] for n, d in detail_head.items()}
     total = round(sum(timings.values()), 3)
     ext_total = round(sum(d["best"] for d in detail_ext.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    floor = _overhead_floor(spark)
+    floor = min(floor_pre, floor_post)
 
     detail = {
         "sf": sf_val,
         "headline_total_sec": total,
         "extended_total_sec": ext_total,
+        # Load stamps make the artifact self-describing (r6 verdict
+        # item 2): a loaded host shows up HERE, not only in prose.
+        # load_1m_* are 1-minute load averages at the marked points;
+        # idle_gate records the pre-run wait protocol outcome.
+        "idle_gate": idle,
+        "load_1m_before_headline": load_before,
+        "load_1m_after_headline": load_after_headline,
+        "load_1m_end": load_end,
         # Fixed job-overhead floor and the floor-corrected headline:
         # engine-work deltas across rounds should be read off
         # headline_minus_floor_sec (the floor is harness-scale noise a
         # 1000-executor cluster amortizes over minutes-long stages).
+        # Measured before AND after the query loops; the spread bounds
+        # the correction's own uncertainty (r6 advice item 5).
         "overhead_floor_sec": floor,
+        "overhead_floor_pre_sec": floor_pre,
+        "overhead_floor_post_sec": floor_post,
+        "overhead_floor_spread_sec": round(abs(floor_post - floor_pre), 4),
         "headline_minus_floor_sec": round(
             max(0.0, total - floor * len(detail_head)), 3
         ),
@@ -377,6 +436,10 @@ def main() -> None:
         "extended_total": ext_total,
         "floor": floor,
         "minus_floor": detail["headline_minus_floor_sec"],
+        # 1-min load at headline start/end + whether the idle gate was
+        # met: a loaded-host run is self-describing in THIS line
+        "load": [load_before, load_after_headline],
+        "load_ok": idle["load_ok"],
         "repeats": _HEADLINE_REPEATS,
         "gate": {
             k: gate[k] for k in ("mode", "status", "sec") if k in gate

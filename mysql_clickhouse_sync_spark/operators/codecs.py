@@ -125,11 +125,214 @@ class BmpImageCodec:
         return encode_bmp(rgb)
 
 
-# MIME -> codec registries.  Image ships a working default (BMP);
-# audio/video ship EMPTY — the injection points exist, and the decode
-# sites raise with these names so a deployment knows exactly where to
-# plug soundfile/av-backed implementations.
-_IMAGE_CODECS: dict[str, object] = {"image/bmp": BmpImageCodec()}
+# -- PNG (8-bit RGB, non-interlaced) -----------------------------------
+#
+# Second real in-repo codec, proving the registry seam handles a
+# COMPRESSED format and that decode survives real entropy coding:
+# stdlib zlib for the DEFLATE stream, numpy for filter reconstruction.
+# Scope (honest): bit depth 8, color type 2 (truecolor RGB), no
+# interlace — the common case for ML-pipeline image shards.  All FIVE
+# scanline filter types (None/Sub/Up/Average/Paeth) are decoded, and
+# the encoder CYCLES filters across rows so a round-trip exercises
+# every reconstruction path on real data (a filter-0-only encoder
+# would let Sub/Average/Paeth bugs hide).  Layout per the public PNG
+# spec (RFC 2083): 8-byte signature, length/type/data/CRC32 chunks,
+# IHDR geometry, IDAT = zlib(concat of [filter byte + filtered row]).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth_vec(a, b, c):
+    """Vectorized Paeth predictor (spec pseudo-code, elementwise):
+    pick whichever of left/up/up-left is closest to a + b - c, ties
+    resolved left, then up."""
+    import numpy as np
+
+    a = a.astype(np.int16)
+    b = b.astype(np.int16)
+    c = c.astype(np.int16)
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def encode_png(rgb) -> bytes:
+    """(h, w, 3) uint8 RGB array -> non-interlaced 8-bit RGB PNG.
+
+    Row filters CYCLE 0..4 (None, Sub, Up, Average, Paeth) so every
+    filter reconstruction path in the decoder is exercised by any
+    image taller than 4 rows; uint8 arithmetic wraps mod 256, exactly
+    the spec's filter math."""
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(rgb)
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError(
+            f"encode_png needs an (h, w, 3) uint8 array, got "
+            f"shape={arr.shape} dtype={arr.dtype}"
+        )
+    if arr.shape[0] == 0 or arr.shape[1] == 0:
+        raise ValueError(
+            f"encode_png needs non-empty dimensions, got shape={arr.shape}"
+        )
+    h, w = arr.shape[:2]
+    raw = arr.reshape(h, 3 * w)
+    zero_row = np.zeros(3 * w, dtype=np.uint8)
+    out = bytearray()
+    for y in range(h):
+        row = raw[y]
+        prior = raw[y - 1] if y else zero_row
+        left = np.concatenate([zero_row[:3], row[:-3]])
+        upleft = np.concatenate([zero_row[:3], prior[:-3]])
+        f = y % 5
+        if f == 0:
+            filt = row
+        elif f == 1:
+            filt = row - left
+        elif f == 2:
+            filt = row - prior
+        elif f == 3:
+            avg = (
+                (left.astype(np.int16) + prior.astype(np.int16)) // 2
+            ).astype(np.uint8)
+            filt = row - avg
+        else:
+            filt = row - _paeth_vec(left, prior, upleft)
+        out.append(f)
+        out.extend(filt.tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """Non-interlaced 8-bit RGB PNG bytes -> (h, w, 3) uint8 array.
+
+    Handles all five scanline filters.  Rejects other bit depths,
+    color types, interlacing, or a malformed chunk stream with the
+    real cause.  None/Sub/Up reconstruct vectorized (Sub is a mod-256
+    prefix sum per channel); Average/Paeth reconstruct byte-serially
+    within the row (spec recursion on the reconstructed left
+    neighbor) — rows stay numpy, the loop is per-byte within one row.
+    """
+    import zlib
+
+    import numpy as np
+
+    if payload is None or len(payload) < len(_PNG_SIG) + 12:
+        raise ValueError("not a PNG: payload shorter than the signature")
+    if bytes(payload[: len(_PNG_SIG)]) != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = bytes(payload[pos + 4 : pos + 8])
+        data = bytes(payload[pos + 8 : pos + 8 + length])
+        if len(data) < length:
+            raise ValueError(f"truncated PNG chunk {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length           # len + type + data + crc
+    if ihdr is None:
+        raise ValueError("not a PNG: missing IHDR")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError(
+            f"unsupported PNG variant: depth={depth} color={color} "
+            f"comp={comp} filter={filt} interlace={interlace} (only "
+            "8-bit non-interlaced truecolor RGB)"
+        )
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad PNG geometry: w={w} h={h}")
+    scan = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = 1 + 3 * w
+    if len(scan) != h * stride:
+        raise ValueError(
+            f"corrupt PNG: {len(scan)} scanline bytes, expected "
+            f"{h * stride}"
+        )
+    scan = scan.reshape(h, stride)
+    recon = np.zeros((h, 3 * w), dtype=np.uint8)
+    zero_row = np.zeros(3 * w, dtype=np.uint8)
+    for y in range(h):
+        f = int(scan[y, 0])
+        row = scan[y, 1:].copy()
+        prior = recon[y - 1] if y else zero_row
+        if f == 0:
+            recon[y] = row
+        elif f == 1:
+            # Sub: recon[x] = raw[x] + recon[x-3] — a per-channel
+            # prefix sum; uint8 cumsum wraps mod 256 like the spec
+            recon[y] = np.cumsum(
+                row.reshape(w, 3), axis=0, dtype=np.uint8
+            ).reshape(3 * w)
+        elif f == 2:
+            recon[y] = row + prior
+        elif f == 3:
+            r = recon[y]
+            for x in range(3 * w):
+                left = int(r[x - 3]) if x >= 3 else 0
+                r[x] = (int(row[x]) + (left + int(prior[x])) // 2) % 256
+        elif f == 4:
+            r = recon[y]
+            for x in range(3 * w):
+                a = int(r[x - 3]) if x >= 3 else 0
+                b = int(prior[x])
+                c = int(prior[x - 3]) if x >= 3 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                r[x] = (int(row[x]) + pred) % 256
+        else:
+            raise ValueError(f"corrupt PNG: unknown filter type {f}")
+    return np.ascontiguousarray(recon.reshape(h, w, 3))
+
+
+class PngImageCodec:
+    """In-repo compressed-format image codec: stdlib zlib + numpy."""
+
+    def decode(self, payload: bytes):
+        return decode_png(payload)
+
+    def encode(self, rgb) -> bytes:
+        return encode_png(rgb)
+
+
+# MIME -> codec registries.  Image ships two working defaults (BMP
+# uncompressed, PNG zlib-compressed); audio/video ship EMPTY — the
+# injection points exist, and the decode sites raise with these names
+# so a deployment knows exactly where to plug soundfile/av-backed
+# implementations.
+_IMAGE_CODECS: dict[str, object] = {
+    "image/bmp": BmpImageCodec(),
+    "image/png": PngImageCodec(),
+}
 _AUDIO_CODECS: dict[str, object] = {}
 _VIDEO_DEMUXERS: dict[str, object] = {}
 

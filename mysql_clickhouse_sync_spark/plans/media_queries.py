@@ -71,26 +71,32 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _gradient_bmp_media(docs: DataFrame) -> DataFrame:
-    """doc ids -> REAL tiny BMP payloads via the production encoder
-    (operators/codecs.py), in an Arrow-batched mapInPandas stage — the
+def _gradient_media(docs: DataFrame, mime: str) -> DataFrame:
+    """doc ids -> REAL tiny image payloads via the production encoder
+    for ``mime`` (operators/codecs.py; BMP uncompressed or PNG
+    zlib-compressed), in an Arrow-batched mapInPandas stage — the
     re-encode shape a real ingest uses.  Geometry and pixels are
     closed-form in the id so DuckDB can regenerate every expected
     statistic:
 
       width  = 4 + id % 5   (5..7 exercise the 4-byte row padding)
-      height = 3 + id % 4
+      height = 3 + id % 4   (3..6: every PNG row filter 0..4 appears
+                             across the corpus; heights >= 5 exercise
+                             all five in ONE image)
       pixel (x, y): r = (id + 3x + 7y) % 256
                     g = (2id + 5x + y) % 256
                     b = (3id + x + 11y) % 256
     """
+    if mime not in ("image/bmp", "image/png"):
+        raise ValueError(f"no in-repo encoder for {mime!r}")
 
     def run(batches):
         import numpy as np
         import pandas as pd
 
-        from ..operators.codecs import encode_bmp
+        from ..operators.codecs import encode_bmp, encode_png
 
+        encode = encode_bmp if mime == "image/bmp" else encode_png
         for pdf in batches:
             rows = []
             for did in pdf["doc_id"]:
@@ -110,8 +116,8 @@ def _gradient_bmp_media(docs: DataFrame) -> DataFrame:
                     (
                         did,
                         "image",
-                        "image/bmp",
-                        bytearray(encode_bmp(rgb)),
+                        mime,
+                        bytearray(encode(rgb)),
                         w,
                         h,
                         None,
@@ -123,6 +129,10 @@ def _gradient_bmp_media(docs: DataFrame) -> DataFrame:
                 )
 
     return docs.select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+
+
+def _gradient_bmp_media(docs: DataFrame) -> DataFrame:
+    return _gradient_media(docs, "image/bmp")
 
 
 @register(
@@ -175,6 +185,57 @@ def _gradient_bmp_media(docs: DataFrame) -> DataFrame:
 def media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return image_stats(_gradient_bmp_media(docs))
+
+
+@register(
+    "media_decode_png",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        FROM documents
+    ), s AS (
+        SELECT doc_id, w, h,
+           list_sum(flatten(list_transform(range(0, h), y ->
+               list_transform(range(0, w),
+                              x -> (doc_id + 3*x + 7*y) % 256)))) AS sr,
+           list_sum(flatten(list_transform(range(0, h), y ->
+               list_transform(range(0, w),
+                              x -> (2*doc_id + 5*x + y) % 256)))) AS sg,
+           list_sum(flatten(list_transform(range(0, h), y ->
+               list_transform(range(0, w),
+                              x -> (3*doc_id + x + 11*y) % 256)))) AS sb
+        FROM d
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(sr AS DOUBLE) / (w * h) AS mean_r,
+           CAST(sg AS DOUBLE) / (w * h) AS mean_g,
+           CAST(sb AS DOUBLE) / (w * h) AS mean_b,
+           CAST(doc_id % 256 AS INT) AS r00,
+           CAST((2 * doc_id) % 256 AS INT) AS g00,
+           CAST((3 * doc_id) % 256 AS INT) AS b00,
+           CAST((doc_id + 3 * (w - 1) + 7 * (h - 1)) % 256 AS INT) AS r_last,
+           CAST((2 * doc_id + 5 * (w - 1) + (h - 1)) % 256 AS INT) AS g_last,
+           CAST((3 * doc_id + (w - 1) + 11 * (h - 1)) % 256 AS INT) AS b_last
+    FROM s
+    """,
+    description="COMPRESSED-FORMAT real decode path (second in-repo "
+    "codec, proving the registry seam handles entropy coding, not "
+    "just fixed-layout pixel dumps): tiny real PNGs — stdlib zlib "
+    "DEFLATE, 8-bit RGB, row filters CYCLING None/Sub/Up/Average/"
+    "Paeth so heights 3..6 exercise every reconstruction path across "
+    "the corpus — are encoded per doc by the production encoder and "
+    "decoded back through the codec registry by image_stats.  Pixel "
+    "rule identical to media_decode_real, so DuckDB regenerates the "
+    "full expected relation; n_bytes is EXCLUDED (a zlib-compressed "
+    "size is not closed-form).  The decoder is independently pinned "
+    "against hand-constructed golden bytes per filter type in "
+    "tests/test_codecs.py (no shared encoder/decoder mirror bug)",
+)
+def media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return image_stats(_gradient_media(docs, "image/png")).drop("n_bytes")
 
 
 @register(

@@ -157,6 +157,18 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 # events_daily_anomaly_zscore (r1-r6; events keeps 6 analytics +
 # 3 streaming graded rows), docs_duplicate_chunks (r5-r6; text keeps
 # 8 graded rows).
+# Also IN (enter-on-add, r6 verdict item 4):
+# events_streaming_interval_join — the watermarked stream-stream
+# interval join graded end-to-end across two checkpointed drains
+# against the batch range-join oracle (the last beyond-reference
+# streaming operator that carried only unit evidence).  OUT:
+# events_type_pivot (green r6; the pivot shape stays hash-checked by
+# check_oracle/ci_gate every round).
+# Also IN (enter-on-add, r6 verdict item 6): media_decode_png — the
+# second real in-repo codec (stdlib-zlib PNG, all five row filters
+# exercised), proving the registry seam handles a COMPRESSED format.
+# OUT: orders_value_histogram (green r6; the width_bucket histogram
+# stays hash-checked by check_oracle/ci_gate every round).
 DRIVER_WINDOW = (
     # CDC sentinels (7 graded rows)
     "cdc_live_orders",
@@ -169,14 +181,12 @@ DRIVER_WINDOW = (
     # representative analytics shapes
     "q2_min_cost_supplier",
     "orders_in_promo_windows",
-    "orders_value_histogram",
     "lineitem_cube_stats",
     "customer_order_gaps",
     "customer_rfm_segments",
     # event analytics
     "events_props_profile",
     "events_value_percentiles",
-    "events_type_pivot",
     "events_hourly_gapfill",
     "events_retention_cohorts",
     "events_value_quantiles",
@@ -184,6 +194,7 @@ DRIVER_WINDOW = (
     "events_streaming_hourly",
     "events_streaming_append",
     "events_streaming_dedup",
+    "events_streaming_interval_join",
     # text / dedup pipeline
     "docs_exact_dedup",
     "docs_repetition_stats",
@@ -212,9 +223,10 @@ DRIVER_WINDOW = (
     "emb_semantic_dedup",
     "emb_topk_vs_index",
     "emb_dedup_incremental",
-    # multimodal (incl. the round-6 real-codec path)
+    # multimodal (incl. the round-6/7 real-codec paths)
     "media_resized_images",
     "media_decode_real",
+    "media_decode_png",
     # SQL surface
     "sql_live_segment_stats",
     # sampling

@@ -420,6 +420,168 @@ def events_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink).localCheckpoint()
 
 
+def _interval_join_boundary_us(
+    clicks: DataFrame, purchases: DataFrame
+) -> int:
+    """Deterministic drain boundary (epoch microseconds) for the
+    graded interval-join row, chosen FROM an actual matched pair so
+    the two-drain split genuinely severs >= 1 match across the
+    checkpoint: the pair with the MAXIMUM positive lag (ties: later
+    click, then later purchase — a unique max because event times are
+    microsecond-distinct), boundary = the pair's temporal midpoint,
+    so click < boundary <= purchase by construction.  A naive
+    timeline midpoint straddles ZERO pairs at every harness scale
+    (measured — pairs cluster in bursts), which would make the
+    two-drain structure vacuous.  Falls back to the timeline midpoint
+    when no positive-lag pair exists.  Harness scaffolding: the
+    boundary selection is one tiny batch join, not part of the
+    streaming operator under test."""
+    c = clicks.select(F.unix_micros("tsi").alias("cus"), "user_id")
+    p = purchases.select(F.unix_micros("tsi").alias("pus"), "user_id")
+    cand = c.join(p, "user_id").filter(
+        (F.col("pus") > F.col("cus"))
+        & (F.col("pus") <= F.col("cus") + 30 * 60 * 1_000_000)
+    )
+    row = cand.agg(
+        F.max(
+            F.struct(
+                (F.col("pus") - F.col("cus")).alias("lag"), "cus", "pus"
+            )
+        ).alias("b")
+    ).first()["b"]
+    if row is not None:
+        # lag >= 1us => cus < mid <= pus
+        return row["cus"] + (row["lag"] + 1) // 2
+    bounds = clicks.select(F.unix_micros("tsi").alias("us")).unionByName(
+        purchases.select(F.unix_micros("tsi").alias("us"))
+    ).agg(F.min("us").alias("lo"), F.max("us").alias("hi")).first()
+    return (bounds["lo"] + bounds["hi"]) // 2
+
+
+def _drain_join_append(
+    spark: SparkSession, src_l: str, src_r: str, ckpt: str, sink: str,
+    transform,
+) -> None:
+    """One availableNow drain of TWO parquet file streams ->
+    ``transform(left, right)`` -> append-mode parquet sink.  Same
+    determinism contract as :func:`_drain_append`: each drain folds
+    the currently-available files of each side into one data
+    microbatch against the checkpointed state/watermark."""
+    left = (
+        spark.readStream.schema(spark.read.parquet(src_l).schema)
+        .parquet(src_l)
+    )
+    right = (
+        spark.readStream.schema(spark.read.parquet(src_r).schema)
+        .parquet(src_r)
+    )
+    q = (
+        transform(left, right)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+@register(
+    "events_streaming_interval_join",
+    oracle="""
+    SELECT l.event_id AS click_id, r.event_id AS purchase_id,
+           l.user_id,
+           epoch_us(r.ts) - epoch_us(l.ts) AS lag_us,
+           r.value AS purchase_value
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND l.event_id % 2 = 0 AND r.event_id % 2 = 1
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+    """,
+    description="END-TO-END STREAM-STREAM INTERVAL JOIN (the last "
+    "§2.9-beyond-reference streaming operator without a driver row): "
+    "even-id events play a click stream, odd-id events a purchase "
+    "stream; each click matches purchases by the same user within "
+    "[click, click + 30 min] through the watermarked interval_join "
+    "operator — both sides buffered in the state store, state expiry "
+    "bounded by watermark + delay.  TWO availableNow drains against "
+    "one checkpoint split the timeline at the temporal midpoint of "
+    "the maximum-lag pair (a naive timeline midpoint straddles zero "
+    "pairs at every harness scale — measured), so >= 1 match has its "
+    "click in drain 1 and purchase in drain 2 and MUST come from "
+    "checkpointed join state recovered across query restarts "
+    "(cross-drain match count pinned > 0 in "
+    "tests/test_streaming_windows.py).  No row in drain 2 predates "
+    "the drain-1 watermark (the split is by event time, watermark "
+    "trails 1 h behind max), so nothing is late-dropped and the "
+    "batch range-join oracle mirrors the full pair set exactly — a "
+    "hash contract over microsecond-exact lag",
+)
+def events_streaming_interval_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..streaming.windows import interval_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    ev_i = ev.select(
+        "event_id", "user_id", _utc_instant().alias("tsi"), "value"
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"events_streaming_interval_join_"
+        f"{spark.sparkContext.applicationId}_"
+        + os.path.basename(sf_dir.rstrip("/")),
+    )
+    src_l, src_r, ckpt, sink = (
+        os.path.join(base, d) for d in ("src_l", "src_r", "ckpt", "sink")
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(sink, ignore_errors=True)
+
+    clicks = ev_i.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "user_id", "tsi"
+    )
+    purchases = ev_i.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "tsi", "value"
+    )
+    mid_us = _interval_join_boundary_us(clicks, purchases)
+    us = lambda c: F.unix_micros(F.col(c))  # noqa: E731
+    clicks.filter(us("tsi") < mid_us).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(src_l)
+    purchases.filter(us("tsi") < mid_us).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(src_r)
+
+    def joined(left: DataFrame, right: DataFrame) -> DataFrame:
+        j = interval_join(
+            left, right, key="user_id", left_ts="tsi", right_ts="tsi",
+            max_delay="30 minutes", watermark="1 hour",
+        )
+        return j.select(
+            F.col("event_id").alias("click_id"),
+            F.col("r_event_id").alias("purchase_id"),
+            "user_id",
+            (F.unix_micros("r_tsi") - F.unix_micros("tsi")).alias(
+                "lag_us"
+            ),
+            F.col("r_value").alias("purchase_value"),
+        )
+
+    _drain_join_append(spark, src_l, src_r, ckpt, sink, joined)
+    clicks.filter(us("tsi") >= mid_us).repartition(2).write.mode(
+        "append"
+    ).parquet(src_l)
+    purchases.filter(us("tsi") >= mid_us).repartition(2).write.mode(
+        "append"
+    ).parquet(src_r)
+    _drain_join_append(spark, src_l, src_r, ckpt, sink, joined)
+    return spark.read.parquet(sink).localCheckpoint()
+
+
 @register(
     "events_streaming_hourly",
     oracle="""

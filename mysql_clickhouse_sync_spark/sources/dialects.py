@@ -132,6 +132,21 @@ class Dialect:
             f"ADD COLUMN {ine}{self.column_ddl(f)}"
         )
 
+    def modify_column_type_ddl(
+        self, db: str, table: str, f: StructField
+    ) -> str:
+        """Target-side half of TYPE-WIDENING evolution (pairs with
+        ``validate_additive_evolution``'s safe-widening acceptance:
+        byte/short/int -> wider integral, float -> double).  MySQL and
+        ClickHouse both spell it MODIFY COLUMN; Postgres overrides
+        with ALTER COLUMN ... TYPE.  Widening is idempotent by nature
+        — re-running MODIFY to the already-current type is a no-op on
+        every engine here, so no IF NOT EXISTS analogue is needed."""
+        return (
+            f"ALTER TABLE {self.qualified(db, table)} "
+            f"MODIFY COLUMN {self.column_ddl(f)}"
+        )
+
     # ---------------------------------------------------------- DML
 
     def insert_sql(self, db: str, table: str, columns: list[str]) -> str:
@@ -226,6 +241,18 @@ class PostgresDialect(Dialect):
         if type(dt) in m:
             return m[type(dt)]
         raise ValueError(f"no postgresql DDL type for {dt}")
+
+    def modify_column_type_ddl(
+        self, db: str, table: str, f: StructField
+    ) -> str:
+        # Postgres has no MODIFY COLUMN; the type change is ALTER
+        # COLUMN ... TYPE (nullability is a separate ALTER there, and
+        # widening never changes it)
+        return (
+            f"ALTER TABLE {self.qualified(db, table)} "
+            f"ALTER COLUMN {self.quote(f.name)} "
+            f"TYPE {self.ddl_type(f.dataType)}"
+        )
 
     def upsert_sql(
         self, db: str, table: str, columns: list[str], pks: tuple[str, ...]

@@ -42,15 +42,44 @@ from ..operators.cdc import live_view, stamp_changelog
 from ..schema.mysql_types import validate_identifier
 
 
+def _is_safe_widening(old, new) -> bool:
+    """Type changes every reader can absorb losslessly: integral
+    widenings up the byte->short->int->long chain and float->double.
+    Exactly the set the Spark 4 parquet reader promotes when handed a
+    wider read schema (verified against mixed-width files in tests);
+    narrowings, int->float crossings and decimal changes are NOT here
+    — they lose information or change arithmetic semantics."""
+    from pyspark.sql.types import (
+        ByteType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    _INT_RANK = {ByteType(): 0, ShortType(): 1, IntegerType(): 2,
+                 LongType(): 3}
+    if old in _INT_RANK and new in _INT_RANK:
+        return _INT_RANK[old] < _INT_RANK[new]
+    return old == FloatType() and new == DoubleType()
+
+
 def validate_additive_evolution(
     old_schema: StructType, new_schema: StructType
 ) -> None:
     """The changes that ARE expressible as at-least-once appends:
-    every existing column keeps its name and type — drops, renames
-    and retypes are rejected — and new columns must be nullable
-    (pre-evolution rows cannot retroactively receive a value).
-    Shared by the single-table pipeline and the multi-table
-    dispatcher."""
+    every existing column keeps its name, and its type either stays
+    identical or SAFELY WIDENS (byte/short/int -> wider integral,
+    float -> double — pre-widening files reread losslessly under the
+    wider schema, which is why ``table_df`` reads with the EXPLICIT
+    current schema rather than mergeSchema: parquet schema merge
+    rejects mixed-width files, the widened read promotes them).
+    Drops, renames, narrowings and other retypes are rejected; new
+    columns must be nullable (pre-evolution rows cannot retroactively
+    receive a value).  Shared by the single-table pipeline and the
+    multi-table dispatcher.  The matching target-side DDL is
+    ``sources/dialects.py::modify_column_type_ddl``."""
     old = {f.name: f.dataType for f in old_schema.fields}
     new = {f.name: f.dataType for f in new_schema.fields}
     for name, dtype in old.items():
@@ -60,10 +89,12 @@ def validate_additive_evolution(
                 "(append sinks cannot unwrite history; create a "
                 "projection view instead)"
             )
-        if new[name] != dtype:
+        if new[name] != dtype and not _is_safe_widening(dtype, new[name]):
             raise ValueError(
                 f"schema evolution cannot retype column {name!r}: "
-                f"{dtype.simpleString()} -> {new[name].simpleString()}"
+                f"{dtype.simpleString()} -> {new[name].simpleString()} "
+                "(only safe widenings are appendable: byte/short/int "
+                "-> wider integral, float -> double)"
             )
     for f in new_schema.fields:
         if f.name not in old and not f.nullable:
@@ -188,11 +219,27 @@ class CDCStreamPipeline:
 
     # -- read path --------------------------------------------------
 
+    def _stamped_schema(self) -> StructType:
+        """The sink's CURRENT expected schema: the stamp transform
+        applied to an empty changelog frame (schema-only analysis, no
+        job) — so the read schema is derived from the production
+        stamping code, never a hand-maintained copy."""
+        return stamp_changelog(
+            self.spark.createDataFrame([], self.changelog_schema),
+            op_col="op",
+            seq_col="seq",
+        ).schema
+
     def table_df(self) -> DataFrame:
-        # mergeSchema: the snapshot bootstrap and streamed microbatches
-        # must agree on the _seq tiebreak column even if older target
-        # dirs predate it.
-        return self.spark.read.option("mergeSchema", "true").parquet(
+        # EXPLICIT current schema, not mergeSchema: files written
+        # before an additive evolution lack the new column (parquet
+        # null-fills missing columns under an explicit schema, same
+        # net effect as the merge), and files written before a TYPE
+        # WIDENING carry the narrower physical type — which schema
+        # merge REJECTS ("cannot be merged") while the Spark 4 widened
+        # read promotes losslessly.  Also covers the original case of
+        # snapshot-bootstrap files predating the _seq tiebreak column.
+        return self.spark.read.schema(self._stamped_schema()).parquet(
             self.target_dir
         )
 

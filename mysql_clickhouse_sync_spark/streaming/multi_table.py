@@ -145,14 +145,34 @@ class MultiTableCDCStream:
             writer = writer.trigger(availableNow=True)
         return writer.start()
 
+    def _stamped_schema(self, table: str) -> StructType:
+        """The table sink's CURRENT expected schema: the stamp
+        transform over (op, seq, payload columns) applied to an empty
+        frame — derived from the production stamping code, never a
+        hand-maintained copy (same rule as
+        ``CDCStreamPipeline._stamped_schema``)."""
+        wire = StructType(
+            [
+                StructField("op", StringType(), False),
+                StructField("seq", LongType(), False),
+                *self.schemas[table].fields,
+            ]
+        )
+        return stamp_changelog(
+            self.spark.createDataFrame([], wire), op_col="op",
+            seq_col="seq",
+        ).schema
+
     def live(
         self, table: str, user_cols: Sequence[str] | None = None
     ) -> DataFrame:
-        # mergeSchema: without it the reader samples ONE file's footer
-        # for the schema, so after evolve_table_schema a pre-evolution
-        # file being sampled would silently drop the new column from
-        # every row (same rule as CDCStreamPipeline.table_df).
-        df = self.spark.read.option("mergeSchema", "true").parquet(
+        # EXPLICIT current schema, not mergeSchema: pre-evolution
+        # files lack added columns (null-filled under an explicit
+        # schema) and pre-WIDENING files carry the narrower physical
+        # type, which schema merge rejects while the widened read
+        # promotes losslessly (same rule as
+        # CDCStreamPipeline.table_df).
+        df = self.spark.read.schema(self._stamped_schema(table)).parquet(
             self.target_dir(table)
         )
         return live_view(df, self.pks[table], user_cols)

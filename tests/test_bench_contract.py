@@ -42,4 +42,5 @@ def test_untimed_streaming_surfaces_are_only_the_disclosed_ones():
         "events_streaming_append",
         "events_streaming_dedup",
         "cdc_streaming_upsert",
+        "events_streaming_interval_join",
     }, sorted(untimed_streaming)

@@ -134,8 +134,11 @@ def test_unregister_and_temporary_codec_restore_prior():
 
 
 def test_registry_default_and_injection():
+    from mysql_clickhouse_sync_spark.operators.codecs import PngImageCodec
+
     assert isinstance(image_codec_for("image/bmp"), BmpImageCodec)
-    assert image_codec_for("image/png") is None
+    assert isinstance(image_codec_for("image/png"), PngImageCodec)
+    assert image_codec_for("image/jpeg") is None
     assert image_codec_for(None) is None
 
 
@@ -199,12 +202,12 @@ def test_decode_and_featurize_real_bmp(spark):
     feat = row["feature"]
     assert feat[:5] == [4.0, 3.0, 10.0, 20.0, 30.0]
 
-    png = spark.createDataFrame(
-        [(8, "image", "image/png", bytearray(b"x"), 1, 1, None)],
+    jpeg = spark.createDataFrame(
+        [(8, "image", "image/jpeg", bytearray(b"x"), 1, 1, None)],
         MEDIA_SCHEMA,
     )
     with pytest.raises(Exception, match="no image codec registered"):
-        decode_and_featurize(png, decode_kind="real").collect()
+        decode_and_featurize(jpeg, decode_kind="real").collect()
 
 
 def test_image_stats_pins_orientation_and_padding(spark):
@@ -250,7 +253,7 @@ def test_custom_codec_injection_end_to_end(spark):
         image_stats,
     )
 
-    class FakePngCodec:
+    class FakeCodec:
         """Pretends every payload is a 2x1 image whose first pixel is
         the payload's first byte."""
 
@@ -262,7 +265,7 @@ def test_custom_codec_injection_end_to_end(spark):
             return bytes([int(rgb[0, 0, 0])])
 
     media = spark.createDataFrame(
-        [(1, "image", "image/png", bytearray(b"\x2a"), 2, 1, None)],
+        [(1, "image", "image/x-fake", bytearray(b"\x2a"), 2, 1, None)],
         MEDIA_SCHEMA,
     )
     with pytest.raises(Exception, match="no image codec registered"):
@@ -270,9 +273,134 @@ def test_custom_codec_injection_end_to_end(spark):
 
     # scoped registration: the context manager restores prior state
     # (absence here) on exit, so the test never touches private dicts
-    with codecs.temporary_codec("image", "image/png", FakePngCodec()):
+    with codecs.temporary_codec("image", "image/x-fake", FakeCodec()):
         row = image_stats(media).collect()[0]
         assert (row["width"], row["height"]) == (2, 1)
         assert row["r00"] == 0x2A and row["r_last"] == 0
     with pytest.raises(Exception, match="no image codec registered"):
         image_stats(media).collect()
+
+
+# -- PNG codec ---------------------------------------------------------
+
+def _png_golden_bytes():
+    """Hand-constructed 3x2 RGB PNG, independent of encode_png: chunks
+    assembled field-by-field in the test, scanlines written with
+    EXPLICIT filter bytes (row 0: None, row 1: Sub) so the decoder is
+    pinned against the spec, not against our encoder's choices.
+
+    pixels (row-major):  (1,2,3) (4,5,6) (250,251,252)
+                         (9,8,7) (19,18,17) (29,28,27)
+    row 1 is Sub-filtered: raw = recon[x] - recon[x-3].
+    """
+    import struct as _st
+    import zlib
+
+    def chunk(ctype, data):
+        return (_st.pack(">I", len(data)) + ctype + data
+                + _st.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = _st.pack(">IIBBBBB", 3, 2, 8, 2, 0, 0, 0)
+    row0 = bytes([0, 1, 2, 3, 4, 5, 6, 250, 251, 252])
+    # row 1 recon: 9 8 7 19 18 17 29 28 27 -> Sub deltas: first pixel
+    # raw (left=0), then recon[x]-recon[x-3] = 10 10 10, 10 10 10
+    row1 = bytes([1, 9, 8, 7, 10, 10, 10, 10, 10, 10])
+    idat = zlib.compress(row0 + row1)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+
+
+def test_png_decode_golden_bytes():
+    from mysql_clickhouse_sync_spark.operators.codecs import decode_png
+
+    rgb = decode_png(_png_golden_bytes())
+    assert rgb.shape == (2, 3, 3) and rgb.dtype == np.uint8
+    assert rgb[0].tolist() == [[1, 2, 3], [4, 5, 6], [250, 251, 252]]
+    assert rgb[1].tolist() == [[9, 8, 7], [19, 18, 17], [29, 28, 27]]
+
+
+def test_png_decode_all_filter_types():
+    """One hand-filtered scanline per filter type (None, Sub, Up,
+    Average, Paeth) against reference reconstruction computed by the
+    spec equations in pure Python — the decoder's five paths each get
+    a non-degenerate row (values chosen to wrap mod 256)."""
+    import struct as _st
+    import zlib
+
+    from mysql_clickhouse_sync_spark.operators.codecs import decode_png
+
+    w, h = 4, 5
+    rng = np.random.RandomState(7)
+    recon = rng.randint(0, 256, size=(h, 3 * w)).astype(np.int32)
+
+    def pae(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    scan = bytearray()
+    for y in range(h):
+        f = y % 5
+        scan.append(f)
+        for x in range(3 * w):
+            left = recon[y, x - 3] if x >= 3 else 0
+            up = recon[y - 1, x] if y else 0
+            upleft = recon[y - 1, x - 3] if (y and x >= 3) else 0
+            raw = recon[y, x]
+            if f == 1:
+                raw = raw - left
+            elif f == 2:
+                raw = raw - up
+            elif f == 3:
+                raw = raw - (left + up) // 2
+            elif f == 4:
+                raw = raw - pae(left, up, upleft)
+            scan.append(int(raw) % 256)
+
+    def chunk(ctype, data):
+        return (_st.pack(">I", len(data)) + ctype + data
+                + _st.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", _st.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(bytes(scan)))
+           + chunk(b"IEND", b""))
+    got = decode_png(png)
+    assert got.reshape(h, 3 * w).tolist() == (recon % 256).tolist()
+
+
+def test_png_round_trip_exercises_every_filter():
+    """encode_png cycles filters 0..4 across rows; any image with
+    h >= 5 therefore round-trips through every reconstruction path."""
+    from mysql_clickhouse_sync_spark.operators.codecs import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(13)
+    for h, w in [(5, 1), (6, 4), (9, 7), (1, 1)]:
+        img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        assert (decode_png(encode_png(img)) == img).all()
+
+
+def test_png_rejects_malformed():
+    from mysql_clickhouse_sync_spark.operators.codecs import (
+        decode_png,
+        encode_png,
+    )
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"\x89PNG\r\n\x1a\nxxxxxxxxxxxx"[:14])
+    with pytest.raises(ValueError, match="bad signature"):
+        decode_png(b"NOTAPNG!" + b"\x00" * 24)
+    good = encode_png(np.zeros((2, 2, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="unsupported PNG variant"):
+        # flip the color-type byte inside IHDR (offset: 8 sig + 8
+        # len/type + 9th IHDR byte)
+        bad = bytearray(good)
+        bad[8 + 8 + 9] = 6          # RGBA
+        decode_png(bytes(bad))
+    with pytest.raises(ValueError, match="uint8"):
+        encode_png(np.zeros((2, 2, 3), dtype=np.int32))
+    with pytest.raises(ValueError, match="non-empty"):
+        encode_png(np.zeros((0, 2, 3), dtype=np.uint8))

@@ -235,3 +235,21 @@ def test_duplicate_column_errcodes_contract():
         d = get_dialect(name)
         assert d.add_column_if_not_exists
         assert d.duplicate_column_errcodes == ()
+
+
+def test_modify_column_type_ddl_per_dialect():
+    """Target-side DDL for safe type widenings (pairs with
+    validate_additive_evolution's widening acceptance)."""
+    from pyspark.sql.types import LongType, StructField
+
+    from mysql_clickhouse_sync_spark.sources.dialects import get_dialect
+
+    f = StructField("qty", LongType(), True)
+    assert get_dialect("mysql").modify_column_type_ddl(
+        "db", "users", f
+    ) == "ALTER TABLE `db`.`users` MODIFY COLUMN `qty` BIGINT"
+    assert get_dialect("postgresql").modify_column_type_ddl(
+        "db", "users", f
+    ) == 'ALTER TABLE "db"."users" ALTER COLUMN "qty" TYPE BIGINT'
+    ch = get_dialect("clickhouse").modify_column_type_ddl("db", "users", f)
+    assert "MODIFY COLUMN" in ch and "qty" in ch

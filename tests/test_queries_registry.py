@@ -95,9 +95,9 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         # item 3 — the other 6 follow in round 7)
         "media_decode_real", "events_streaming_append",
         "events_streaming_dedup",
-        "cdc_reconciliation", "events_type_pivot",
+        "cdc_reconciliation",
         "events_hourly_gapfill", "lineitem_cube_stats",
-        "orders_value_histogram", "customer_order_gaps",
+        "customer_order_gaps",
         # late-r6: the final 6 never-driver-graded oracled queries
         # land a round early — after this round only the 3
         # machine-checked *_raw variants lack a driver-graded round
@@ -106,8 +106,14 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         "orders_in_promo_windows", "events_props_profile",
         # round-7 rotation: the persisted incremental embedding index
         # rows enter on add (the embedding twins of the minhash
-        # daily-batch path)
+        # daily-batch path), plus the stream-stream interval join
+        # graded across two checkpointed drains (events_type_pivot,
+        # green r6, cedes its slot and stays gate-checked)
         "emb_topk_vs_index", "emb_dedup_incremental",
+        "events_streaming_interval_join",
+        # and the second real codec path (stdlib-zlib PNG);
+        # orders_value_histogram (green r6) cedes its slot
+        "media_decode_png",
     }
     assert required <= window, sorted(required - window)
     # every docs_/emb_/media_/sql_ query is in the graded window,

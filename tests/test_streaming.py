@@ -697,3 +697,75 @@ def test_multi_table_schema_evolution_mid_stream(spark, tmp_path):
             "users",
             StructType([f for f in wider.fields if f.name != "name"]),
         )
+
+
+def test_schema_evolution_widens_types_across_restart(spark, dirs):
+    """TYPE-WIDENING evolution (round-6 verdict item 7): an int column
+    widens to long and a float to double mid-stream.  Pre-widening
+    parquet files carry the narrower physical types — mergeSchema
+    REJECTS such a mix ("cannot be merged"), which is exactly why
+    table_df reads with the EXPLICIT current schema: the Spark 4
+    parquet reader promotes narrow files losslessly under the wider
+    read schema.  Values beyond int/float range land post-widening
+    and must survive exactly."""
+    from pyspark.sql.types import DoubleType, FloatType, IntegerType
+
+    base_dir, changelog_dir = dirs
+    narrow = StructType([
+        StructField("op", StringType(), False),
+        StructField("seq", LongType(), False),
+        StructField("id", LongType(), False),
+        StructField("qty", IntegerType(), True),
+        StructField("score", FloatType(), True),
+    ])
+    _write_events(
+        changelog_dir,
+        [{"op": "I", "seq": 1, "id": 1, "qty": 7, "score": 1.5}],
+        filename="f1.json",
+    )
+    p = CDCStreamPipeline(spark, "widen_t", ["id"], narrow, base_dir)
+    p.start(changelog_dir).awaitTermination()
+
+    wide = StructType([
+        StructField("op", StringType(), False),
+        StructField("seq", LongType(), False),
+        StructField("id", LongType(), False),
+        StructField("qty", LongType(), True),
+        StructField("score", DoubleType(), True),
+    ])
+    p.evolve_schema(wide)
+    big = 2**40          # does not fit an int32
+    _write_events(
+        changelog_dir,
+        [
+            {"op": "I", "seq": 2, "id": 2, "qty": big, "score": 2.25},
+            {"op": "U", "seq": 3, "id": 1, "qty": 9, "score": 3.75},
+        ],
+        filename="f2.json",
+    )
+    p.start(changelog_dir).awaitTermination()
+
+    got = p.live()
+    assert dict(got.dtypes)["qty"] == "bigint"
+    assert dict(got.dtypes)["score"] == "double"
+    live = {r["id"]: (r["qty"], r["score"]) for r in got.collect()}
+    assert live == {1: (9, 3.75), 2: (big, 2.25)}
+    # pre-widening file rows reread losslessly under the wider schema
+    first = [r for r in p.table_df().collect() if r["_seq"] == 1]
+    assert first[0]["qty"] == 7 and first[0]["score"] == 1.5
+
+    # narrowing and cross-kind retypes stay rejected
+    import pytest as _pytest
+
+    narrower = StructType([
+        f if f.name != "qty" else StructField("qty", IntegerType(), True)
+        for f in wide.fields
+    ])
+    with _pytest.raises(ValueError, match="retype column"):
+        p.evolve_schema(narrower)
+    crossed = StructType([
+        f if f.name != "qty" else StructField("qty", DoubleType(), True)
+        for f in wide.fields
+    ])
+    with _pytest.raises(ValueError, match="retype column"):
+        p.evolve_schema(crossed)

@@ -526,3 +526,50 @@ def test_streaming_upsert_view_missing_stamp_fails_at_planning(spark):
         streaming_upsert_view(df)
     with pytest.raises(ValueError, match="pk column"):
         streaming_upsert_view(df, pk_col="nope")
+
+
+def test_interval_join_row_produces_cross_drain_matches(spark):
+    """Structural pin for the graded events_streaming_interval_join
+    row: the two-drain split must actually produce matches whose
+    click arrived in drain 1 and purchase in drain 2 (recovered
+    checkpointed join state) — otherwise the row degenerates to two
+    independent single-drain joins and proves nothing about state
+    recovery."""
+    from pyspark.sql import functions as F
+
+    from mysql_clickhouse_sync_spark.plans.registry import all_queries
+    from mysql_clickhouse_sync_spark.plans.streaming_queries import (
+        _utc_instant,
+    )
+    from mysql_clickhouse_sync_spark.sources.parquet import load_table
+
+    from conftest import SF_DIR
+
+    from mysql_clickhouse_sync_spark.plans.streaming_queries import (
+        _interval_join_boundary_us,
+    )
+
+    out = all_queries()["events_streaming_interval_join"].fn(spark, SF_DIR)
+    ev_i = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", _utc_instant().alias("tsi")
+    )
+    clicks = ev_i.filter(F.col("event_id") % 2 == 0)
+    purchases = ev_i.filter(F.col("event_id") % 2 == 1)
+    mid_us = _interval_join_boundary_us(clicks, purchases)
+    ts_us = {
+        r["event_id"]: r["us"]
+        for r in ev_i.select(
+            "event_id", F.unix_micros("tsi").alias("us")
+        ).collect()
+    }
+    pairs = out.select("click_id", "purchase_id").collect()
+    cross = [
+        (r.click_id, r.purchase_id)
+        for r in pairs
+        if ts_us[r.click_id] < mid_us <= ts_us[r.purchase_id]
+    ]
+    assert len(pairs) > 0
+    assert len(cross) > 0, (
+        "no match straddles the drain boundary — the two-drain "
+        "structure is not exercising checkpointed join state"
+    )
