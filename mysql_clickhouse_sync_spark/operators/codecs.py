@@ -324,16 +324,130 @@ class PngImageCodec:
         return encode_png(rgb)
 
 
+# -- WAV (PCM) audio ---------------------------------------------------
+#
+# Third in-repo codec, SECOND MODALITY: the audio registry previously
+# shipped empty (decode sites raised with injection instructions —
+# honest, but the audio seam was never executed).  RIFF/WAVE with
+# 16-bit or 8-bit PCM covers the interchange format audio datasets
+# actually ship; waveform decodes to float64 in [-1, 1) (the
+# soundfile convention: int16/32768, uint8 offset-binary/(128)).
+# Layout per the public RIFF spec: 'RIFF' size 'WAVE', then chunks;
+# 'fmt ' carries (audio_format=1 PCM, channels, sample rate, byte
+# rate, block align, bits); 'data' carries interleaved samples.
+# Multi-channel decodes to the per-sample channel MEAN (the mono
+# downmix the featurizer expects).
+
+_RIFF_MAGIC = b"RIFF"
+_WAVE_MAGIC = b"WAVE"
+
+
+def encode_wav(samples, rate: int = 16_000, bits: int = 16) -> bytes:
+    """float array in [-1, 1] -> mono PCM WAV bytes (16- or 8-bit).
+    Values are clipped then quantized with round-half-away (numpy
+    ``round``) — the exact inverse of :func:`decode_wav`'s scaling,
+    so a round-trip is lossless up to the quantization step."""
+    import numpy as np
+
+    x = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    if x.ndim != 1:
+        raise ValueError(f"encode_wav needs a 1-D array, got {x.shape}")
+    if bits == 16:
+        pcm = np.clip(np.round(x * 32768.0), -32768, 32767).astype("<i2")
+    elif bits == 8:
+        pcm = np.clip(np.round(x * 128.0) + 128, 0, 255).astype(np.uint8)
+    else:
+        raise ValueError(f"encode_wav supports bits=16|8, got {bits}")
+    data = pcm.tobytes()
+    block = bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, 1, rate, rate * block, block, bits
+    )
+    body = (
+        _WAVE_MAGIC
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return _RIFF_MAGIC + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes):
+    """PCM WAV bytes -> (waveform float64 in [-1, 1), sample_rate).
+    Accepts 16-bit and 8-bit PCM, any channel count (downmixed to
+    mono by per-sample mean); rejects compressed formats and
+    malformed chunk streams with the real cause."""
+    import numpy as np
+
+    if payload is None or len(payload) < 12:
+        raise ValueError("not a WAV: payload shorter than the RIFF header")
+    if bytes(payload[:4]) != _RIFF_MAGIC or bytes(payload[8:12]) != _WAVE_MAGIC:
+        raise ValueError("not a WAV: bad RIFF/WAVE magic")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        ctype = bytes(payload[pos : pos + 4])
+        (length,) = struct.unpack_from("<I", payload, pos + 4)
+        chunk = bytes(payload[pos + 8 : pos + 8 + length])
+        if len(chunk) < length:
+            raise ValueError(f"truncated WAV chunk {ctype!r}")
+        if ctype == b"fmt ":
+            fmt = chunk
+        elif ctype == b"data":
+            data = chunk
+        # chunks are word-aligned: odd sizes carry a pad byte
+        pos += 8 + length + (length & 1)
+    if fmt is None or data is None:
+        raise ValueError("not a WAV: missing fmt/data chunk")
+    audio_format, channels, rate, _br, _ba, bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0
+    )
+    if audio_format != 1:
+        raise ValueError(
+            f"unsupported WAV: audio_format={audio_format} (only PCM=1)"
+        )
+    if channels < 1 or rate <= 0:
+        raise ValueError(f"bad WAV header: channels={channels} rate={rate}")
+    if bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif bits == 8:
+        x = (
+            np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0
+        ) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV: bits={bits} (only 16|8 PCM)")
+    if channels > 1:
+        n = (len(x) // channels) * channels
+        x = x[:n].reshape(-1, channels).mean(axis=1)
+    return x, int(rate)
+
+
+class WavAudioCodec:
+    """In-repo PCM audio codec: stdlib struct + numpy.  ``decode``
+    returns the waveform alone (the featurizer contract —
+    ``operators/multimodal.py::_real_decode`` audio branch);
+    ``decode_with_rate`` exposes the sample rate too."""
+
+    def decode(self, payload: bytes):
+        return decode_wav(payload)[0]
+
+    def decode_with_rate(self, payload: bytes):
+        return decode_wav(payload)
+
+    def encode(self, samples, rate: int = 16_000, bits: int = 16) -> bytes:
+        return encode_wav(samples, rate, bits)
+
+
 # MIME -> codec registries.  Image ships two working defaults (BMP
-# uncompressed, PNG zlib-compressed); audio/video ship EMPTY — the
-# injection points exist, and the decode sites raise with these names
-# so a deployment knows exactly where to plug soundfile/av-backed
-# implementations.
+# uncompressed, PNG zlib-compressed) and audio ships PCM WAV; video
+# ships EMPTY — the injection point exists, and the decode sites
+# raise with these names so a deployment knows exactly where to plug
+# av-backed implementations.
 _IMAGE_CODECS: dict[str, object] = {
     "image/bmp": BmpImageCodec(),
     "image/png": PngImageCodec(),
 }
-_AUDIO_CODECS: dict[str, object] = {}
+_AUDIO_CODECS: dict[str, object] = {"audio/wav": WavAudioCodec()}
 _VIDEO_DEMUXERS: dict[str, object] = {}
 
 

@@ -238,6 +238,102 @@ def media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_stats(_gradient_media(docs, "image/png")).drop("n_bytes")
 
 
+def _pcm_wav_media(docs: DataFrame) -> DataFrame:
+    """doc ids -> REAL mono 8-bit PCM WAV payloads via the production
+    encoder (operators/codecs.py::encode_wav).  Sample values are
+    closed-form dyadic rationals so every waveform statistic is exact
+    in BOTH engines:
+
+      n_samples = 50 + id % 40
+      rate      = 8000 + (id % 4) * 1000
+      sample k  = ((7·id + 13·k) % 256 - 128) / 128
+
+    8-bit quantization stores exactly (7·id + 13·k) % 256, so decode
+    returns the sample values bit-exactly; sums of i/128 with n <= 89
+    stay exact in float64 (dyadic, far under 2^53), making mean/RMS
+    order-insensitive and oracle-reproducible.
+    """
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.codecs import encode_wav
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 50 + did % 40
+                rate = 8000 + (did % 4) * 1000
+                k = np.arange(n)
+                x = (((7 * did + 13 * k) % 256) - 128) / 128.0
+                rows.append(
+                    (
+                        did,
+                        "audio",
+                        "audio/wav",
+                        bytearray(encode_wav(x, rate=rate, bits=8)),
+                        None,
+                        None,
+                        int(n * 1000 / rate),
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+                )
+
+    return docs.select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+
+
+@register(
+    "media_audio_stats",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, 50 + doc_id % 40 AS n,
+               CAST(8000 + (doc_id % 4) * 1000 AS INT) AS rate
+        FROM documents
+    ), s AS (
+        SELECT doc_id, n, rate,
+           list_sum(list_transform(range(0, n),
+               k -> (7*doc_id + 13*k) % 256 - 128)) AS s1,
+           list_sum(list_transform(range(0, n),
+               k -> ((7*doc_id + 13*k) % 256 - 128)
+                    * ((7*doc_id + 13*k) % 256 - 128))) AS s2
+        FROM d
+    )
+    SELECT doc_id AS media_id,
+           CAST(n AS BIGINT) AS n_samples,
+           rate AS sample_rate,
+           (CAST(s1 AS DOUBLE) / 128.0) / n AS mean_amp,
+           sqrt((CAST(s2 AS DOUBLE) / 16384.0) / n) AS rms_amp,
+           CAST((7*doc_id) % 256 - 128 AS DOUBLE) / 128.0 AS amp0,
+           CAST((7*doc_id + 13*(n-1)) % 256 - 128 AS DOUBLE) / 128.0
+               AS amp_last
+    FROM s
+    """,
+    description="REAL AUDIO decode path — the SECOND MODALITY through "
+    "the codec registry (previously the audio seam shipped empty and "
+    "only raised): tiny real mono PCM WAVs are encoded per doc by the "
+    "production encoder (8-bit PCM — quantization stores the "
+    "closed-form sample bytes exactly) and decoded back through "
+    "audio_stats via the registered WAV codec (RIFF chunk walk, "
+    "PCM scaling, channel downmix).  Every output is a closed-form "
+    "dyadic function of the id: PCM sample sums are EXACT in float64, "
+    "so mean/RMS amplitude hash-match DuckDB bit-for-bit, and the "
+    "first/last samples pin sample order the way image corner pixels "
+    "pin row order.  The decoder is independently pinned against "
+    "hand-constructed RIFF bytes (incl. stereo downmix and 16-bit "
+    "scaling) in tests/test_codecs.py",
+)
+def media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import audio_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_stats(_pcm_wav_media(docs))
+
+
 @register(
     "media_exact_dedup",
     oracle="""

@@ -169,6 +169,11 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 # exercised), proving the registry seam handles a COMPRESSED format.
 # OUT: orders_value_histogram (green r6; the width_bucket histogram
 # stays hash-checked by check_oracle/ci_gate every round).
+# Also IN (enter-on-add): media_audio_stats — the SECOND MODALITY
+# through the codec registry (PCM WAV decode, closed-form dyadic
+# waveform stats hash-matched bit-for-bit).  OUT:
+# media_resized_images (green r4-r6; the resize path stays bench-timed
+# and hash-checked every round; media keeps 3 graded rows).
 DRIVER_WINDOW = (
     # CDC sentinels (7 graded rows)
     "cdc_live_orders",
@@ -223,10 +228,10 @@ DRIVER_WINDOW = (
     "emb_semantic_dedup",
     "emb_topk_vs_index",
     "emb_dedup_incremental",
-    # multimodal (incl. the round-6/7 real-codec paths)
-    "media_resized_images",
+    # multimodal (incl. the round-6/7 real-codec paths: BMP, PNG, WAV)
     "media_decode_real",
     "media_decode_png",
+    "media_audio_stats",
     # SQL surface
     "sql_live_segment_stats",
     # sampling

@@ -404,3 +404,76 @@ def test_png_rejects_malformed():
         encode_png(np.zeros((2, 2, 3), dtype=np.int32))
     with pytest.raises(ValueError, match="non-empty"):
         encode_png(np.zeros((0, 2, 3), dtype=np.uint8))
+
+
+# -- WAV codec ---------------------------------------------------------
+
+def _wav_golden_bytes():
+    """Hand-constructed RIFF/WAVE, independent of encode_wav: 16-bit
+    PCM STEREO at 22050 Hz, two frames — (16384, -16384), (8192, 0)
+    — so the mono downmix must yield [0.0, 0.125]."""
+    import struct as _st
+
+    fmt = _st.pack("<HHIIHH", 1, 2, 22050, 22050 * 4, 4, 16)
+    data = _st.pack("<4h", 16384, -16384, 8192, 0)
+    body = (b"WAVE"
+            + b"fmt " + _st.pack("<I", len(fmt)) + fmt
+            + b"data" + _st.pack("<I", len(data)) + data)
+    return b"RIFF" + _st.pack("<I", len(body)) + body
+
+
+def test_wav_decode_golden_bytes_stereo_downmix():
+    from mysql_clickhouse_sync_spark.operators.codecs import decode_wav
+
+    wave, rate = decode_wav(_wav_golden_bytes())
+    assert rate == 22050
+    assert wave.tolist() == [0.0, 0.125]
+
+
+def test_wav_round_trip_8_and_16_bit():
+    from mysql_clickhouse_sync_spark.operators.codecs import (
+        decode_wav,
+        encode_wav,
+    )
+
+    x = (np.arange(-128, 128) / 128.0)
+    for bits, tol in ((16, 1 / 32768.0), (8, 1 / 128.0)):
+        wave, rate = decode_wav(encode_wav(x, rate=16000, bits=bits))
+        assert rate == 16000
+        assert np.abs(wave - np.clip(x, -1, 1)).max() <= tol
+    # 8-bit dyadic values with denominator 128 round-trip EXACTLY
+    # (the property media_audio_stats' closed-form oracle relies on)
+    d = (np.arange(90) * 13 % 256 - 128) / 128.0
+    wave, _ = decode_wav(encode_wav(d, bits=8))
+    assert wave.tolist() == d.tolist()
+
+
+def test_wav_rejects_malformed():
+    import struct as _st
+
+    from mysql_clickhouse_sync_spark.operators.codecs import (
+        decode_wav,
+        encode_wav,
+    )
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"RIFX" + b"\x00" * 20)
+    with pytest.raises(ValueError, match="missing fmt"):
+        decode_wav(b"RIFF" + _st.pack("<I", 4) + b"WAVE")
+    good = bytearray(encode_wav(np.zeros(4), bits=16))
+    # audio_format byte inside fmt chunk (12 riff/wave + 8 hdr)
+    good[20] = 85                    # MP3 format tag
+    with pytest.raises(ValueError, match="only PCM"):
+        decode_wav(bytes(good))
+    with pytest.raises(ValueError, match="bits=16|8"):
+        encode_wav(np.zeros(4), bits=24)
+
+
+def test_wav_registry_default():
+    from mysql_clickhouse_sync_spark.operators.codecs import (
+        WavAudioCodec,
+        audio_codec_for,
+    )
+
+    assert isinstance(audio_codec_for("audio/wav"), WavAudioCodec)
+    assert audio_codec_for("audio/mpeg") is None

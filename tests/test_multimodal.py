@@ -33,8 +33,15 @@ def test_decode_schema_and_determinism(spark):
 
 
 def test_real_decode_raises_cleanly(spark):
+    # synthetic payloads are digest junk, not real containers: with
+    # PNG and WAV codecs now registered by default, the real path
+    # fails with the codec's HONEST parse error (bad magic), and the
+    # video branch still raises the demux NotImplementedError — never
+    # a silent wrong decode
     media = synthetic_media(spark, 3)
-    with pytest.raises(Exception, match="NotImplementedError|not available"):
+    with pytest.raises(
+        Exception, match="not a PNG|not a WAV|NotImplementedError"
+    ):
         decode_and_featurize(media, decode_kind="real").collect()
     with pytest.raises(ValueError):
         decode_and_featurize(media, decode_kind="nope")

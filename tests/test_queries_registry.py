@@ -114,6 +114,9 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         # and the second real codec path (stdlib-zlib PNG);
         # orders_value_histogram (green r6) cedes its slot
         "media_decode_png",
+        # and the second MODALITY (PCM WAV audio decode);
+        # media_resized_images (green r4-r6) cedes its slot
+        "media_audio_stats",
     }
     assert required <= window, sorted(required - window)
     # every docs_/emb_/media_/sql_ query is in the graded window,
@@ -165,6 +168,9 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         # late-r6: slot ceded to cdc_streaming_upsert; decode path now
         # more strongly graded by media_decode_real
         "media_decode_features",
+        # r7: slot ceded to media_audio_stats (second modality); the
+        # resize path stays bench-timed + hash-checked every round
+        "media_resized_images",
         # r7 (quiet-window, enter-on-add only): slot ceded to the
         # incremental embedding-index rows (emb_topk_vs_index,
         # emb_dedup_incremental); green r5-r6, cross-doc chunk spans
