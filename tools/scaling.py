@@ -67,6 +67,13 @@ SWEEP = (
                                      # shape, swept directly)
     "media_decode_features",         # Arrow decode pipeline
     "corpus_curation_v2",            # multi-stage corpus pipeline
+    # r7 stored-index incremental lifecycle (the batch-vs-index
+    # plans a daily ingest runs; audit mass included — the contract
+    # versions are what the driver grades)
+    "emb_topk_vs_index",
+    "emb_dedup_incremental",
+    "media_decode_png",              # zlib decode in the Arrow loop
+    "media_audio_stats",             # PCM decode in the Arrow loop
 )
 
 
