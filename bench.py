@@ -397,8 +397,12 @@ def main() -> None:
         "extended_total_sec": ext_total,
         # Load stamps make the artifact self-describing (r6 verdict
         # item 2): a loaded host shows up HERE, not only in prose.
-        # load_1m_* are 1-minute load averages at the marked points;
-        # idle_gate records the pre-run wait protocol outcome.
+        # Reading them: idle_gate.load_1m is the PRE-WARMUP ambient
+        # reading (the r6-style contamination detector); the in-run
+        # load_1m_* stamps include bench's OWN executor load (a
+        # 32-thread session idles around 3-4 here), so their value is
+        # cross-round comparison at identical workload — a jump to
+        # 6-8 means ambient contention rode on top of the run.
         "idle_gate": idle,
         "load_1m_before_headline": load_before,
         "load_1m_after_headline": load_after_headline,
