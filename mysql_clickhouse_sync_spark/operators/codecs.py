@@ -259,8 +259,12 @@ def decode_png(payload: bytes):
         pos += 12 + length           # len + type + data + crc
     if ihdr is None:
         raise ValueError("not a PNG: missing IHDR")
-    w, h, depth, color, comp, filt, interlace = struct.unpack(
-        ">IIBBBBB", ihdr
+    if len(ihdr) < 13:          # spec: IHDR data is exactly 13 bytes
+        raise ValueError(
+            f"corrupt PNG: IHDR is {len(ihdr)} bytes, expected 13"
+        )
+    w, h, depth, color, comp, filt, interlace = struct.unpack_from(
+        ">IIBBBBB", ihdr, 0
     )
     if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
         raise ValueError(
@@ -344,14 +348,21 @@ _WAVE_MAGIC = b"WAVE"
 
 def encode_wav(samples, rate: int = 16_000, bits: int = 16) -> bytes:
     """float array in [-1, 1] -> mono PCM WAV bytes (16- or 8-bit).
-    Values are clipped then quantized with round-half-away (numpy
-    ``round``) — the exact inverse of :func:`decode_wav`'s scaling,
-    so a round-trip is lossless up to the quantization step."""
+    Values are clipped then quantized with numpy ``round``
+    (round-half-to-even, banker's rounding) against the exact inverse
+    of :func:`decode_wav`'s scaling, so a round-trip is lossless up
+    to the quantization step — and EXACT for values already on the
+    quantization grid (the property the closed-form oracle uses)."""
     import numpy as np
 
     x = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
     if x.ndim != 1:
         raise ValueError(f"encode_wav needs a 1-D array, got {x.shape}")
+    if len(x) == 0:
+        # symmetric edge rejection (same contract as encode_bmp /
+        # encode_png): an empty clip would decode to an empty
+        # waveform and fail only deep inside an executor-side kernel
+        raise ValueError("encode_wav needs a non-empty sample array")
     if bits == 16:
         pcm = np.clip(np.round(x * 32768.0), -32768, 32767).astype("<i2")
     elif bits == 8:
@@ -399,6 +410,10 @@ def decode_wav(payload: bytes):
         pos += 8 + length + (length & 1)
     if fmt is None or data is None:
         raise ValueError("not a WAV: missing fmt/data chunk")
+    if len(fmt) < 16:           # spec: PCM fmt chunk is >= 16 bytes
+        raise ValueError(
+            f"corrupt WAV: fmt chunk is {len(fmt)} bytes, expected >= 16"
+        )
     audio_format, channels, rate, _br, _ba, bits = struct.unpack_from(
         "<HHIIHH", fmt, 0
     )

@@ -160,6 +160,43 @@ def brute_force_topk(
     )
 
 
+def _integral_id_types():
+    """SQL/numpy type pairs for integral id columns — ONE shared map
+    for both bucket pair kernels, so the supported-id contract cannot
+    drift between them."""
+    import numpy as np
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    return {
+        LongType(): ("bigint", np.int64),
+        IntegerType(): ("int", np.int32),
+        ShortType(): ("smallint", np.int16),
+        ByteType(): ("tinyint", np.int8),
+    }
+
+
+def _sequential_pair_scores(U, ia, ib):
+    """Dot products for the index pairs (ia, ib) over row matrix U,
+    accumulated DIMENSION-SEQUENTIALLY with preallocated out= buffers
+    — the exact multiply-then-add IEEE sequence of the interpreted
+    fold.  ONE shared kernel for both bucket pair generators: the
+    bit-identity-with-the-fold contract lives here, so a future
+    accumulation change cannot silently diverge the two."""
+    import numpy as np
+
+    npairs = len(ia)
+    acc = np.zeros(npairs)
+    ga = np.empty(npairs)
+    gb = np.empty(npairs)
+    tmp = np.empty(npairs)
+    for i in range(U.shape[1]):
+        np.take(U[:, i], ia, out=ga)
+        np.take(U[:, i], ib, out=gb)
+        np.multiply(ga, gb, out=tmp)
+        np.add(acc, tmp, out=acc)
+    return acc
+
+
 def bucket_cosine_pairs_vectorized(
     df: DataFrame,
     bucket_col: str,
@@ -195,22 +232,13 @@ def bucket_cosine_pairs_vectorized(
     numpy integer array; a non-integral id fails HERE at planning with
     the real cause, not inside an executor-side Arrow kernel).
     """
-    import numpy as np
-    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
-
-    _ID_TYPES = {
-        LongType(): ("bigint", np.int64),
-        IntegerType(): ("int", np.int32),
-        ShortType(): ("smallint", np.int16),
-        ByteType(): ("tinyint", np.int8),
-    }
     id_type = df.schema[id_col].dataType
-    if id_type not in _ID_TYPES:
+    if id_type not in _integral_id_types():
         raise TypeError(
             f"bucket_cosine_pairs_vectorized needs an integral id "
             f"column; {id_col} is {id_type.simpleString()}"
         )
-    sql_t, np_t = _ID_TYPES[id_type]
+    sql_t, np_t = _integral_id_types()[id_type]
 
     def gen(key, pdf):
         import numpy as np
@@ -230,19 +258,7 @@ def bucket_cosine_pairs_vectorized(
         U = np.stack(pdf[vec_col].to_numpy())[order].astype(np.float64)
         # sorted ids + upper-triangle indices => id_a < id_b for free
         ia, ib = np.triu_indices(n, k=1)
-        npairs = len(ia)
-        acc = np.zeros(npairs)
-        ga = np.empty(npairs)
-        gb = np.empty(npairs)
-        tmp = np.empty(npairs)
-        # out= buffers keep the EXACT multiply-then-add IEEE sequence
-        # of the interpreted fold (bit-identity is the contract) while
-        # reusing memory across the dimension loop.
-        for i in range(U.shape[1]):
-            np.take(U[:, i], ia, out=ga)
-            np.take(U[:, i], ib, out=gb)
-            np.multiply(ga, gb, out=tmp)
-            np.add(acc, tmp, out=acc)
+        acc = _sequential_pair_scores(U, ia, ib)
         m = acc >= threshold
         return pd.DataFrame({"id_a": ids[ia[m]], "id_b": ids[ib[m]]})
 
@@ -282,24 +298,21 @@ def bucket_cosine_pairs_vs_index_vectorized(
     whole — the same degenerate-quantizer guard.
 
     Output: ``(id_a, id_b)`` with ``id_a < id_b``, typed as the input
-    id column (integral ids only, checked at planning).
+    id column (integral ids only, checked at planning).  A batch row
+    REUSING a stored id (at-least-once redelivery of an already-
+    indexed vector) pairs with everything EXCEPT its own stored twin
+    — the ``ids differ`` guard below — so no self-loop edge ever
+    reaches the component step; collapsing such redeliveries is the
+    caller's contract (see :func:`plans.similarity_queries.
+    semantic_dedup_vs_index`).
     """
-    import numpy as np
-    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
-
-    _ID_TYPES = {
-        LongType(): ("bigint", np.int64),
-        IntegerType(): ("int", np.int32),
-        ShortType(): ("smallint", np.int16),
-        ByteType(): ("tinyint", np.int8),
-    }
     id_type = df.schema[id_col].dataType
-    if id_type not in _ID_TYPES:
+    if id_type not in _integral_id_types():
         raise TypeError(
             f"bucket_cosine_pairs_vs_index_vectorized needs an integral "
             f"id column; {id_col} is {id_type.simpleString()}"
         )
-    sql_t, np_t = _ID_TYPES[id_type]
+    sql_t, np_t = _integral_id_types()[id_type]
 
     def gen(key, pdf):
         import numpy as np
@@ -334,19 +347,12 @@ def bucket_cosine_pairs_vs_index_vectorized(
             return empty
         ia = np.concatenate(parts_a)
         ib = np.concatenate(parts_b)
-        npairs = len(ia)
-        acc = np.zeros(npairs)
-        ga = np.empty(npairs)
-        gb = np.empty(npairs)
-        tmp = np.empty(npairs)
-        # identical multiply-then-add IEEE sequence as the self-dedup
-        # kernel and the interpreted fold — bit-identity is the contract
-        for i in range(U.shape[1]):
-            np.take(U[:, i], ia, out=ga)
-            np.take(U[:, i], ib, out=gb)
-            np.multiply(ga, gb, out=tmp)
-            np.add(acc, tmp, out=acc)
-        m = acc >= threshold
+        # shared bit-identity scoring kernel (same IEEE sequence as
+        # the self-dedup generator and the interpreted fold)
+        acc = _sequential_pair_scores(U, ia, ib)
+        # drop self-pairs: a redelivered batch row shares its id with
+        # its stored twin; pairing them would emit id_a == id_b
+        m = (acc >= threshold) & (ids[ia] != ids[ib])
         # ids sorted ascending => index order == id order => id_a < id_b
         return pd.DataFrame({"id_a": ids[ia[m]], "id_b": ids[ib[m]]})
 

@@ -806,13 +806,19 @@ def semantic_index_build(
     ``partitionBy("cid")`` so the batch's within-cell joins prune to
     touched cells at the scan):
 
-    * ``centroids`` — ``(cid, cu)``: the first-k-by-id quantizer
-      (k ~ |corpus|/target_bucket, the SQL-mirrorable rule
-      ``emb_semantic_dedup`` uses);
+    * ``centroids`` — ``(cid, cu, k_nominal)``: the first-k-by-id
+      quantizer (k ~ |corpus|/target_bucket, the SQL-mirrorable rule
+      ``emb_semantic_dedup`` uses).  ``k_nominal`` persists the
+      NOMINAL k the two-level cell rule was derived from: for corpora
+      smaller than the k floor the centroid ROW COUNT is less than k,
+      and an ingest run re-deriving n_coarse = isqrt(count) would
+      assign through a DIFFERENT cell split than the build did — the
+      stored value makes the rule reload-stable;
     * ``assigned`` — ``(vec_id, u, cid)``: every corpus vector,
       normalized, with its centroid cell (two-level assignment);
     * ``pairs`` — ``(id_a, id_b)``: the corpus' own within-cell
-      >= 0.35-cosine near-dup pairs (each once, a < b).
+      >= 0.35-cosine near-dup pairs (each once, a < b; cells past
+      ``max_bucket`` dropped whole — the degenerate-quantizer guard).
 
     Round-trip + merge equality is pinned in tests/test_similarity.py.
     """
@@ -823,9 +829,23 @@ def semantic_index_build(
         _two_level_scored(emb, cents, n_centroids)
     ).localCheckpoint()
     pairs = bucket_cosine_pairs_vectorized(
-        assigned, "cid", "vec_id", "u", threshold=0.35, max_bucket=4096
+        assigned, "cid", "vec_id", "u",
+        threshold=0.35, max_bucket=_SEMANTIC_MAX_BUCKET,
     )
-    return {"centroids": cents, "assigned": assigned, "pairs": pairs}
+    return {
+        "centroids": cents.withColumn(
+            "k_nominal", F.lit(int(n_centroids))
+        ),
+        "assigned": assigned,
+        "pairs": pairs,
+    }
+
+
+# Degenerate-quantizer guard shared by the build and the incremental
+# path: a cell past this size (by the GROWN old+new population for the
+# incremental path) is dropped whole — pairs dropped at build stay
+# consistent with pairs dropped at ingest.
+_SEMANTIC_MAX_BUCKET = 4096
 
 
 def semantic_dedup_vs_index(
@@ -837,16 +857,26 @@ def semantic_dedup_vs_index(
     """INCREMENTAL semantic dedup: a new ingest batch against a stored
     index (:func:`semantic_index_build`, typically reloaded from
     parquet).  The batch is normalized and assigned to the STORED
-    centroids via the same two-level cell rule, paired ONLY within its
-    cells and ONLY against (stored + batch) members — stored-stored
-    pairs come from the index, so pair work tracks the batch — and the
-    merged pair set feeds connected components over the full corpus.
+    centroids via the same two-level cell rule (n derived from the
+    persisted ``k_nominal``, so the cell split matches the build even
+    below the k floor), paired ONLY within its cells and ONLY against
+    (stored + batch) members — stored-stored pairs come from the
+    index, so pair work tracks the batch — and the merged pair set
+    feeds connected components over the full corpus.
 
     By construction the merged pair set equals what a from-scratch run
-    with the SAME centroids would produce (stored pairs ∪
-    batch-involving pairs = all within-cell pairs), so the output is
-    the exact clustering of the grown corpus under the stored
+    with the SAME centroids and cap would produce: stored pairs ∪
+    batch-involving pairs = all within-cell pairs, and a cell whose
+    GROWN size passes ``_SEMANTIC_MAX_BUCKET`` is dropped whole —
+    including its STORED pairs (the anti-join below), exactly as a
+    from-scratch run over the grown corpus would drop it.  The output
+    is the exact clustering of the grown corpus under the stored
     quantizer — the deterministic contract the DuckDB oracle mirrors.
+
+    Batch ids must be disjoint from stored ids: a redelivered
+    already-indexed vector should be collapsed upstream (the CDC
+    dedup-latest path owns at-least-once absorption); the pair kernel
+    additionally refuses to emit a self-pair for such rows.
 
     Output: ``(vec_id, centroid_id, cluster_id, is_keeper, is_new)``
     for EVERY vector (stored + batch) — ``is_new`` marks batch rows.
@@ -856,7 +886,12 @@ def semantic_dedup_vs_index(
         bucket_cosine_pairs_vs_index_vectorized,
     )
 
-    n_centroids = centroids.count()   # k rows by contract — cheap
+    if "k_nominal" in centroids.columns:
+        # the NOMINAL k of the build's cell rule (reload-stable even
+        # when the centroid row count sits below the k floor)
+        n_centroids = int(centroids.select("k_nominal").first()[0])
+    else:                       # legacy index without the column
+        n_centroids = centroids.count()
     new_assigned = _assign_nearest_centroid(
         _two_level_scored(_normalized_vectors(new_raw), centroids,
                           n_centroids)
@@ -869,11 +904,32 @@ def semantic_dedup_vs_index(
     )
     new_pairs = bucket_cosine_pairs_vs_index_vectorized(
         combined, "cid", "vec_id", "u", "_is_new",
-        threshold=0.35, max_bucket=4096,
+        threshold=0.35, max_bucket=_SEMANTIC_MAX_BUCKET,
+    )
+    # Cap consistency: cells whose GROWN population exceeds the guard
+    # emit no new pairs (kernel drops them) — their STORED pairs must
+    # go too, or the merged set would differ from a from-scratch run
+    # over the grown corpus.  ``over`` is near-empty by construction
+    # (target_bucket sizing keeps cells ~1k), so the anti-join is a
+    # broadcast no-op in the healthy case.
+    over = (
+        combined.groupBy("cid")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > _SEMANTIC_MAX_BUCKET)
+        .select("cid")
+    )
+    stored_pairs = (
+        pairs.select("id_a", "id_b")
+        .join(
+            assigned.select(F.col("vec_id").alias("id_a"), "cid"),
+            "id_a",
+        )
+        .join(F.broadcast(over), "cid", "left_anti")
+        .select("id_a", "id_b")
     )
     # disjoint by construction: stored pairs are old-old, new_pairs
     # involve >= 1 batch row — union keeps each pair exactly once
-    all_pairs = pairs.select("id_a", "id_b").unionByName(new_pairs)
+    all_pairs = stored_pairs.unionByName(new_pairs)
     clusters = dedup_clusters(
         combined.select("vec_id"), all_pairs, id_col="vec_id",
         unique_pairs=True,

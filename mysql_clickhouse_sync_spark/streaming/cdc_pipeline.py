@@ -188,12 +188,15 @@ class CDCStreamPipeline:
         by file, not schema, so committed files are never re-read;
         new files decode with the wider schema; the parquet sink
         appends wider rows alongside the old files; and
-        ``table_df()``'s mergeSchema read + ``live_view``'s derived
-        projection surface the union schema with NULLs on
-        pre-evolution rows — merge-on-read absorbs schema history the
-        same way it absorbs version history.  (The matching
-        target-side DDL for JDBC sinks is
-        ``sources/dialects.py::add_column_ddl``.)
+        ``table_df()`` reads the whole dir under the EXPLICIT current
+        schema (derived from this pipeline's stamping code) — older
+        files null-fill added columns and narrow-typed files promote
+        under safe widenings, which parquet schema MERGE would reject
+        — so ``live_view``'s projection surfaces the union schema and
+        merge-on-read absorbs schema history the same way it absorbs
+        version history.  (The matching target-side DDL for JDBC
+        sinks is ``sources/dialects.py::add_column_ddl`` /
+        ``modify_column_type_ddl``.)
         """
         validate_additive_evolution(self.changelog_schema, new_schema)
         self.changelog_schema = new_schema

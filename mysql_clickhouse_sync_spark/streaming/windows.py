@@ -188,6 +188,14 @@ def _make_upsert_fn(pk_col: str, payload_cols: list[str]):
                 # NULL.  (A nullable integral payload column arrives
                 # float64-widened from Arrow — pandas semantics; the
                 # output schema coerces it back on emit.)
+                # DOCUMENTED LIMIT: for FLOAT payload columns, SQL
+                # NULL and a genuine NaN VALUE are indistinguishable
+                # once Arrow hands pandas a float64 column (both are
+                # NaN) — this operator canonicalizes both to NULL,
+                # the overwhelmingly-common intent; a pipeline that
+                # must preserve literal NaN payloads should encode
+                # them explicitly (e.g. a string column) before the
+                # state boundary.
                 payload = tuple(
                     None
                     if p is None or (isinstance(p, float) and p != p)

@@ -477,3 +477,41 @@ def test_wav_registry_default():
 
     assert isinstance(audio_codec_for("audio/wav"), WavAudioCodec)
     assert audio_codec_for("audio/mpeg") is None
+
+
+def test_png_wav_short_header_chunks_raise_valueerror():
+    """Malformed-but-self-consistent chunk streams (IHDR shorter than
+    13 bytes, fmt shorter than 16) must fail with the promised
+    ValueError, not a bare struct.error (review finding)."""
+    import struct as _st
+    import zlib
+
+    from mysql_clickhouse_sync_spark.operators.codecs import (
+        decode_png,
+        decode_wav,
+    )
+
+    def chunk(ctype, data):
+        return (_st.pack(">I", len(data)) + ctype + data
+                + _st.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    short_ihdr = (b"\x89PNG\r\n\x1a\n"
+                  + chunk(b"IHDR", b"\x00" * 5)
+                  + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="IHDR is 5 bytes"):
+        decode_png(short_ihdr)
+
+    short_fmt = b"\x00" * 8
+    body = (b"WAVE"
+            + b"fmt " + _st.pack("<I", len(short_fmt)) + short_fmt
+            + b"data" + _st.pack("<I", 0))
+    wav = b"RIFF" + _st.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="fmt chunk is 8 bytes"):
+        decode_wav(wav)
+
+
+def test_wav_encode_rejects_empty():
+    from mysql_clickhouse_sync_spark.operators.codecs import encode_wav
+
+    with pytest.raises(ValueError, match="non-empty"):
+        encode_wav(np.array([]))

@@ -761,3 +761,70 @@ def test_semantic_index_parquet_round_trip(spark, tmp_path):
     n_total = emb.count()
     assert len(from_disk) == n_total
     assert sum(1 for t in from_disk if t[4]) == new.count()
+
+
+def test_vs_index_pair_kernel_never_emits_self_pairs(spark):
+    """A batch row REUSING a stored id (at-least-once redelivery of an
+    already-indexed vector) must not pair with its own stored twin —
+    min/max of positions would otherwise emit id_a == id_b and feed a
+    self-loop edge to the component step (review finding)."""
+    from mysql_clickhouse_sync_spark.operators.similarity import (
+        bucket_cosine_pairs_vs_index_vectorized,
+    )
+
+    rows = [
+        # stored: ids 1, 2; batch redelivers id 1 verbatim + adds 3
+        (1, 0, [1.0, 0.0], False),
+        (2, 0, [0.0, 1.0], False),
+        (1, 0, [1.0, 0.0], True),
+        (3, 0, [1.0, 0.0], True),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, cid int, u array<double>, _is_new boolean"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in bucket_cosine_pairs_vs_index_vectorized(
+            df, "cid", "vec_id", "u", "_is_new", threshold=0.9
+        ).collect()
+    }
+    assert all(a != b for a, b in got)
+    # the redelivered row still pairs with OTHER parallel vectors
+    assert (1, 3) in got
+
+
+def test_semantic_index_stores_nominal_k(spark):
+    """The centroid relation persists the NOMINAL k its cell rule was
+    derived from: for corpora below the k floor the centroid row
+    count is smaller than k, and re-deriving n_coarse from count()
+    at ingest would assign through a DIFFERENT cell split than the
+    build used (review finding)."""
+    from pyspark.sql import Row
+
+    from mysql_clickhouse_sync_spark.plans.similarity_queries import (
+        semantic_dedup_vs_index,
+        semantic_index_build,
+    )
+
+    tiny = spark.createDataFrame(
+        [
+            Row(vec_id=i, embedding=[float(i == j) for j in range(4)])
+            for i in range(3)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    idx = semantic_index_build(tiny)
+    cents = idx["centroids"].collect()
+    assert len(cents) == 3                      # rows = corpus size
+    assert all(r["k_nominal"] == 8 for r in cents)   # nominal floor
+    batch = spark.createDataFrame(
+        [Row(vec_id=10, embedding=[1.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = semantic_dedup_vs_index(
+        idx["centroids"], idx["assigned"], idx["pairs"], batch
+    ).collect()
+    # vec 10 duplicates vec 0 exactly -> same cluster, not a keeper
+    by_id = {r.vec_id: r for r in out}
+    assert by_id[10].cluster_id == 0 and not by_id[10].is_keeper
+    assert len(out) == 4
