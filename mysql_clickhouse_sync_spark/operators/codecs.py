@@ -453,17 +453,136 @@ class WavAudioCodec:
         return encode_wav(samples, rate, bits)
 
 
+# -- AVI (RIFF) video demux --------------------------------------------
+#
+# The last modality seam: a REAL container demuxer, so the 1:N
+# frame-sampling path runs on actual video files instead of an empty
+# injection point.  Scope (honest): the RIFF/AVI CONTAINER — header
+# walk ('hdrl'/'avih' for the frame cadence), frame extraction from
+# the 'movi' list ('00db'/'00dc' chunks of the first video stream).
+# The FRAMES are opaque bytes whose codec is the stream's concern;
+# uncompressed-DIB streams carry BMP-decodable frames (our image
+# codec), while interframe codecs (H.264 etc.) still need an injected
+# av-backed demuxer+decoder — this parser makes the container walk
+# and the sampling cadence real, not the motion decode.
+
+_AVI_MAGIC = b"AVI "
+
+
+def encode_avi(frames: list, usec_per_frame: int) -> bytes:
+    """Frame byte strings -> a minimal spec-shaped AVI: RIFF('AVI ')
+    containing LIST('hdrl') with the 'avih' main header (frame
+    cadence + count) and a minimal 'strl'/'strh' video-stream header
+    (fourcc 'DIB ' — uncompressed frames), then LIST('movi') with one
+    '00db' chunk per frame (word-aligned, per the RIFF rule)."""
+    if not frames:
+        raise ValueError("encode_avi needs a non-empty frame list")
+    if usec_per_frame <= 0:
+        raise ValueError(f"bad usec_per_frame: {usec_per_frame}")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) & 1 else b""
+        return ctype + struct.pack("<I", len(data)) + data + pad
+
+    def list_chunk(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        usec_per_frame, 0, 0, 0, len(frames), 0, 1, 0, 0, 0, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0,
+        usec_per_frame, 1_000_000,      # rate/scale = fps
+        0, len(frames), 0, 0, 0, 0, 0, 0, 0,
+    )
+    hdrl = list_chunk(
+        b"hdrl", chunk(b"avih", avih) + list_chunk(b"strl", chunk(b"strh", strh))
+    )
+    movi = list_chunk(
+        b"movi", b"".join(chunk(b"00db", bytes(f)) for f in frames)
+    )
+    return chunk(b"RIFF", _AVI_MAGIC + hdrl + movi)
+
+
+def demux_avi(payload: bytes):
+    """AVI bytes -> (usec_per_frame, [frame bytes]) for the FIRST
+    video stream ('00db' uncompressed / '00dc' compressed chunks).
+    Rejects non-AVI RIFFs and a missing header/movi list with the
+    real cause; other streams' chunks (audio '01wb', index 'idx1')
+    are skipped by the same word-aligned chunk walk decode_wav uses.
+    """
+    if payload is None or len(payload) < 12:
+        raise ValueError("not an AVI: payload shorter than the RIFF header")
+    if bytes(payload[:4]) != _RIFF_MAGIC or bytes(payload[8:12]) != _AVI_MAGIC:
+        raise ValueError("not an AVI: bad RIFF/'AVI ' magic")
+    usec = None
+    frames: list[bytes] = []
+
+    def walk(buf: bytes) -> None:
+        nonlocal usec
+        pos = 0
+        while pos + 8 <= len(buf):
+            ctype = bytes(buf[pos : pos + 4])
+            (length,) = struct.unpack_from("<I", buf, pos + 4)
+            data = bytes(buf[pos + 8 : pos + 8 + length])
+            if len(data) < length:
+                raise ValueError(f"truncated AVI chunk {ctype!r}")
+            if ctype == b"LIST":
+                walk(data[4:])          # skip the 4-byte list type
+            elif ctype == b"avih":
+                if length < 4:
+                    raise ValueError(
+                        f"corrupt AVI: avih is {length} bytes"
+                    )
+                (usec,) = struct.unpack_from("<I", data, 0)
+            elif ctype in (b"00db", b"00dc"):
+                frames.append(data)
+            pos += 8 + length + (length & 1)
+
+    walk(bytes(payload[12:]))
+    if usec is None:
+        raise ValueError("not an AVI: missing avih header")
+    if usec <= 0:
+        raise ValueError(f"corrupt AVI: usec_per_frame={usec}")
+    return int(usec), frames
+
+
+class AviDemuxer:
+    """In-repo RIFF/AVI container demuxer for the sample_frames 1:N
+    path.  ``frames(payload, every_ms)`` yields one sampled frame per
+    ``every_ms`` bucket of stream time — the FIRST frame whose
+    timestamp lands in each bucket (deterministic regardless of frame
+    rate vs cadence), as ``(sample_idx, ts_ms, frame_bytes)`` where
+    ``ts_ms`` is the frame's own stream timestamp."""
+
+    def frames(self, payload: bytes, every_ms: int):
+        if every_ms <= 0:
+            raise ValueError(f"bad sampling cadence: every_ms={every_ms}")
+        usec, raw = demux_avi(payload)
+        sample_idx = 0
+        last_bucket = None
+        for k, frame in enumerate(raw):
+            ts_ms = k * usec // 1000
+            bucket = ts_ms // every_ms
+            if bucket != last_bucket:
+                yield sample_idx, ts_ms, frame
+                sample_idx += 1
+                last_bucket = bucket
+
+
 # MIME -> codec registries.  Image ships two working defaults (BMP
-# uncompressed, PNG zlib-compressed) and audio ships PCM WAV; video
-# ships EMPTY — the injection point exists, and the decode sites
-# raise with these names so a deployment knows exactly where to plug
-# av-backed implementations.
+# uncompressed, PNG zlib-compressed), audio ships PCM WAV, and video
+# ships the RIFF/AVI container demuxer (frame BYTES extraction +
+# sampling cadence; interframe codecs still need an injected
+# av-backed implementation — the decode sites name the hook).
 _IMAGE_CODECS: dict[str, object] = {
     "image/bmp": BmpImageCodec(),
     "image/png": PngImageCodec(),
 }
 _AUDIO_CODECS: dict[str, object] = {"audio/wav": WavAudioCodec()}
-_VIDEO_DEMUXERS: dict[str, object] = {}
+_VIDEO_DEMUXERS: dict[str, object] = {"video/x-msvideo": AviDemuxer()}
 
 
 def image_codec_for(mime: str | None):

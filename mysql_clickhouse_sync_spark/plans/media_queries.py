@@ -334,6 +334,140 @@ def media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_stats(_pcm_wav_media(docs))
 
 
+def _avi_bmp_media(docs: DataFrame) -> DataFrame:
+    """doc ids -> REAL tiny AVI videos of BMP frames via the
+    production encoders (operators/codecs.py::encode_avi/encode_bmp).
+    Closed-form so DuckDB regenerates every sampled frame's expected
+    statistics:
+
+      n_frames       = 2 + id % 3     (2..4 frames)
+      usec_per_frame = 500_000        (2 fps: ts 0, 500, 1000, 1500)
+      frame k        = the media_decode_real gradient with
+                       gid = id + 97*k, w = 4 + id % 5,
+                       h = 3 + (id + k) % 4
+
+    At the registered 1000 ms sampling cadence the demuxer emits the
+    first frame of each second: physical frames k = 0 and (when
+    n_frames >= 3) k = 2.
+    """
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.codecs import encode_avi, encode_bmp
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nf = 2 + did % 3
+                frames = []
+                for k in range(nf):
+                    gid = did + 97 * k
+                    w, h = 4 + did % 5, 3 + (did + k) % 4
+                    xx = np.arange(w)[None, :]
+                    yy = np.arange(h)[:, None]
+                    rgb = np.stack(
+                        [
+                            (gid + 3 * xx + 7 * yy) % 256,
+                            (2 * gid + 5 * xx + yy) % 256,
+                            (3 * gid + xx + 11 * yy) % 256,
+                        ],
+                        axis=-1,
+                    ).astype(np.uint8)
+                    frames.append(encode_bmp(rgb))
+                rows.append(
+                    (
+                        did,
+                        "video",
+                        "video/x-msvideo",
+                        bytearray(encode_avi(frames, 500_000)),
+                        None,
+                        None,
+                        nf * 500,
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+                )
+
+    return docs.select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+
+
+@register(
+    "media_video_frames",
+    oracle="""
+    WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS nf FROM documents),
+    f AS (
+        SELECT doc_id,
+               unnest(CASE WHEN nf >= 3 THEN [0, 1] ELSE [0] END) AS s
+        FROM d
+    ), g AS (
+        SELECT doc_id, s, doc_id + 97 * (2 * s) AS gid,
+               4 + doc_id % 5 AS w, 3 + (doc_id + 2 * s) % 4 AS h
+        FROM f
+    )
+    SELECT doc_id AS media_id,
+           CAST(s AS INT) AS frame_idx,
+           CAST(s * 1000 AS INT) AS ts_ms,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(gid % 256 AS INT) AS r00,
+           CAST((2*gid) % 256 AS INT) AS g00,
+           CAST((3*gid) % 256 AS INT) AS b00,
+           CAST((gid + 3*(w-1) + 7*(h-1)) % 256 AS INT) AS r_last,
+           CAST((2*gid + 5*(w-1) + (h-1)) % 256 AS INT) AS g_last,
+           CAST((3*gid + (w-1) + 11*(h-1)) % 256 AS INT) AS b_last
+    FROM g
+    """,
+    description="REAL VIDEO DEMUX path — the THIRD modality seam "
+    "becomes executable (previously the video registry shipped empty "
+    "and only raised): tiny real AVIs — RIFF container with avih "
+    "cadence header and 00db frame chunks, built by the production "
+    "encoder around BMP frames — are demuxed by the built-in "
+    "AviDemuxer through sample_frames' 1:N real path (first frame "
+    "per 1000 ms bucket at 2 fps => physical frames 0 and 2), and "
+    "every SAMPLED frame is then pixel-decoded by the image codec "
+    "registry (the two seams compose: container demux -> per-frame "
+    "image decode).  All geometry/corner outputs are closed-form in "
+    "(doc_id, sampled frame), so DuckDB regenerates the full "
+    "expected frame relation — cadence, indices, timestamps AND "
+    "pixel content; a wrong frame ORDER, a mis-walked chunk, or a "
+    "corrupted frame byte goes driver-red.  Interframe codecs "
+    "(H.264 etc.) remain the documented av-backed injection point — "
+    "this grades the container walk and sampling cadence, which is "
+    "the Spark-side work",
+)
+def media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(
+        _avi_bmp_media(docs), every_ms=1000, decode_kind="real"
+    )
+    # decode each sampled frame through the IMAGE codec seam: re-shape
+    # to the media schema with a composite id (sampled frame_idx < 10
+    # by construction), run image_stats, then decompose
+    as_imgs = frames.select(
+        (F.col("media_id") * 10 + F.col("frame_idx")).alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("image/bmp").alias("mime"),
+        F.col("frame").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    stats = image_stats(as_imgs)
+    return stats.select(
+        (F.col("media_id") / 10).cast("long").alias("media_id"),
+        (F.col("media_id") % 10).cast("int").alias("frame_idx"),
+        ((F.col("media_id") % 10) * 1000).cast("int").alias("ts_ms"),
+        "width",
+        "height",
+        "r00", "g00", "b00", "r_last", "g_last", "b_last",
+    )
+
+
 @register(
     "media_exact_dedup",
     oracle="""

@@ -174,6 +174,12 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 # waveform stats hash-matched bit-for-bit).  OUT:
 # media_resized_images (green r4-r6; the resize path stays bench-timed
 # and hash-checked every round; media keeps 3 graded rows).
+# Also IN (enter-on-add): media_video_frames — the THIRD modality
+# seam: real AVI container demux (RIFF walk, avih cadence, 00db
+# frames) composed with per-frame BMP pixel decode, fully
+# closed-form-oracled.  OUT: events_hourly_gapfill (green r6; the
+# dense-spine gap-fill stays hash-checked by check_oracle/ci_gate
+# every round).
 DRIVER_WINDOW = (
     # CDC sentinels (7 graded rows)
     "cdc_live_orders",
@@ -192,7 +198,6 @@ DRIVER_WINDOW = (
     # event analytics
     "events_props_profile",
     "events_value_percentiles",
-    "events_hourly_gapfill",
     "events_retention_cohorts",
     "events_value_quantiles",
     # streaming runtimes (end-to-end, batch-oracle-verified)
@@ -228,10 +233,12 @@ DRIVER_WINDOW = (
     "emb_semantic_dedup",
     "emb_topk_vs_index",
     "emb_dedup_incremental",
-    # multimodal (incl. the round-6/7 real-codec paths: BMP, PNG, WAV)
+    # multimodal (incl. the round-6/7 real-codec paths:
+    # BMP, PNG, WAV, AVI demux)
     "media_decode_real",
     "media_decode_png",
     "media_audio_stats",
+    "media_video_frames",
     # SQL surface
     "sql_live_segment_stats",
     # sampling

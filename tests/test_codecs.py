@@ -515,3 +515,84 @@ def test_wav_encode_rejects_empty():
 
     with pytest.raises(ValueError, match="non-empty"):
         encode_wav(np.array([]))
+
+
+# -- AVI demux ---------------------------------------------------------
+
+def _avi_golden_bytes():
+    """Hand-constructed minimal AVI, independent of encode_avi: RIFF
+    'AVI ' with LIST(hdrl){avih: 250000 usec/frame, 3 frames} and
+    LIST(movi){three 00db chunks b"F0", b"F1x", b"F2"} — the odd-size
+    middle chunk carries a RIFF pad byte the walker must skip."""
+    import struct as _st
+
+    def chunk(ctype, data):
+        pad = b"\x00" if len(data) & 1 else b""
+        return ctype + _st.pack("<I", len(data)) + data + pad
+
+    avih = _st.pack("<IIIII", 250000, 0, 0, 0, 3) + b"\x00" * 36
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    movi = chunk(
+        b"LIST",
+        b"movi" + chunk(b"00db", b"F0") + chunk(b"00db", b"F1x")
+        + chunk(b"00db", b"F2"),
+    )
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def test_avi_demux_golden_bytes():
+    from mysql_clickhouse_sync_spark.operators.codecs import demux_avi
+
+    usec, frames = demux_avi(_avi_golden_bytes())
+    assert usec == 250000
+    assert frames == [b"F0", b"F1x", b"F2"]     # odd-size pad skipped
+
+
+def test_avi_round_trip_and_sampling_cadence():
+    from mysql_clickhouse_sync_spark.operators.codecs import (
+        AviDemuxer,
+        demux_avi,
+        encode_avi,
+    )
+
+    frames = [bytes([i]) * (3 + i) for i in range(6)]
+    avi = encode_avi(frames, 500_000)           # 2 fps: ts 0..2500
+    usec, got = demux_avi(avi)
+    assert usec == 500_000 and got == frames
+    d = AviDemuxer()
+    # 1000 ms buckets -> first frame of each second: k = 0, 2, 4
+    assert [(i, ts) for i, ts, _ in d.frames(avi, 1000)] == [
+        (0, 0), (1, 1000), (2, 2000),
+    ]
+    # cadence finer than the frame period -> every frame sampled
+    assert [ts for _, ts, _ in d.frames(avi, 400)] == [
+        0, 500, 1000, 1500, 2000, 2500,
+    ]
+
+
+def test_avi_rejects_malformed():
+    import struct as _st
+
+    from mysql_clickhouse_sync_spark.operators.codecs import (
+        demux_avi,
+        encode_avi,
+    )
+
+    with pytest.raises(ValueError, match="RIFF"):
+        demux_avi(b"RIFF" + _st.pack("<I", 4) + b"WAVE")
+    with pytest.raises(ValueError, match="missing avih"):
+        demux_avi(b"RIFF" + _st.pack("<I", 4) + b"AVI ")
+    with pytest.raises(ValueError, match="non-empty"):
+        encode_avi([], 1000)
+    with pytest.raises(ValueError, match="usec_per_frame"):
+        encode_avi([b"x"], 0)
+
+
+def test_video_registry_default():
+    from mysql_clickhouse_sync_spark.operators.codecs import (
+        AviDemuxer,
+        video_demuxer_for,
+    )
+
+    assert isinstance(video_demuxer_for("video/x-msvideo"), AviDemuxer)
+    assert video_demuxer_for("video/mp4") is None

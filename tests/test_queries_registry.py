@@ -96,7 +96,7 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         "media_decode_real", "events_streaming_append",
         "events_streaming_dedup",
         "cdc_reconciliation",
-        "events_hourly_gapfill", "lineitem_cube_stats",
+        "lineitem_cube_stats",
         "customer_order_gaps",
         # late-r6: the final 6 never-driver-graded oracled queries
         # land a round early — after this round only the 3
@@ -117,6 +117,10 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         # and the second MODALITY (PCM WAV audio decode);
         # media_resized_images (green r4-r6) cedes its slot
         "media_audio_stats",
+        # and the third: real AVI container demux composed with
+        # per-frame pixel decode; events_hourly_gapfill (green r6)
+        # cedes its slot
+        "media_video_frames",
     }
     assert required <= window, sorted(required - window)
     # every docs_/emb_/media_/sql_ query is in the graded window,
