@@ -572,14 +572,18 @@ class AviDemuxer:
                 last_bucket = bucket
 
 
-# MIME -> codec registries.  Image ships two working defaults (BMP
-# uncompressed, PNG zlib-compressed), audio ships PCM WAV, and video
-# ships the RIFF/AVI container demuxer (frame BYTES extraction +
-# sampling cadence; interframe codecs still need an injected
-# av-backed implementation — the decode sites name the hook).
+# MIME -> codec registries.  Image ships three working defaults (BMP
+# uncompressed, PNG zlib-compressed, baseline JPEG lossy-transform —
+# operators/jpeg.py), audio ships PCM WAV, and video ships the
+# RIFF/AVI container demuxer (frame BYTES extraction + sampling
+# cadence; interframe codecs still need an injected av-backed
+# implementation — the decode sites name the hook).
+from .jpeg import JpegImageCodec  # noqa: E402  (registry default)
+
 _IMAGE_CODECS: dict[str, object] = {
     "image/bmp": BmpImageCodec(),
     "image/png": PngImageCodec(),
+    "image/jpeg": JpegImageCodec(),
 }
 _AUDIO_CODECS: dict[str, object] = {"audio/wav": WavAudioCodec()}
 _VIDEO_DEMUXERS: dict[str, object] = {"video/x-msvideo": AviDemuxer()}

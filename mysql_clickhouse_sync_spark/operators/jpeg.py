@@ -1,0 +1,747 @@
+"""Baseline JPEG codec: pure numpy + stdlib, no binary deps.
+
+The third real in-repo image codec (after uncompressed BMP and
+zlib-compressed PNG) and the one real corpora are actually made of:
+JPEG bytes dominate every web-scale image crawl, so a 100 TB media
+pipeline's decode stage is overwhelmingly THIS format.  Where BMP
+proved the registry seam and PNG proved it survives entropy coding,
+JPEG proves it survives the full lossy-transform stack: entropy
+decoding (canonical Huffman, byte unstuffing, restart markers) feeding
+a transform decode (dequantize -> de-zigzag -> 8x8 IDCT) with
+chroma upsampling and color conversion.
+
+Scope (honest): baseline sequential DCT (SOF0 per the public ITU-T
+T.81 spec + JFIF), 8-bit precision, 1 (grayscale) or 3 (YCbCr)
+components, integer-ratio sampling factors (4:4:4, 4:2:0, 4:2:2 all
+land here), restart intervals.  Progressive (SOF2), arithmetic coding,
+12-bit, and hierarchical modes are rejected with the real cause — a
+deployment that holds such files injects a libjpeg-backed codec via
+the same MIME registry (``operators/codecs.py::register_image_codec``).
+
+Layout implemented (the public interchange format): SOI; APP0 JFIF;
+DQT (quant tables in zigzag order); SOF0 (geometry + per-component
+sampling/quant refs); DHT (canonical Huffman: 16 length counts +
+values, codes assigned per T.81 Annex C); optional DRI; SOS; entropy
+data with 0xFF00 byte stuffing and RSTn markers; EOI.  Quality maps to
+quant tables by the standard IJG rule (50 -> Annex K tables verbatim,
+100 -> all-ones steps: the lossless-up-to-DCT-rounding setting the
+exactness tests and the graded row build on).
+
+Determinism contract (what the oracle grades): at quality 100 every
+quantization step is 1, and an image that is CONSTANT within each
+8x8 coding block round-trips BIT-EXACTLY — such a block's DCT is
+DC-only (8 x (v - 128), an exact integer in float64; the AC terms are
+~1e-13 cancellation noise that rounds to zero), survives step-1
+quantization unchanged, and IDCTs back to the constant with ~1e-13
+error, far under the final round-to-uint8 threshold.  Edge padding
+REPLICATES the last row/column, so a partially-covered boundary block
+of a per-8x8-tile mosaic stays constant too.  plans/media_queries.py
+grades exactly this contract end-to-end.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# -- spec constants ----------------------------------------------------
+
+
+def _zigzag_order() -> list[int]:
+    """Raster indices in zigzag scan order, generated from the walk
+    rule (T.81 Figure 5) instead of a hand-typed table: diagonals of
+    constant x+y, odd diagonals walked from the top row down, even
+    diagonals bottom row up."""
+    out = []
+    for s in range(15):
+        cells = [(y, s - y) for y in range(max(0, s - 7), min(s, 7) + 1)]
+        if s % 2 == 0:
+            cells.reverse()
+        out.extend(8 * y + x for y, x in cells)
+    return out
+
+
+ZIGZAG = _zigzag_order()
+
+# Annex K quantization tables (quality-50 reference points).
+_QUANT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+_QUANT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K canonical Huffman tables: (16 code-length counts, values).
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+# canonical-table sanity: length counts must cover the value list
+for _b, _v in (
+    (_DC_LUMA_BITS, _DC_LUMA_VALS),
+    (_DC_CHROMA_BITS, _DC_CHROMA_VALS),
+    (_AC_LUMA_BITS, _AC_LUMA_VALS),
+    (_AC_CHROMA_BITS, _AC_CHROMA_VALS),
+):
+    assert sum(_b) == len(_v), "corrupt built-in Huffman table"
+
+
+def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """T.81 Annex C canonical code assignment: symbol -> (code, length),
+    codes increasing within a length, doubled at each length step."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _scaled_quant(base: list[int], quality: int) -> list[int]:
+    """IJG quality scaling: 50 keeps the Annex K table, 100 collapses
+    every step to 1 (the exactness setting), 1 is maximally coarse."""
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be in [1, 100], got {quality}")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return [max(1, min(255, (q * scale + 50) // 100)) for q in base]
+
+
+def _dct_matrix():
+    """Orthonormal 8x8 DCT-II matrix M: FDCT is M @ block @ M.T, IDCT
+    is M.T @ coeffs @ M (M is orthogonal)."""
+    import numpy as np
+
+    x = np.arange(8)
+    u = np.arange(8)[:, None]
+    M = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    M[0] *= 1.0 / np.sqrt(2.0)
+    return M
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category, extra-bits value) for a DC difference / AC level per
+    T.81 F.1.2: category = bit length of |v|; negative values send
+    v + 2^cat - 1."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    cat = a.bit_length()
+    return cat, (v if v >= 0 else v + (1 << cat) - 1)
+
+
+def _extend(bits: int, cat: int) -> int:
+    """Inverse of :func:`_magnitude` (T.81 F.2.2.1 EXTEND)."""
+    if cat == 0:
+        return 0
+    if bits < (1 << (cat - 1)):
+        return bits - (1 << cat) + 1
+    return bits
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with JPEG byte stuffing (an emitted
+    0xFF is followed by 0x00 so it can never alias a marker)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            byte = (self.acc >> self.n) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        """Pad the final partial byte with 1-bits (T.81 F.1.2.3)."""
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment: unstuffs
+    0xFF00, stops AT (never consumes past) any real marker so the
+    caller can handle RSTn / EOI."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG: entropy data ran out")
+        b = self.data[self.pos]
+        if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated JPEG: dangling 0xFF")
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:                 # stuffed literal 0xFF
+                self.pos += 2
+            else:                           # a real marker: don't eat it
+                raise ValueError(
+                    f"unexpected marker 0xFF{nxt:02X} inside entropy data"
+                )
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read_bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        """Walk the canonical code bit by bit (codes are <= 16 bits)."""
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("corrupt JPEG: unknown Huffman code")
+
+    def sync_restart(self, expect: int) -> None:
+        """Consume the byte-aligned RSTn marker between restart
+        intervals; ``expect`` is the 0-7 modulo counter.  Scans
+        forward to the next real marker first: the interval's final
+        pad bits may live in a not-fully-consumed byte (possibly a
+        stuffed 0xFF00) sitting between the reader position and the
+        marker."""
+        self.acc = 0
+        self.n = 0
+        while self.pos + 1 < len(self.data) and not (
+            self.data[self.pos] == 0xFF and self.data[self.pos + 1] != 0x00
+        ):
+            self.pos += 1
+        if self.pos + 1 >= len(self.data):
+            raise ValueError("truncated JPEG: missing restart marker")
+        m = self.data[self.pos + 1]
+        if not 0xD0 <= m <= 0xD7:
+            raise ValueError(f"corrupt JPEG: expected RSTn, got 0xFF{m:02X}")
+        if m - 0xD0 != expect:
+            raise ValueError(
+                f"corrupt JPEG: restart marker out of order "
+                f"(got RST{m - 0xD0}, expected RST{expect})"
+            )
+        self.pos += 2
+
+
+# -- encoder -----------------------------------------------------------
+
+
+def _to_planes(arr, subsampling: str):
+    """Input array -> list of (plane float64, h_factor, v_factor).
+    Gray input stays one plane; RGB converts to JFIF YCbCr, with 4:2:0
+    chroma produced by 2x2 box mean (the libjpeg default shape)."""
+    import numpy as np
+
+    if arr.ndim == 2:
+        return [(arr.astype(np.float64), 1, 1)]
+    r = arr[:, :, 0].astype(np.float64)
+    g = arr[:, :, 1].astype(np.float64)
+    b = arr[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    if subsampling == "444":
+        return [(y, 1, 1), (cb, 1, 1), (cr, 1, 1)]
+    # 4:2:0 — chroma halved both ways; odd edges replicate first
+    def down(p):
+        h, w = p.shape
+        p = np.pad(p, ((0, h % 2), (0, w % 2)), mode="edge")
+        return 0.25 * (p[0::2, 0::2] + p[1::2, 0::2]
+                       + p[0::2, 1::2] + p[1::2, 1::2])
+
+    return [(y, 2, 2), (down(cb), 1, 1), (down(cr), 1, 1)]
+
+
+def _pad_to_blocks(plane, bh: int, bw: int):
+    """Edge-replicate a plane up to (bh*8, bw*8) — replication keeps a
+    per-8x8-tile-constant mosaic constant in its boundary blocks,
+    which the quality-100 exactness contract relies on."""
+    import numpy as np
+
+    h, w = plane.shape
+    return np.pad(
+        plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge"
+    )
+
+
+def encode_jpeg(
+    img,
+    quality: int = 85,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w) uint8 gray or (h, w, 3) uint8 RGB -> baseline JFIF bytes.
+
+    ``subsampling`` is ``"444"`` (no chroma decimation; the exactness
+    setting) or ``"420"`` (2x2 chroma decimation; the web default).
+    ``restart_interval`` > 0 emits DRI + RSTn every that many MCUs —
+    the resync feature real encoders use so one bit error cannot
+    corrupt the rest of the scan (and the path that makes the
+    decoder's restart handling testable in-repo)."""
+    import numpy as np
+
+    arr = np.asarray(img)
+    if arr.dtype != np.uint8 or arr.ndim not in (2, 3) or (
+        arr.ndim == 3 and arr.shape[2] != 3
+    ):
+        raise ValueError(
+            f"encode_jpeg needs an (h, w) or (h, w, 3) uint8 array, got "
+            f"shape={arr.shape} dtype={arr.dtype}"
+        )
+    if arr.shape[0] == 0 or arr.shape[1] == 0:
+        raise ValueError(
+            f"encode_jpeg needs non-empty dimensions, got shape={arr.shape}"
+        )
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be '444' or '420', got "
+                         f"{subsampling!r}")
+    if restart_interval < 0 or restart_interval > 0xFFFF:
+        raise ValueError(f"bad restart_interval: {restart_interval}")
+    h, w = arr.shape[:2]
+    gray = arr.ndim == 2
+    planes = _to_planes(arr, subsampling)
+    hmax = max(p[1] for p in planes)
+    vmax = max(p[2] for p in planes)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    # Quant tables are used AND stored (DQT segment, per spec) in
+    # zigzag order: element k steps the k-th zigzag coefficient.
+    qluma = _scaled_quant(_QUANT_LUMA, quality)
+    qchroma = _scaled_quant(_QUANT_CHROMA, quality)
+    qtables = [[t[i] for i in ZIGZAG] for t in
+               ([qluma] if gray else [qluma, qchroma])]
+    M = _dct_matrix()
+
+    # per component: quantized zigzag coefficient blocks in MCU order
+    comp_blocks: list[list] = []
+    for ci, (plane, hf, vf) in enumerate(planes):
+        q = np.array(qtables[0 if ci == 0 else 1], dtype=np.float64)
+        padded = _pad_to_blocks(plane, mcus_y * vf, mcus_x * hf)
+        ph, pw = padded.shape
+        blocks = (
+            padded.reshape(ph // 8, 8, pw // 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        ) - 128.0
+        coeffs = np.einsum("ux,nxy,vy->nuv", M, blocks, M)
+        zz = coeffs.reshape(-1, 64)[:, ZIGZAG]
+        quant = np.round(zz / q[np.newaxis, :]).astype(np.int32)
+        comp_blocks.append(quant.reshape(ph // 8, pw // 8, 64))
+
+    dc_tabs = [_build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)]
+    ac_tabs = [_build_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)]
+    if not gray:
+        dc_tabs.append(_build_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS))
+        ac_tabs.append(_build_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS))
+
+    bw_ = _BitWriter()
+    preds = [0] * len(planes)
+    rst = 0
+    mcu_in_interval = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_in_interval == restart_interval:
+                bw_.flush()
+                bw_.buf.extend((0xFF, 0xD0 + rst))
+                rst = (rst + 1) % 8
+                preds = [0] * len(planes)
+                mcu_in_interval = 0
+            for ci, (_plane, hf, vf) in enumerate(planes):
+                t = 0 if ci == 0 else 1
+                for by in range(vf):
+                    for bx in range(hf):
+                        blk = comp_blocks[ci][my * vf + by, mx * hf + bx]
+                        diff = int(blk[0]) - preds[ci]
+                        preds[ci] = int(blk[0])
+                        cat, extra = _magnitude(diff)
+                        code, length = dc_tabs[t][cat]
+                        bw_.write(code, length)
+                        bw_.write(extra, cat)
+                        run = 0
+                        nz = np.nonzero(blk[1:])[0]
+                        last_nz = (nz[-1] + 1) if len(nz) else 0
+                        for k in range(1, last_nz + 1):
+                            v = int(blk[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                zc, zl = ac_tabs[t][0xF0]   # ZRL
+                                bw_.write(zc, zl)
+                                run -= 16
+                            cat, extra = _magnitude(v)
+                            sc, sl = ac_tabs[t][(run << 4) | cat]
+                            bw_.write(sc, sl)
+                            bw_.write(extra, cat)
+                            run = 0
+                        if last_nz < 63:
+                            ec, el = ac_tabs[t][0x00]       # EOB
+                            bw_.write(ec, el)
+            mcu_in_interval += 1
+    bw_.flush()
+
+    out = bytearray(b"\xff\xd8")                            # SOI
+    out += b"\xff\xe0" + struct.pack(
+        ">H", 16
+    ) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"     # APP0
+    for ti, q in enumerate(qtables):                         # DQT
+        data = bytes([ti]) + bytes(q)                        # zigzag order
+        out += b"\xff\xdb" + struct.pack(">H", 2 + len(data)) + data
+    # SOF0: baseline sequential
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci, (_p, hf, vf) in enumerate(planes):
+        sof += bytes([ci + 1, (hf << 4) | vf, 0 if ci == 0 else 1])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    huffs = [(0x00, _DC_LUMA_BITS, _DC_LUMA_VALS),
+             (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS)]
+    if not gray:
+        huffs += [(0x01, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+                  (0x11, _AC_CHROMA_BITS, _AC_CHROMA_VALS)]
+    for tc_th, bits, vals in huffs:                          # DHT
+        data = bytes([tc_th]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(data)) + data
+    if restart_interval:                                     # DRI
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([ncomp])                                     # SOS
+    for ci in range(ncomp):
+        td_ta = 0x00 if ci == 0 else 0x11
+        sos += bytes([ci + 1, td_ta])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += bw_.buf
+    out += b"\xff\xd9"                                       # EOI
+    return bytes(out)
+
+
+# -- decoder -----------------------------------------------------------
+
+_SOF_UNSUPPORTED = {
+    0xC1: "extended sequential (SOF1)",
+    0xC2: "progressive (SOF2)",
+    0xC3: "lossless (SOF3)",
+    0xC5: "differential sequential (SOF5)",
+    0xC6: "differential progressive (SOF6)",
+    0xC7: "differential lossless (SOF7)",
+    0xC9: "arithmetic sequential (SOF9)",
+    0xCA: "arithmetic progressive (SOF10)",
+    0xCB: "arithmetic lossless (SOF11)",
+    0xCD: "differential arithmetic sequential (SOF13)",
+    0xCE: "differential arithmetic progressive (SOF14)",
+    0xCF: "differential arithmetic lossless (SOF15)",
+}
+
+
+def decode_jpeg(payload: bytes):
+    """Baseline JFIF bytes -> (h, w, 3) uint8 RGB array (grayscale
+    replicates into all three channels).
+
+    Accepts baseline sequential (SOF0), 8-bit, 1 or 3 components,
+    integer-ratio sampling factors, restart intervals.  Rejects
+    progressive / arithmetic / 12-bit / hierarchical streams and
+    malformed marker or entropy data with the real cause.
+    """
+    import numpy as np
+
+    if payload is None or len(payload) < 4:
+        raise ValueError("not a JPEG: payload shorter than SOI+EOI")
+    data = bytes(payload)
+    if data[:2] != b"\xff\xd8":
+        raise ValueError(f"not a JPEG: bad SOI magic {data[:2]!r}")
+
+    qtables: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None            # (h, w, comps) from SOF0
+    scan = None             # per-component (td, ta) from SOS
+    dri = 0
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(
+                f"corrupt JPEG: expected a marker at byte {pos}"
+            )
+        marker = data[pos + 1]
+        if marker in _SOF_UNSUPPORTED:
+            raise ValueError(
+                f"unsupported JPEG variant: {_SOF_UNSUPPORTED[marker]} — "
+                "baseline sequential (SOF0) only; inject a libjpeg-backed "
+                "codec via register_image_codec for such files"
+            )
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        seg = data[pos + 4 : pos + 2 + seglen]
+        if len(seg) < seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:                                  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise ValueError(
+                        "unsupported JPEG: 16-bit quant table (12-bit "
+                        "precision stream)"
+                    )
+                qtables[tq] = list(seg[p + 1 : p + 65])
+                p += 65
+        elif marker == 0xC4:                                # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1 : p + 17])
+                nvals = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + nvals])
+                codes = _build_codes(bits, vals)
+                huff[(tc, th)] = {
+                    (length, code): sym
+                    for sym, (code, length) in codes.items()
+                }
+                p += 17 + nvals
+        elif marker == 0xC0:                                # SOF0
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise ValueError(
+                    f"unsupported JPEG: {prec}-bit precision (8 only)"
+                )
+            if nc not in (1, 3):
+                raise ValueError(
+                    f"unsupported JPEG: {nc} components (1 or 3 only)"
+                )
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (fh, fw, comps)
+        elif marker == 0xDD:                                # DRI
+            (dri,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:                                # SOS
+            ns = seg[0]
+            scan = {}
+            for si in range(ns):
+                cid, tdta = seg[1 + 2 * si : 3 + 2 * si]
+                scan[cid] = (tdta >> 4, tdta & 0x0F)
+            pos = pos + 2 + seglen
+            break
+        # APPn / COM / other non-structural segments: skipped
+        pos = pos + 2 + seglen
+    if frame is None or scan is None:
+        raise ValueError("not a baseline JPEG: missing SOF0/SOS")
+    fh, fw, comps = frame
+    if fh == 0 or fw == 0:
+        raise ValueError(f"bad JPEG geometry: w={fw} h={fh}")
+    if len(scan) != len(comps):
+        raise ValueError(
+            "unsupported JPEG: multi-scan stream (one interleaved "
+            "scan only)"
+        )
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    for cid, hf, vf, _tq in comps:
+        if hf < 1 or vf < 1 or hmax % hf or vmax % vf:
+            raise ValueError(
+                f"unsupported JPEG: non-integer sampling ratio for "
+                f"component {cid} (h={hf}, v={vf} vs max {hmax}x{vmax})"
+            )
+    mcus_x = -(-fw // (8 * hmax))
+    mcus_y = -(-fh // (8 * vmax))
+
+    reader = _BitReader(data, pos)
+    preds = {cid: 0 for cid, *_ in comps}
+    # per component: int32 coefficient blocks (filled in MCU order)
+    blocks = {
+        cid: np.zeros((mcus_y * vf, mcus_x * hf, 64), dtype=np.int32)
+        for cid, hf, vf, _tq in comps
+    }
+    mcu_count = 0
+    rst_expect = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if dri and mcu_count and mcu_count % dri == 0:
+                reader.sync_restart(rst_expect)
+                rst_expect = (rst_expect + 1) % 8
+                preds = {cid: 0 for cid, *_ in comps}
+            for cid, hf, vf, _tq in comps:
+                td, ta = scan[cid]
+                dc_tab = huff.get((0, td))
+                ac_tab = huff.get((1, ta))
+                if dc_tab is None or ac_tab is None:
+                    raise ValueError(
+                        f"corrupt JPEG: scan references missing Huffman "
+                        f"table (dc={td}, ac={ta})"
+                    )
+                for by in range(vf):
+                    for bx in range(hf):
+                        blk = np.zeros(64, dtype=np.int32)
+                        cat = reader.decode_symbol(dc_tab)
+                        if cat > 11:
+                            raise ValueError(
+                                f"corrupt JPEG: DC category {cat}"
+                            )
+                        diff = _extend(reader.read_bits(cat), cat)
+                        preds[cid] += diff
+                        blk[0] = preds[cid]
+                        k = 1
+                        while k < 64:
+                            sym = reader.decode_symbol(ac_tab)
+                            if sym == 0x00:                 # EOB
+                                break
+                            run, size = sym >> 4, sym & 0x0F
+                            if size == 0:
+                                if run != 15:
+                                    raise ValueError(
+                                        f"corrupt JPEG: bad AC symbol "
+                                        f"0x{sym:02X}"
+                                    )
+                                k += 16                     # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError(
+                                    "corrupt JPEG: AC run past block end"
+                                )
+                            blk[k] = _extend(
+                                reader.read_bits(size), size
+                            )
+                            k += 1
+                        blocks[cid][my * vf + by, mx * hf + bx] = blk
+            mcu_count += 1
+
+    # dequantize + de-zigzag + batch IDCT per component
+    M = _dct_matrix()
+    inv_zz = np.argsort(np.array(ZIGZAG))
+    planes = {}
+    for cid, hf, vf, tq in comps:
+        if tq not in qtables:
+            raise ValueError(
+                f"corrupt JPEG: component {cid} references missing "
+                f"quant table {tq}"
+            )
+        q = np.array(qtables[tq], dtype=np.float64)
+        bh, bw_n = blocks[cid].shape[:2]
+        zz = blocks[cid].reshape(-1, 64).astype(np.float64) * q
+        coeffs = zz[:, inv_zz].reshape(-1, 8, 8)
+        pix = np.einsum("ux,nuv,vy->nxy", M, coeffs, M) + 128.0
+        plane = (
+            pix.reshape(bh, bw_n, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw_n * 8)
+        )
+        # upsample to full geometry, then crop
+        plane = np.repeat(np.repeat(plane, vmax // vf, axis=0),
+                          hmax // hf, axis=1)
+        planes[cid] = plane[:fh, :fw]
+
+    if len(comps) == 1:
+        y = np.clip(np.round(planes[comps[0][0]]), 0, 255).astype(np.uint8)
+        return np.ascontiguousarray(np.stack([y, y, y], axis=-1))
+    (yid, *_), (cbid, *_), (crid, *_) = comps
+    y = planes[yid]
+    cb = planes[cbid] - 128.0
+    cr = planes[crid] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.ascontiguousarray(
+        np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    )
+
+
+class JpegImageCodec:
+    """In-repo baseline JPEG codec: stdlib struct + numpy (DCT via an
+    orthonormal matrix product, canonical Huffman per T.81 Annex C).
+    The dependency-free fallback — a deployment with libjpeg-turbo
+    injects it over this MIME type for decode throughput."""
+
+    def decode(self, payload: bytes):
+        return decode_jpeg(payload)
+
+    def encode(self, rgb, quality: int = 85) -> bytes:
+        return encode_jpeg(rgb, quality=quality)

@@ -735,10 +735,20 @@ def ivf_topk_vs_index(
     contract to :func:`ivf_topk`; searching an index built from the
     same corpus returns the identical result (pinned in tests).
     """
+    cents = _stored_centroids(centroids, "ivf_topk_vs_index")
+    return _ivf_search(
+        cents, postings, queries, k, nprobe, id_col, vec_col, max_queries
+    )
+
+
+def _stored_centroids(centroids: DataFrame, what: str) -> list[list[float]]:
+    """Collect + validate a stored centroid table (bounded by
+    contract): dense cids 0..k-1, because the folded probe expression
+    indexes cells by position."""
     rows = _collect_bounded(
         centroids.select("cid", "cu").orderBy("cid"),
         MAX_CENTROIDS,
-        "ivf_topk_vs_index centroid table",
+        f"{what} centroid table",
     )
     if not rows:
         raise ValueError("empty centroid table: build the index first")
@@ -748,9 +758,49 @@ def ivf_topk_vs_index(
             "expression indexes cells by position); rebuild via "
             "ivf_build_index"
         )
-    cents = [list(map(float, r["cu"])) for r in rows]
-    return _ivf_search(
-        cents, postings, queries, k, nprobe, id_col, vec_col, max_queries
+    return [list(map(float, r["cu"])) for r in rows]
+
+
+def ivf_index_append(
+    centroids: DataFrame,
+    postings: DataFrame,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The WRITE path of the persisted-index lifecycle: assign a new
+    ingest batch to the STORED centroids and return the grown postings
+    relation — ``ivf_build_index`` once, then per daily batch
+    ``ivf_index_append`` + overwrite-or-append of the touched ``_cid``
+    partitions; no retraining, no history rescan.  Work is
+    O(|batch| x k x d) narrow compute on the batch side plus the union
+    (which at the storage layer is an append into the ``_cid``
+    partition directories — history is never rewritten).
+
+    Equality contract (pinned in tests): appended postings equal the
+    assignment of the UNION corpus under the same stored centroids, so
+    ``ivf_topk_vs_index`` over the grown index is exactly the search a
+    from-scratch assignment (same quantizer) would serve.  Batch ids
+    must be disjoint from stored ids — a redelivered already-indexed
+    vector should be collapsed upstream (the CDC dedup-latest path owns
+    at-least-once absorption), exactly the
+    ``semantic_dedup_vs_index`` contract.
+
+    Centroid DRIFT is the operator's documented limit, same as every
+    static-quantizer ANN index (FAISS IVF included): appended batches
+    from a shifted distribution degrade cell balance, not correctness
+    (recall contracts live in the graded queries).  Monitor cell
+    occupancy skew over the grown postings and rebuild via
+    ``ivf_build_index`` when it drifts — rebuild cost amortizes across
+    the batches served in between.
+
+    Output: the grown postings ``(id_col, _cv, _cid, _cn)``,
+    column-aligned with the stored relation.
+    """
+    cents = _stored_centroids(centroids, "ivf_index_append")
+    new_postings = _assign_postings(batch, cents, id_col, vec_col)
+    return postings.select(id_col, "_cv", "_cid", "_cn").unionByName(
+        new_postings.select(id_col, "_cv", "_cid", "_cn")
     )
 
 

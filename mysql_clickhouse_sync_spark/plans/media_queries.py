@@ -238,6 +238,113 @@ def media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_stats(_gradient_media(docs, "image/png")).drop("n_bytes")
 
 
+def _mosaic_jpeg_media(docs: DataFrame) -> DataFrame:
+    """doc ids -> REAL baseline JPEG payloads via the production
+    encoder (operators/jpeg.py::encode_jpeg) at quality 100 —
+    grayscale mosaics CONSTANT within each 8x8 coding block, the
+    shape that round-trips BIT-EXACTLY through the lossy-transform
+    stack (DC-only blocks survive step-1 quantization unchanged; see
+    the jpeg module docstring), so DuckDB can regenerate every pixel:
+
+      width  = 10 + id % 7   (10..16: boundary blocks partially
+      height = 9 + id % 5     covered -> edge-replication padding)
+      pixel (x, y): g = (id + 37*(x//8) + 101*(y//8)) % 256
+
+    2x2 tiles per image give every image a multi-block DC prediction
+    chain (diffs up to +-2040 exercise DC categories through 11) and
+    grayscale keeps the conversion-free path exact end to end.
+    """
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.jpeg import encode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 10 + did % 7, 9 + did % 5
+                xx = np.arange(w)[None, :]
+                yy = np.arange(h)[:, None]
+                g = ((did + 37 * (xx // 8) + 101 * (yy // 8)) % 256).astype(
+                    np.uint8
+                )
+                rows.append(
+                    (
+                        did,
+                        "image",
+                        "image/jpeg",
+                        bytearray(encode_jpeg(g, quality=100)),
+                        w,
+                        h,
+                        None,
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+                )
+
+    return docs.select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+
+
+@register(
+    "media_decode_jpeg",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, 10 + doc_id % 7 AS w, 9 + doc_id % 5 AS h
+        FROM documents
+    ), s AS (
+        SELECT doc_id, w, h,
+           list_sum(flatten(list_transform(range(0, h), y ->
+               list_transform(range(0, w),
+                   x -> (doc_id + 37*(x//8) + 101*(y//8)) % 256)))) AS sg
+        FROM d
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(sg AS DOUBLE) / (w * h) AS mean_r,
+           CAST(sg AS DOUBLE) / (w * h) AS mean_g,
+           CAST(sg AS DOUBLE) / (w * h) AS mean_b,
+           CAST(doc_id % 256 AS INT) AS r00,
+           CAST(doc_id % 256 AS INT) AS g00,
+           CAST(doc_id % 256 AS INT) AS b00,
+           CAST((doc_id + 37*((w-1)//8) + 101*((h-1)//8)) % 256 AS INT)
+               AS r_last,
+           CAST((doc_id + 37*((w-1)//8) + 101*((h-1)//8)) % 256 AS INT)
+               AS g_last,
+           CAST((doc_id + 37*((w-1)//8) + 101*((h-1)//8)) % 256 AS INT)
+               AS b_last
+    FROM s
+    """,
+    description="LOSSY-TRANSFORM real decode path (third in-repo image "
+    "codec, and the format web-scale image corpora are actually made "
+    "of): tiny real baseline JPEGs — canonical Huffman entropy coding, "
+    "zigzag+quantized 8x8 DCT, JFIF markers, all pure numpy+stdlib — "
+    "are encoded per doc by the production encoder at quality 100 and "
+    "decoded back through the codec registry by image_stats.  The "
+    "mosaics are CONSTANT within each 8x8 coding block, the shape "
+    "whose round trip is provably bit-exact at step-1 quantization "
+    "(DC-only blocks; boundary blocks stay flat under edge-replication "
+    "padding), so DuckDB regenerates the full expected relation from "
+    "the closed-form pixel rule: geometry, exact channel means, and "
+    "the diagonal corner pixels, which pin tile addressing and the "
+    "multi-block DC prediction chain.  n_bytes is EXCLUDED (an "
+    "entropy-coded size is not closed-form).  The decoder is "
+    "independently pinned against hand-assembled golden bytes with "
+    "hand-built Huffman tables, single-AC IDCT basis checks, and "
+    "restart-marker streams in tests/test_jpeg.py (no shared "
+    "encoder/decoder mirror bug); lossy color/subsampled paths are "
+    "tolerance-bounded there",
+)
+def media_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return image_stats(_mosaic_jpeg_media(docs)).drop("n_bytes")
+
+
 def _pcm_wav_media(docs: DataFrame) -> DataFrame:
     """doc ids -> REAL mono 8-bit PCM WAV payloads via the production
     encoder (operators/codecs.py::encode_wav).  Sample values are

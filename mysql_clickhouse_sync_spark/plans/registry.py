@@ -180,6 +180,14 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 # closed-form-oracled.  OUT: events_hourly_gapfill (green r6; the
 # dense-spine gap-fill stays hash-checked by check_oracle/ci_gate
 # every round).
+# Also IN (enter-on-add): media_decode_jpeg — the third real image
+# codec and the lossy-transform class (baseline JPEG: canonical
+# Huffman + quantized DCT), graded via the provably-bit-exact
+# per-8x8-block-constant mosaic contract at quality 100.  OUT:
+# media_decode_real (green r6; the BMP pixel-decode path stays
+# DRIVER-GRADED inside media_video_frames, which decodes every
+# sampled AVI frame through the same BMP registry codec, and stays
+# hash-checked off-window by check_oracle/ci_gate every round).
 DRIVER_WINDOW = (
     # CDC sentinels (7 graded rows)
     "cdc_live_orders",
@@ -233,10 +241,10 @@ DRIVER_WINDOW = (
     "emb_semantic_dedup",
     "emb_topk_vs_index",
     "emb_dedup_incremental",
-    # multimodal (incl. the round-6/7 real-codec paths:
-    # BMP, PNG, WAV, AVI demux)
-    "media_decode_real",
+    # multimodal (incl. the round-6/7 real-codec paths: PNG, JPEG,
+    # WAV, AVI demux + in-frame BMP decode)
     "media_decode_png",
+    "media_decode_jpeg",
     "media_audio_stats",
     "media_video_frames",
     # SQL surface

@@ -107,9 +107,10 @@ def interval_join(
     max_delay: str = "1 hour",
     watermark: str = "2 hours",
     right_prefix: str = "r_",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join: each left row matched to
-    right rows with the same ``key`` whose timestamp falls in
+    """Watermarked stream-stream join: each left row matched to right
+    rows with the same ``key`` whose timestamp falls in
     ``[left_ts, left_ts + max_delay]`` (attribution joins: click ->
     purchase within the hour).
 
@@ -121,9 +122,23 @@ def interval_join(
     have to buffer both streams forever (Spark rejects that join in
     append mode for exactly this reason).
 
+    ``how='inner'`` emits matches as soon as both rows arrive.
+    ``how='left_outer'`` additionally emits every UNMATCHED left row
+    (right columns null) — but only once the watermark has passed the
+    row's join window, when "no match" is final rather than
+    "no match yet"; until the watermark moves, unmatched rows sit in
+    state (the conversion-funnel shape: clicks that never converted).
+    A drain whose last batch never advances the watermark past a
+    click's window keeps that click buffered into the NEXT run —
+    correct, and asserted in tests.
+
     Right-side columns are prefixed with ``right_prefix`` to keep the
     output schema collision-free.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(
+            f"interval_join supports how='inner'|'left_outer', got {how!r}"
+        )
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
     rw = rw.select(
@@ -135,7 +150,7 @@ def interval_join(
         & (F.col(rts) >= F.col(left_ts))
         & (F.col(rts) <= F.col(left_ts) + F.expr(f"interval {max_delay}"))
     )
-    return lw.join(rw, cond, "inner").drop(rk)
+    return lw.join(rw, cond, how).drop(rk)
 
 
 def dedup_within_watermark(

@@ -135,10 +135,12 @@ def test_unregister_and_temporary_codec_restore_prior():
 
 def test_registry_default_and_injection():
     from mysql_clickhouse_sync_spark.operators.codecs import PngImageCodec
+    from mysql_clickhouse_sync_spark.operators.jpeg import JpegImageCodec
 
     assert isinstance(image_codec_for("image/bmp"), BmpImageCodec)
     assert isinstance(image_codec_for("image/png"), PngImageCodec)
-    assert image_codec_for("image/jpeg") is None
+    assert isinstance(image_codec_for("image/jpeg"), JpegImageCodec)
+    assert image_codec_for("image/webp") is None
     assert image_codec_for(None) is None
 
 
@@ -202,12 +204,12 @@ def test_decode_and_featurize_real_bmp(spark):
     feat = row["feature"]
     assert feat[:5] == [4.0, 3.0, 10.0, 20.0, 30.0]
 
-    jpeg = spark.createDataFrame(
-        [(8, "image", "image/jpeg", bytearray(b"x"), 1, 1, None)],
+    webp = spark.createDataFrame(
+        [(8, "image", "image/webp", bytearray(b"x"), 1, 1, None)],
         MEDIA_SCHEMA,
     )
     with pytest.raises(Exception, match="no image codec registered"):
-        decode_and_featurize(jpeg, decode_kind="real").collect()
+        decode_and_featurize(webp, decode_kind="real").collect()
 
 
 def test_image_stats_pins_orientation_and_padding(spark):
@@ -596,3 +598,36 @@ def test_video_registry_default():
 
     assert isinstance(video_demuxer_for("video/x-msvideo"), AviDemuxer)
     assert video_demuxer_for("video/mp4") is None
+
+
+def test_motion_jpeg_composition():
+    """Motion JPEG (the real-world pairing of the two seams): an AVI
+    container whose frames are baseline JPEG bytes demuxes through
+    AviDemuxer and pixel-decodes through JpegImageCodec — container
+    walk and image codec compose with zero coupling.  Frames are
+    per-8x8-block-constant mosaics at quality 100, so every sampled
+    frame decodes bit-exactly."""
+    from mysql_clickhouse_sync_spark.operators.codecs import (
+        AviDemuxer,
+        encode_avi,
+    )
+    from mysql_clickhouse_sync_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    mosaics = []
+    for k in range(4):
+        xx, yy = np.meshgrid(np.arange(12), np.arange(10))
+        g = ((17 * k + 37 * (xx // 8) + 101 * (yy // 8)) % 256).astype(
+            np.uint8
+        )
+        mosaics.append(g)
+    avi = encode_avi(
+        [encode_jpeg(g, quality=100) for g in mosaics], 500_000
+    )
+    sampled = list(AviDemuxer().frames(avi, 1000))   # frames 0 and 2
+    assert [(i, ts) for i, ts, _ in sampled] == [(0, 0), (1, 1000)]
+    for (_, _, frame), k in zip(sampled, (0, 2)):
+        rgb = decode_jpeg(frame)
+        assert np.array_equal(rgb[:, :, 0], mosaics[k])

@@ -1,0 +1,255 @@
+"""Baseline JPEG codec tests.
+
+The decoder is pinned against HAND-ASSEMBLED golden bytes with
+hand-built minimal Huffman tables (not the module's Annex K constants
+and not a round-trip through our own encoder), so an encoder/decoder
+pair sharing a mirror-image bug — wrong zigzag order, wrong DC
+prediction, wrong EXTEND — cannot pass.  Lossy paths are bounded by
+error tolerances; the quality-100 flat-per-block path is asserted
+BIT-EXACT (the contract the graded registry row builds on).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mysql_clickhouse_sync_spark.operators.codecs import image_codec_for
+from mysql_clickhouse_sync_spark.operators.jpeg import (
+    ZIGZAG,
+    JpegImageCodec,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _seg(marker: int, data: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(data) + 2).to_bytes(2, "big") + data
+
+
+def _golden_flat_gray() -> bytes:
+    """Hand-assembled minimal 8x8 grayscale JPEG, flat value 130.
+
+    Quant table: all ones.  Custom 1-entry Huffman tables: DC category
+    5 has code '0' (1 bit); AC EOB has code '0'.  DC coefficient of a
+    flat 130 block is 8 x (130 - 128) = 16 -> category 5, extra bits
+    '10000'.  Entropy stream: 0 10000 0 = 7 bits, padded with one
+    1-bit -> 0b01000001 = 0x41.
+    """
+    dqt = bytes([0x00]) + bytes([1] * 64)
+    sof = bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big") + bytes(
+        [1, 1, 0x11, 0]
+    )
+    dc_bits = [1] + [0] * 15           # one 1-bit code
+    dht_dc = bytes([0x00]) + bytes(dc_bits) + bytes([5])   # cat 5 -> '0'
+    dht_ac = bytes([0x10]) + bytes(dc_bits) + bytes([0x00])  # EOB -> '0'
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + _seg(0xDB, dqt)
+        + _seg(0xC0, sof)
+        + _seg(0xC4, dht_dc)
+        + _seg(0xC4, dht_ac)
+        + _seg(0xDA, sos)
+        + bytes([0x41])
+        + b"\xff\xd9"
+    )
+
+
+def test_decode_golden_flat_gray():
+    out = decode_jpeg(_golden_flat_gray())
+    assert out.shape == (8, 8, 3)
+    assert (out == 130).all()
+
+
+def test_decode_golden_single_ac_coefficient():
+    """A DC-zero block with ONE AC coefficient pins zigzag position,
+    dequantization and the IDCT basis independently of the encoder:
+    zigzag index 1 is raster (u, v) = (0, 1), so the decoded block
+    must equal round(128 + c * basis_01), computed here from the
+    spec's cosine formula directly."""
+    dqt = bytes([0x00]) + bytes([1] * 64)
+    sof = bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big") + bytes(
+        [1, 1, 0x11, 0]
+    )
+    # DC table: cat 0 -> '0'.  AC table: symbol 0x03 (run 0, size 3)
+    # -> '0', EOB -> '10'.
+    dht_dc = bytes([0x00]) + bytes([1] + [0] * 15) + bytes([0])
+    dht_ac = bytes([0x10]) + bytes([1, 1] + [0] * 14) + bytes([0x03, 0x00])
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    # entropy: DC '0', AC symbol '0', extra bits '101' (=5), EOB '10'
+    # -> 0 0 101 10 = 7 bits, pad '1' -> 0b00101101 = 0x2D
+    payload = (
+        b"\xff\xd8"
+        + _seg(0xDB, dqt)
+        + _seg(0xC0, sof)
+        + _seg(0xC4, dht_dc)
+        + _seg(0xC4, dht_ac)
+        + _seg(0xDA, sos)
+        + bytes([0x2D])
+        + b"\xff\xd9"
+    )
+    out = decode_jpeg(payload)
+    x = np.arange(8)
+    # pixel = M[0,x] * c * M[1,y]: (1/(2*sqrt(2))) * (1/2) * cos(...)
+    basis = 0.25 * (1 / np.sqrt(2)) * np.cos((2 * x + 1) * 1 * np.pi / 16)
+    expected = np.clip(np.round(128.0 + 5.0 * basis), 0, 255).astype(np.uint8)
+    # the (0, 1) basis varies along x (columns), constant down rows
+    assert (out[:, :, 0] == expected[np.newaxis, :]).all()
+
+
+def test_negative_ac_extend():
+    """Same stream but extra bits '010' (category 3) must EXTEND to
+    -5 per T.81 F.2.2.1 — the sign path a round trip can mask."""
+    dqt = bytes([0x00]) + bytes([1] * 64)
+    sof = bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big") + bytes(
+        [1, 1, 0x11, 0]
+    )
+    dht_dc = bytes([0x00]) + bytes([1] + [0] * 15) + bytes([0])
+    dht_ac = bytes([0x10]) + bytes([1, 1] + [0] * 14) + bytes([0x03, 0x00])
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    # DC '0', AC '0', extra '010' (-5), EOB '10' -> 0 0 010 10 + pad
+    payload = (
+        b"\xff\xd8"
+        + _seg(0xDB, dqt)
+        + _seg(0xC0, sof)
+        + _seg(0xC4, dht_dc)
+        + _seg(0xC4, dht_ac)
+        + _seg(0xDA, sos)
+        + bytes([0b00010101])
+        + b"\xff\xd9"
+    )
+    out = decode_jpeg(payload)
+    x = np.arange(8)
+    # pixel = M[0,x] * c * M[1,y]: (1/(2*sqrt(2))) * (1/2) * cos(...)
+    basis = 0.25 * (1 / np.sqrt(2)) * np.cos((2 * x + 1) * 1 * np.pi / 16)
+    expected = np.clip(np.round(128.0 - 5.0 * basis), 0, 255).astype(np.uint8)
+    assert (out[:, :, 0] == expected[np.newaxis, :]).all()
+
+
+def test_zigzag_is_the_spec_table():
+    """The generated walk must equal the spec's table (spot-pinned by
+    its well-known prefix and involution properties)."""
+    assert ZIGZAG[:16] == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18,
+                           11, 4, 5]
+    assert sorted(ZIGZAG) == list(range(64))
+    assert ZIGZAG[63] == 63
+
+
+def test_quality_100_per_block_mosaic_is_exact():
+    """The graded-row contract: flat-per-8x8-block gray mosaics
+    round-trip bit-exactly at quality 100 (DC-only blocks, step-1
+    quantization), including non-multiple-of-8 geometry whose edge
+    padding replicates into the boundary blocks."""
+    for did in (0, 3, 42, 255, 1000):
+        w, h = 10 + did % 7, 9 + did % 5
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        g = ((did + 37 * (xx // 8) + 101 * (yy // 8)) % 256).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(g, quality=100))
+        assert out.shape == (h, w, 3)
+        for ch in range(3):
+            assert np.array_equal(out[:, :, ch], g), (did, ch)
+
+
+def test_gray_quality_100_arbitrary_content_off_by_one():
+    """Arbitrary content at quality 100 is NOT exact (DCT coefficient
+    rounding) but must stay within 1 level — the documented
+    lossless-up-to-DCT-rounding bound."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(16, 24), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=100))
+    err = np.abs(out[:, :, 0].astype(int) - img.astype(int))
+    assert err.max() <= 1
+
+
+def test_rgb_444_round_trip_tolerance():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(24, 31, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=95))
+    err = np.abs(out.astype(int) - img.astype(int))
+    # random noise is JPEG's worst case; q95 keeps it bounded
+    assert err.max() <= 48 and err.mean() <= 8.0
+
+
+def test_rgb_420_smooth_round_trip():
+    """Chroma-subsampled path on a smooth gradient (the content 4:2:0
+    is designed for) — exercises the decoder's 2x upsampling."""
+    x = np.linspace(0, 255, 40)
+    img = np.stack(
+        [
+            np.tile(x, (30, 1)),
+            np.tile(x[::-1], (30, 1)),
+            np.full((30, 40), 100.0),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=90, subsampling="420"))
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 16 and err.mean() <= 4.0
+
+
+def test_restart_intervals_round_trip():
+    """DRI/RSTn path: restart markers + DC-predictor resets must not
+    change the decoded result vs the marker-free stream."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(33, 50), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=100))
+    for interval in (1, 3, 7):
+        with_rst = decode_jpeg(
+            encode_jpeg(img, quality=100, restart_interval=interval)
+        )
+        assert np.array_equal(with_rst, base), interval
+
+
+def test_byte_stuffing_survives():
+    """An all-255 image maximizes 0xFF-heavy entropy bytes; the
+    stuffed stream must still round-trip (and flat 255 at q100 is
+    exact by the mosaic contract)."""
+    img = np.full((8, 8), 255, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=100))
+    assert (out == 255).all()
+
+
+def test_progressive_rejected_with_real_cause():
+    golden = bytearray(_golden_flat_gray())
+    # rewrite the SOF0 marker byte (FF C0) to SOF2 (progressive)
+    idx = golden.index(b"\xff\xc0")
+    golden[idx + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bytes(golden))
+
+
+def test_twelve_bit_quant_rejected():
+    golden = bytearray(_golden_flat_gray())
+    idx = golden.index(b"\xff\xdb")
+    golden[idx + 4] = 0x10          # Pq=1: 16-bit table
+    with pytest.raises(ValueError, match="12-bit"):
+        decode_jpeg(bytes(golden))
+
+
+def test_bad_magic_and_truncation_rejected():
+    with pytest.raises(ValueError, match="bad SOI"):
+        decode_jpeg(b"\x00\x01\x02\x03\x04")
+    with pytest.raises(ValueError, match="shorter"):
+        decode_jpeg(b"\xff\xd8")
+    good = _golden_flat_gray()
+    with pytest.raises(ValueError):
+        decode_jpeg(good[: len(good) - 4])   # entropy data cut short
+
+
+def test_encoder_input_validation():
+    with pytest.raises(ValueError, match="uint8"):
+        encode_jpeg(np.zeros((4, 4), dtype=np.float64))
+    with pytest.raises(ValueError, match="non-empty"):
+        encode_jpeg(np.zeros((0, 4), dtype=np.uint8))
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(np.zeros((4, 4, 3), dtype=np.uint8), subsampling="422")
+    with pytest.raises(ValueError, match="quality"):
+        encode_jpeg(np.zeros((4, 4), dtype=np.uint8), quality=0)
+
+
+def test_registered_in_image_registry():
+    codec = image_codec_for("image/jpeg")
+    assert isinstance(codec, JpegImageCodec)
+    img = np.full((9, 11), 77, dtype=np.uint8)
+    assert (codec.decode(codec.encode(img, quality=100)) == 77).all()

@@ -93,7 +93,7 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         # watermarked streaming enter on add; 6 of the 12
         # never-driver-graded oracled queries rotate in (r5 verdict
         # item 3 — the other 6 follow in round 7)
-        "media_decode_real", "events_streaming_append",
+        "events_streaming_append",
         "events_streaming_dedup",
         "cdc_reconciliation",
         "lineitem_cube_stats",
@@ -121,6 +121,13 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         # per-frame pixel decode; events_hourly_gapfill (green r6)
         # cedes its slot
         "media_video_frames",
+        # and the third real image codec (baseline JPEG — the
+        # lossy-transform class, graded via the bit-exact q100
+        # per-block-constant mosaic contract); media_decode_real
+        # (green r6) cedes its slot: the BMP pixel-decode path stays
+        # driver-graded inside media_video_frames and hash-checked
+        # off-window
+        "media_decode_jpeg",
     }
     assert required <= window, sorted(required - window)
     # every docs_/emb_/media_/sql_ query is in the graded window,
@@ -180,6 +187,12 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         # emb_dedup_incremental); green r5-r6, cross-doc chunk spans
         # stay hash-checked by check_oracle/ci_gate every round
         "docs_duplicate_chunks",
+        # r7: slot ceded to media_decode_jpeg (third real image codec,
+        # lossy-transform class); green r6, and the BMP pixel-decode
+        # path it graded stays driver-graded inside media_video_frames
+        # (every sampled AVI frame decodes through the same BMP
+        # registry codec) + hash-checked off-window every round
+        "media_decode_real",
     }
     surface = {
         n for n in qs

@@ -634,6 +634,71 @@ def test_ivf_index_parquet_round_trip(spark, tmp_path):
     assert len(from_disk) > 0
 
 
+def test_ivf_index_append_equals_fresh_assignment(spark, tmp_path):
+    """The WRITE path of the persisted-index lifecycle
+    (operators/similarity.py: ivf_index_append): appending a batch to
+    a stored index must equal assigning the UNION corpus under the
+    same stored centroids — so searches over the grown index serve
+    exactly what a from-scratch assignment would.  Also proves the
+    storage shape (append lands as new rows in the _cid-partitioned
+    directory; history never rewritten) and batch associativity
+    (two sub-batches == one batch)."""
+    from pyspark.sql import functions as F
+
+    from mysql_clickhouse_sync_spark.operators.similarity import (
+        _assign_postings,
+        _stored_centroids,
+        ivf_build_index,
+        ivf_index_append,
+        ivf_topk_vs_index,
+    )
+    from mysql_clickhouse_sync_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    stored = emb.filter(F.col("vec_id") % 4 == 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 2)
+    queries = emb.filter(F.col("vec_id") % 50 == 1)
+
+    centroids, postings = ivf_build_index(stored, n_centroids=8)
+    grown = ivf_index_append(centroids, postings, batch)
+
+    # equality with the from-scratch assignment under the SAME cents
+    cents = _stored_centroids(centroids, "test")
+    union = emb.filter(F.col("vec_id") % 2 == 0)
+    fresh = _assign_postings(union, cents, "vec_id", "embedding")
+    key = lambda rows: {(r.vec_id, r._cid, r._cn) for r in rows}  # noqa: E731
+    assert key(grown.collect()) == key(fresh.collect())
+
+    # storage shape: stored write + appended write into the same
+    # partitioned directory; reload serves the identical search
+    pdir, cdir = str(tmp_path / "postings"), str(tmp_path / "cents")
+    centroids.write.parquet(cdir)
+    postings.write.partitionBy("_cid").parquet(pdir)
+    new_only = ivf_index_append(
+        centroids, postings.limit(0), batch
+    )
+    new_only.write.mode("append").partitionBy("_cid").parquet(pdir)
+    r_cents, r_post = spark.read.parquet(cdir), spark.read.parquet(pdir)
+    skey = lambda rows: {  # noqa: E731
+        (r.query_id, r.neighbor_id, r.rnk) for r in rows
+    }
+    from_disk = skey(
+        ivf_topk_vs_index(r_cents, r_post, queries, k=3, nprobe=4).collect()
+    )
+    in_plan = skey(
+        ivf_topk_vs_index(centroids, grown, queries, k=3, nprobe=4).collect()
+    )
+    assert from_disk == in_plan and len(from_disk) > 0
+
+    # associativity: appending in two halves == one batch
+    b1 = batch.filter(F.col("vec_id") % 8 == 2)
+    b2 = batch.filter(F.col("vec_id") % 8 == 6)
+    two_step = ivf_index_append(
+        centroids, ivf_index_append(centroids, postings, b1), b2
+    )
+    assert key(two_step.collect()) == key(grown.collect())
+
+
 def test_ivf_vs_index_rejects_bad_centroid_table(spark):
     import pytest
     from pyspark.sql import functions as F

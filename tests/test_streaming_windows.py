@@ -289,6 +289,89 @@ def test_stream_stream_interval_join(spark, tmp_path):
     assert got == {(1, 9.0), (2, 5.0)}, got
 
 
+def test_stream_stream_interval_join_left_outer(spark, tmp_path):
+    """left_outer: unmatched clicks emit with NULL right columns, but
+    only once the watermark has passed their join window — a drain
+    whose final batch leaves the watermark short keeps them buffered
+    (asserted), and a later sentinel-advanced drain flushes them."""
+    from mysql_clickhouse_sync_spark.streaming.windows import interval_join
+
+    clicks_src = str(tmp_path / "clicks_lo")
+    buys_src = str(tmp_path / "buys_lo")
+    out = str(tmp_path / "out_lo")
+    ck = str(tmp_path / "ck_lo")
+    _write(clicks_src, [
+        {"ts": "2024-01-01 10:00:00", "user_id": 1,
+         "event_type": "click", "value": 0.0},
+        {"ts": "2024-01-01 10:00:00", "user_id": 2,
+         "event_type": "click", "value": 0.0},     # never converts
+    ], "f1.json")
+    _write(buys_src, [
+        {"ts": "2024-01-01 10:30:00", "user_id": 1,
+         "event_type": "purchase", "value": 9.0},
+    ], "f1.json")
+
+    def drain():
+        j = interval_join(
+            _stream(spark, clicks_src).drop("value"),
+            _stream(spark, buys_src).select("ts", "user_id", "value"),
+            key="user_id",
+            max_delay="1 hour",
+            watermark="30 minutes",
+            how="left_outer",
+        )
+        q = (
+            j.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r.user_id, r.r_value)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    # first drain: the match emits; user 2's "no match" is NOT final
+    # (watermark sits at max_event - 30min = 10:00, short of the
+    # click's 11:00 window end), so the unmatched row stays in state
+    got = drain()
+    assert got == {(1, 9.0)}, got
+    # late sentinels advance the watermark past 11:00 — on BOTH
+    # sources, because a stream-stream join's watermark is the MIN
+    # across its inputs (a quiet clicks feed would pin it forever).
+    # TWO sentinel files per side because eviction uses the PREVIOUS
+    # batch's watermark (maxFilesPerTrigger=1 -> one batch per file):
+    # the first advances it, a later batch evicts and emits the
+    # unmatched row.  The SAME checkpoint resumes across drains.
+    for fname, ts in (("f2.json", "13:00:00"), ("f3.json", "13:00:01")):
+        _write(clicks_src, [
+            {"ts": f"2024-01-01 {ts}", "user_id": 98,
+             "event_type": "click", "value": 0.0},
+        ], fname)
+        _write(buys_src, [
+            {"ts": f"2024-01-01 {ts}", "user_id": 99,
+             "event_type": "purchase", "value": 1.0},
+        ], fname)
+    got = drain()
+    assert (2, None) in got, got
+    assert (1, 9.0) in got
+
+
+def test_interval_join_rejects_unknown_how(spark):
+    import pytest
+
+    from mysql_clickhouse_sync_spark.streaming.windows import interval_join
+
+    df = spark.createDataFrame(
+        [], "ts timestamp, user_id long, value double"
+    )
+    with pytest.raises(ValueError, match="inner.*left_outer"):
+        interval_join(df, df, key="user_id", how="full_outer")
+
+
 def test_dedup_within_watermark_drops_redeliveries(spark, tmp_path):
     """Re-delivered events (same key) within the watermark are dropped
     across microbatch boundaries; distinct keys all survive."""

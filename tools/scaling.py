@@ -73,6 +73,7 @@ SWEEP = (
     "emb_topk_vs_index",
     "emb_dedup_incremental",
     "media_decode_png",              # zlib decode in the Arrow loop
+    "media_decode_jpeg",             # Huffman+DCT decode in the Arrow loop
     "media_audio_stats",             # PCM decode in the Arrow loop
     "media_video_frames",            # AVI demux + per-frame decode
 )
