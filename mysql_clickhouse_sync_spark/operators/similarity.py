@@ -1229,14 +1229,44 @@ def pq_topk(
     window.  Recall < 1 by construction -> rows-only driver check;
     recall@k vs the exact fold is property-tested.
     """
+    books, _dim = _pq_codebooks(corpus, m, ksub, id_col, vec_col)
+    # vectorized encode is the scale path (identical contract; the
+    # JVM-fold pq_encode stays for zero-Python deployments)
+    enc = pq_encode_vectorized(
+        spread(corpus), m, ksub, id_col, vec_col, books=books
+    ).select(F.col(id_col).alias("neighbor_id"), "_codes", "_norm")
+    return _pq_search(
+        books, enc, corpus, queries, k, m, ksub, rerank, id_col, vec_col,
+        max_queries,
+    )
+
+
+def _pq_search(
+    books,
+    codes: DataFrame,
+    rerank_corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    m: int,
+    ksub: int,
+    rerank: int,
+    id_col: str,
+    vec_col: str,
+    max_queries: int,
+) -> DataFrame:
+    """Shared PQ/ADC search core: per-query lookup tables built
+    driver-side from ``books``, ADC scoring over the ``codes``
+    relation (``(neighbor_id, _codes, _norm)``), optional exact
+    rerank joining true vectors from ``rerank_corpus``.  Used by both
+    the train-per-run path (:func:`pq_topk`) and the stored-index
+    path (:func:`pq_topk_vs_index`)."""
     from pyspark.sql import Window
 
-    books, dim = _pq_codebooks(corpus, m, ksub, id_col, vec_col)
-    dsub = dim // m
+    dsub = len(books[0][0])
     q_rows = _collect_bounded(
-        queries.select(id_col, vec_col), max_queries, "pq_topk query set"
+        queries.select(id_col, vec_col), max_queries, "pq search query set"
     )
-    spark = corpus.sparkSession
+    spark = queries.sparkSession
     tbl_rows = []
     for r in q_rows:
         qv = [float(x) for x in r[vec_col]]
@@ -1252,11 +1282,7 @@ def pq_topk(
     qtbl = spark.createDataFrame(
         tbl_rows, "query_id long, _tbl array<double>, _qn double"
     )
-    # vectorized encode is the scale path (identical contract; the
-    # JVM-fold pq_encode stays for zero-Python deployments)
-    enc = pq_encode_vectorized(
-        spread(corpus), m, ksub, id_col, vec_col, books=books
-    ).select(F.col(id_col).alias("neighbor_id"), "_codes", "_norm")
+    enc = codes
     adc = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
         F.lit(0.0),
@@ -1284,7 +1310,7 @@ def pq_topk(
             .filter(F.col("rnk") <= rerank * k)
             .select("query_id", "neighbor_id")
         )
-        vecs = corpus.select(
+        vecs = rerank_corpus.select(
             F.col(id_col), _to_double(F.col(vec_col)).alias("_v")
         )
         qv = queries.select(
@@ -1317,4 +1343,141 @@ def pq_topk(
             "query_id", "neighbor_id", "cosine_sim",
             F.col("rnk").cast("int").alias("rnk"),
         )
+    )
+
+
+def pq_build_index(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Build the PERSISTABLE PQ index of a corpus — the PQ twin of
+    :func:`ivf_build_index`, closing the last train-per-run family:
+    train codebooks once, store, and every later batch searches (or
+    appends to) the stored relations.
+
+    Returns ``(codebooks, codes)``:
+
+    * ``codebooks`` — ``(j int, c int, centroid array<double>)``:
+      subspace j's centroid c (m x ksub rows, tiny by construction);
+    * ``codes`` — ``(id_col, _codes array<int>, _norm double)``:
+      every corpus vector compressed to m subspace codes plus its
+      true norm — dim/m x fewer bytes than the raw vectors, which is
+      what the ADC scan reads at 100 TB.
+
+    Persistence contract: write both to parquet; reload and hand to
+    :func:`pq_topk_vs_index` / :func:`pq_index_append`.  Round-trip
+    equality with the train-per-run path is pinned in
+    tests/test_similarity.py.
+    """
+    books, _dim = _pq_codebooks(corpus, m, ksub, id_col, vec_col)
+    spark = corpus.sparkSession
+    codebooks = spark.createDataFrame(
+        [
+            (j, c, books[j][c])
+            for j in range(m)
+            for c in range(ksub)
+        ],
+        "j int, c int, centroid array<double>",
+    )
+    codes = pq_encode_vectorized(
+        spread(corpus), m, ksub, id_col, vec_col, books=books
+    )
+    return codebooks, codes
+
+
+def _stored_codebooks(codebooks: DataFrame):
+    """Collect + validate a stored codebook table: dense (j, c) grid
+    0..m-1 x 0..ksub-1, uniform subvector width.  Returns
+    ``(books, m, ksub)``."""
+    rows = _collect_bounded(
+        codebooks.select("j", "c", "centroid").orderBy("j", "c"),
+        MAX_CENTROIDS,
+        "PQ codebook table",
+    )
+    if not rows:
+        raise ValueError("empty codebook table: build the index first")
+    m = rows[-1]["j"] + 1
+    ksub = rows[-1]["c"] + 1
+    if len(rows) != m * ksub or [
+        (r["j"], r["c"]) for r in rows
+    ] != [(j, c) for j in range(m) for c in range(ksub)]:
+        raise ValueError(
+            "codebook table must carry the dense (j, c) grid "
+            "0..m-1 x 0..ksub-1 (ADC indexes subspace tables by "
+            "position); rebuild via pq_build_index"
+        )
+    books = [
+        [list(map(float, rows[j * ksub + c]["centroid"]))
+         for c in range(ksub)]
+        for j in range(m)
+    ]
+    widths = {len(c) for b in books for c in b}
+    if len(widths) != 1:
+        raise ValueError(
+            f"codebook table has mixed subvector widths {sorted(widths)}"
+        )
+    return books, m, ksub
+
+
+def pq_index_append(
+    codebooks: DataFrame,
+    codes: DataFrame,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The WRITE path of the persisted PQ lifecycle: encode a new
+    ingest batch under the STORED codebooks and return the grown codes
+    relation — no retraining, no history re-encode; work is
+    O(|batch| x ksub x dim) narrow compute, and at the storage layer
+    the new rows append to the codes parquet.  Batch ids must be
+    disjoint from stored ids (redeliveries collapse upstream — the
+    same contract as :func:`ivf_index_append`).  Codebook DRIFT is the
+    documented limit, identical to the IVF append path: a shifted
+    batch distribution degrades code quantization error, not
+    correctness; rebuild via :func:`pq_build_index` when recall
+    contracts flag it."""
+    books, m, ksub = _stored_codebooks(codebooks)
+    new_codes = pq_encode_vectorized(
+        batch, m, ksub, id_col, vec_col, books=books
+    )
+    cols = [id_col, "_codes", "_norm"]
+    return codes.select(*cols).unionByName(new_codes.select(*cols))
+
+
+def pq_topk_vs_index(
+    codebooks: DataFrame,
+    codes: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rerank: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = MAX_QUERY_ROWS,
+) -> DataFrame:
+    """ADC search of a query batch against a STORED PQ index
+    (:func:`pq_build_index`, typically reloaded from parquet): no
+    re-training, no corpus re-encode; the scan reads the compressed
+    codes relation (m bytes + a norm per vector), and only the
+    ``rerank * k`` shortlist per query touches true vectors —
+    ``corpus`` is the same stored table the codes were built from,
+    joined selectively by id for the exact rerank (pass the raw
+    parquet relation; the join prunes it to shortlist rows).
+    ``rerank=0`` never touches it.
+
+    Output: (query_id, neighbor_id, cosine_sim, rnk) — identical
+    contract to :func:`pq_topk`; searching an index built from the
+    same corpus returns the identical result (pinned in tests).
+    """
+    books, m, ksub = _stored_codebooks(codebooks)
+    enc = codes.select(
+        F.col(id_col).alias("neighbor_id"), "_codes", "_norm"
+    )
+    return _pq_search(
+        books, enc, corpus, queries, k, m, ksub, rerank, id_col, vec_col,
+        max_queries,
     )

@@ -699,6 +699,111 @@ def test_ivf_index_append_equals_fresh_assignment(spark, tmp_path):
     assert key(two_step.collect()) == key(grown.collect())
 
 
+def test_pq_index_parquet_round_trip(spark, tmp_path):
+    """The PQ index lifecycle twin of test_ivf_index_parquet_round_trip
+    (operators/similarity.py: pq_build_index / pq_topk_vs_index):
+    persist codebooks + codes, reload, search — identical to the
+    in-plan index AND the train-per-run pq_topk (training is
+    deterministic, so the stored books equal a fresh run's)."""
+    from pyspark.sql import functions as F
+
+    from mysql_clickhouse_sync_spark.operators.similarity import (
+        pq_build_index,
+        pq_topk,
+        pq_topk_vs_index,
+    )
+    from mysql_clickhouse_sync_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    queries = emb.filter(F.col("vec_id") % 50 == 1)
+
+    codebooks, codes = pq_build_index(corpus, m=8, ksub=16)
+    bdir, cdir = str(tmp_path / "books"), str(tmp_path / "codes")
+    codebooks.write.parquet(bdir)
+    codes.write.parquet(cdir)
+    r_books, r_codes = spark.read.parquet(bdir), spark.read.parquet(cdir)
+
+    key = lambda rows: {  # noqa: E731
+        (r.query_id, r.neighbor_id, r.rnk) for r in rows
+    }
+    from_disk = key(
+        pq_topk_vs_index(
+            r_books, r_codes, corpus, queries, k=3, rerank=5
+        ).collect()
+    )
+    in_plan = key(
+        pq_topk_vs_index(
+            codebooks, codes, corpus, queries, k=3, rerank=5
+        ).collect()
+    )
+    fresh_train = key(
+        pq_topk(corpus, queries, k=3, m=8, ksub=16, rerank=5).collect()
+    )
+    assert from_disk == in_plan == fresh_train
+    assert len(from_disk) > 0
+
+
+def test_pq_index_append_equals_fresh_encode(spark):
+    """pq_index_append must equal encoding the UNION corpus under the
+    same stored codebooks (write-path equality), and appending in two
+    sub-batches must equal one batch (associativity)."""
+    from pyspark.sql import functions as F
+
+    from mysql_clickhouse_sync_spark.operators.similarity import (
+        _stored_codebooks,
+        pq_build_index,
+        pq_encode_vectorized,
+        pq_index_append,
+    )
+    from mysql_clickhouse_sync_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    stored = emb.filter(F.col("vec_id") % 4 == 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 2)
+
+    codebooks, codes = pq_build_index(stored, m=8, ksub=16)
+    grown = pq_index_append(codebooks, codes, batch)
+
+    books, m, ksub = _stored_codebooks(codebooks)
+    union = emb.filter(F.col("vec_id") % 2 == 0)
+    fresh = pq_encode_vectorized(
+        union, m, ksub, "vec_id", "embedding", books=books
+    )
+    key = lambda rows: {  # noqa: E731
+        (r.vec_id, tuple(r._codes), r._norm) for r in rows
+    }
+    assert key(grown.collect()) == key(fresh.collect())
+
+    b1 = batch.filter(F.col("vec_id") % 8 == 2)
+    b2 = batch.filter(F.col("vec_id") % 8 == 6)
+    two_step = pq_index_append(
+        codebooks, pq_index_append(codebooks, codes, b1), b2
+    )
+    assert key(two_step.collect()) == key(grown.collect())
+
+
+def test_pq_vs_index_rejects_bad_codebook_table(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mysql_clickhouse_sync_spark.operators.similarity import (
+        pq_build_index,
+        pq_topk_vs_index,
+    )
+
+    vecs = _vecs(spark, [[1, 0, 1, 0], [0, 1, 0, 1], [1, 1, 1, 1],
+                         [2, 1, 2, 1]] * 5)
+    codebooks, codes = pq_build_index(vecs, m=2, ksub=4)
+    gappy = codebooks.filter(~((F.col("j") == 0) & (F.col("c") == 2)))
+    with pytest.raises(ValueError, match="dense"):
+        pq_topk_vs_index(gappy, codes, vecs, vecs.limit(1), k=1)
+    with pytest.raises(ValueError, match="empty codebook"):
+        pq_topk_vs_index(
+            codebooks.limit(0), codes, vecs, vecs.limit(1), k=1
+        )
+
+
 def test_ivf_vs_index_rejects_bad_centroid_table(spark):
     import pytest
     from pyspark.sql import functions as F
