@@ -380,6 +380,14 @@ def encode_jpeg(
         raise ValueError(
             f"encode_jpeg needs non-empty dimensions, got shape={arr.shape}"
         )
+    if arr.shape[0] > 0xFFFF or arr.shape[1] > 0xFFFF:
+        # JPEG's SOF geometry fields are 16-bit — check BEFORE paying
+        # the whole DCT+entropy encode (struct.pack would otherwise
+        # fail at the SOF write with an opaque struct.error)
+        raise ValueError(
+            f"encode_jpeg: dimensions exceed JPEG's 65535 limit, got "
+            f"shape={arr.shape}"
+        )
     if subsampling not in ("444", "420"):
         raise ValueError(f"subsampling must be '444' or '420', got "
                          f"{subsampling!r}")
@@ -550,6 +558,20 @@ def decode_jpeg(payload: bytes):
                 f"corrupt JPEG: expected a marker at byte {pos}"
             )
         marker = data[pos + 1]
+        if marker == 0xFF:
+            # optional fill byte before a marker (T.81 B.1.1.2) —
+            # spec-legal padding real encoders emit; skip one at a time
+            pos += 1
+            continue
+        if marker == 0xD9:
+            # EOI before any SOS: stop walking — the check below
+            # reports "missing SOF0/SOS" with the real cause
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            # standalone (length-less) markers: TEM, RSTn, stray SOI —
+            # none is meaningful in the header section; skip
+            pos += 2
+            continue
         if marker in _SOF_UNSUPPORTED:
             raise ValueError(
                 f"unsupported JPEG variant: {_SOF_UNSUPPORTED[marker]} — "
@@ -620,6 +642,13 @@ def decode_jpeg(payload: bytes):
         raise ValueError(
             "unsupported JPEG: multi-scan stream (one interleaved "
             "scan only)"
+        )
+    if set(scan) != {c[0] for c in comps}:
+        # a bare KeyError from the MCU loop would escape the Arrow
+        # decode stage without the real cause
+        raise ValueError(
+            f"corrupt JPEG: SOS component ids {sorted(scan)} do not "
+            f"match SOF component ids {sorted(c[0] for c in comps)}"
         )
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)

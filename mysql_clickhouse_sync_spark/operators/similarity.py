@@ -736,6 +736,9 @@ def ivf_topk_vs_index(
     same corpus returns the identical result (pinned in tests).
     """
     cents = _stored_centroids(centroids, "ivf_topk_vs_index")
+    _require_dim(
+        queries, vec_col, len(cents[0]), "ivf_topk_vs_index queries"
+    )
     return _ivf_search(
         cents, postings, queries, k, nprobe, id_col, vec_col, max_queries
     )
@@ -759,6 +762,23 @@ def _stored_centroids(centroids: DataFrame, what: str) -> list[list[float]]:
             "ivf_build_index"
         )
     return [list(map(float, r["cu"])) for r in rows]
+
+
+def _require_dim(df: DataFrame, vec_col: str, expected: int, what: str) -> None:
+    """Assert a vector column's width matches a stored index's trained
+    dimension — ONE 1-row probe (empty frames pass vacuously).  Without
+    this, ``zip_with`` against folded centroid literals NULL-PADS a
+    mismatched vector and silently mis-assigns every row (confirmed:
+    a wrong-dim batch all lands in cell 0), persisting a corrupt index
+    instead of failing the ingest with the real cause."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is not None and row["d"] != expected:
+        raise ValueError(
+            f"{what}: vector dimension {row['d']} does not match the "
+            f"stored index's trained dimension {expected} — the batch/"
+            f"query feed and the index were built from different "
+            f"embedding spaces; rebuild the index or fix the feed"
+        )
 
 
 def ivf_index_append(
@@ -798,6 +818,7 @@ def ivf_index_append(
     column-aligned with the stored relation.
     """
     cents = _stored_centroids(centroids, "ivf_index_append")
+    _require_dim(batch, vec_col, len(cents[0]), "ivf_index_append batch")
     new_postings = _assign_postings(batch, cents, id_col, vec_col)
     return postings.select(id_col, "_cv", "_cid", "_cn").unionByName(
         new_postings.select(id_col, "_cv", "_cid", "_cn")
@@ -1263,6 +1284,7 @@ def _pq_search(
     from pyspark.sql import Window
 
     dsub = len(books[0][0])
+    dim = m * dsub
     q_rows = _collect_bounded(
         queries.select(id_col, vec_col), max_queries, "pq search query set"
     )
@@ -1270,6 +1292,16 @@ def _pq_search(
     tbl_rows = []
     for r in q_rows:
         qv = [float(x) for x in r[vec_col]]
+        # the rows are already driver-side — validate the trained
+        # dimension here for free (a short vector would otherwise die
+        # in an opaque IndexError below; a long one would silently
+        # score only its prefix while _qn uses the full vector)
+        if len(qv) != dim:
+            raise ValueError(
+                f"pq search query {r[id_col]!r}: vector dimension "
+                f"{len(qv)} does not match the codebooks' trained "
+                f"dimension {dim} (m={m} x dsub={dsub})"
+            )
         qn = sum(x * x for x in qv) ** 0.5
         flat = [
             sum(
@@ -1282,7 +1314,6 @@ def _pq_search(
     qtbl = spark.createDataFrame(
         tbl_rows, "query_id long, _tbl array<double>, _qn double"
     )
-    enc = codes
     adc = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
         F.lit(0.0),
@@ -1293,7 +1324,7 @@ def _pq_search(
         ),
     )
     scored = (
-        enc.crossJoin(F.broadcast(qtbl))
+        codes.crossJoin(F.broadcast(qtbl))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -1441,8 +1472,13 @@ def pq_index_append(
     correctness; rebuild via :func:`pq_build_index` when recall
     contracts flag it."""
     books, m, ksub = _stored_codebooks(codebooks)
+    _require_dim(
+        batch, vec_col, m * len(books[0][0]), "pq_index_append batch"
+    )
+    # spread() like every sibling encode entry point: a single-split
+    # daily batch would otherwise encode on ONE task
     new_codes = pq_encode_vectorized(
-        batch, m, ksub, id_col, vec_col, books=books
+        spread(batch), m, ksub, id_col, vec_col, books=books
     )
     cols = [id_col, "_codes", "_norm"]
     return codes.select(*cols).unionByName(new_codes.select(*cols))

@@ -246,6 +246,39 @@ def test_encoder_input_validation():
         encode_jpeg(np.zeros((4, 4, 3), dtype=np.uint8), subsampling="422")
     with pytest.raises(ValueError, match="quality"):
         encode_jpeg(np.zeros((4, 4), dtype=np.uint8), quality=0)
+    # SOF geometry fields are 16-bit: reject UPFRONT, not after paying
+    # the whole DCT+entropy encode for a struct.error at the SOF write
+    with pytest.raises(ValueError, match="65535"):
+        encode_jpeg(np.zeros((70000, 1), dtype=np.uint8))
+
+
+def test_fill_bytes_before_markers_accepted():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+    marker; real encoders emit them and the decoder must skip them
+    (previously misparsed as a truncated segment)."""
+    golden = _golden_flat_gray()
+    # inject fill bytes after SOI, before the DQT marker
+    padded = golden[:2] + b"\xff\xff" + golden[2:]
+    out = decode_jpeg(padded)
+    assert (out == 130).all()
+
+
+def test_sos_sof_component_mismatch_rejected_with_real_cause():
+    """SOS naming a component id the SOF never declared must raise a
+    ValueError naming both id sets, not a bare KeyError from the MCU
+    loop (which would escape the Arrow decode stage uncaught)."""
+    golden = bytearray(_golden_flat_gray())
+    idx = golden.index(b"\xff\xda")
+    assert golden[idx + 5] == 1          # SOS component id byte
+    golden[idx + 5] = 9
+    with pytest.raises(ValueError, match="SOS component ids"):
+        decode_jpeg(bytes(golden))
+
+
+def test_premature_eoi_reports_missing_scan():
+    payload = b"\xff\xd8\xff\xd9"
+    with pytest.raises(ValueError, match="missing SOF0/SOS"):
+        decode_jpeg(payload)
 
 
 def test_registered_in_image_registry():

@@ -783,6 +783,45 @@ def test_pq_index_append_equals_fresh_encode(spark):
     assert key(two_step.collect()) == key(grown.collect())
 
 
+def test_stored_index_paths_reject_dim_mismatch(spark):
+    """A batch/query feed from a DIFFERENT embedding space than the
+    stored index must fail with the real cause: zip_with against
+    folded centroid literals NULL-PADS a mismatched vector and
+    silently mis-assigns every row (all to cell 0 — confirmed), which
+    would persist a corrupt index; PQ's prefix-encode bias and bare
+    IndexError are the same disease on the codes path."""
+    import pytest
+
+    from mysql_clickhouse_sync_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_index_append,
+        ivf_topk_vs_index,
+        pq_build_index,
+        pq_index_append,
+        pq_topk_vs_index,
+    )
+
+    vecs4 = _vecs(spark, [[1, 0, 1, 0], [0, 1, 0, 1], [1, 1, 1, 1],
+                          [2, 1, 2, 1]] * 3)
+    vecs6 = _vecs(spark, [[1, 0, 1, 0, 1, 0], [0, 1, 0, 1, 0, 1]])
+
+    centroids, postings = ivf_build_index(vecs4, n_centroids=2)
+    with pytest.raises(ValueError, match="dimension 6 .* 4"):
+        ivf_index_append(centroids, postings, vecs6)
+    with pytest.raises(ValueError, match="dimension 6 .* 4"):
+        ivf_topk_vs_index(centroids, postings, vecs6, k=1, nprobe=1)
+
+    codebooks, codes = pq_build_index(vecs4, m=2, ksub=4)
+    with pytest.raises(ValueError, match="dimension 6 .* 4"):
+        pq_index_append(codebooks, codes, vecs6)
+    with pytest.raises(ValueError, match="dimension 6 .* trained"):
+        pq_topk_vs_index(codebooks, codes, vecs4, vecs6, k=1)
+    # short queries previously died in an opaque IndexError
+    vecs2 = _vecs(spark, [[1, 0]])
+    with pytest.raises(ValueError, match="dimension 2 .* trained"):
+        pq_topk_vs_index(codebooks, codes, vecs4, vecs2, k=1)
+
+
 def test_pq_vs_index_rejects_bad_codebook_table(spark):
     import pytest
     from pyspark.sql import functions as F
