@@ -810,9 +810,9 @@ def ivf_index_append(
     static-quantizer ANN index (FAISS IVF included): appended batches
     from a shifted distribution degrade cell balance, not correctness
     (recall contracts live in the graded queries).  Monitor cell
-    occupancy skew over the grown postings and rebuild via
-    ``ivf_build_index`` when it drifts — rebuild cost amortizes across
-    the batches served in between.
+    occupancy skew over the grown postings (:func:`ivf_cell_stats`)
+    and rebuild via ``ivf_build_index`` when it drifts — rebuild cost
+    amortizes across the batches served in between.
 
     Output: the grown postings ``(id_col, _cv, _cid, _cn)``,
     column-aligned with the stored relation.
@@ -822,6 +822,42 @@ def ivf_index_append(
     new_postings = _assign_postings(batch, cents, id_col, vec_col)
     return postings.select(id_col, "_cv", "_cid", "_cn").unionByName(
         new_postings.select(id_col, "_cv", "_cid", "_cn")
+    )
+
+
+def ivf_cell_stats(
+    postings: DataFrame, n_centroids: int | None = None
+) -> DataFrame:
+    """Per-cell occupancy diagnostics over a stored IVF postings
+    relation — the REBUILD TRIGGER the append path's drift contract
+    points at (:func:`ivf_index_append`): appended batches from a
+    shifted distribution degrade cell balance long before they hurt
+    recall, and balance is what sizes the probe-side tasks at 100 TB.
+
+    Output: ``(cid, n, frac, skew)`` — ``frac`` = cell share of the
+    corpus, ``skew`` = n / (total / k), so a healthy index reads ~1.0
+    everywhere and a drifted one shows hot cells >> 1.  ``n_centroids``
+    fixes k when trailing cells may be EMPTY (empty cells vanish from
+    a groupBy; passing the trained k keeps the mean honest); defaults
+    to the number of occupied cells.
+
+    Plan shape: one groupBy (k rows out) + a window total over those
+    k rows — the SinglePartition stage sits over <= MAX_CENTROIDS
+    rows, the same bounded-aggregate pattern the sketch operators use.
+    """
+    from pyspark.sql import Window
+
+    counts = postings.groupBy("_cid").agg(F.count("*").alias("n"))
+    w = Window.partitionBy()
+    total = F.sum("n").over(w)
+    k = F.lit(n_centroids) if n_centroids is not None else F.count(
+        "*"
+    ).over(w)
+    return counts.select(
+        F.col("_cid").alias("cid"),
+        "n",
+        (F.col("n") / total).alias("frac"),
+        (F.col("n") * k / total).alias("skew"),
     )
 
 

@@ -281,6 +281,60 @@ def test_premature_eoi_reports_missing_scan():
         decode_jpeg(payload)
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    quality=st.integers(50, 100),
+    gray=st.booleans(),
+    sub=st.sampled_from(["444", "420"]),
+    rst=st.sampled_from([0, 3]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_round_trip_error_bound_property(h, w, quality, gray, sub, rst, seed):
+    """Property fuzz over geometry x quality x mode x subsampling x
+    restart interval against a QUANTIZATION-THEORY error bound, not a
+    guessed tolerance: flat-per-16x16-tile mosaics make every coding
+    block flat in BOTH luma and (420-subsampled) chroma, so the only
+    loss is DC rounding — at most quant_step/2 per coefficient, i.e.
+    step/16 per pixel per plane, propagated through the YCbCr->RGB
+    coefficients (|1.772| worst) plus conversion/rounding slack.  A
+    broken block order, EXTEND, zigzag, upsample or plane swap blows
+    this bound by an order of magnitude on multi-tile images.
+
+    (Random-noise content is deliberately NOT asserted against a
+    tolerance: at q=60, chroma steps ~79 and 4:2:0 averaging make
+    per-pixel errors >100 CORRECT behavior — any bound would be
+    either vacuous or wrong.)"""
+    from mysql_clickhouse_sync_spark.operators.jpeg import (
+        _QUANT_CHROMA,
+        _QUANT_LUMA,
+        _scaled_quant,
+    )
+
+    rng = np.random.default_rng(seed)
+    tiles = rng.integers(0, 256, size=(3, 3, 3), dtype=np.uint8)
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    img = tiles[np.minimum(yy // 16, 2), np.minimum(xx // 16, 2)]
+    if gray:
+        img = img[:, :, 0].copy()
+    out = decode_jpeg(
+        encode_jpeg(img, quality=quality, subsampling=sub,
+                    restart_interval=rst)
+    )
+    assert out.shape == (h, w, 3)
+    ref = img if not gray else np.stack([img] * 3, axis=-1)
+    err = np.abs(out.astype(int) - ref.astype(int))
+    s_y = _scaled_quant(_QUANT_LUMA, quality)[0] / 16.0
+    s_c = _scaled_quant(_QUANT_CHROMA, quality)[0] / 16.0
+    bound = s_y + (0.0 if gray else 1.772 * s_c) + 2.0
+    assert err.max() <= bound, (err.max(), bound, quality, sub)
+
+
 def test_registered_in_image_registry():
     codec = image_codec_for("image/jpeg")
     assert isinstance(codec, JpegImageCodec)

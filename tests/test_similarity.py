@@ -783,6 +783,31 @@ def test_pq_index_append_equals_fresh_encode(spark):
     assert key(two_step.collect()) == key(grown.collect())
 
 
+def test_ivf_cell_stats_reports_occupancy_and_skew(spark):
+    """The drift monitor over a stored index: fractions sum to 1,
+    a balanced index reads skew ~1, a planted hot cell reads its
+    multiple, and n_centroids keeps the mean honest when trailing
+    cells are empty."""
+    from pyspark.sql import functions as F
+
+    from mysql_clickhouse_sync_spark.operators.similarity import (
+        ivf_cell_stats,
+    )
+
+    postings = spark.createDataFrame(
+        [(i, 0 if i < 60 else 1 + i % 2) for i in range(100)],
+        "vec_id long, _cid int",
+    )
+    # cells: 0 -> 60 rows (hot), 1 -> 20, 2 -> 20
+    got = {r.cid: r for r in ivf_cell_stats(postings).collect()}
+    assert abs(sum(r.frac for r in got.values()) - 1.0) < 1e-12
+    assert abs(got[0].skew - 1.8) < 1e-12          # 60 / (100/3)
+    assert abs(got[1].skew - 0.6) < 1e-12
+    # trained k = 4 with one EMPTY trailing cell: the mean uses k=4
+    got4 = {r.cid: r for r in ivf_cell_stats(postings, 4).collect()}
+    assert abs(got4[0].skew - 2.4) < 1e-12         # 60 / (100/4)
+
+
 def test_stored_index_paths_reject_dim_mismatch(spark):
     """A batch/query feed from a DIFFERENT embedding space than the
     stored index must fail with the real cause: zip_with against
