@@ -882,6 +882,41 @@ def semantic_dedup_vs_index(
     for EVERY vector (stored + batch) — ``is_new`` marks batch rows.
     """
     from ..operators.graph import dedup_clusters
+
+    combined, all_pairs = _semantic_grow(centroids, assigned, pairs,
+                                         new_raw)
+    clusters = dedup_clusters(
+        combined.select("vec_id"), all_pairs, id_col="vec_id",
+        unique_pairs=True,
+    )
+    return (
+        combined.select(
+            "vec_id",
+            F.col("cid").cast("long").alias("centroid_id"),
+            F.col("_is_new").alias("is_new"),
+        )
+        .join(clusters, "vec_id")
+        .select("vec_id", "centroid_id", "cluster_id", "is_keeper",
+                "is_new")
+    )
+
+
+def _semantic_grow(
+    centroids: DataFrame,
+    assigned: DataFrame,
+    pairs: DataFrame,
+    new_raw: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared grow core of the incremental semantic-dedup lifecycle:
+    assign the batch to the STORED centroids (two-level rule from the
+    persisted ``k_nominal``), pair it only within its cells against
+    (stored + batch) members, and merge with the stored pair set under
+    the grown-cell cap rule.  Returns ``(combined, all_pairs)`` where
+    ``combined`` is every vector ``(vec_id, u, cid, _is_new)`` and
+    ``all_pairs`` the merged within-cell pair set — exactly what a
+    from-scratch run with the same centroids and cap would produce.
+    Consumed by :func:`semantic_dedup_vs_index` (clustering) and
+    :func:`semantic_index_append` (write-back)."""
     from ..operators.similarity import (
         bucket_cosine_pairs_vs_index_vectorized,
     )
@@ -929,21 +964,41 @@ def semantic_dedup_vs_index(
     )
     # disjoint by construction: stored pairs are old-old, new_pairs
     # involve >= 1 batch row — union keeps each pair exactly once
-    all_pairs = stored_pairs.unionByName(new_pairs)
-    clusters = dedup_clusters(
-        combined.select("vec_id"), all_pairs, id_col="vec_id",
-        unique_pairs=True,
-    )
-    return (
-        combined.select(
-            "vec_id",
-            F.col("cid").cast("long").alias("centroid_id"),
-            F.col("_is_new").alias("is_new"),
-        )
-        .join(clusters, "vec_id")
-        .select("vec_id", "centroid_id", "cluster_id", "is_keeper",
-                "is_new")
-    )
+    return combined, stored_pairs.unionByName(new_pairs)
+
+
+def semantic_index_append(
+    centroids: DataFrame,
+    assigned: DataFrame,
+    pairs: DataFrame,
+    new_raw: DataFrame,
+) -> dict[str, DataFrame]:
+    """WRITE-BACK of the incremental semantic-dedup lifecycle: the
+    grown index relations after ingesting a batch, in the same shape
+    :func:`semantic_index_build` produces — persist them and
+    tomorrow's batch dedups against TODAY'S corpus without ever
+    re-pairing history (the missing half of the daily loop:
+    ``semantic_dedup_vs_index`` answers "what duplicates what" for the
+    grown corpus, this returns the state to carry forward).
+
+    Returns ``{"centroids", "assigned", "pairs"}`` — centroids pass
+    through unchanged (the quantizer is static between rebuilds;
+    re-derive via :func:`semantic_index_build` when batch drift
+    degrades cell balance), ``assigned`` is every (stored + batch)
+    vector under the stored cell rule, ``pairs`` the merged within-
+    cell pair set.  Equality contract (pinned in tests): the appended
+    relations equal a from-scratch :func:`semantic_index_build` over
+    the grown corpus REUSING the stored centroids — so chaining
+    appends day after day serves exactly the index a full rebuild
+    (same quantizer) would.
+    """
+    combined, all_pairs = _semantic_grow(centroids, assigned, pairs,
+                                         new_raw)
+    return {
+        "centroids": centroids,
+        "assigned": combined.select("vec_id", "u", "cid"),
+        "pairs": all_pairs,
+    }
 
 
 @register(

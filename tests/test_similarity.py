@@ -947,6 +947,68 @@ def test_vs_index_pair_kernel_rejects_non_integral_ids(spark):
         )
 
 
+def test_semantic_index_append_write_back(spark):
+    """semantic_index_append returns the grown index relations — the
+    write-back half of the daily loop.  Contracts: (a) the merged pair
+    set equals the FULL self-dedup kernel over the grown assignments
+    (merge equality: stored pairs ∪ batch-involving pairs = all
+    within-cell pairs); (b) chaining two appends equals one append of
+    the union batch; (c) the grown relations feed the next vs-index
+    run unchanged."""
+    from pyspark.sql import functions as F
+
+    from mysql_clickhouse_sync_spark.operators.similarity import (
+        bucket_cosine_pairs_vectorized,
+    )
+    from mysql_clickhouse_sync_spark.plans.similarity_queries import (
+        _SEMANTIC_MAX_BUCKET,
+        semantic_dedup_vs_index,
+        semantic_index_append,
+        semantic_index_build,
+    )
+    from mysql_clickhouse_sync_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    old = emb.filter(F.col("vec_id") % 4 == 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 2)
+
+    idx = semantic_index_build(old)
+    grown = semantic_index_append(
+        idx["centroids"], idx["assigned"], idx["pairs"], batch
+    )
+    pkey = lambda rows: {(r.id_a, r.id_b) for r in rows}  # noqa: E731
+    akey = lambda rows: {(r.vec_id, r.cid) for r in rows}  # noqa: E731
+
+    # (a) merge equality vs the full kernel over grown assignments
+    full = bucket_cosine_pairs_vectorized(
+        grown["assigned"].localCheckpoint(), "cid", "vec_id", "u",
+        threshold=0.35, max_bucket=_SEMANTIC_MAX_BUCKET,
+    )
+    assert pkey(grown["pairs"].collect()) == pkey(full.collect())
+
+    # (b) chaining: append(b1) then append(b2) == append(b1 ∪ b2)
+    b1 = batch.filter(F.col("vec_id") % 8 == 2)
+    b2 = batch.filter(F.col("vec_id") % 8 == 6)
+    step1 = semantic_index_append(
+        idx["centroids"], idx["assigned"], idx["pairs"], b1
+    )
+    step2 = semantic_index_append(
+        step1["centroids"], step1["assigned"], step1["pairs"], b2
+    )
+    assert akey(step2["assigned"].collect()) == akey(
+        grown["assigned"].collect()
+    )
+    assert pkey(step2["pairs"].collect()) == pkey(grown["pairs"].collect())
+
+    # (c) the grown relations serve the next vs-index run: a later
+    # batch dedups against them without error and covers all rows
+    later = emb.filter(F.col("vec_id") % 4 == 1).limit(50)
+    out = semantic_dedup_vs_index(
+        grown["centroids"], grown["assigned"], grown["pairs"], later
+    )
+    assert out.count() == grown["assigned"].count() + 50
+
+
 def test_semantic_index_parquet_round_trip(spark, tmp_path):
     """The semantic-dedup index (centroids + assignments + the
     corpus' own pairs) is the persistable artifact of incremental
