@@ -844,20 +844,50 @@ def ivf_cell_stats(
     Plan shape: one groupBy (k rows out) + a window total over those
     k rows — the SinglePartition stage sits over <= MAX_CENTROIDS
     rows, the same bounded-aggregate pattern the sketch operators use.
+
+    ``n_centroids`` is validated: <= 0 fails at planning, and a value
+    BELOW the occupied-cell count fails at execution (assert_true over
+    the same window) — a stale trained k would otherwise deflate every
+    skew reading and the rebuild trigger would never fire.
     """
     from pyspark.sql import Window
 
+    if n_centroids is not None and n_centroids <= 0:
+        raise ValueError(
+            f"ivf_cell_stats: n_centroids must be positive, got "
+            f"{n_centroids} (a k of 0 reads every skew as 0 and the "
+            "drift monitor never fires)"
+        )
     counts = postings.groupBy("_cid").agg(F.count("*").alias("n"))
     w = Window.partitionBy()
     total = F.sum("n").over(w)
-    k = F.lit(n_centroids) if n_centroids is not None else F.count(
-        "*"
-    ).over(w)
+    occupied = F.count("*").over(w)
+    if n_centroids is not None:
+        k = F.lit(n_centroids)
+        # k below the occupied-cell count means the caller passed the
+        # trained k of an OLDER build — every skew would read low and
+        # the monitor would report a drifted index as healthy; the
+        # coalesce folds the (null-on-success) assertion into the
+        # skew expression so it cannot be pruned away
+        guard = F.assert_true(
+            k >= occupied,
+            F.concat(
+                F.lit("ivf_cell_stats: n_centroids below the occupied-"
+                      "cell count ("),
+                occupied.cast("string"),
+                F.lit(") — stale trained k deflates skew"),
+            ),
+        ).cast("double")
+    else:
+        k = occupied
+        guard = F.lit(None).cast("double")
     return counts.select(
         F.col("_cid").alias("cid"),
         "n",
         (F.col("n") / total).alias("frac"),
-        (F.col("n") * k / total).alias("skew"),
+        (F.col("n") * k / total + F.coalesce(guard, F.lit(0.0))).alias(
+            "skew"
+        ),
     )
 
 

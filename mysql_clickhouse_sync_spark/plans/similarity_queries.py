@@ -881,10 +881,18 @@ def semantic_dedup_vs_index(
     Output: ``(vec_id, centroid_id, cluster_id, is_keeper, is_new)``
     for EVERY vector (stored + batch) — ``is_new`` marks batch rows.
     """
-    from ..operators.graph import dedup_clusters
-
     combined, all_pairs = _semantic_grow(centroids, assigned, pairs,
                                          new_raw)
+    return _cluster_grown(combined, all_pairs)
+
+
+def _cluster_grown(combined: DataFrame, all_pairs: DataFrame) -> DataFrame:
+    """Clustering view over a grow result: connected components over
+    the merged pair set, labeled back onto every (stored + batch)
+    vector.  Shared by :func:`semantic_dedup_vs_index` and
+    :func:`semantic_ingest` so the two cannot drift."""
+    from ..operators.graph import dedup_clusters
+
     clusters = dedup_clusters(
         combined.select("vec_id"), all_pairs, id_col="vec_id",
         unique_pairs=True,
@@ -984,17 +992,58 @@ def semantic_index_append(
     Returns ``{"centroids", "assigned", "pairs"}`` — centroids pass
     through unchanged (the quantizer is static between rebuilds;
     re-derive via :func:`semantic_index_build` when batch drift
-    degrades cell balance), ``assigned`` is every (stored + batch)
-    vector under the stored cell rule, ``pairs`` the merged within-
-    cell pair set.  Equality contract (pinned in tests): the appended
-    relations equal a from-scratch :func:`semantic_index_build` over
-    the grown corpus REUSING the stored centroids — so chaining
-    appends day after day serves exactly the index a full rebuild
-    (same quantizer) would.
+    degrades cell balance — :func:`operators.similarity.
+    ivf_cell_stats` over the assignments is the monitor), ``assigned``
+    is every (stored + batch) vector under the stored cell rule,
+    ``pairs`` the merged within-cell pair set.  Equality contract
+    (pinned in tests): the merged pair set equals the FULL self-dedup
+    kernel over the grown assignments — stored pairs ∪ batch-involving
+    pairs = all within-cell pairs under the stored quantizer and cap —
+    and chaining appends day after day equals one append of the union
+    batch.  (A literal ``semantic_index_build`` re-run over the grown
+    corpus is NOT the comparison point: it would re-derive k and train
+    new first-k centroids from the grown corpus.)
+
+    A pipeline that needs BOTH the clustering answer and the write-
+    back state for the same ingest should call
+    :func:`semantic_ingest` — it runs the shared grow core once.
     """
     combined, all_pairs = _semantic_grow(centroids, assigned, pairs,
                                          new_raw)
     return {
+        "centroids": centroids,
+        "assigned": combined.select("vec_id", "u", "cid"),
+        "pairs": all_pairs,
+    }
+
+
+def semantic_ingest(
+    centroids: DataFrame,
+    assigned: DataFrame,
+    pairs: DataFrame,
+    new_raw: DataFrame,
+) -> dict[str, DataFrame]:
+    """ONE-CALL daily ingest: the clustering answer AND the write-back
+    state from a single run of the grow core.  Calling
+    :func:`semantic_dedup_vs_index` then :func:`semantic_index_append`
+    with the same inputs would execute the dominant work twice —
+    batch assignment, the Arrow pair kernel over every touched cell,
+    and an eager localCheckpoint of the grown corpus each; this runs
+    it once and derives both views.
+
+    Returns ``{"dedup", "centroids", "assigned", "pairs"}``:
+    ``dedup`` is the :func:`semantic_dedup_vs_index` output
+    (``vec_id, centroid_id, cluster_id, is_keeper, is_new``), the
+    other three are the grown index relations to persist (the
+    :func:`semantic_index_append` contract).  Note the connected-
+    components step inside ``dedup`` is an ITERATIVE algorithm that
+    runs jobs at build time — callers that only need the write-back
+    state should call :func:`semantic_index_append` instead.
+    """
+    combined, all_pairs = _semantic_grow(centroids, assigned, pairs,
+                                         new_raw)
+    return {
+        "dedup": _cluster_grown(combined, all_pairs),
         "centroids": centroids,
         "assigned": combined.select("vec_id", "u", "cid"),
         "pairs": all_pairs,

@@ -600,6 +600,69 @@ def test_video_registry_default():
     assert video_demuxer_for("video/mp4") is None
 
 
+def test_lossless_codec_round_trip_property():
+    """Property fuzz over the LOSSLESS codecs (BMP raw, PNG DEFLATE+
+    filters): any geometry, any content, bit-exact round trip — the
+    blanket armor behind the targeted per-filter/per-padding tests.
+    (JPEG, the lossy codec, has its own theory-bounded property in
+    tests/test_jpeg.py.)"""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mysql_clickhouse_sync_spark.operators.codecs import (
+        decode_png,
+        encode_png,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        h=st.integers(1, 24),
+        w=st.integers(1, 24),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def prop(h, w, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(img)), img)
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+    prop()
+
+
+def test_wav_grid_round_trip_property():
+    """Property fuzz for PCM WAV: samples already ON the quantization
+    grid round-trip exactly at both bit depths, any clip length, any
+    rate — the closed-form-oracle exactness contract the graded row
+    builds on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mysql_clickhouse_sync_spark.operators.codecs import (
+        decode_wav,
+        encode_wav,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        n=st.integers(1, 200),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        bits=st.sampled_from([8, 16]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def prop(n, rate, bits, seed):
+        rng = np.random.default_rng(seed)
+        if bits == 8:
+            x = (rng.integers(0, 256, size=n) - 128) / 128.0
+        else:
+            x = (rng.integers(-32768, 32768, size=n)) / 32768.0
+        wav = encode_wav(x, rate=rate, bits=bits)
+        y, got_rate = decode_wav(wav)
+        assert got_rate == rate
+        assert np.array_equal(y, x)
+
+    prop()
+
+
 def test_motion_jpeg_composition():
     """Motion JPEG (the real-world pairing of the two seams): an AVI
     container whose frames are baseline JPEG bytes demuxes through

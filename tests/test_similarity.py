@@ -806,6 +806,48 @@ def test_ivf_cell_stats_reports_occupancy_and_skew(spark):
     # trained k = 4 with one EMPTY trailing cell: the mean uses k=4
     got4 = {r.cid: r for r in ivf_cell_stats(postings, 4).collect()}
     assert abs(got4[0].skew - 2.4) < 1e-12         # 60 / (100/4)
+    # a stale/bogus trained k must fail, not deflate skew silently
+    import pytest
+
+    with pytest.raises(ValueError, match="positive"):
+        ivf_cell_stats(postings, 0)
+    with pytest.raises(Exception, match="stale trained k"):
+        ivf_cell_stats(postings, 2).collect()      # 3 cells occupied
+
+
+def test_semantic_ingest_runs_grow_once_and_matches_both_views(spark):
+    """semantic_ingest = clustering + write-back from ONE grow run:
+    its dedup view equals semantic_dedup_vs_index and its index
+    relations equal semantic_index_append, for the same inputs."""
+    from pyspark.sql import functions as F
+
+    from mysql_clickhouse_sync_spark.plans.similarity_queries import (
+        semantic_dedup_vs_index,
+        semantic_index_append,
+        semantic_index_build,
+        semantic_ingest,
+    )
+    from mysql_clickhouse_sync_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    old = emb.filter(F.col("vec_id") % 4 == 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 2)
+    idx = semantic_index_build(old)
+    args = (idx["centroids"], idx["assigned"], idx["pairs"], batch)
+
+    one = semantic_ingest(*args)
+    dkey = lambda rows: {  # noqa: E731
+        (r.vec_id, r.centroid_id, r.cluster_id, r.is_keeper, r.is_new)
+        for r in rows
+    }
+    assert dkey(one["dedup"].collect()) == dkey(
+        semantic_dedup_vs_index(*args).collect()
+    )
+    two = semantic_index_append(*args)
+    pk = lambda rows: {(r.id_a, r.id_b) for r in rows}  # noqa: E731
+    ak = lambda rows: {(r.vec_id, r.cid) for r in rows}  # noqa: E731
+    assert ak(one["assigned"].collect()) == ak(two["assigned"].collect())
+    assert pk(one["pairs"].collect()) == pk(two["pairs"].collect())
 
 
 def test_stored_index_paths_reject_dim_mismatch(spark):
