@@ -188,6 +188,15 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 # DRIVER-GRADED inside media_video_frames, which decodes every
 # sampled AVI frame through the same BMP registry codec, and stays
 # hash-checked off-window by check_oracle/ci_gate every round).
+# Also IN (enter-on-add): events_streaming_interval_join_outer — the
+# LEFT-OUTER stream-stream interval join: eviction-driven NULL-match
+# emission once the min-across-streams watermark finalizes the
+# non-match, flushed deterministically via two both-side sentinel
+# drains so the batch LEFT range join is an exact hash oracle.  OUT:
+# customer_rfm_segments (green r1-r6, the window's longest-green row;
+# the window-function family keeps cdc_scd2_history +
+# customer_order_gaps graded, and the RFM ntile shape stays
+# hash-checked by check_oracle/ci_gate every round).
 DRIVER_WINDOW = (
     # CDC sentinels (7 graded rows)
     "cdc_live_orders",
@@ -202,7 +211,6 @@ DRIVER_WINDOW = (
     "orders_in_promo_windows",
     "lineitem_cube_stats",
     "customer_order_gaps",
-    "customer_rfm_segments",
     # event analytics
     "events_props_profile",
     "events_value_percentiles",
@@ -213,6 +221,7 @@ DRIVER_WINDOW = (
     "events_streaming_append",
     "events_streaming_dedup",
     "events_streaming_interval_join",
+    "events_streaming_interval_join_outer",
     # text / dedup pipeline
     "docs_exact_dedup",
     "docs_repetition_stats",

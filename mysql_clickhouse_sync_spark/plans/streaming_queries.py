@@ -583,6 +583,139 @@ def events_streaming_interval_join(
 
 
 @register(
+    "events_streaming_interval_join_outer",
+    oracle="""
+    SELECT l.event_id AS click_id, r.event_id AS purchase_id,
+           l.user_id,
+           epoch_us(r.ts) - epoch_us(l.ts) AS lag_us,
+           r.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_id % 2 = 0) l
+    LEFT JOIN (SELECT * FROM events WHERE event_id % 2 = 1) r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+    """,
+    description="END-TO-END LEFT-OUTER STREAM-STREAM INTERVAL JOIN — "
+    "the eviction-driven emission semantic the inner row cannot "
+    "grade: an unmatched click emits (purchase columns NULL) only "
+    "once the min-across-streams watermark has passed its join "
+    "window, when 'no match' is FINAL rather than 'no match yet'.  "
+    "Same two-drain data split as events_streaming_interval_join "
+    "(>= 1 match recovered from checkpointed state across restarts), "
+    "then two SENTINEL drains append a far-future row to BOTH "
+    "sources (the join watermark is the minimum over its inputs, and "
+    "state eviction uses the PREVIOUS batch's watermark — the first "
+    "sentinel batch advances it, the second evicts), so every "
+    "unmatched data click flushes deterministically and the batch "
+    "LEFT range join is an exact oracle: matched pairs hash-equal "
+    "the inner row's set, plus one NULL-purchase row per "
+    "never-converted click.  Sentinels are filtered from the graded "
+    "output; the second-sentinel clicks stay buffered (their windows "
+    "outlive every watermark), which is itself the correct semantics",
+)
+def events_streaming_interval_join_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..streaming.windows import interval_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    ev_i = ev.select(
+        "event_id", "user_id", _utc_instant().alias("tsi"), "value"
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"events_streaming_interval_join_outer_"
+        f"{spark.sparkContext.applicationId}_"
+        + os.path.basename(sf_dir.rstrip("/")),
+    )
+    src_l, src_r, ckpt, sink = (
+        os.path.join(base, d) for d in ("src_l", "src_r", "ckpt", "sink")
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(sink, ignore_errors=True)
+
+    clicks = ev_i.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "user_id", "tsi"
+    )
+    purchases = ev_i.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "tsi", "value"
+    )
+    mid_us = _interval_join_boundary_us(clicks, purchases)
+    # harness scaffolding: the sentinel epoch (one tiny agg) — far
+    # enough past max event time that no data window can reach it
+    max_us = ev_i.agg(F.max(F.unix_micros("tsi"))).first()[0]
+    us = lambda c: F.unix_micros(F.col(c))  # noqa: E731
+    clicks.filter(us("tsi") < mid_us).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(src_l)
+    purchases.filter(us("tsi") < mid_us).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(src_r)
+
+    def joined(left: DataFrame, right: DataFrame) -> DataFrame:
+        j = interval_join(
+            left, right, key="user_id", left_ts="tsi", right_ts="tsi",
+            max_delay="30 minutes", watermark="1 hour",
+            how="left_outer",
+        )
+        return j.select(
+            F.col("event_id").alias("click_id"),
+            F.col("r_event_id").alias("purchase_id"),
+            "user_id",
+            (F.unix_micros("r_tsi") - F.unix_micros("tsi")).alias(
+                "lag_us"
+            ),
+            F.col("r_value").alias("purchase_value"),
+        )
+
+    def sentinel_batch(i: int) -> None:
+        """One far-future row on EACH source (negative ids, user -1):
+        the join watermark is min over both inputs, so both must
+        advance for eviction to see it.  Every column is wrapped
+        NULLABLE (when(true, ...)): bare literals write REQUIRED
+        parquet fields, and a source whose read schema flips
+        nullability between drains fails the restarted query with
+        STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE."""
+        n = lambda c: F.when(F.lit(True), c)  # noqa: E731
+        ts = F.timestamp_micros(
+            F.lit(max_us + 36_000_000_000 + i * 1_000_000)  # +10h, +i s
+        )
+        spark.range(1).select(
+            n(F.lit(-2 * i - 2).cast("long")).alias("event_id"),
+            n(F.lit(-1).cast("long")).alias("user_id"),
+            n(ts).alias("tsi"),
+        ).write.mode("append").parquet(src_l)
+        spark.range(1).select(
+            n(F.lit(-2 * i - 1).cast("long")).alias("event_id"),
+            n(F.lit(-1).cast("long")).alias("user_id"),
+            n(ts).alias("tsi"),
+            n(F.lit(0.0)).alias("value"),
+        ).write.mode("append").parquet(src_r)
+
+    _drain_join_append(spark, src_l, src_r, ckpt, sink, joined)
+    clicks.filter(us("tsi") >= mid_us).repartition(2).write.mode(
+        "append"
+    ).parquet(src_l)
+    purchases.filter(us("tsi") >= mid_us).repartition(2).write.mode(
+        "append"
+    ).parquet(src_r)
+    _drain_join_append(spark, src_l, src_r, ckpt, sink, joined)
+    # sentinel drain 1 advances the watermark past every data window;
+    # sentinel drain 2 evicts against it, flushing every unmatched
+    # data click as a NULL-purchase row
+    sentinel_batch(0)
+    _drain_join_append(spark, src_l, src_r, ckpt, sink, joined)
+    sentinel_batch(1)
+    _drain_join_append(spark, src_l, src_r, ckpt, sink, joined)
+    return (
+        spark.read.parquet(sink)
+        .filter(F.col("click_id") >= 0)
+        .localCheckpoint()
+    )
+
+
+@register(
     "events_streaming_hourly",
     oracle="""
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,

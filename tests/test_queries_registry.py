@@ -79,7 +79,7 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         "docs_exact_dedup", "docs_minhash_candidates",
         "docs_curation_pipeline", "docs_top_jaccard_pairs_capped",
         "emb_cosine_topk", "emb_ivf_topk",
-        "events_retention_cohorts", "customer_rfm_segments",
+        "events_retention_cohorts",
         # round-5 rotation: SCD-2 history, repetition filter, domain
         # mixture, quantile sketch enter the round they were added
         "cdc_scd2_history", "docs_repetition_stats",
@@ -128,6 +128,12 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         # driver-graded inside media_video_frames and hash-checked
         # off-window
         "media_decode_jpeg",
+        # and the left-outer stream-stream interval join (eviction-
+        # driven NULL-match emission, sentinel-flushed to an exact
+        # batch LEFT-join oracle); customer_rfm_segments (green
+        # r1-r6, the window's longest-green row) cedes its slot and
+        # stays hash-checked by check_oracle/ci_gate every round
+        "events_streaming_interval_join_outer",
     }
     assert required <= window, sorted(required - window)
     # every docs_/emb_/media_/sql_ query is in the graded window,

@@ -611,6 +611,37 @@ def test_streaming_upsert_view_missing_stamp_fails_at_planning(spark):
         streaming_upsert_view(df, pk_col="nope")
 
 
+def test_interval_join_outer_row_emits_final_non_matches(spark):
+    """Structural pin for the graded events_streaming_interval_join_
+    outer row: the output must contain BOTH matched pairs and
+    NULL-purchase rows (the eviction-driven emission the row exists
+    to grade — without flushed non-matches it degenerates to the
+    inner row), every click must appear, and no sentinel id may leak
+    through the output filter."""
+    from pyspark.sql import functions as F
+
+    from conftest import SF_DIR
+
+    from mysql_clickhouse_sync_spark.plans.registry import all_queries
+    from mysql_clickhouse_sync_spark.sources.parquet import load_table
+
+    out = all_queries()["events_streaming_interval_join_outer"].fn(
+        spark, SF_DIR
+    ).localCheckpoint()
+    n_null = out.filter(F.col("purchase_id").isNull()).count()
+    n_matched = out.filter(F.col("purchase_id").isNotNull()).count()
+    assert n_null > 0 and n_matched > 0, (n_null, n_matched)
+    assert out.filter(F.col("click_id") < 0).count() == 0
+    assert out.filter(F.col("user_id") < 0).count() == 0
+    # completeness: every click emitted at least once (matched or null)
+    n_clicks = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("event_id") % 2 == 0)
+        .count()
+    )
+    assert out.select("click_id").distinct().count() == n_clicks
+
+
 def test_interval_join_row_produces_cross_drain_matches(spark):
     """Structural pin for the graded events_streaming_interval_join
     row: the two-drain split must actually produce matches whose
