@@ -191,8 +191,8 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 # Also IN (enter-on-add): events_streaming_interval_join_outer — the
 # LEFT-OUTER stream-stream interval join: eviction-driven NULL-match
 # emission once the min-across-streams watermark finalizes the
-# non-match, flushed deterministically via two both-side sentinel
-# drains so the batch LEFT range join is an exact hash oracle.  OUT:
+# non-match, flushed deterministically via one both-side sentinel
+# drain so the batch LEFT range join is an exact hash oracle.  OUT:
 # customer_rfm_segments (green r1-r6, the window's longest-green row;
 # the window-function family keeps cdc_scd2_history +
 # customer_order_gaps graded, and the RFM ntile shape stays

@@ -521,6 +521,22 @@ def _drain_join_append(
 def events_streaming_interval_join(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    src_l, src_r, ckpt, sink, _joined, _max_us = _interval_join_two_drains(
+        spark, sf_dir, "events_streaming_interval_join", how="inner"
+    )
+    return spark.read.parquet(sink).localCheckpoint()
+
+
+def _interval_join_two_drains(
+    spark: SparkSession, sf_dir: str, name: str, how: str
+):
+    """Shared core of the two graded interval-join rows (inner +
+    left_outer): clicks/purchases split at the severed-match boundary,
+    two availableNow drains against one checkpoint — ONE copy of the
+    split, the projection, and the 30-minute window, so the twin rows'
+    oracle contracts cannot drift.  Returns ``(src_l, src_r, ckpt,
+    sink, joined, max_us)`` so the outer row can append its sentinel
+    stage against the same checkpoint."""
     from ..streaming.windows import interval_join
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -531,8 +547,7 @@ def events_streaming_interval_join(
     )
     base = os.path.join(
         tempfile.gettempdir(),
-        f"events_streaming_interval_join_"
-        f"{spark.sparkContext.applicationId}_"
+        f"{name}_{spark.sparkContext.applicationId}_"
         + os.path.basename(sf_dir.rstrip("/")),
     )
     src_l, src_r, ckpt, sink = (
@@ -548,6 +563,7 @@ def events_streaming_interval_join(
         "event_id", "user_id", "tsi", "value"
     )
     mid_us = _interval_join_boundary_us(clicks, purchases)
+    max_us = ev_i.agg(F.max(F.unix_micros("tsi"))).first()[0]
     us = lambda c: F.unix_micros(F.col(c))  # noqa: E731
     clicks.filter(us("tsi") < mid_us).repartition(2).write.mode(
         "overwrite"
@@ -559,7 +575,7 @@ def events_streaming_interval_join(
     def joined(left: DataFrame, right: DataFrame) -> DataFrame:
         j = interval_join(
             left, right, key="user_id", left_ts="tsi", right_ts="tsi",
-            max_delay="30 minutes", watermark="1 hour",
+            max_delay="30 minutes", watermark="1 hour", how=how,
         )
         return j.select(
             F.col("event_id").alias("click_id"),
@@ -579,7 +595,7 @@ def events_streaming_interval_join(
         "append"
     ).parquet(src_r)
     _drain_join_append(spark, src_l, src_r, ckpt, sink, joined)
-    return spark.read.parquet(sink).localCheckpoint()
+    return src_l, src_r, ckpt, sink, joined, max_us
 
 
 @register(
@@ -600,113 +616,52 @@ def events_streaming_interval_join(
     "once the min-across-streams watermark has passed its join "
     "window, when 'no match' is FINAL rather than 'no match yet'.  "
     "Same two-drain data split as events_streaming_interval_join "
-    "(>= 1 match recovered from checkpointed state across restarts), "
-    "then two SENTINEL drains append a far-future row to BOTH "
-    "sources (the join watermark is the minimum over its inputs, and "
-    "state eviction uses the PREVIOUS batch's watermark — the first "
-    "sentinel batch advances it, the second evicts), so every "
-    "unmatched data click flushes deterministically and the batch "
-    "LEFT range join is an exact oracle: matched pairs hash-equal "
-    "the inner row's set, plus one NULL-purchase row per "
-    "never-converted click.  Sentinels are filtered from the graded "
-    "output; the second-sentinel clicks stay buffered (their windows "
-    "outlive every watermark), which is itself the correct semantics",
+    "(>= 1 match recovered from checkpointed state across restarts; "
+    "ONE shared implementation so the twin rows cannot drift), then "
+    "ONE SENTINEL drain appends a far-future row to BOTH sources "
+    "(the join watermark is the minimum over its inputs): the "
+    "sentinel data batch advances the watermark past every data "
+    "window and the availableNow trigger's trailing no-data batch "
+    "evicts against it in the same drain, so every unmatched data "
+    "click flushes deterministically and the batch LEFT range join "
+    "is an exact oracle: matched pairs hash-equal the inner row's "
+    "set, plus one NULL-purchase row per never-converted click.  "
+    "Sentinels are filtered from the graded output; the sentinel "
+    "clicks themselves stay buffered (their windows outlive every "
+    "watermark), which is itself the correct semantics",
 )
 def events_streaming_interval_join_outer(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..streaming.windows import interval_join
+    src_l, src_r, ckpt, sink, joined, max_us = _interval_join_two_drains(
+        spark, sf_dir, "events_streaming_interval_join_outer",
+        how="left_outer",
+    )
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "ts", "value"
-    )
-    ev_i = ev.select(
-        "event_id", "user_id", _utc_instant().alias("tsi"), "value"
-    )
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"events_streaming_interval_join_outer_"
-        f"{spark.sparkContext.applicationId}_"
-        + os.path.basename(sf_dir.rstrip("/")),
-    )
-    src_l, src_r, ckpt, sink = (
-        os.path.join(base, d) for d in ("src_l", "src_r", "ckpt", "sink")
-    )
-    shutil.rmtree(ckpt, ignore_errors=True)
-    shutil.rmtree(sink, ignore_errors=True)
-
-    clicks = ev_i.filter(F.col("event_id") % 2 == 0).select(
-        "event_id", "user_id", "tsi"
-    )
-    purchases = ev_i.filter(F.col("event_id") % 2 == 1).select(
-        "event_id", "user_id", "tsi", "value"
-    )
-    mid_us = _interval_join_boundary_us(clicks, purchases)
-    # harness scaffolding: the sentinel epoch (one tiny agg) — far
-    # enough past max event time that no data window can reach it
-    max_us = ev_i.agg(F.max(F.unix_micros("tsi"))).first()[0]
-    us = lambda c: F.unix_micros(F.col(c))  # noqa: E731
-    clicks.filter(us("tsi") < mid_us).repartition(2).write.mode(
-        "overwrite"
-    ).parquet(src_l)
-    purchases.filter(us("tsi") < mid_us).repartition(2).write.mode(
-        "overwrite"
-    ).parquet(src_r)
-
-    def joined(left: DataFrame, right: DataFrame) -> DataFrame:
-        j = interval_join(
-            left, right, key="user_id", left_ts="tsi", right_ts="tsi",
-            max_delay="30 minutes", watermark="1 hour",
-            how="left_outer",
-        )
-        return j.select(
-            F.col("event_id").alias("click_id"),
-            F.col("r_event_id").alias("purchase_id"),
-            "user_id",
-            (F.unix_micros("r_tsi") - F.unix_micros("tsi")).alias(
-                "lag_us"
-            ),
-            F.col("r_value").alias("purchase_value"),
-        )
-
-    def sentinel_batch(i: int) -> None:
-        """One far-future row on EACH source (negative ids, user -1):
-        the join watermark is min over both inputs, so both must
-        advance for eviction to see it.  Every column is wrapped
-        NULLABLE (when(true, ...)): bare literals write REQUIRED
-        parquet fields, and a source whose read schema flips
-        nullability between drains fails the restarted query with
-        STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE."""
-        n = lambda c: F.when(F.lit(True), c)  # noqa: E731
-        ts = F.timestamp_micros(
-            F.lit(max_us + 36_000_000_000 + i * 1_000_000)  # +10h, +i s
-        )
-        spark.range(1).select(
-            n(F.lit(-2 * i - 2).cast("long")).alias("event_id"),
-            n(F.lit(-1).cast("long")).alias("user_id"),
-            n(ts).alias("tsi"),
-        ).write.mode("append").parquet(src_l)
-        spark.range(1).select(
-            n(F.lit(-2 * i - 1).cast("long")).alias("event_id"),
-            n(F.lit(-1).cast("long")).alias("user_id"),
-            n(ts).alias("tsi"),
-            n(F.lit(0.0)).alias("value"),
-        ).write.mode("append").parquet(src_r)
-
-    _drain_join_append(spark, src_l, src_r, ckpt, sink, joined)
-    clicks.filter(us("tsi") >= mid_us).repartition(2).write.mode(
-        "append"
-    ).parquet(src_l)
-    purchases.filter(us("tsi") >= mid_us).repartition(2).write.mode(
-        "append"
-    ).parquet(src_r)
-    _drain_join_append(spark, src_l, src_r, ckpt, sink, joined)
-    # sentinel drain 1 advances the watermark past every data window;
-    # sentinel drain 2 evicts against it, flushing every unmatched
-    # data click as a NULL-purchase row
-    sentinel_batch(0)
-    _drain_join_append(spark, src_l, src_r, ckpt, sink, joined)
-    sentinel_batch(1)
+    # ONE sentinel row on EACH source (negative ids, user -1): the
+    # join watermark is min over both inputs, so both must advance
+    # for eviction to see it.  One sentinel DRAIN suffices: its data
+    # batch advances the watermark past every data window, and the
+    # availableNow trigger's trailing no-data batch evicts against
+    # the advanced watermark in the same drain (the behavior
+    # _drain_append documents; default noDataMicroBatches).  Every
+    # column is wrapped NULLABLE (when(true, ...)): bare literals
+    # write REQUIRED parquet fields, and a source whose read schema
+    # flips nullability between drains fails the restarted query with
+    # STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE.
+    n = lambda c: F.when(F.lit(True), c)  # noqa: E731
+    ts = F.timestamp_micros(F.lit(max_us + 36_000_000_000))  # +10 h
+    spark.range(1).select(
+        n(F.lit(-2).cast("long")).alias("event_id"),
+        n(F.lit(-1).cast("long")).alias("user_id"),
+        n(ts).alias("tsi"),
+    ).write.mode("append").parquet(src_l)
+    spark.range(1).select(
+        n(F.lit(-1).cast("long")).alias("event_id"),
+        n(F.lit(-1).cast("long")).alias("user_id"),
+        n(ts).alias("tsi"),
+        n(F.lit(0.0)).alias("value"),
+    ).write.mode("append").parquet(src_r)
     _drain_join_append(spark, src_l, src_r, ckpt, sink, joined)
     return (
         spark.read.parquet(sink)
