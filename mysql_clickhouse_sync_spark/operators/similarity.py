@@ -574,19 +574,47 @@ def _ivf_search(
     id_col: str,
     vec_col: str,
     max_queries: int,
+    prune_cells: bool = False,
 ) -> DataFrame:
     """Shared IVF search core: queries probe their ``nprobe`` nearest
     cells (folded centroid literals), candidates come from an equi-join
     on ``_cid`` against the postings relation, exact cosine only on
     candidates, per-query top-k window.  Used by both the
     train-and-search path (:func:`ivf_topk`) and the stored-index path
-    (:func:`ivf_topk_vs_index`)."""
+    (:func:`ivf_topk_vs_index`).
+
+    ``prune_cells`` pushes a STATIC ``_cid IN (probed cells)`` filter
+    onto the postings side, computed with one extra small job over the
+    (bounded by contract) query set: against ``partitionBy("_cid")``
+    parquet this is guaranteed PARTITION PRUNING at the scan — the IVF
+    candidate reduction becomes an I/O reduction without relying on
+    dynamic partition pruning to fire (plan-pinned in
+    tests/test_similarity.py).  The stored-index path enables it; the
+    train-per-run path keeps the single-pass plan (its postings are a
+    derived relation, not a partitioned scan — nothing to prune)."""
     from pyspark.sql import Window
 
     if not 0 < nprobe <= len(cents):
         raise ValueError("nprobe must be in (0, n_centroids]")
     _require_small(queries, max_queries, "IVF search query set")
     cents_sql = _cents_array_sql(cents)
+    if prune_cells:
+        cell_rows = (
+            queries.select(
+                F.explode(
+                    F.expr(
+                        f"transform("
+                        f"{_ranked_cells_sql(cents_sql, vec_col, nprobe)},"
+                        " s -> s.cid)"
+                    )
+                ).alias("_cid")
+            )
+            .distinct()
+            .collect()                       # <= n_centroids rows
+        )
+        postings = postings.filter(
+            F.col("_cid").isin([r["_cid"] for r in cell_rows])
+        )
     assigned = postings.select(
         F.col(id_col).alias("neighbor_id"), "_cv", "_cid", "_cn"
     )
@@ -726,10 +754,12 @@ def ivf_topk_vs_index(
     """ANN search of a query batch against a STORED IVF index
     (:func:`ivf_build_index`, typically reloaded from parquet) — the
     daily-batch lifecycle at 100 TB: no re-training, no corpus
-    re-assignment; the only driver-side work is collecting the k-row
-    centroid table (bounded by contract) to fold the probe expression,
-    and the scan touches only the probed cells when the postings are
-    partitioned by ``_cid``.
+    re-assignment; driver-side work is collecting the k-row centroid
+    table (bounded by contract) to fold the probe expression plus one
+    small job computing the probed cell set, which is pushed as a
+    STATIC partition filter — postings ``partitionBy("_cid")`` then
+    GUARANTEES the scan reads only the probed cells' files
+    (plan-pinned), not merely hopes dynamic pruning fires.
 
     Output: (query_id, neighbor_id, cosine_sim, rnk) — identical
     contract to :func:`ivf_topk`; searching an index built from the
@@ -740,7 +770,8 @@ def ivf_topk_vs_index(
         queries, vec_col, len(cents[0]), "ivf_topk_vs_index queries"
     )
     return _ivf_search(
-        cents, postings, queries, k, nprobe, id_col, vec_col, max_queries
+        cents, postings, queries, k, nprobe, id_col, vec_col, max_queries,
+        prune_cells=True,
     )
 
 

@@ -910,6 +910,53 @@ def test_pq_vs_index_rejects_bad_codebook_table(spark):
         )
 
 
+def test_ivf_vs_index_prunes_postings_partitions(spark, tmp_path):
+    """The stored-index search pushes a STATIC _cid IN (probed cells)
+    filter, so against partitionBy('_cid') parquet the scan is
+    partition-PRUNED — the IVF candidate reduction becomes an I/O
+    reduction guaranteed at plan time, not a hope that dynamic
+    pruning fires.  Pins: the executed plan carries a PartitionFilters
+    entry on _cid, and pruning changes no results vs the unpruned
+    core."""
+    from pyspark.sql import functions as F
+
+    from mysql_clickhouse_sync_spark.operators.similarity import (
+        _ivf_search,
+        _stored_centroids,
+        ivf_build_index,
+        ivf_topk_vs_index,
+    )
+    from mysql_clickhouse_sync_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    queries = emb.filter(F.col("vec_id") % 50 == 1)
+    centroids, postings = ivf_build_index(corpus, n_centroids=8)
+    pdir = str(tmp_path / "postings")
+    postings.write.partitionBy("_cid").parquet(pdir)
+    r_post = spark.read.parquet(pdir)
+
+    ann = ivf_topk_vs_index(centroids, r_post, queries, k=3, nprobe=2)
+    plan = ann._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the partition filter must actually constrain _cid (an empty
+    # PartitionFilters: [] would also contain the header string)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "_cid" in m.group(1), m.group(0) if m else plan
+
+    key = lambda rows: {  # noqa: E731
+        (r.query_id, r.neighbor_id, r.rnk) for r in rows
+    }
+    cents = _stored_centroids(centroids, "test")
+    unpruned = _ivf_search(
+        cents, r_post, queries, 3, 2, "vec_id", "embedding",
+        65_536, prune_cells=False,
+    )
+    assert key(ann.collect()) == key(unpruned.collect())
+
+
 def test_ivf_vs_index_rejects_bad_centroid_table(spark):
     import pytest
     from pyspark.sql import functions as F
