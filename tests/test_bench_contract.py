@@ -27,8 +27,8 @@ def test_bench_lists_are_disjoint_and_unique():
 
 def test_untimed_streaming_surfaces_are_only_the_disclosed_ones():
     """Every registered query is either timed (HEADLINE/EXTENDED) or
-    graded-only streaming machinery (the five disclosed drains) — pin
-    the DISCLOSED untimed streaming set so a new heavyweight streaming
+    graded-only streaming machinery (the disclosed drains) — pin the
+    DISCLOSED untimed streaming set so a new heavyweight streaming
     row can't silently skip both the ledger and the timing lists."""
     import bench
     from mysql_clickhouse_sync_spark.plans.registry import all_queries
@@ -43,4 +43,6 @@ def test_untimed_streaming_surfaces_are_only_the_disclosed_ones():
         "events_streaming_dedup",
         "cdc_streaming_upsert",
         "events_streaming_interval_join",
+        # r7: the left-outer twin — same correctness-surface policy
+        "events_streaming_interval_join_outer",
     }, sorted(untimed_streaming)
