@@ -589,25 +589,28 @@ def _ivf_search(
     parquet this is guaranteed PARTITION PRUNING at the scan — the IVF
     candidate reduction becomes an I/O reduction without relying on
     dynamic partition pruning to fire (plan-pinned in
-    tests/test_similarity.py).  The stored-index path enables it; the
-    train-per-run path keeps the single-pass plan (its postings are a
-    derived relation, not a partitioned scan — nothing to prune)."""
+    tests/test_similarity.py).  PRECONDITION: the queries relation
+    must be DETERMINISTIC across jobs (no ``rand()``/unordered
+    ``limit``/mutating source) — the prune set is collected in a
+    separate job from the main action, and a queries row that probes
+    a different cell on re-evaluation would find its cell filtered
+    away.  The ONE probe-cells expression string is shared between
+    the prune collect and the main plan's probes, so the cover
+    property cannot drift between the two."""
     from pyspark.sql import Window
 
     if not 0 < nprobe <= len(cents):
         raise ValueError("nprobe must be in (0, n_centroids]")
     _require_small(queries, max_queries, "IVF search query set")
     cents_sql = _cents_array_sql(cents)
+    probe_cells_sql = (
+        f"transform({_ranked_cells_sql(cents_sql, vec_col, nprobe)},"
+        " s -> s.cid)"
+    )
     if prune_cells:
         cell_rows = (
             queries.select(
-                F.explode(
-                    F.expr(
-                        f"transform("
-                        f"{_ranked_cells_sql(cents_sql, vec_col, nprobe)},"
-                        " s -> s.cid)"
-                    )
-                ).alias("_cid")
+                F.explode(F.expr(probe_cells_sql)).alias("_cid")
             )
             .distinct()
             .collect()                       # <= n_centroids rows
@@ -621,12 +624,7 @@ def _ivf_search(
     probes = queries.select(
         F.col(id_col).alias("query_id"),
         _to_double(F.col(vec_col)).alias("_qv"),
-        F.explode(
-            F.expr(
-                f"transform({_ranked_cells_sql(cents_sql, vec_col, nprobe)},"
-                " s -> s.cid)"
-            )
-        ).alias("_cid"),
+        F.explode(F.expr(probe_cells_sql)).alias("_cid"),
     ).withColumn("_qn", norm(F.col("_qv")))
     scored = (
         assigned.join(F.broadcast(probes), on="_cid")
@@ -750,6 +748,7 @@ def ivf_topk_vs_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_queries: int = MAX_QUERY_ROWS,
+    prune_cells: bool = True,
 ) -> DataFrame:
     """ANN search of a query batch against a STORED IVF index
     (:func:`ivf_build_index`, typically reloaded from parquet) — the
@@ -759,7 +758,11 @@ def ivf_topk_vs_index(
     small job computing the probed cell set, which is pushed as a
     STATIC partition filter — postings ``partitionBy("_cid")`` then
     GUARANTEES the scan reads only the probed cells' files
-    (plan-pinned), not merely hopes dynamic pruning fires.
+    (plan-pinned), not merely hopes dynamic pruning fires.  Pass
+    ``prune_cells=False`` when the postings relation is NOT a file
+    scan (checkpointed/derived — nothing to prune; the extra job is
+    pure overhead) or when the queries relation is not deterministic
+    across jobs (see :func:`_ivf_search`'s precondition).
 
     Output: (query_id, neighbor_id, cosine_sim, rnk) — identical
     contract to :func:`ivf_topk`; searching an index built from the
@@ -771,7 +774,7 @@ def ivf_topk_vs_index(
     )
     return _ivf_search(
         cents, postings, queries, k, nprobe, id_col, vec_col, max_queries,
-        prune_cells=True,
+        prune_cells=prune_cells,
     )
 
 

@@ -1207,8 +1207,14 @@ def emb_topk_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint: the postings relation is the STORED artifact —
     # pin it so the search below reads materialized postings (the
     # reloaded-parquet shape), not a re-derived assignment plan.
+    # prune_cells=False: checkpointed postings are not a file scan, so
+    # the probed-cells partition filter has nothing to prune — the
+    # extra job would be pure overhead on this timed row (the pruning
+    # path itself is plan-pinned against real partitioned parquet in
+    # tests/test_similarity.py).
     ann = ivf_topk_vs_index(
-        centroids, postings.localCheckpoint(), queries, k=5, nprobe=10
+        centroids, postings.localCheckpoint(), queries, k=5, nprobe=10,
+        prune_cells=False,
     )
     exact = brute_force_topk_vectorized(corpus, queries, k=5)
     return _ann_recall_audit(ann, exact, min_matched=2, mean_min_matched=4.0)

@@ -938,9 +938,8 @@ def test_ivf_vs_index_prunes_postings_partitions(spark, tmp_path):
 
     ann = ivf_topk_vs_index(centroids, r_post, queries, k=3, nprobe=2)
     plan = ann._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan
     # the partition filter must actually constrain _cid (an empty
-    # PartitionFilters: [] would also contain the header string)
+    # PartitionFilters: [] would still contain the header string)
     import re
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
