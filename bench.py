@@ -262,7 +262,7 @@ def _overhead_floor(spark, repeats: int = 5) -> float:
 
 
 def _await_idle_host(
-    gate: float | None = None, max_wait: int = 120, poll: int = 15
+    gate: float | None = None, max_wait: int | None = None, poll: int = 15
 ) -> dict:
     """Idle-host protocol (round-6 verdict item 2: the +9.7% r6
     headline was pure ambient load, uninterpretable from the artifact
@@ -271,9 +271,18 @@ def _await_idle_host(
     wait in short polls up to ``max_wait`` seconds for the host to
     quiet down, then proceed either way — the artifact records the
     wait and whether the gate was met, so a loaded-host headline is
-    SELF-DESCRIBING (load_ok=false) instead of silently inflated."""
+    SELF-DESCRIBING (load_ok=false) instead of silently inflated.
+
+    ``max_wait`` defaults to 600 s (override SPARK_GRAFT_IDLE_WAIT):
+    the original 120 s cap was shorter than the load-decay tail of
+    whatever ran before bench, so two rounds of figures of record
+    entered loaded (r6/r7 both load_ok=false after the full wait) —
+    ten minutes covers the 1-minute-average decay from any burst that
+    actually ended."""
     if gate is None:
         gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "1.0"))
+    if max_wait is None:
+        max_wait = int(os.environ.get("SPARK_GRAFT_IDLE_WAIT", "600"))
     if gate <= 0:
         return {"gate": gate, "waited_sec": 0, "load_ok": True,
                 "load_1m": round(os.getloadavg()[0], 2)}

@@ -267,7 +267,12 @@ class _BitReader:
         if self.n == 0:
             self._fill()
         self.n -= 1
-        return (self.acc >> self.n) & 1
+        bit = (self.acc >> self.n) & 1
+        # Truncate consumed bits out of the accumulator: without this
+        # acc grows into an unbounded bigint and every shift copies it,
+        # making decode time quadratic in entropy-data size.
+        self.acc &= (1 << self.n) - 1
+        return bit
 
     def read_bits(self, k: int) -> int:
         v = 0
@@ -591,14 +596,20 @@ def decode_jpeg(payload: bytes):
                         "unsupported JPEG: 16-bit quant table (12-bit "
                         "precision stream)"
                     )
+                if p + 65 > len(seg):
+                    raise ValueError("truncated JPEG segment: DQT")
                 qtables[tq] = list(seg[p + 1 : p + 65])
                 p += 65
         elif marker == 0xC4:                                # DHT
             p = 0
             while p < len(seg):
                 tc, th = seg[p] >> 4, seg[p] & 0x0F
+                if p + 17 > len(seg):
+                    raise ValueError("truncated JPEG segment: DHT")
                 bits = list(seg[p + 1 : p + 17])
                 nvals = sum(bits)
+                if p + 17 + nvals > len(seg):
+                    raise ValueError("truncated JPEG segment: DHT")
                 vals = list(seg[p + 17 : p + 17 + nvals])
                 codes = _build_codes(bits, vals)
                 huff[(tc, th)] = {

@@ -589,12 +589,13 @@ def _ivf_search(
     parquet this is guaranteed PARTITION PRUNING at the scan — the IVF
     candidate reduction becomes an I/O reduction without relying on
     dynamic partition pruning to fire (plan-pinned in
-    tests/test_similarity.py).  PRECONDITION: the queries relation
-    must be DETERMINISTIC across jobs (no ``rand()``/unordered
-    ``limit``/mutating source) — the prune set is collected in a
-    separate job from the main action, and a queries row that probes
-    a different cell on re-evaluation would find its cell filtered
-    away.  The ONE probe-cells expression string is shared between
+    tests/test_similarity.py).  The prune set is collected in a
+    separate job from the main action, so the (bounded-by-contract)
+    queries relation is PINNED first with an eager ``localCheckpoint``
+    — both jobs then read the same materialized rows, and a
+    nondeterministic queries source (``rand()``/unordered ``limit``/
+    mutating feed) cannot probe a cell the prune filter removed.  The
+    ONE probe-cells expression string is additionally shared between
     the prune collect and the main plan's probes, so the cover
     property cannot drift between the two."""
     from pyspark.sql import Window
@@ -602,6 +603,10 @@ def _ivf_search(
     if not 0 < nprobe <= len(cents):
         raise ValueError("nprobe must be in (0, n_centroids]")
     _require_small(queries, max_queries, "IVF search query set")
+    if prune_cells:
+        # pin BEFORE the prune collect: the queries relation is read by
+        # two jobs (prune set + main action) and must not re-evaluate
+        queries = queries.localCheckpoint(eager=True)
     cents_sql = _cents_array_sql(cents)
     probe_cells_sql = (
         f"transform({_ranked_cells_sql(cents_sql, vec_col, nprobe)},"
@@ -760,9 +765,11 @@ def ivf_topk_vs_index(
     GUARANTEES the scan reads only the probed cells' files
     (plan-pinned), not merely hopes dynamic pruning fires.  Pass
     ``prune_cells=False`` when the postings relation is NOT a file
-    scan (checkpointed/derived — nothing to prune; the extra job is
-    pure overhead) or when the queries relation is not deterministic
-    across jobs (see :func:`_ivf_search`'s precondition).
+    scan (checkpointed/derived — nothing to prune; the extra prune job
+    and the query-pinning checkpoint are pure overhead).  Pruning is
+    safe even for nondeterministic query relations: the query set is
+    pinned with an eager ``localCheckpoint`` before the prune set is
+    collected (see :func:`_ivf_search`).
 
     Output: (query_id, neighbor_id, cosine_sim, rnk) — identical
     contract to :func:`ivf_topk`; searching an index built from the
@@ -815,6 +822,33 @@ def _require_dim(df: DataFrame, vec_col: str, expected: int, what: str) -> None:
         )
 
 
+def _enforce_dim(df: DataFrame, vec_col: str, expected: int,
+                 what: str) -> DataFrame:
+    """EXECUTOR-SIDE dimension guard for the WRITE paths
+    (:func:`ivf_index_append`, :func:`pq_index_append`): a
+    null-on-success ``assert_true`` is folded into the vector column
+    itself — the ``when`` condition evaluates the assertion per row,
+    so it cannot be pruned away and a MIXED-width batch (first row
+    correct, later rows wrong — invisible to the 1-row
+    :func:`_require_dim` probe) fails the ingest job with the real
+    cause instead of silently persisting mis-assigned rows via
+    ``zip_with`` null-padding."""
+    ok = F.assert_true(
+        F.size(F.col(vec_col)) == expected,
+        F.concat(
+            F.lit(f"{what}: vector dimension "),
+            F.size(F.col(vec_col)).cast("string"),
+            F.lit(
+                f" does not match the stored index's trained dimension "
+                f"{expected} — mixed-width batch; fix the feed"
+            ),
+        ),
+    )
+    return df.withColumn(
+        vec_col, F.when(ok.isNull(), F.col(vec_col))
+    )
+
+
 def ivf_index_append(
     centroids: DataFrame,
     postings: DataFrame,
@@ -853,6 +887,11 @@ def ivf_index_append(
     """
     cents = _stored_centroids(centroids, "ivf_index_append")
     _require_dim(batch, vec_col, len(cents[0]), "ivf_index_append batch")
+    # executor-side guard: a MIXED-width batch must fail the job, not
+    # persist rows mis-assigned to cell 0 via zip_with null-padding
+    batch = _enforce_dim(
+        batch, vec_col, len(cents[0]), "ivf_index_append batch"
+    )
     new_postings = _assign_postings(batch, cents, id_col, vec_col)
     return postings.select(id_col, "_cv", "_cid", "_cn").unionByName(
         new_postings.select(id_col, "_cv", "_cid", "_cn")
@@ -1573,6 +1612,12 @@ def pq_index_append(
     contracts flag it."""
     books, m, ksub = _stored_codebooks(codebooks)
     _require_dim(
+        batch, vec_col, m * len(books[0][0]), "pq_index_append batch"
+    )
+    # executor-side guard (same rationale as ivf_index_append): a
+    # mixed-width batch fails the ingest instead of persisting
+    # corrupt codes
+    batch = _enforce_dim(
         batch, vec_col, m * len(books[0][0]), "pq_index_append batch"
     )
     # spread() like every sibling encode entry point: a single-split

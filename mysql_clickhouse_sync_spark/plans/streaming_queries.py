@@ -536,7 +536,9 @@ def _interval_join_two_drains(
     split, the projection, and the 30-minute window, so the twin rows'
     oracle contracts cannot drift.  Returns ``(src_l, src_r, ckpt,
     sink, joined, max_us)`` so the outer row can append its sentinel
-    stage against the same checkpoint."""
+    stage against the same checkpoint (``max_us`` is ``None`` for the
+    inner row — only the outer sentinel needs it, and the aggregation
+    is a full extra scan of events)."""
     from ..streaming.windows import interval_join
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -563,7 +565,14 @@ def _interval_join_two_drains(
         "event_id", "user_id", "tsi", "value"
     )
     mid_us = _interval_join_boundary_us(clicks, purchases)
-    max_us = ev_i.agg(F.max(F.unix_micros("tsi"))).first()[0]
+    # max_us feeds only the OUTER row's eviction sentinel; the inner
+    # row discards it — computing it unconditionally would pay one
+    # full extra scan of events per inner-row build
+    max_us = (
+        ev_i.agg(F.max(F.unix_micros("tsi"))).first()[0]
+        if how == "left_outer"
+        else None
+    )
     us = lambda c: F.unix_micros(F.col(c))  # noqa: E731
     clicks.filter(us("tsi") < mid_us).repartition(2).write.mode(
         "overwrite"

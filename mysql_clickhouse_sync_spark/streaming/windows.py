@@ -192,35 +192,48 @@ def _make_upsert_fn(pk_col: str, payload_cols: list[str]):
         cur = state.get if state.exists else None
         changed = False
         for pdf in pdfs:
-            cols = [pdf["_version"], pdf["_seq"], pdf["_deleted"]]
-            cols += [pdf[c] for c in payload_cols]
-            for row in zip(*cols):
-                v, s, d = row[0], row[1], row[2]
-                # A NULL payload must stay NULL: pandas hands None
-                # (object column) or NaN (numeric) here, and leaking
-                # NaN into state would smuggle it out to the sink —
-                # diverging from the batch live view, which keeps SQL
-                # NULL.  (A nullable integral payload column arrives
-                # float64-widened from Arrow — pandas semantics; the
-                # output schema coerces it back on emit.)
-                # DOCUMENTED LIMIT: for FLOAT payload columns, SQL
-                # NULL and a genuine NaN VALUE are indistinguishable
-                # once Arrow hands pandas a float64 column (both are
-                # NaN) — this operator canonicalizes both to NULL,
-                # the overwhelmingly-common intent; a pipeline that
-                # must preserve literal NaN payloads should encode
-                # them explicitly (e.g. a string column) before the
-                # state boundary.
-                payload = tuple(
-                    None
-                    if p is None or (isinstance(p, float) and p != p)
-                    else p
-                    for p in row[3:]
-                )
-                cand = (int(v), int(s), int(d), *payload)
-                # last-writer-wins: (_version, _seq) lexicographic
-                if cur is None or (cand[0], cand[1]) > (cur[0], cur[1]):
-                    cur, changed = cand, True
+            if not len(pdf):
+                continue
+            # VECTORIZED batch reduction: the only row that can
+            # advance state is the batch's lexicographic
+            # (_version, _seq) maximum, so find it with two column
+            # scans (boolean mask + idxmax) instead of a per-row
+            # Python walk — on a hot key with thousands of updates
+            # per microbatch the walk was the Python cost center
+            # (microbenched in tests/test_streaming_windows.py).
+            # Tie semantics preserved: idxmax returns the FIRST
+            # occurrence of the max _seq among max-_version rows,
+            # exactly the row the strictly-greater walk kept.
+            top = pdf.index[pdf["_version"].eq(pdf["_version"].max())]
+            win = pdf["_seq"].loc[top].idxmax()
+            v = pdf.at[win, "_version"]
+            s = pdf.at[win, "_seq"]
+            d = pdf.at[win, "_deleted"]
+            # A NULL payload must stay NULL: pandas hands None
+            # (object column) or NaN (numeric) here, and leaking
+            # NaN into state would smuggle it out to the sink —
+            # diverging from the batch live view, which keeps SQL
+            # NULL.  (A nullable integral payload column arrives
+            # float64-widened from Arrow — pandas semantics; the
+            # output schema coerces it back on emit.)
+            # DOCUMENTED LIMIT: for FLOAT payload columns, SQL
+            # NULL and a genuine NaN VALUE are indistinguishable
+            # once Arrow hands pandas a float64 column (both are
+            # NaN) — this operator canonicalizes both to NULL,
+            # the overwhelmingly-common intent; a pipeline that
+            # must preserve literal NaN payloads should encode
+            # them explicitly (e.g. a string column) before the
+            # state boundary.
+            payload = tuple(
+                None
+                if p is None or (isinstance(p, float) and p != p)
+                else p
+                for p in (pdf.at[win, c] for c in payload_cols)
+            )
+            cand = (int(v), int(s), int(d), *payload)
+            # last-writer-wins: (_version, _seq) lexicographic
+            if cur is None or (cand[0], cand[1]) > (cur[0], cur[1]):
+                cur, changed = cand, True
         if changed:
             state.update(cur)
             out = {

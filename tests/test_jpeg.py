@@ -227,6 +227,36 @@ def test_twelve_bit_quant_rejected():
         decode_jpeg(bytes(golden))
 
 
+def test_truncated_dqt_dht_report_real_cause():
+    """A DQT whose payload is shorter than the 65 bytes a table needs
+    (and a DHT whose bits-counts promise more vals than the segment
+    carries) must fail with 'truncated JPEG segment', not die later in
+    numpy broadcasting / a silently short Huffman vals list."""
+    short_dqt = bytes([0x00]) + bytes([1] * 32)       # 33 < 65 bytes
+    with pytest.raises(ValueError, match="truncated JPEG segment: DQT"):
+        decode_jpeg(b"\xff\xd8" + _seg(0xDB, short_dqt) + b"\xff\xd9")
+    bits = [0] * 16
+    bits[0] = 3                                       # promises 3 vals
+    short_dht = bytes([0x00]) + bytes(bits) + bytes([5])  # carries 1
+    with pytest.raises(ValueError, match="truncated JPEG segment: DHT"):
+        decode_jpeg(b"\xff\xd8" + _seg(0xC4, short_dht) + b"\xff\xd9")
+
+
+def test_bitreader_accumulator_stays_bounded():
+    """The bit reader must truncate consumed bits out of its
+    accumulator: without the mask, acc grows into an unbounded bigint
+    and every shift copies it, making decode time QUADRATIC in
+    entropy-data size (measured: 4x data -> ~12x time before the
+    fix).  Read a long all-ones stream and pin acc <= n bits
+    throughout."""
+    from mysql_clickhouse_sync_spark.operators.jpeg import _BitReader
+
+    reader = _BitReader(b"\xfe" * 4096, 0)
+    for _ in range(4096 * 8):
+        reader.read_bit()
+        assert reader.acc.bit_length() <= reader.n
+
+
 def test_bad_magic_and_truncation_rejected():
     with pytest.raises(ValueError, match="bad SOI"):
         decode_jpeg(b"\x00\x01\x02\x03\x04")

@@ -889,6 +889,41 @@ def test_stored_index_paths_reject_dim_mismatch(spark):
         pq_topk_vs_index(codebooks, codes, vecs4, vecs2, k=1)
 
 
+def test_index_append_rejects_mixed_width_batch(spark):
+    """A MIXED-width batch — first row the trained width, later rows
+    wrong — sails past the 1-row _require_dim probe; the WRITE paths
+    must still fail the job executor-side (in-plan assert_true folded
+    into the vector column) rather than persist rows silently
+    mis-assigned to cell 0 via zip_with null-padding."""
+    import pytest
+    from pyspark.sql import Row
+
+    from mysql_clickhouse_sync_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_index_append,
+        pq_build_index,
+        pq_index_append,
+    )
+
+    vecs4 = _vecs(spark, [[1, 0, 1, 0], [0, 1, 0, 1], [1, 1, 1, 1],
+                          [2, 1, 2, 1]] * 3)
+    mixed = spark.createDataFrame(
+        [Row(vec_id=100, embedding=[1.0, 0.0, 0.0, 1.0]),   # trained width
+         Row(vec_id=101, embedding=[1.0, 0.0, 1.0, 0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+
+    centroids, postings = ivf_build_index(vecs4, n_centroids=2)
+    grown = ivf_index_append(centroids, postings, mixed)  # lazy: plan ok
+    with pytest.raises(Exception, match="mixed-width batch"):
+        grown.collect()                                   # action fails
+
+    codebooks, codes = pq_build_index(vecs4, m=2, ksub=4)
+    grown_codes = pq_index_append(codebooks, codes, mixed)
+    with pytest.raises(Exception, match="mixed-width batch"):
+        grown_codes.collect()
+
+
 def test_pq_vs_index_rejects_bad_codebook_table(spark):
     import pytest
     from pyspark.sql import functions as F

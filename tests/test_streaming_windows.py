@@ -597,6 +597,97 @@ def test_streaming_upsert_view_generic_pk_and_payload(spark, tmp_path):
     assert emitted.filter("sku = 'cd-2'").count() == 1
 
 
+def test_upsert_state_fn_vectorized_walk_semantics_and_speed():
+    """The per-key state function reduces each Arrow batch with a
+    vectorized idxmax instead of a per-row Python walk.  Pin (a) the
+    exact walk semantics — first occurrence of the lexicographic
+    (_version, _seq) max wins, strictly-greater vs prior state, NULL/
+    NaN payload canonicalization — against a reference per-row walk
+    over an adversarial batch, and (b) the hot-key win: on a 200k-row
+    single-key batch the vectorized fn must beat the reference walk
+    (measured ~40-80x; asserted >2x to stay load-tolerant)."""
+    import time as _time
+
+    import numpy as np
+    import pandas as pd
+
+    from mysql_clickhouse_sync_spark.streaming.windows import (
+        _make_upsert_fn,
+    )
+
+    class _FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    def reference_walk(pdfs, cur):
+        for pdf in pdfs:
+            cols = [pdf["_version"], pdf["_seq"], pdf["_deleted"],
+                    pdf["val"]]
+            for v, s, d, p in zip(*cols):
+                p = (None if p is None
+                     or (isinstance(p, float) and p != p) else p)
+                cand = (int(v), int(s), int(d), p)
+                if cur is None or (cand[0], cand[1]) > (cur[0], cur[1]):
+                    cur = cand
+        return cur
+
+    rng = np.random.RandomState(7)
+    n = 200_000
+    big = pd.DataFrame({
+        "_version": rng.randint(0, 1000, n).astype("int64"),
+        "_seq": rng.randint(0, 1000, n).astype("int64"),
+        "_deleted": rng.randint(0, 2, n).astype("int64"),
+        "val": rng.randn(n),
+    })
+    # plant ties at the max so first-occurrence tie-breaking is LIVE:
+    # two rows share the winning (_version, _seq) with different
+    # payloads, and a NaN payload rides along
+    big.loc[1000, ["_version", "_seq", "val"]] = [1000, 999, 1.5]
+    big.loc[2000, ["_version", "_seq", "val"]] = [1000, 999, 2.5]
+    big.loc[3000, "val"] = float("nan")
+
+    fn = _make_upsert_fn("id", ["val"])
+    st = _FakeState()
+    t0 = _time.time()
+    out = list(fn(("k",), iter([big]), st))
+    t_vec = _time.time() - t0
+    t0 = _time.time()
+    expect = reference_walk([big], None)
+    t_ref = _time.time() - t0
+    assert st._v == expect            # planted tie: row 1000 wins
+    assert st._v[3] == 1.5
+    assert len(out) == 1 and out[0]["val"].iat[0] == 1.5
+    assert t_ref / max(t_vec, 1e-9) > 2.0, (t_vec, t_ref)
+
+    # NULL canonicalization + strictly-greater absorption on a second
+    # chunk: same (v, s) must NOT replace state; NaN payload -> None
+    small = pd.DataFrame({
+        "_version": pd.Series([1000], dtype="int64"),
+        "_seq": pd.Series([999], dtype="int64"),
+        "_deleted": pd.Series([0], dtype="int64"),
+        "val": [float("nan")],
+    })
+    out2 = list(fn(("k",), iter([small]), st))
+    assert out2 == [] and st._v[3] == 1.5
+    nan_batch = pd.DataFrame({
+        "_version": pd.Series([2000], dtype="int64"),
+        "_seq": pd.Series([1], dtype="int64"),
+        "_deleted": pd.Series([0], dtype="int64"),
+        "val": [float("nan")],
+    })
+    list(fn(("k",), iter([nan_batch]), st))
+    assert st._v == (2000, 1, 0, None)
+
+
 def test_streaming_upsert_view_missing_stamp_fails_at_planning(spark):
     import pytest
 
