@@ -197,12 +197,39 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 # the window-function family keeps cdc_scd2_history +
 # customer_order_gaps graded, and the RFM ntile shape stays
 # hash-checked by check_oracle/ci_gate every round).
+#
+# ROUND-8 ROTATION (enter-on-add, ledgered in PARITY.md "Round 8
+# deltas").  IN: the stored-index APPEND lifecycle rows (r7 verdict
+# items 1 + 3 — the write half of the 100 TB daily loop):
+# emb_index_append_search (ivf_build on old slice -> ivf_index_append
+# a disjoint batch -> search the GROWN index, recall-contract
+# oracle), emb_pq_vs_index (pq_build -> pq_index_append -> ADC search
+# of the grown codes + exact rerank), emb_dedup_append_chain
+# (semantic_index_build -> semantic_index_append -> dedup a second
+# batch against the grown index, FULL recursive-CTE hash oracle).
+# Plus events_streaming_sessions (r7 item 6: dynamic-gap
+# F.session_window across two checkpointed drains, sentinel-flushed
+# to an exact batch-sessionizer hash) and cdc_multi_table_mux (r7
+# item 7: the C7 dispatch loop on the real runtime — one muxed
+# changelog, two tables' live views vs their single-table oracles,
+# P5 skip exercised).  OUT (longest-green; family coverage noted):
+# emb_cosine_topk (green r1-r7; brute-force cosine stays the exact
+# twin INSIDE every new recall audit + bench headline), emb_ivf_topk
+# and emb_pq_topk (green r2/r4-r7; their search cores are graded
+# MORE strongly by the vs-index + append rows, and the train-per-run
+# paths stay hash-checked by check_oracle/ci_gate every round),
+# events_streaming_hourly (green r5-r7; complete-mode stateful
+# window agg — the session row grades the same stateful-agg runtime
+# with a harder watermark shape; stays hash-checked every round),
+# cdc_compacted_state (green r4-r7; compaction stays unit-pinned
+# incl. the new appended-index compaction test + hash-checked every
+# round).
 DRIVER_WINDOW = (
-    # CDC sentinels (7 graded rows)
+    # CDC sentinels (7 graded rows incl. the r8 multi-table mux)
     "cdc_live_orders",
     "cdc_streaming_live",
     "cdc_streaming_upsert",
-    "cdc_compacted_state",
+    "cdc_multi_table_mux",
     "cdc_scd2_history",
     "cdc_reconciliation",
     "cdc_tombstoned_keys",
@@ -217,7 +244,7 @@ DRIVER_WINDOW = (
     "events_retention_cohorts",
     "events_value_quantiles",
     # streaming runtimes (end-to-end, batch-oracle-verified)
-    "events_streaming_hourly",
+    "events_streaming_sessions",
     "events_streaming_append",
     "events_streaming_dedup",
     "events_streaming_interval_join",
@@ -242,11 +269,11 @@ DRIVER_WINDOW = (
     "corpus_curation_v2",
     "docs_leakage_safe_splits",
     "docs_domain_mixture",
-    # embeddings / similarity search (incl. the round-7 stored-index
-    # incremental lifecycle rows)
-    "emb_cosine_topk",
-    "emb_ivf_topk",
-    "emb_pq_topk",
+    # embeddings / similarity search: the stored-index incremental
+    # lifecycle (r7 read half, r8 append/write half)
+    "emb_index_append_search",
+    "emb_pq_vs_index",
+    "emb_dedup_append_chain",
     "emb_semantic_dedup",
     "emb_topk_vs_index",
     "emb_dedup_incremental",

@@ -761,3 +761,304 @@ def events_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
+
+
+def _session_boundary_us(ev_i: DataFrame) -> int:
+    """Deterministic drain boundary (epoch microseconds) for the
+    graded session-window row: the midpoint of the MAXIMUM-gap
+    consecutive same-user pair that still MERGES under the 30-minute
+    session gap (strictly < gap — Spark merges session windows only
+    on strict overlap), ties broken by later event time then user
+    then event id.  Splitting the timeline here guarantees >= 1
+    session has events in BOTH drains, so the graded result can only
+    be right if session state recovered from the checkpoint and
+    merged across the restart (a naive timeline midpoint can fall in
+    dead air and sever nothing)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("tsi", "event_id")
+    us = F.unix_micros(F.col("tsi"))
+    gap = (us - F.lag(us).over(w)).alias("_gap")
+    row = (
+        ev_i.select("user_id", "event_id", us.alias("_us"), gap)
+        .filter(
+            F.col("_gap").isNotNull()
+            & (F.col("_gap") >= 2)            # midpoint strictly between
+            & (F.col("_gap") < 30 * 60 * 1_000_000)
+        )
+        .orderBy(
+            F.col("_gap").desc(), F.col("_us").desc(),
+            F.col("user_id").desc(), F.col("event_id").desc(),
+        )
+        .limit(1)
+        .collect()
+    )
+    if not row:
+        raise ValueError(
+            "no mergeable same-user event pair found — cannot build a "
+            "cross-drain severed session at this scale"
+        )
+    r = row[0]
+    return (r["_us"] - r["_gap"] + r["_us"]) // 2
+
+
+@register(
+    "events_streaming_sessions",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                         >= 1800000000
+                    THEN 1 ELSE 0 END AS ns
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, ts, value,
+               SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+        FROM g
+    )
+    SELECT user_id,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS session_start_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE)
+               AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+    description="END-TO-END STREAMING SESSION WINDOWS (dynamic-gap "
+    "F.session_window — the one watermark shape that was not yet "
+    "driver-graded on the real runtime): per-user 30-minute-gap "
+    "sessions aggregated in append mode across TWO availableNow "
+    "drains against one checkpoint.  The timeline splits at the "
+    "midpoint of the maximum-gap still-merging same-user pair, so "
+    ">= 1 session has events in both drains and MUST be assembled "
+    "from checkpointed session state merged across query restarts "
+    "(pinned > 0 in tests/test_streaming_windows.py); no drain-2 row "
+    "predates the drain-1 watermark (split is by event time, "
+    "watermark trails 1 h), so nothing is late-dropped.  Drain 2 "
+    "carries a +10 h sentinel row (user -1) that advances the "
+    "watermark past every real session's close, so the sink holds "
+    "EXACTLY the full batch sessionization of the table (the "
+    "sentinel's own open session stays in state, never emitted) — a "
+    "full hash contract against the lag/running-sum batch "
+    "sessionizer, session starts pinned to the microsecond.  NOTE "
+    "the session-identity rule is Spark's strict-overlap merge (gap "
+    "== exactly 30 min starts a NEW session), hence >= in the "
+    "oracle where the batch events_sessionization row uses >",
+)
+def events_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    src, ckpt, sink = _two_drain_dirs(
+        spark, "events_streaming_sessions", sf_dir
+    )
+    ev_i = ev.select(
+        "event_id", "user_id", _utc_instant().alias("tsi"), "value"
+    )
+    mid_us = _session_boundary_us(ev_i)
+    max_us = ev_i.agg(F.max(F.unix_micros("tsi"))).first()[0]
+    us = F.unix_micros(F.col("tsi"))
+    ev_i.filter(us < mid_us).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    def sessions(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withWatermark("tsi", "1 hour")
+            .groupBy(
+                "user_id",
+                F.session_window("tsi", "30 minutes").alias("w"),
+            )
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(12,4)")).alias("_tv"),
+            )
+            .select(
+                "user_id",
+                F.unix_micros(F.col("w.start")).alias("session_start_us"),
+                F.col("n_events").cast("long").alias("n_events"),
+                F.col("_tv").cast("double").alias("total_value"),
+            )
+        )
+
+    _drain_append(spark, src, ckpt, sink, sessions)
+    # Drain 2: the rest of the timeline + the watermark-advancing
+    # sentinel.  NULLABLE-wrapped literals (when(true, ...)): bare
+    # literals write REQUIRED parquet fields and the restarted query
+    # dies with STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE.
+    n = lambda c: F.when(F.lit(True), c)  # noqa: E731
+    sentinel = spark.range(1).select(
+        n(F.lit(-1).cast("long")).alias("event_id"),
+        n(F.lit(-1).cast("long")).alias("user_id"),
+        n(F.timestamp_micros(F.lit(max_us + 36_000_000_000))).alias(
+            "tsi"
+        ),
+        n(F.lit(None).cast("double")).alias("value"),
+    )
+    ev_i.filter(us >= mid_us).unionByName(sentinel).repartition(
+        4
+    ).write.mode("append").parquet(src)
+    _drain_append(spark, src, ckpt, sink, sessions)
+    return spark.read.parquet(sink).localCheckpoint()
+
+
+# Per-table payload schemas for the graded mux row — the analogue of
+# the reference's per-table schema cache for binlog decode
+# (/root/reference/src/cdc_replicator.py:150-155,286-294), one entry
+# per replicated table.
+_MUX_ORDERS_PAYLOAD = StructType(_CHANGELOG_SCHEMA.fields[2:])
+_MUX_CUSTOMER_PAYLOAD = StructType(
+    [
+        StructField("c_custkey", LongType(), True),
+        StructField("c_acctbal", DoubleType(), True),
+        StructField("c_mktsegment", StringType(), True),
+    ]
+)
+
+
+def _derive_customer_changelog(customer: DataFrame) -> DataFrame:
+    """Customer-side event scenario for the mux row (single-scan
+    conditional-emit, same shape as derive_orders_changelog):
+    U seq1 (acctbal x 1.5) for custkey % 5 in (0, 1); D seq2 for
+    % 5 = 1 — the delete SHADOWS that key's older live version, the
+    order-matters FINAL semantics; U seq3 (acctbal x 2.0) for
+    % 10 = 0 — a second update the dedup-latest must prefer."""
+    key = F.col("c_custkey")
+    bal = F.col("c_acctbal")
+
+    def ev(valid, op: str, seq: int, bal_expr):
+        return F.when(
+            valid,
+            F.struct(
+                F.lit(op).alias("op"),
+                F.lit(seq).cast("long").alias("seq"),
+                key.alias("c_custkey"),
+                bal_expr.alias("c_acctbal"),
+                F.col("c_mktsegment").alias("c_mktsegment"),
+            ),
+        )
+
+    events = F.array_compact(
+        F.array(
+            ev(key % 5 < 2, "U", 1, bal * F.lit(1.5)),
+            ev(key % 5 == 1, "D", 2, bal),
+            ev(key % 10 == 0, "U", 3, bal * F.lit(2.0)),
+        )
+    )
+    return customer.select(F.explode(events).alias("_e")).select("_e.*")
+
+
+@register(
+    "cdc_multi_table_mux",
+    oracle="""
+    SELECT 'orders' AS src_table, o_orderkey AS pk,
+           o_totalprice * CAST(1.2 AS DOUBLE) AS num_val,
+           o_orderpriority AS str_val
+    FROM orders WHERE o_orderkey % 14 = 0
+    UNION ALL
+    SELECT 'orders', o_orderkey,
+           o_totalprice * CAST(1.1 AS DOUBLE), o_orderpriority
+    FROM orders WHERE o_orderkey % 14 = 7
+    UNION ALL
+    SELECT 'orders', o_orderkey, o_totalprice, '5-REINSERTED'
+    FROM orders WHERE o_orderkey % 14 = 1
+    UNION ALL
+    SELECT 'customer', c_custkey,
+           c_acctbal * CAST(2.0 AS DOUBLE), c_mktsegment
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT 'customer', c_custkey,
+           c_acctbal * CAST(1.5 AS DOUBLE), c_mktsegment
+    FROM customer WHERE c_custkey % 10 = 5
+    """,
+    description="END-TO-END MULTI-TABLE MUX STREAM (C7 dispatch loop "
+    "on the real runtime — upgraded from unit evidence): ONE "
+    "multiplexed (table, op, seq, payload-JSON) changelog carrying "
+    "the orders event scenario (incl. the duplicate-delivered v1 "
+    "update), a customer scenario (update -> delete shadowing -> "
+    "second update), and a NON-replicated table's event that the P5 "
+    "membership filter must skip silently, drained through "
+    "MultiTableCDCStream in >= 2 checkpointed microbatches "
+    "(maxFilesPerTrigger=4 vs 8 files): per table present in each "
+    "microbatch, filter + from_json with that table's cached schema "
+    "+ stamp + append to that table's directory.  The graded output "
+    "is BOTH tables' live views (aligned to src_table/pk/num_val/"
+    "str_val), each hash-matched against its single-table batch "
+    "oracle — so driver-green means the dispatch loop preserves "
+    "exactly the per-table apply semantics.  No initial snapshot by "
+    "design: the mux grades the dispatch path; snapshot handoff is "
+    "cdc_streaming_live's contract.  Reference analogue: "
+    "/root/reference/src/cdc_replicator.py:325-345 (dispatch), "
+    ":330-333 (membership skip), scale-out guidance README.md:473-476",
+)
+def cdc_multi_table_mux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.multi_table import MultiTableCDCStream
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"cdc_multi_table_mux_{spark.sparkContext.applicationId}_"
+        + os.path.basename(sf_dir.rstrip("/")),
+    )
+    # Fresh per call: the per-table sinks are append-mode parquet and
+    # the mux checkpoint tracks seen files — reuse would double apply.
+    shutil.rmtree(base, ignore_errors=True)
+    changelog_dir = os.path.join(base, "changelog")
+
+    o_mux = derive_orders_changelog(orders).select(
+        F.lit("orders").alias("table"),
+        "op",
+        "seq",
+        F.to_json(F.struct(*_USER_COL_TUPLE)).alias("payload"),
+    )
+    c_mux = _derive_customer_changelog(customer).select(
+        F.lit("customer").alias("table"),
+        "op",
+        "seq",
+        F.to_json(
+            F.struct("c_custkey", "c_acctbal", "c_mktsegment")
+        ).alias("payload"),
+    )
+    # one event for a table OUTSIDE the replicated set: the P5
+    # membership filter must skip it without failing the stream
+    n_mux = spark.range(1).select(
+        F.lit("nation").alias("table"),
+        F.lit("U").alias("op"),
+        F.lit(1).cast("long").alias("seq"),
+        F.lit('{"n_nationkey": 0}').alias("payload"),
+    )
+    # 8 files vs maxFilesPerTrigger=4: >= 2 microbatches, so the
+    # dispatch loop's per-batch distinct-tables probe and per-table
+    # appends run across checkpointed batches, not one degenerate pass
+    o_mux.unionByName(c_mux).unionByName(n_mux).repartition(
+        8
+    ).write.mode("overwrite").json(changelog_dir)
+
+    mux = MultiTableCDCStream(
+        spark,
+        schemas={
+            "orders": _MUX_ORDERS_PAYLOAD,
+            "customer": _MUX_CUSTOMER_PAYLOAD,
+        },
+        pks={"orders": ["o_orderkey"], "customer": ["c_custkey"]},
+        base_dir=base,
+    )
+    mux.start(changelog_dir).awaitTermination()
+    o_live = mux.live("orders").select(
+        F.lit("orders").alias("src_table"),
+        F.col("o_orderkey").alias("pk"),
+        F.col("o_totalprice").alias("num_val"),
+        F.col("o_orderpriority").alias("str_val"),
+    )
+    c_live = mux.live("customer").select(
+        F.lit("customer").alias("src_table"),
+        F.col("c_custkey").alias("pk"),
+        F.col("c_acctbal").alias("num_val"),
+        F.col("c_mktsegment").alias("str_val"),
+    )
+    # localCheckpoint: the live views are lazy reads over this
+    # session-reused dir, cleared by the next invocation
+    return o_live.unionByName(c_live).localCheckpoint()

@@ -75,10 +75,9 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
     assert names[:50] == list(DRIVER_WINDOW)
     window = set(DRIVER_WINDOW)
     required = {
-        "cdc_live_orders", "cdc_streaming_live", "cdc_compacted_state",
+        "cdc_live_orders", "cdc_streaming_live",
         "docs_exact_dedup", "docs_minhash_candidates",
         "docs_curation_pipeline", "docs_top_jaccard_pairs_capped",
-        "emb_cosine_topk", "emb_ivf_topk",
         "events_retention_cohorts",
         # round-5 rotation: SCD-2 history, repetition filter, domain
         # mixture, quantile sketch enter the round they were added
@@ -88,7 +87,7 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         "corpus_pii_scrub", "corpus_doc_chunks", "corpus_lm_quality",
         "corpus_contamination", "corpus_pack_assignments",
         "corpus_pack_incremental", "corpus_curation_v2",
-        "emb_pq_topk", "docs_leakage_safe_splits",
+        "docs_leakage_safe_splits",
         # round-6 rotation: the real-codec decode path and append-mode
         # watermarked streaming enter on add; 6 of the 12
         # never-driver-graded oracled queries rotate in (r5 verdict
@@ -134,6 +133,16 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         # r1-r6, the window's longest-green row) cedes its slot and
         # stays hash-checked by check_oracle/ci_gate every round
         "events_streaming_interval_join_outer",
+        # round-8 rotation (enter-on-add; ledger: PARITY.md "Round 8
+        # deltas"): the stored-index APPEND lifecycle rows (IVF, PQ,
+        # semantic — r7 verdict items 1+3), streaming session windows
+        # (item 6) and the multi-table mux dispatch loop (item 7);
+        # ceded slots: emb_cosine_topk, emb_ivf_topk, emb_pq_topk,
+        # events_streaming_hourly, cdc_compacted_state (all
+        # longest-green, all hash-checked off-window every round)
+        "emb_index_append_search", "emb_pq_vs_index",
+        "emb_dedup_append_chain", "events_streaming_sessions",
+        "cdc_multi_table_mux",
     }
     assert required <= window, sorted(required - window)
     # every docs_/emb_/media_/sql_ query is in the graded window,
@@ -199,6 +208,15 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         # (every sampled AVI frame decodes through the same BMP
         # registry codec) + hash-checked off-window every round
         "media_decode_real",
+        # r8: slots ceded to the stored-index append-lifecycle rows.
+        # emb_cosine_topk (green r1-r7) stays the exact twin inside
+        # every recall audit + a bench headline; emb_ivf_topk /
+        # emb_pq_topk (green r2/r4-r7) have their search cores graded
+        # MORE strongly by the vs-index+append rows; all three stay
+        # hash-checked by check_oracle/ci_gate every round
+        "emb_cosine_topk",
+        "emb_ivf_topk",
+        "emb_pq_topk",
     }
     surface = {
         n for n in qs

@@ -778,3 +778,65 @@ def test_interval_join_row_produces_cross_drain_matches(spark):
         "no match straddles the drain boundary — the two-drain "
         "structure is not exercising checkpointed join state"
     )
+
+
+def test_streaming_sessions_row_merges_across_drains(spark):
+    """Structural pin for the graded events_streaming_sessions row:
+    the timeline split at _session_boundary_us must actually sever a
+    session across the checkpoint — the boundary pair's two events
+    land in different drains yet the sink holds them in ONE session
+    (start <= the pair's first event, no second session of that user
+    starting inside the pair's gap).  Otherwise the row degenerates to
+    two independent drains and proves nothing about session-state
+    recovery.  (Value equality to the batch sessionizer is the row's
+    own hash oracle; this pins the STRUCTURE.)"""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from conftest import SF_DIR
+
+    from mysql_clickhouse_sync_spark.plans.registry import all_queries
+    from mysql_clickhouse_sync_spark.plans.streaming_queries import (
+        _session_boundary_us,
+        _utc_instant,
+    )
+    from mysql_clickhouse_sync_spark.sources.parquet import load_table
+
+    ev_i = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", _utc_instant().alias("tsi"), "value"
+    )
+    mid_us = _session_boundary_us(ev_i)
+    w = Window.partitionBy("user_id").orderBy("tsi", "event_id")
+    us = F.unix_micros(F.col("tsi"))
+    pair = (
+        ev_i.select(
+            "user_id", "event_id", us.alias("_us"),
+            (us - F.lag(us).over(w)).alias("_gap"),
+        )
+        .filter(
+            F.col("_gap").isNotNull() & (F.col("_gap") >= 2)
+            & (F.col("_gap") < 30 * 60 * 1_000_000)
+        )
+        .orderBy(
+            F.col("_gap").desc(), F.col("_us").desc(),
+            F.col("user_id").desc(), F.col("event_id").desc(),
+        )
+        .first()
+    )
+    first_us, second_us = pair["_us"] - pair["_gap"], pair["_us"]
+    assert first_us < mid_us <= second_us, "boundary must sever the pair"
+
+    out = all_queries()["events_streaming_sessions"].fn(spark, SF_DIR)
+    sess = (
+        out.filter(F.col("user_id") == pair["user_id"])
+        .select("session_start_us")
+        .collect()
+    )
+    starts = sorted(r["session_start_us"] for r in sess)
+    assert any(s <= first_us for s in starts), "severed session missing"
+    # strict-overlap merge: no NEW session of this user may start in
+    # (first_us, second_us] — the pair merged across the restart
+    assert not [s for s in starts if first_us < s <= second_us], (
+        "the boundary pair was emitted as TWO sessions — session "
+        "state did not merge across the checkpointed restart"
+    )
