@@ -164,6 +164,16 @@ EXTENDED = (
     # same family already timed above)
     "emb_topk_vs_index",
     "emb_dedup_incremental",
+    # r8: the DAILY-INGEST cost of the row above with the audit mass
+    # stripped (grow against a session-persisted stored index; the
+    # first repeat pays the day-0 build, best-of-n records the
+    # recurring grow) — makes the daily figure a recorded number
+    # instead of a PERFORMANCE.md argument (r7 verdict item 5)
+    "emb_dedup_incremental_raw",
+    # r8: the stored-index APPEND lifecycle rows (write half)
+    "emb_index_append_search",
+    "emb_pq_vs_index",
+    "emb_dedup_append_chain",
 )
 
 _HEADLINE_REPEATS = 3   # round-4 verdict: best-of-3 minimum, in-artifact

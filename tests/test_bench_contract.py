@@ -34,7 +34,9 @@ def test_untimed_streaming_surfaces_are_only_the_disclosed_ones():
     from mysql_clickhouse_sync_spark.plans.registry import all_queries
 
     timed = set(bench.HEADLINE) | set(bench.EXTENDED)
-    streaming_rows = {n for n in all_queries() if "streaming" in n}
+    streaming_rows = {
+        n for n in all_queries() if "streaming" in n or "_mux" in n
+    }
     untimed_streaming = streaming_rows - timed
     assert untimed_streaming == {
         "cdc_streaming_live",
@@ -45,4 +47,9 @@ def test_untimed_streaming_surfaces_are_only_the_disclosed_ones():
         "events_streaming_interval_join",
         # r7: the left-outer twin — same correctness-surface policy
         "events_streaming_interval_join_outer",
+        # r8: session windows + the multi-table mux dispatch drain —
+        # same policy: their cost is checkpoint/trigger machinery,
+        # graded by the driver window and window_fidelity, not timed
+        "events_streaming_sessions",
+        "cdc_multi_table_mux",
     }, sorted(untimed_streaming)

@@ -346,3 +346,137 @@ def test_live_view_exact_under_concurrent_compaction(spark, tmp_path):
         for r in live_view(spark.read.parquet(path), ["k"]).collect()
     }
     assert final == expected
+
+
+def test_stored_index_compaction_after_appends(spark, tmp_path):
+    """r7 verdict item 4 — the small-file hazard of the stored-index
+    APPEND lifecycle: N daily ``ivf_index_append`` deltas written into
+    a ``partitionBy('_cid')`` postings directory fragment every cell
+    into per-wave files; bin-pack compaction must collapse them while
+    a CONCURRENT reader's stored-index searches stay exact (the
+    tests/test_compaction.py live-view guarantee, mirrored onto the
+    ANN probe path).  Reader contract during the swap window: a read
+    either fails the file listing (FileNotFound -> retry), or sees a
+    TRANSIENT DUPLICATE posting (rename-before-delete) — which
+    surfaces as a duplicated (query_id, neighbor_id) inside top-k,
+    detectable and retryable — or returns EXACTLY the pre-compaction
+    result.  Afterwards: fewer files, identical results, and the
+    static _cid partition filter still prunes the compacted scan."""
+    import re
+    import threading
+
+    from conftest import SF_DIR
+
+    from mysql_clickhouse_sync_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_index_append,
+        ivf_topk_vs_index,
+    )
+    from mysql_clickhouse_sync_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    old = emb.filter(F.col("vec_id") % 4 == 0)
+    queries = emb.filter(F.col("vec_id") % 50 == 1)
+    centroids, postings = ivf_build_index(old, n_centroids=8)
+    pdir = str(tmp_path / "postings")
+    postings.repartition(4).write.partitionBy("_cid").parquet(pdir)
+
+    # three daily append waves (disjoint ids); each persists ONLY its
+    # delta — the operator's documented overwrite-or-append storage
+    # step — so every touched cell gains per-wave small files
+    for wave in (
+        emb.filter(F.col("vec_id") % 8 == 2),
+        emb.filter(F.col("vec_id") % 8 == 6),
+        emb.filter(F.col("vec_id") % 2 == 1),
+    ):
+        stored = spark.read.parquet(pdir).select(
+            "vec_id", "_cv", "_cid", "_cn"
+        )
+        grown = ivf_index_append(centroids, stored, wave)
+        delta = grown.join(
+            stored.select("vec_id"), "vec_id", "left_anti"
+        )
+        delta.repartition(4).write.mode("append").partitionBy(
+            "_cid"
+        ).parquet(pdir)
+
+    n_before = len(list_data_files(pdir))
+    assert n_before >= 32, n_before          # the hazard is real
+
+    def search():
+        return ivf_topk_vs_index(
+            centroids, spark.read.parquet(pdir), queries,
+            k=3, nprobe=3,
+        )
+
+    expected = {
+        (r.query_id, r.neighbor_id, r.rnk) for r in search().collect()
+    }
+    assert expected
+
+    plan = plan_table_compaction(
+        pdir,
+        CompactionPolicy(max_small_files=2,
+                         target_bytes=64 * 1024 * 1024),
+        only_triggered=True,
+    )
+    assert plan.n_input_files >= 32
+
+    errors: list[str] = []
+    done = threading.Event()
+
+    def compact():
+        try:
+            res = execute_compaction(spark, plan, max_concurrent_bins=1)
+            errors.extend(res.errors)
+        except Exception as exc:  # noqa: BLE001 — surfaced below
+            errors.append(repr(exc))
+        finally:
+            done.set()
+
+    t = threading.Thread(target=compact)
+    t.start()
+    reads_ok, retries = 0, 0
+    try:
+        while not done.is_set() or reads_ok == 0:
+            try:
+                rows = search().collect()
+            except Exception as exc:  # noqa: BLE001 — FNF retry contract
+                msg = str(exc)
+                if ("FileNotFound" in msg or "does not exist" in msg
+                        or "FILE_NOT_EXIST" in msg or "REFRESH" in msg):
+                    retries += 1
+                    assert retries < 80, msg
+                    continue
+                raise
+            got = {(r.query_id, r.neighbor_id, r.rnk) for r in rows}
+            if got != expected:
+                # only a transient duplicate posting may explain a
+                # divergent SUCCESSFUL read: the same neighbor appears
+                # twice inside a query's top-k (rename-before-delete
+                # window); anything else is a torn read
+                pairs = [(r.query_id, r.neighbor_id) for r in rows]
+                assert len(pairs) != len(set(pairs)), (
+                    f"torn read during swap: {sorted(got - expected)} "
+                    f"unexpected / {sorted(expected - got)} missing"
+                )
+                retries += 1
+                assert retries < 80
+                continue
+            reads_ok += 1
+    finally:
+        t.join(timeout=300)
+    assert errors == []
+    assert reads_ok > 0
+    n_after = len(list_data_files(pdir))
+    assert n_after < n_before
+    final = {
+        (r.query_id, r.neighbor_id, r.rnk) for r in search().collect()
+    }
+    assert final == expected
+    # the compacted layout still partition-prunes the probe scan
+    plan_str = (
+        search()._jdf.queryExecution().executedPlan().toString()
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan_str)
+    assert m and "_cid" in m.group(1), m.group(0) if m else plan_str

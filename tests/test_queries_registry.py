@@ -174,6 +174,11 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         "docs_minhash_candidates_raw",
         "docs_dedup_incremental_raw",
         "emb_ivf_topk_raw",
+        # r8 bench-only raw variant: the daily-ingest grow stage of
+        # emb_dedup_incremental against a session-persisted stored
+        # index; prefix equality machine-checked in
+        # tests/test_similarity.py
+        "emb_dedup_incremental_raw",
         # r6: longest-green rows ceding slots to media_decode_real,
         # events_streaming_append and the 6 never-driver-graded
         # analytics rows (ledger: PARITY.md).  All stay hash-checked

@@ -1247,3 +1247,40 @@ def test_semantic_index_stores_nominal_k(spark):
     by_id = {r.vec_id: r for r in out}
     assert by_id[10].cluster_id == 0 and not by_id[10].is_keeper
     assert len(out) == 4
+
+
+def test_dedup_incremental_raw_equals_graded_prefix(spark):
+    """Machine-check of "emb_dedup_incremental_raw == the graded
+    row's pre-clustering prefix" (r7 verdict item 5): the bench-timed
+    raw entry must return exactly the merged pair set that feeds the
+    graded row's connected components — same stored quantizer (built
+    from the even half), same batch assignment, same pair kernel —
+    whether the index relations arrive freshly built or through the
+    raw entry's parquet persist/reload.  Runs the raw entry TWICE so
+    the second call exercises the stored-index reuse path bench's
+    best-of-n actually times."""
+    from pyspark.sql import functions as F
+
+    from mysql_clickhouse_sync_spark.plans.registry import all_queries
+    from mysql_clickhouse_sync_spark.plans.similarity_queries import (
+        _semantic_grow,
+        semantic_index_build,
+    )
+    from mysql_clickhouse_sync_spark.sources.parquet import load_table
+
+    sf01 = "/root/testdata/sf0.01"
+    fn = all_queries()["emb_dedup_incremental_raw"].fn
+    first = sorted(map(tuple, fn(spark, sf01).collect()))
+    reused = sorted(map(tuple, fn(spark, sf01).collect()))
+    assert first == reused                  # stored-index reuse path
+
+    emb = load_table(spark, sf01, "embeddings")
+    idx = semantic_index_build(emb.filter(F.col("vec_id") % 2 == 0))
+    _, all_pairs = _semantic_grow(
+        idx["centroids"], idx["assigned"], idx["pairs"],
+        emb.filter(F.col("vec_id") % 2 == 1),
+    )
+    prefix = sorted(
+        map(tuple, all_pairs.select("id_a", "id_b").collect())
+    )
+    assert first == prefix and len(first) > 0
