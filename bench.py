@@ -137,6 +137,7 @@ EXTENDED = (
     "media_decode_real",      # r6: injected-codec BMP decode path
     "media_decode_png",       # r7: compressed-format (zlib PNG) decode
     "media_decode_jpeg",      # r7: lossy-transform (baseline JPEG) decode
+    "media_decode_gif",       # r8: palette-indexed LZW decode (4th class)
     "media_audio_stats",      # r7: PCM WAV audio decode (2nd modality)
     "media_video_frames",     # r7: AVI demux + per-frame decode (3rd)
     "cdc_scd2_history",

@@ -572,18 +572,327 @@ class AviDemuxer:
                 last_bucket = bucket
 
 
-# MIME -> codec registries.  Image ships three working defaults (BMP
+# -- GIF (87a/89a, palette-indexed LZW) --------------------------------
+#
+# Fourth real in-repo image codec and a NEW compression class: the
+# palette-indexed dictionary coder (variable-width LSB-first LZW per
+# the public GIF89a specification) — BMP covers fixed-layout dumps,
+# PNG covers filter+DEFLATE, JPEG covers lossy transform coding; GIF
+# adds the indexed-color + adaptive-dictionary family web corpora are
+# full of.  Scope (honest): still images — the FIRST image descriptor
+# of a multi-frame stream decodes and the rest is ignored (animation
+# is the video seam's job); 89a extension blocks are skipped, and a
+# transparency index is IGNORED (the (h, w, 3) RGB contract has no
+# alpha channel) — both documented, neither corrupts pixels.
+# Interlaced images are supported (4-pass row mapping).
+
+_GIF_MAGICS = (b"GIF87a", b"GIF89a")
+_LZW_MAX_CODE = 4096
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> list:
+    """GIF-variant LZW: variable code width starting min+1, LSB-first
+    bit packing, CLEAR resets the dictionary, width grows when the
+    next assignable code would not fit (cap 12 bits).  Stops after
+    ``n_pixels`` outputs or the END code."""
+    if not 2 <= min_code_size <= 8:
+        raise ValueError(f"bad GIF LZW min code size {min_code_size}")
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    base = {i: (i,) for i in range(clear)}
+    table = dict(base)
+    width = min_code_size + 1
+    nxt = end + 1
+    out: list[int] = []
+    prev: tuple | None = None
+    acc = bitpos = 0
+    i = 0
+    while len(out) < n_pixels:
+        while bitpos < width:
+            if i >= len(data):
+                raise ValueError("truncated GIF: LZW data ran out")
+            acc |= data[i] << bitpos
+            bitpos += 8
+            i += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        bitpos -= width
+        if code == clear:
+            table = dict(base)
+            width = min_code_size + 1
+            nxt = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError("corrupt GIF: first LZW code not literal")
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == nxt:                  # the KwKwK case
+            entry = prev + (prev[0],)
+        else:
+            raise ValueError(f"corrupt GIF: LZW code {code} out of range")
+        out.extend(entry)
+        if prev is not None and nxt < _LZW_MAX_CODE:
+            table[nxt] = prev + (entry[0],)
+            nxt += 1
+            if nxt == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out[:n_pixels]
+
+
+class _LsbBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc |= code << self.n
+        self.n += width
+        while self.n >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.out.append(self.acc & 0xFF)
+            self.acc = self.n = 0
+        return bytes(self.out)
+
+
+def _lzw_encode(indices, min_code_size: int) -> bytes:
+    """GIF-variant LZW encoder.  Width bookkeeping SIMULATES the
+    decoder: the decoder assigns its dictionary entries one code
+    BEHIND the encoder (its add for our emission j lands only after
+    it reads emission j+1), so the width each code is written at
+    follows ``dec_next`` — the decoder's table counter at read time —
+    never the encoder's own.  Emits CLEAR up front and again whenever
+    the decoder's table would fill (spec-standard reset)."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    w = _LsbBitWriter()
+    width = min_code_size + 1
+    table: dict[tuple, int] = {(i,): i for i in range(clear)}
+    enc_next = end + 1
+    dec_next = end + 1
+    data_emitted = 0
+
+    def emit(code: int) -> None:
+        nonlocal width, dec_next, data_emitted
+        w.write(code, width)
+        data_emitted += 1
+        # the decoder adds an entry after every data code but the
+        # first, then widens when its NEXT assignable code would not
+        # fit — mirror that exactly or widths desynchronize
+        if data_emitted >= 2 and dec_next < _LZW_MAX_CODE:
+            dec_next += 1
+            if dec_next == (1 << width) and width < 12:
+                width += 1
+
+    def reset() -> None:
+        nonlocal width, table, enc_next, dec_next, data_emitted
+        w.write(clear, width)
+        width = min_code_size + 1
+        table = {(i,): i for i in range(clear)}
+        enc_next = end + 1
+        dec_next = end + 1
+        data_emitted = 0
+
+    reset()
+    buf: tuple = ()
+    for k in indices:
+        k = int(k)
+        cand = buf + (k,)
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf])
+        if enc_next < _LZW_MAX_CODE:
+            table[cand] = enc_next
+            enc_next += 1
+        else:
+            reset()
+        buf = (k,)
+    if buf:
+        emit(table[buf])
+    w.write(end, width)
+    return w.flush()
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _interlace_order(h: int) -> list:
+    """Row output order of an interlaced GIF (4 passes)."""
+    return [
+        y for start, step in _GIF_INTERLACE_PASSES
+        for y in range(start, h, step)
+    ]
+
+
+def encode_gif(rgb) -> bytes:
+    """(h, w, 3) uint8 RGB -> GIF87a bytes (global palette, one
+    non-interlaced image).  The palette is built from the image's
+    distinct colors (deterministic lexicographic order); more than
+    256 distinct colors is a hard error — GIF is an indexed format,
+    and silently quantizing would break the codec's lossless
+    round-trip contract (pre-quantize upstream if needed)."""
+    import numpy as np
+
+    rgb = np.asarray(rgb)
+    if rgb.dtype != np.uint8 or rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError("encode_gif needs a (h, w, 3) uint8 array")
+    h, wd = rgb.shape[:2]
+    if h == 0 or wd == 0:
+        raise ValueError("encode_gif needs a non-empty image")
+    if h > 0xFFFF or wd > 0xFFFF:
+        raise ValueError("GIF geometry fields are 16-bit")
+    flat = rgb.reshape(-1, 3)
+    palette, indices = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(
+            f"GIF is palette-indexed: {len(palette)} distinct colors "
+            "> 256 (quantize upstream; the codec will not do it lossily)"
+        )
+    # table size: power of two >= max(2, n); min_code_size >= 2
+    bits = max(2, int(np.ceil(np.log2(max(2, len(palette))))))
+    table_n = 1 << bits
+    gct = np.zeros((table_n, 3), dtype=np.uint8)
+    gct[: len(palette)] = palette
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HH", wd, h)
+    out += bytes([0x80 | (7 << 4) | (bits - 1), 0, 0])
+    out += gct.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, wd, h) + b"\x00"
+    out.append(bits)                                   # LZW min code size
+    lzw = _lzw_encode(indices.ravel(), bits)
+    for p in range(0, len(lzw), 255):                  # <=255-byte blocks
+        chunk = lzw[p : p + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes):
+    """GIF87a/89a bytes -> (h, w, 3) uint8 RGB of the FIRST image.
+
+    Walks the block stream per the public spec: logical screen
+    descriptor + optional global color table, extension blocks
+    skipped (a GCE transparency index is ignored — no alpha in the
+    RGB contract), first image descriptor decoded (local color table
+    honored, interlace unwound), everything after it ignored."""
+    import numpy as np
+
+    if payload is None or len(payload) < 13:
+        raise ValueError("not a GIF: payload shorter than the header")
+    if bytes(payload[:6]) not in _GIF_MAGICS:
+        raise ValueError(f"not a GIF: bad magic {bytes(payload[:6])!r}")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if len(payload) < pos + 3 * n:
+            raise ValueError("truncated GIF: global color table")
+        gct = np.frombuffer(
+            payload, np.uint8, 3 * n, pos
+        ).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:                              # trailer
+            break
+        if block == 0x21:                              # extension: skip
+            pos += 1                                   # label byte
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1                                   # terminator
+            continue
+        if block != 0x2C:
+            raise ValueError(
+                f"corrupt GIF: unknown block 0x{block:02X} at {pos - 1}"
+            )
+        if len(payload) < pos + 9:
+            raise ValueError("truncated GIF: image descriptor")
+        _l, _t, wd, h = struct.unpack_from("<HHHH", payload, pos)
+        ipacked = payload[pos + 8]
+        pos += 9
+        if wd == 0 or h == 0:
+            raise ValueError(f"bad GIF geometry: w={wd} h={h}")
+        table = gct
+        if ipacked & 0x80:                             # local color table
+            n = 2 << (ipacked & 0x07)
+            if len(payload) < pos + 3 * n:
+                raise ValueError("truncated GIF: local color table")
+            table = np.frombuffer(
+                payload, np.uint8, 3 * n, pos
+            ).reshape(n, 3)
+            pos += 3 * n
+        if table is None:
+            raise ValueError("corrupt GIF: image with no color table")
+        if pos >= len(payload):
+            raise ValueError("truncated GIF: missing LZW min code size")
+        min_code = payload[pos]
+        pos += 1
+        parts = []
+        while True:
+            if pos >= len(payload):
+                raise ValueError("truncated GIF: unterminated image data")
+            ln = payload[pos]
+            pos += 1
+            if ln == 0:
+                break
+            parts.append(payload[pos : pos + ln])
+            if len(parts[-1]) < ln:
+                raise ValueError("truncated GIF: short data sub-block")
+            pos += ln
+        idx = _lzw_decode(b"".join(parts), min_code, wd * h)
+        if len(idx) < wd * h:
+            raise ValueError("corrupt GIF: LZW ended before w*h pixels")
+        arr = np.array(idx, dtype=np.int32).reshape(h, wd)
+        if arr.max() >= len(table):
+            raise ValueError(
+                f"corrupt GIF: pixel index {int(arr.max())} outside the "
+                f"{len(table)}-entry color table"
+            )
+        if ipacked & 0x40:                             # interlaced
+            ordered = np.empty_like(arr)
+            ordered[_interlace_order(h)] = arr
+            arr = ordered
+        return np.ascontiguousarray(table[arr])
+    raise ValueError("not a GIF image: no image descriptor before trailer")
+
+
+class GifImageCodec:
+    """Palette-indexed LZW codec: pure numpy + stdlib struct."""
+
+    def decode(self, payload: bytes):
+        return decode_gif(payload)
+
+    def encode(self, rgb) -> bytes:
+        return encode_gif(rgb)
+
+
+# MIME -> codec registries.  Image ships four working defaults (BMP
 # uncompressed, PNG zlib-compressed, baseline JPEG lossy-transform —
-# operators/jpeg.py), audio ships PCM WAV, and video ships the
-# RIFF/AVI container demuxer (frame BYTES extraction + sampling
-# cadence; interframe codecs still need an injected av-backed
-# implementation — the decode sites name the hook).
+# operators/jpeg.py — and palette-indexed LZW GIF), audio ships PCM
+# WAV, and video ships the RIFF/AVI container demuxer (frame BYTES
+# extraction + sampling cadence; interframe codecs still need an
+# injected av-backed implementation — the decode sites name the
+# hook).
 from .jpeg import JpegImageCodec  # noqa: E402  (registry default)
 
 _IMAGE_CODECS: dict[str, object] = {
     "image/bmp": BmpImageCodec(),
     "image/png": PngImageCodec(),
     "image/jpeg": JpegImageCodec(),
+    "image/gif": GifImageCodec(),
 }
 _AUDIO_CODECS: dict[str, object] = {"audio/wav": WavAudioCodec()}
 _VIDEO_DEMUXERS: dict[str, object] = {"video/x-msvideo": AviDemuxer()}

@@ -704,3 +704,118 @@ def cdc_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status")
         .agg(F.count("*").alias("n_keys"))
     )
+
+
+def _palette_gif_media(docs: DataFrame) -> DataFrame:
+    """doc ids -> REAL GIF payloads via the production encoder
+    (operators/codecs.py::encode_gif) — palette-indexed images whose
+    palette AND index grid are closed-form in the id, so DuckDB can
+    regenerate every expected pixel (GIF's LZW is lossless; only the
+    compressed SIZE is not closed-form):
+
+      width  = 6 + id % 6   (6..11)
+      height = 4 + id % 5   (4..8)
+      palette entry i (64 entries): r = (7i + 13) % 256
+                                    g = (11i + 5) % 256
+                                    b = (3i + 29) % 256
+      pixel (x, y): palette[(id + 5x + 9y) % 64]
+
+    The 64-color palette forces a 6-bit table (min LZW code size 6,
+    codes growing from 7 bits), and neighbouring pixels repeat
+    palette entries so the LZW dictionary genuinely compresses.
+    """
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.codecs import encode_gif
+
+        i = np.arange(64)
+        pal = np.stack(
+            [(7 * i + 13) % 256, (11 * i + 5) % 256, (3 * i + 29) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 6 + did % 6, 4 + did % 5
+                xx = np.arange(w)[None, :]
+                yy = np.arange(h)[:, None]
+                idx = (did + 5 * xx + 9 * yy) % 64
+                rows.append(
+                    (
+                        did,
+                        "image",
+                        "image/gif",
+                        bytearray(encode_gif(pal[idx])),
+                        w,
+                        h,
+                        None,
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+                )
+
+    return docs.select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+
+
+@register(
+    "media_decode_gif",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, 6 + doc_id % 6 AS w, 4 + doc_id % 5 AS h
+        FROM documents
+    ), px AS (
+        SELECT doc_id, w, h,
+           flatten(list_transform(range(0, h), y ->
+               list_transform(range(0, w),
+                              x -> (doc_id + 5*x + 9*y) % 64))) AS ids
+        FROM d
+    ), s AS (
+        SELECT doc_id, w, h,
+           list_sum(list_transform(ids, i -> (7*i + 13) % 256)) AS sr,
+           list_sum(list_transform(ids, i -> (11*i + 5) % 256)) AS sg,
+           list_sum(list_transform(ids, i -> (3*i + 29) % 256)) AS sb
+        FROM px
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(sr AS DOUBLE) / (w * h) AS mean_r,
+           CAST(sg AS DOUBLE) / (w * h) AS mean_g,
+           CAST(sb AS DOUBLE) / (w * h) AS mean_b,
+           CAST((7 * (doc_id % 64) + 13) % 256 AS INT) AS r00,
+           CAST((11 * (doc_id % 64) + 5) % 256 AS INT) AS g00,
+           CAST((3 * (doc_id % 64) + 29) % 256 AS INT) AS b00,
+           CAST((7 * ((doc_id + 5*(w-1) + 9*(h-1)) % 64) + 13) % 256
+                AS INT) AS r_last,
+           CAST((11 * ((doc_id + 5*(w-1) + 9*(h-1)) % 64) + 5) % 256
+                AS INT) AS g_last,
+           CAST((3 * ((doc_id + 5*(w-1) + 9*(h-1)) % 64) + 29) % 256
+                AS INT) AS b_last
+    FROM s
+    """,
+    description="PALETTE-INDEXED DICTIONARY-CODER decode path (fourth "
+    "real in-repo image codec, fourth compression CLASS: BMP = "
+    "fixed-layout dump, PNG = filter + DEFLATE, JPEG = lossy "
+    "transform, GIF = indexed color + adaptive-dictionary LZW): tiny "
+    "real GIFs — 64-color closed-form palette, variable-width "
+    "LSB-first LZW per the public GIF89a spec — encoded per doc by "
+    "the production encoder and decoded back through the codec "
+    "registry by image_stats.  Palette and index grid are both "
+    "closed-form in the id, and LZW is lossless, so DuckDB "
+    "regenerates geometry, exact channel sums and both corner pixels "
+    "bit-for-bit; n_bytes is EXCLUDED (a dictionary-coded size is "
+    "not closed-form).  The decoder is independently pinned against "
+    "hand-assembled golden bytes (hand-packed LZW codes), an "
+    "interlace + local-color-table + extension-skip construction, "
+    "and a 256-color dictionary-reset property in "
+    "tests/test_codecs.py",
+)
+def media_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return image_stats(_palette_gif_media(docs)).drop("n_bytes")

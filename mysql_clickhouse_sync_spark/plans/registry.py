@@ -224,6 +224,13 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 # cdc_compacted_state (green r4-r7; compaction stays unit-pinned
 # incl. the new appended-index compaction test + hash-checked every
 # round).
+# Also IN (enter-on-add): media_decode_gif — the fourth real image
+# codec and the fourth compression CLASS (palette-indexed adaptive-
+# dictionary LZW; BMP = fixed layout, PNG = filter+DEFLATE, JPEG =
+# lossy transform), closed-form palette + index grid so the lossless
+# decode hashes bit-for-bit.  OUT: events_retention_cohorts (green
+# r1-r7, the window's longest-green remaining row; the cohort shape
+# stays hash-checked by check_oracle/ci_gate every round).
 DRIVER_WINDOW = (
     # CDC sentinels (7 graded rows incl. the r8 multi-table mux)
     "cdc_live_orders",
@@ -241,7 +248,6 @@ DRIVER_WINDOW = (
     # event analytics
     "events_props_profile",
     "events_value_percentiles",
-    "events_retention_cohorts",
     "events_value_quantiles",
     # streaming runtimes (end-to-end, batch-oracle-verified)
     "events_streaming_sessions",
@@ -277,10 +283,11 @@ DRIVER_WINDOW = (
     "emb_semantic_dedup",
     "emb_topk_vs_index",
     "emb_dedup_incremental",
-    # multimodal (incl. the round-6/7 real-codec paths: PNG, JPEG,
-    # WAV, AVI demux + in-frame BMP decode)
+    # multimodal (the real-codec paths: PNG, JPEG, GIF, WAV, AVI
+    # demux + in-frame BMP decode)
     "media_decode_png",
     "media_decode_jpeg",
+    "media_decode_gif",
     "media_audio_stats",
     "media_video_frames",
     # SQL surface

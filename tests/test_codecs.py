@@ -694,3 +694,149 @@ def test_motion_jpeg_composition():
     for (_, _, frame), k in zip(sampled, (0, 2)):
         rgb = decode_jpeg(frame)
         assert np.array_equal(rgb[:, :, 0], mosaics[k])
+
+
+# ---------------------------------------------------------------- GIF
+
+
+def test_gif_decode_golden_bytes():
+    """Hand-assembled minimal GIF87a (2x1, 4-color table, LZW codes
+    [clear, 1, 2, end] hand-packed LSB-first into 0x8C 0x0A) — pins
+    the decoder independently of our own encoder: byte order, LSD
+    layout, color-table indexing and the LZW bit packing all checked
+    against bytes a human worked out from the public spec."""
+    import struct
+
+    from mysql_clickhouse_sync_spark.operators.codecs import decode_gif
+
+    gct = bytes(
+        [10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120]
+    )
+    golden = (
+        b"GIF87a" + struct.pack("<HH", 2, 1)
+        + bytes([0x80 | (7 << 4) | 0x01, 0, 0]) + gct
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 1) + b"\x00"
+        + bytes([2]) + bytes([2, 0x8C, 0x0A]) + b"\x00\x3b"
+    )
+    out = decode_gif(golden)
+    assert out.shape == (1, 2, 3)
+    assert out[0, 0].tolist() == [40, 50, 60]    # palette[1]
+    assert out[0, 1].tolist() == [70, 80, 90]    # palette[2]
+
+
+def test_gif_interlace_extension_skip_and_lct():
+    """Interlaced image data (4-pass row order), an 89a graphic-
+    control extension (skipped; transparency index IGNORED by the
+    RGB contract), and a LOCAL color table overriding the global
+    one — assembled by hand around the raw LZW encoder so the
+    decoder's block walk is what's under test."""
+    import struct
+
+    from mysql_clickhouse_sync_spark.operators.codecs import (
+        _interlace_order,
+        _lzw_encode,
+        decode_gif,
+    )
+
+    rng = np.random.default_rng(3)
+    h, w = 13, 5
+    lct = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, (h, w))
+    stored = idx[_interlace_order(h)]          # stream row order
+    lzw = _lzw_encode(stored.ravel(), 3)
+    buf = bytearray(b"GIF89a") + struct.pack("<HH", w, h)
+    buf += bytes([0, 0, 0])                    # NO global table
+    buf += bytes([0x21, 0xF9, 4, 1, 0, 0, 2, 0])   # GCE w/ transparency
+    # interlaced + local color table (8 entries)
+    buf += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes(
+        [0x80 | 0x40 | 0x02]
+    )
+    buf += lct.tobytes()
+    buf.append(3)
+    for p in range(0, len(lzw), 255):
+        c = lzw[p : p + 255]
+        buf.append(len(c))
+        buf += c
+    buf += b"\x00\x3b"
+    assert np.array_equal(decode_gif(bytes(buf)), lct[idx])
+
+
+def test_gif_round_trip_property():
+    """Any geometry, any palette size 1..256 (incl. widths that grow
+    the LZW code size to 9+ bits and images big enough to fill the
+    4096-entry dictionary and force a CLEAR reset): bit-exact."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mysql_clickhouse_sync_spark.operators.codecs import (
+        decode_gif,
+        encode_gif,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        h=st.integers(1, 24),
+        w=st.integers(1, 24),
+        ncol=st.integers(1, 256),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def prop(h, w, ncol, seed):
+        rng = np.random.default_rng(seed)
+        pal = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+        img = pal[rng.integers(0, ncol, (h, w))]
+        assert np.array_equal(decode_gif(encode_gif(img)), img)
+
+    prop()
+    # dictionary-reset path: > 4096 distinct phrases
+    rng = np.random.default_rng(0)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    big = pal[rng.integers(0, 256, (80, 300))]
+    assert np.array_equal(decode_gif(encode_gif(big)), big)
+
+
+def test_gif_rejects_malformed_with_real_cause():
+    import struct
+
+    from mysql_clickhouse_sync_spark.operators.codecs import (
+        decode_gif,
+        encode_gif,
+    )
+
+    with pytest.raises(ValueError, match="bad magic"):
+        decode_gif(b"NOTAGIF" + b"\x00" * 20)
+    with pytest.raises(ValueError, match="shorter than the header"):
+        decode_gif(b"GIF87a")
+    with pytest.raises(ValueError, match="no image descriptor"):
+        decode_gif(
+            b"GIF87a" + struct.pack("<HH", 1, 1) + bytes([0, 0, 0])
+            + b"\x3b"
+        )
+    with pytest.raises(ValueError, match="no color table"):
+        decode_gif(
+            b"GIF87a" + struct.pack("<HH", 1, 1) + bytes([0, 0, 0])
+            + b"\x2c" + struct.pack("<HHHH", 0, 0, 1, 1) + b"\x00"
+            + bytes([2, 1, 0x00, 0x00]) + b"\x3b"
+        )
+    good = encode_gif(_PIXELS)
+    with pytest.raises(ValueError, match="truncated GIF"):
+        decode_gif(good[: len(good) - 6])
+    # > 256 distinct colors is a hard error, not silent quantization
+    rng = np.random.default_rng(1)
+    noisy = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="256"):
+        encode_gif(noisy)
+    with pytest.raises(ValueError, match="uint8"):
+        encode_gif(np.zeros((2, 2, 3), dtype=np.int64))
+    with pytest.raises(ValueError, match="non-empty"):
+        encode_gif(np.zeros((0, 2, 3), dtype=np.uint8))
+
+
+def test_gif_registry_default():
+    from mysql_clickhouse_sync_spark.operators.codecs import (
+        GifImageCodec,
+        image_codec_for,
+    )
+
+    codec = image_codec_for("image/gif")
+    assert isinstance(codec, GifImageCodec)
+    assert np.array_equal(codec.decode(codec.encode(_PIXELS)), _PIXELS)

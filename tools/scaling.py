@@ -72,8 +72,15 @@ SWEEP = (
     # versions are what the driver grades)
     "emb_topk_vs_index",
     "emb_dedup_incremental",
+    # r8 append-lifecycle rows (the write half of the daily loop) +
+    # the recorded daily-ingest grow stage
+    "emb_index_append_search",
+    "emb_pq_vs_index",
+    "emb_dedup_append_chain",
+    "emb_dedup_incremental_raw",
     "media_decode_png",              # zlib decode in the Arrow loop
     "media_decode_jpeg",             # Huffman+DCT decode in the Arrow loop
+    "media_decode_gif",              # LZW decode in the Arrow loop
     "media_audio_stats",             # PCM decode in the Arrow loop
     "media_video_frames",            # AVI demux + per-frame decode
 )
