@@ -819,3 +819,132 @@ def _palette_gif_media(docs: DataFrame) -> DataFrame:
 def media_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return image_stats(_palette_gif_media(docs)).drop("n_bytes")
+
+
+def _avi_mjpeg_media(docs: DataFrame) -> DataFrame:
+    """doc ids -> REAL tiny MOTION-JPEG AVIs: the container encoder
+    wrapped around baseline-JPEG frames (the _mosaic_jpeg_media pixel
+    rule per frame, quality 100 per-8x8-block-constant => bit-exact
+    decode), so the two LOSSY-CLASS seams compose closed-form:
+
+      n_frames       = 2 + id % 3   (2..4 frames; 2 fps)
+      usec_per_frame = 500_000      (sampled at 1000 ms: frames 0, 2)
+      frame k        = gray mosaic with gid = id + 53*k,
+                       w = 10 + gid % 7, h = 9 + gid % 5,
+                       pixel (x, y) = (gid + 37*(x//8) + 101*(y//8))
+                                      % 256
+    """
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.codecs import encode_avi
+        from ..operators.jpeg import encode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nf = 2 + did % 3
+                frames = []
+                for k in range(nf):
+                    gid = did + 53 * k
+                    w, h = 10 + gid % 7, 9 + gid % 5
+                    xx = np.arange(w)[None, :]
+                    yy = np.arange(h)[:, None]
+                    g = (
+                        (gid + 37 * (xx // 8) + 101 * (yy // 8)) % 256
+                    ).astype(np.uint8)
+                    frames.append(encode_jpeg(g, quality=100))
+                rows.append(
+                    (
+                        did,
+                        "video",
+                        "video/x-msvideo",
+                        bytearray(encode_avi(frames, 500_000)),
+                        None,
+                        None,
+                        nf * 500,
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+                )
+
+    return docs.select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+
+
+@register(
+    "media_video_mjpeg",
+    oracle="""
+    WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS nf FROM documents),
+    f AS (
+        SELECT doc_id,
+               unnest(CASE WHEN nf >= 3 THEN [0, 1] ELSE [0] END) AS s
+        FROM d
+    ), g AS (
+        SELECT doc_id, s, doc_id + 53 * (2 * s) AS gid FROM f
+    ), geo AS (
+        SELECT doc_id, s, gid,
+               10 + gid % 7 AS w, 9 + gid % 5 AS h
+        FROM g
+    ), px AS (
+        SELECT doc_id, s, gid, w, h,
+           list_sum(flatten(list_transform(range(0, h), y ->
+               list_transform(range(0, w),
+                   x -> (gid + 37*(x//8) + 101*(y//8)) % 256)))) AS sg
+        FROM geo
+    )
+    SELECT doc_id AS media_id,
+           CAST(s AS INT) AS frame_idx,
+           CAST(s * 1000 AS INT) AS ts_ms,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(sg AS DOUBLE) / (w * h) AS mean_gray,
+           CAST(gid % 256 AS INT) AS p00,
+           CAST((gid + 37*((w-1)//8) + 101*((h-1)//8)) % 256 AS INT)
+               AS p_last
+    FROM px
+    """,
+    description="MOTION-JPEG — the container seam composed with the "
+    "LOSSY-TRANSFORM codec (media_video_frames composes AVI with "
+    "lossless BMP; this row proves the composition holds when the "
+    "per-frame decode is the entropy-coded DCT path): real AVIs "
+    "whose frame chunks are baseline JPEGs at quality 100 over "
+    "per-8x8-block-constant mosaics (bit-exact by the "
+    "media_decode_jpeg contract), demuxed at the 1000 ms cadence "
+    "(physical frames 0 and 2 at 2 fps) and each SAMPLED frame "
+    "decoded through the registered image/jpeg codec.  Geometry, "
+    "exact means and both corner pixels are closed-form in "
+    "(doc_id, frame), so DuckDB regenerates the full sampled-frame "
+    "relation — a wrong chunk walk, frame order, or any pixel "
+    "corruption in the Huffman/DCT path goes driver-red",
+)
+def media_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(
+        _avi_mjpeg_media(docs), every_ms=1000, decode_kind="real"
+    )
+    as_imgs = frames.select(
+        (F.col("media_id") * 10 + F.col("frame_idx")).alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("image/jpeg").alias("mime"),
+        F.col("frame").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    stats = image_stats(as_imgs)
+    # grayscale mosaics: all three channels identical after decode
+    return stats.select(
+        (F.col("media_id") / 10).cast("long").alias("media_id"),
+        (F.col("media_id") % 10).cast("int").alias("frame_idx"),
+        ((F.col("media_id") % 10) * 1000).cast("int").alias("ts_ms"),
+        "width",
+        "height",
+        F.col("mean_r").alias("mean_gray"),
+        F.col("r00").alias("p00"),
+        F.col("r_last").alias("p_last"),
+    )

@@ -231,6 +231,19 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 # decode hashes bit-for-bit.  OUT: events_retention_cohorts (green
 # r1-r7, the window's longest-green remaining row; the cohort shape
 # stays hash-checked by check_oracle/ci_gate every round).
+# Also IN (enter-on-add): emb_index_drift_stats — the append
+# lifecycle's REBUILD TRIGGER driver-graded: ivf_cell_stats over a
+# stored-then-appended semantic index, full hash oracle (the
+# semantic quantizer is deterministic first-k, so DuckDB replays the
+# assignment and every skew).  OUT: docs_exact_dedup (green r1-r7;
+# the exact-dedup keeper stays DRIVER-GRADED inside
+# docs_curation_pipeline's dedup stage and hash-checked off-window).
+# Also IN (enter-on-add): media_video_mjpeg — the container seam
+# composed with the LOSSY-TRANSFORM codec (AVI of quality-100
+# per-block-constant JPEG frames; bit-exact by the
+# media_decode_jpeg contract).  OUT: docs_bpe_first_merges (green
+# r5-r7; the tokenizer-support shape stays hash-checked by
+# check_oracle/ci_gate every round; text keeps 7 graded rows).
 DRIVER_WINDOW = (
     # CDC sentinels (7 graded rows incl. the r8 multi-table mux)
     "cdc_live_orders",
@@ -256,9 +269,7 @@ DRIVER_WINDOW = (
     "events_streaming_interval_join",
     "events_streaming_interval_join_outer",
     # text / dedup pipeline
-    "docs_exact_dedup",
     "docs_repetition_stats",
-    "docs_bpe_first_merges",
     "docs_top_jaccard_pairs",
     "docs_top_jaccard_pairs_capped",
     "docs_minhash_candidates",
@@ -283,6 +294,7 @@ DRIVER_WINDOW = (
     "emb_semantic_dedup",
     "emb_topk_vs_index",
     "emb_dedup_incremental",
+    "emb_index_drift_stats",
     # multimodal (the real-codec paths: PNG, JPEG, GIF, WAV, AVI
     # demux + in-frame BMP decode)
     "media_decode_png",
@@ -290,6 +302,7 @@ DRIVER_WINDOW = (
     "media_decode_gif",
     "media_audio_stats",
     "media_video_frames",
+    "media_video_mjpeg",
     # SQL surface
     "sql_live_segment_stats",
     # sampling

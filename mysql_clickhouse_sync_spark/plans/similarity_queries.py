@@ -926,9 +926,24 @@ def _semantic_grow(
     Consumed by :func:`semantic_dedup_vs_index` (clustering) and
     :func:`semantic_index_append` (write-back)."""
     from ..operators.similarity import (
+        _enforce_dim,
+        _require_dim,
         bucket_cosine_pairs_vs_index_vectorized,
     )
 
+    first_cent = centroids.select("cu").first()
+    if first_cent is None:
+        raise ValueError("empty centroid table: build the index first")
+    exp_dim = len(first_cent["cu"])
+    # same two-tier guard as ivf_index_append/pq_index_append: the
+    # cheap 1-row probe fails a uniformly-wrong batch fast, and the
+    # executor-side assert fails a MIXED-width batch at the action
+    # instead of persisting rows whose null-padded dot scores would
+    # silently mis-assign them
+    _require_dim(new_raw, "embedding", exp_dim, "semantic grow batch")
+    new_raw = _enforce_dim(
+        new_raw, "embedding", exp_dim, "semantic grow batch"
+    )
     if "k_nominal" in centroids.columns:
         # the NOMINAL k of the build's cell rule (reload-stable even
         # when the centroid row count sits below the k floor)
@@ -1518,3 +1533,105 @@ def emb_dedup_incremental_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
         new,
     )
     return all_pairs.select("id_a", "id_b")
+
+
+@register(
+    "emb_index_drift_stats",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE vec_id % 2 = 0
+    ), n AS (
+        SELECT vec_id,
+               list_transform(v, x -> x / sqrt({_dot('v', 'v')})) AS u
+        FROM e
+    ), cents AS (
+        SELECT vec_id AS cid, u AS cu FROM (
+            SELECT vec_id, u,
+                   row_number() OVER (ORDER BY vec_id) AS _crn
+            FROM n WHERE vec_id % 4 = 0
+        ) WHERE _crn <= greatest(
+            8, (SELECT count(*) FROM embeddings WHERE vec_id % 4 = 0)
+               // 1000
+        )
+    ), coarse AS (
+        SELECT cid AS gid, cu AS gu FROM (
+            SELECT cid, cu, row_number() OVER (ORDER BY cid) AS _grn
+            FROM cents
+        ) WHERE _grn <= greatest(1, CAST(floor(sqrt(greatest(
+            8, (SELECT count(*) FROM embeddings WHERE vec_id % 4 = 0)
+               // 1000
+        ))) AS BIGINT))
+    ), cent_cell AS (
+        SELECT cid, cu, gid FROM (
+            SELECT c.cid, c.cu, g.gid, row_number() OVER (
+                PARTITION BY c.cid
+                ORDER BY {_dot('c.cu', 'g.gu')} DESC, g.gid
+            ) AS _cr FROM cents c CROSS JOIN coarse g
+        ) WHERE _cr = 1
+        UNION
+        SELECT gid AS cid, gu AS cu, gid FROM coarse
+    ), vec_cell AS (
+        SELECT vec_id, u, gid FROM (
+            SELECT n.vec_id, n.u, g.gid, row_number() OVER (
+                PARTITION BY n.vec_id
+                ORDER BY {_dot('n.u', 'g.gu')} DESC, g.gid
+            ) AS _vr FROM n CROSS JOIN coarse g
+        ) WHERE _vr = 1
+    ), scored AS (
+        SELECT v.vec_id, c.cid, {_dot('v.u', 'c.cu')} AS cos_c
+        FROM vec_cell v JOIN cent_cell c ON v.gid = c.gid
+    ), assigned AS (
+        SELECT vec_id, cid FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cos_c DESC, cid
+            ) AS rn FROM scored
+        ) WHERE rn = 1
+    ), occ AS (
+        SELECT cid, count(*) AS nn FROM assigned GROUP BY cid
+    ), tot AS (
+        SELECT sum(nn) AS t,
+               greatest(8, (SELECT count(*) FROM embeddings
+                            WHERE vec_id % 4 = 0) // 1000) AS k
+        FROM occ
+    )
+    SELECT CAST(o.cid AS BIGINT) AS cid,
+           CAST(o.nn AS BIGINT) AS n,
+           o.nn / CAST(t.t AS DOUBLE) AS frac,
+           o.nn * t.k / CAST(t.t AS DOUBLE) AS skew
+    FROM occ o, tot t
+    """,
+    description="THE REBUILD TRIGGER OF THE APPEND LIFECYCLE, "
+    "driver-graded: ivf_cell_stats over a stored-then-appended "
+    "semantic index — build on slice A (vec_id % 4 = 0), append "
+    "batch B (% 4 = 2) under the STORED first-k quantizer, then the "
+    "per-cell occupancy diagnostics (n, frac, skew = n*k/total) the "
+    "operator contract says to monitor for drift before recall "
+    "degrades.  The semantic quantizer is deterministic first-k (not "
+    "Lloyd's), so the DuckDB oracle replays the exact two-level "
+    "assignment over A∪B and recomputes every skew — a FULL hash "
+    "contract on the monitor itself, including the trained-k "
+    "normalization (k_nominal keeps the mean honest when trailing "
+    "cells are empty).  frac/skew are single double divisions of "
+    "exact integer counts (order-insensitive)",
+)
+def emb_index_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_cell_stats
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 4 == 0)
+    b = emb.filter(F.col("vec_id") % 4 == 2)
+    idx = semantic_index_build(a)
+    grown = semantic_index_append(
+        idx["centroids"], idx["assigned"], idx["pairs"], b
+    )
+    k_nom = int(idx["centroids"].select("k_nominal").first()[0])
+    postings = grown["assigned"].select(F.col("cid").alias("_cid"))
+    stats = ivf_cell_stats(postings, n_centroids=k_nom)
+    return stats.select(
+        F.col("cid").cast("long").alias("cid"),
+        F.col("n").cast("long").alias("n"),
+        "frac",
+        "skew",
+    )

@@ -76,7 +76,7 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
     window = set(DRIVER_WINDOW)
     required = {
         "cdc_live_orders", "cdc_streaming_live",
-        "docs_exact_dedup", "docs_minhash_candidates",
+        "docs_minhash_candidates",
         "docs_curation_pipeline", "docs_top_jaccard_pairs_capped",
         # round-5 rotation: SCD-2 history, repetition filter, domain
         # mixture, quantile sketch enter the round they were added
@@ -146,6 +146,14 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         # (palette-indexed LZW); events_retention_cohorts (green
         # r1-r7) cedes its slot and stays hash-checked every round
         "media_decode_gif",
+        # and the append lifecycle's rebuild trigger (ivf_cell_stats
+        # over a stored-then-appended index, full hash oracle);
+        # docs_exact_dedup (green r1-r7) cedes its slot — the keeper
+        # stage stays driver-graded inside docs_curation_pipeline
+        "emb_index_drift_stats",
+        # and motion-JPEG (container seam x lossy-transform codec);
+        # docs_bpe_first_merges (green r5-r7) cedes its slot
+        "media_video_mjpeg",
     }
     assert required <= window, sorted(required - window)
     # every docs_/emb_/media_/sql_ query is in the graded window,
@@ -225,6 +233,13 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         "emb_cosine_topk",
         "emb_ivf_topk",
         "emb_pq_topk",
+        # r8: slot ceded to emb_index_drift_stats; the exact-dedup
+        # keeper stays driver-graded inside docs_curation_pipeline's
+        # dedup stage and hash-checked off-window every round
+        "docs_exact_dedup",
+        # r8: slot ceded to media_video_mjpeg; tokenizer-support shape
+        # stays hash-checked off-window every round
+        "docs_bpe_first_merges",
     }
     surface = {
         n for n in qs

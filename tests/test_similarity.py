@@ -923,6 +923,25 @@ def test_index_append_rejects_mixed_width_batch(spark):
     with pytest.raises(Exception, match="mixed-width batch"):
         grown_codes.collect()
 
+    # the semantic grow core carries the same two-tier guard
+    from mysql_clickhouse_sync_spark.plans.similarity_queries import (
+        semantic_index_append,
+        semantic_index_build,
+    )
+
+    idx = semantic_index_build(vecs4)
+    # the grow core's eager localCheckpoint materializes the batch at
+    # CALL time, so the executor assert fires here, not at a collect
+    with pytest.raises(Exception, match="mixed-width batch"):
+        semantic_index_append(
+            idx["centroids"], idx["assigned"], idx["pairs"], mixed
+        )
+    vecs6 = _vecs(spark, [[1, 0, 1, 0, 1, 0]])
+    with pytest.raises(ValueError, match="dimension 6 .* 4"):
+        semantic_index_append(
+            idx["centroids"], idx["assigned"], idx["pairs"], vecs6
+        )
+
 
 def test_pq_vs_index_rejects_bad_codebook_table(spark):
     import pytest
