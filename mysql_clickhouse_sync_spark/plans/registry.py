@@ -244,12 +244,21 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 # media_decode_jpeg contract).  OUT: docs_bpe_first_merges (green
 # r5-r7; the tokenizer-support shape stays hash-checked by
 # check_oracle/ci_gate every round; text keeps 7 graded rows).
+# Also IN (enter-on-add): cdc_mux_schema_evolution — ADDITIVE schema
+# evolution mid-stream on the live mux runtime (widen the decode
+# schema between two checkpointed drains, no restart; pre-evolution
+# rows read NULL in the widened live view) — the beyond-reference
+# C10 path hash-proved end-to-end.  OUT: events_value_quantiles
+# (green r5-r7; the sketch family keeps events_value_percentiles
+# graded and the GK shape stays hash-checked every round).
 DRIVER_WINDOW = (
-    # CDC sentinels (7 graded rows incl. the r8 multi-table mux)
+    # CDC sentinels (8 graded rows incl. the r8 multi-table mux +
+    # mid-stream schema evolution)
     "cdc_live_orders",
     "cdc_streaming_live",
     "cdc_streaming_upsert",
     "cdc_multi_table_mux",
+    "cdc_mux_schema_evolution",
     "cdc_scd2_history",
     "cdc_reconciliation",
     "cdc_tombstoned_keys",
@@ -261,7 +270,6 @@ DRIVER_WINDOW = (
     # event analytics
     "events_props_profile",
     "events_value_percentiles",
-    "events_value_quantiles",
     # streaming runtimes (end-to-end, batch-oracle-verified)
     "events_streaming_sessions",
     "events_streaming_append",

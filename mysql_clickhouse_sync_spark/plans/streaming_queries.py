@@ -1062,3 +1062,131 @@ def cdc_multi_table_mux(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint: the live views are lazy reads over this
     # session-reused dir, cleared by the next invocation
     return o_live.unionByName(c_live).localCheckpoint()
+
+
+@register(
+    "cdc_mux_schema_evolution",
+    oracle="""
+    SELECT c_custkey AS pk,
+           c_acctbal * CAST(2.0 AS DOUBLE) AS acctbal,
+           c_mktsegment AS mktsegment,
+           'n-' || CAST(c_custkey AS VARCHAR) AS c_note
+    FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 5 <> 1
+    UNION ALL
+    SELECT c_custkey,
+           c_acctbal * CAST(1.5 AS DOUBLE),
+           c_mktsegment,
+           CAST(NULL AS VARCHAR)
+    FROM customer WHERE c_custkey % 3 <> 0 AND c_custkey % 5 <> 1
+    """,
+    description="ADDITIVE SCHEMA EVOLUTION ON THE LIVE RUNTIME (C10 "
+    "upgraded past the reference, driver-graded on the mux stream): "
+    "drain 1 applies v1 updates for EVERY customer under the "
+    "original 3-column schema; the table's decode schema is then "
+    "WIDENED mid-stream (evolve_table_schema: + c_note string — no "
+    "restart, the from_json decode reads the registry at microbatch "
+    "time); drain 2 applies v2 updates carrying the new column "
+    "(custkey % 3 = 0) plus tombstones (% 5 = 1) against the SAME "
+    "checkpoint.  The live view reads with the CURRENT widened "
+    "schema, so pre-evolution parquet null-fills c_note — exactly "
+    "the contract: rows last written before the evolution read NULL, "
+    "rows after carry the value, deletes shadow both.  The reference "
+    "documents mid-stream DDL as an acknowledged inconsistency "
+    "(/root/reference/README.md:585-588); this row hash-proves the "
+    "engine handles it exactly",
+)
+def cdc_mux_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.multi_table import MultiTableCDCStream
+
+    customer = load_table(spark, sf_dir, "customer")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"cdc_mux_evo_{spark.sparkContext.applicationId}_"
+        + os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    changelog_dir = os.path.join(base, "changelog")
+
+    v1_schema = StructType(
+        [
+            StructField("c_custkey", LongType(), True),
+            StructField("c_acctbal", DoubleType(), True),
+            StructField("c_mktsegment", StringType(), True),
+        ]
+    )
+    v2_schema = StructType(
+        v1_schema.fields + [StructField("c_note", StringType(), True)]
+    )
+    key = F.col("c_custkey")
+
+    # drain 1: v1 updates for every key, original 3-column payload
+    wave1 = customer.select(
+        F.lit("customer").alias("table"),
+        F.lit("U").alias("op"),
+        F.lit(1).cast("long").alias("seq"),
+        F.to_json(
+            F.struct(
+                key.alias("c_custkey"),
+                (F.col("c_acctbal") * F.lit(1.5)).alias("c_acctbal"),
+                F.col("c_mktsegment").alias("c_mktsegment"),
+            )
+        ).alias("payload"),
+    )
+    wave1.repartition(4).write.mode("overwrite").json(changelog_dir)
+    mux = MultiTableCDCStream(
+        spark,
+        schemas={"customer": v1_schema},
+        pks={"customer": ["c_custkey"]},
+        base_dir=base,
+    )
+    mux.start(changelog_dir).awaitTermination()
+
+    # WIDEN mid-stream: no restart machinery, the next microbatch's
+    # from_json decode simply reads the evolved registry entry
+    mux.evolve_table_schema("customer", v2_schema)
+
+    # drain 2: v2 updates CARRYING the new column + tombstones,
+    # appended to the same changelog dir against the same checkpoint
+    wave2 = customer.filter(key % 3 == 0).select(
+        F.lit("customer").alias("table"),
+        F.lit("U").alias("op"),
+        F.lit(2).cast("long").alias("seq"),
+        F.to_json(
+            F.struct(
+                key.alias("c_custkey"),
+                (F.col("c_acctbal") * F.lit(2.0)).alias("c_acctbal"),
+                F.col("c_mktsegment").alias("c_mktsegment"),
+                F.concat(F.lit("n-"), key.cast("string")).alias(
+                    "c_note"
+                ),
+            )
+        ).alias("payload"),
+    )
+    wave3 = customer.filter(key % 5 == 1).select(
+        F.lit("customer").alias("table"),
+        F.lit("D").alias("op"),
+        F.lit(3).cast("long").alias("seq"),
+        F.to_json(
+            F.struct(
+                key.alias("c_custkey"),
+                F.col("c_acctbal").alias("c_acctbal"),
+                F.col("c_mktsegment").alias("c_mktsegment"),
+                F.lit(None).cast("string").alias("c_note"),
+            )
+        ).alias("payload"),
+    )
+    wave2.unionByName(wave3).repartition(4).write.mode("append").json(
+        changelog_dir
+    )
+    mux.start(changelog_dir).awaitTermination()
+
+    return (
+        mux.live("customer")
+        .select(
+            F.col("c_custkey").alias("pk"),
+            F.col("c_acctbal").alias("acctbal"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            "c_note",
+        )
+        .localCheckpoint()
+    )

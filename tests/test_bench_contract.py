@@ -47,9 +47,11 @@ def test_untimed_streaming_surfaces_are_only_the_disclosed_ones():
         "events_streaming_interval_join",
         # r7: the left-outer twin — same correctness-surface policy
         "events_streaming_interval_join_outer",
-        # r8: session windows + the multi-table mux dispatch drain —
-        # same policy: their cost is checkpoint/trigger machinery,
-        # graded by the driver window and window_fidelity, not timed
+        # r8: session windows + the multi-table mux dispatch drain +
+        # mid-stream schema evolution — same policy: their cost is
+        # checkpoint/trigger machinery, graded by the driver window
+        # and window_fidelity, not timed
         "events_streaming_sessions",
         "cdc_multi_table_mux",
+        "cdc_mux_schema_evolution",
     }, sorted(untimed_streaming)

@@ -81,7 +81,7 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         # round-5 rotation: SCD-2 history, repetition filter, domain
         # mixture, quantile sketch enter the round they were added
         "cdc_scd2_history", "docs_repetition_stats",
-        "docs_domain_mixture", "events_value_quantiles",
+        "docs_domain_mixture",
         # round-4 rotation: the corpus-prep family is driver-graded
         "corpus_pii_scrub", "corpus_doc_chunks", "corpus_lm_quality",
         "corpus_contamination", "corpus_pack_assignments",
@@ -154,6 +154,11 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         # and motion-JPEG (container seam x lossy-transform codec);
         # docs_bpe_first_merges (green r5-r7) cedes its slot
         "media_video_mjpeg",
+        # and mid-stream additive schema evolution on the mux runtime
+        # (the beyond-reference C10 path hash-proved end-to-end);
+        # events_value_quantiles (green r5-r7) cedes its slot — the
+        # sketch family keeps events_value_percentiles graded
+        "cdc_mux_schema_evolution",
     }
     assert required <= window, sorted(required - window)
     # every docs_/emb_/media_/sql_ query is in the graded window,
