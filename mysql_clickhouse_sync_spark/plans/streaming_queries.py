@@ -1068,32 +1068,36 @@ def cdc_multi_table_mux(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cdc_mux_schema_evolution",
     oracle="""
     SELECT c_custkey AS pk,
+           CAST(c_nationkey AS BIGINT) AS nationkey,
            c_acctbal * CAST(2.0 AS DOUBLE) AS acctbal,
            c_mktsegment AS mktsegment,
            'n-' || CAST(c_custkey AS VARCHAR) AS c_note
     FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 5 <> 1
     UNION ALL
     SELECT c_custkey,
+           CAST(c_nationkey AS BIGINT),
            c_acctbal * CAST(1.5 AS DOUBLE),
            c_mktsegment,
            CAST(NULL AS VARCHAR)
     FROM customer WHERE c_custkey % 3 <> 0 AND c_custkey % 5 <> 1
     """,
-    description="ADDITIVE SCHEMA EVOLUTION ON THE LIVE RUNTIME (C10 "
-    "upgraded past the reference, driver-graded on the mux stream): "
-    "drain 1 applies v1 updates for EVERY customer under the "
-    "original 3-column schema; the table's decode schema is then "
-    "WIDENED mid-stream (evolve_table_schema: + c_note string — no "
-    "restart, the from_json decode reads the registry at microbatch "
-    "time); drain 2 applies v2 updates carrying the new column "
-    "(custkey % 3 = 0) plus tombstones (% 5 = 1) against the SAME "
-    "checkpoint.  The live view reads with the CURRENT widened "
-    "schema, so pre-evolution parquet null-fills c_note — exactly "
-    "the contract: rows last written before the evolution read NULL, "
-    "rows after carry the value, deletes shadow both.  The reference "
+    description="SCHEMA EVOLUTION ON THE LIVE RUNTIME — additive AND "
+    "type-widening in one stream (C10 upgraded past the reference, "
+    "driver-graded on the mux runtime): drain 1 applies v1 updates "
+    "for EVERY customer under the original schema (c_nationkey INT); "
+    "the table's decode schema is then evolved mid-stream "
+    "(evolve_table_schema: c_nationkey int -> LONG + c_note string "
+    "ADDED — no restart, the from_json decode reads the registry at "
+    "microbatch time); drain 2 applies v2 updates carrying the new "
+    "column (custkey % 3 = 0) plus tombstones (% 5 = 1) against the "
+    "SAME checkpoint.  The live view reads with the CURRENT widened "
+    "schema: pre-evolution parquet files carry the NARROWER int32 "
+    "physical type (promoted losslessly by the widened read — "
+    "parquet schema MERGE would reject the mix) and null-fill "
+    "c_note; deletes shadow both generations.  The reference "
     "documents mid-stream DDL as an acknowledged inconsistency "
-    "(/root/reference/README.md:585-588); this row hash-proves the "
-    "engine handles it exactly",
+    "(/root/reference/README.md:585-588); this row hash-proves both "
+    "evolution classes end-to-end",
 )
 def cdc_mux_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.multi_table import MultiTableCDCStream
@@ -1107,19 +1111,30 @@ def cdc_mux_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(base, ignore_errors=True)
     changelog_dir = os.path.join(base, "changelog")
 
+    from pyspark.sql.types import IntegerType
+
     v1_schema = StructType(
         [
             StructField("c_custkey", LongType(), True),
+            StructField("c_nationkey", IntegerType(), True),
             StructField("c_acctbal", DoubleType(), True),
             StructField("c_mktsegment", StringType(), True),
         ]
     )
+    # evolution = WIDEN c_nationkey int -> long AND ADD c_note
     v2_schema = StructType(
-        v1_schema.fields + [StructField("c_note", StringType(), True)]
+        [
+            StructField("c_custkey", LongType(), True),
+            StructField("c_nationkey", LongType(), True),
+            StructField("c_acctbal", DoubleType(), True),
+            StructField("c_mktsegment", StringType(), True),
+            StructField("c_note", StringType(), True),
+        ]
     )
     key = F.col("c_custkey")
 
-    # drain 1: v1 updates for every key, original 3-column payload
+    # drain 1: v1 updates for every key, original 4-column payload
+    # (c_nationkey decodes as INT — the narrow pre-evolution type)
     wave1 = customer.select(
         F.lit("customer").alias("table"),
         F.lit("U").alias("op"),
@@ -1127,6 +1142,7 @@ def cdc_mux_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(
             F.struct(
                 key.alias("c_custkey"),
+                F.col("c_nationkey").alias("c_nationkey"),
                 (F.col("c_acctbal") * F.lit(1.5)).alias("c_acctbal"),
                 F.col("c_mktsegment").alias("c_mktsegment"),
             )
@@ -1154,6 +1170,7 @@ def cdc_mux_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(
             F.struct(
                 key.alias("c_custkey"),
+                F.col("c_nationkey").cast("long").alias("c_nationkey"),
                 (F.col("c_acctbal") * F.lit(2.0)).alias("c_acctbal"),
                 F.col("c_mktsegment").alias("c_mktsegment"),
                 F.concat(F.lit("n-"), key.cast("string")).alias(
@@ -1169,6 +1186,7 @@ def cdc_mux_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(
             F.struct(
                 key.alias("c_custkey"),
+                F.col("c_nationkey").cast("long").alias("c_nationkey"),
                 F.col("c_acctbal").alias("c_acctbal"),
                 F.col("c_mktsegment").alias("c_mktsegment"),
                 F.lit(None).cast("string").alias("c_note"),
@@ -1184,6 +1202,7 @@ def cdc_mux_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         mux.live("customer")
         .select(
             F.col("c_custkey").alias("pk"),
+            F.col("c_nationkey").alias("nationkey"),
             F.col("c_acctbal").alias("acctbal"),
             F.col("c_mktsegment").alias("mktsegment"),
             "c_note",
