@@ -244,6 +244,13 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 # media_decode_jpeg contract).  OUT: docs_bpe_first_merges (green
 # r5-r7; the tokenizer-support shape stays hash-checked by
 # check_oracle/ci_gate every round; text keeps 7 graded rows).
+# Also IN (enter-on-add): events_streaming_enriched — the
+# STREAM-STATIC enrichment join (the one Structured Streaming join
+# shape not yet driver-graded): events stream x static customer dim
+# across two checkpointed drains, plain batch equi-join oracle.
+# OUT: corpus_doc_chunks (green r4-r7; chunking stays hash-checked
+# by check_oracle/ci_gate every round and composed in
+# docs_duplicate_chunks's gate checks; corpus keeps 8 graded rows).
 # Also IN (enter-on-add): cdc_mux_schema_evolution — ADDITIVE schema
 # evolution mid-stream on the live mux runtime (widen the decode
 # schema between two checkpointed drains, no restart; pre-evolution
@@ -272,6 +279,7 @@ DRIVER_WINDOW = (
     "events_value_percentiles",
     # streaming runtimes (end-to-end, batch-oracle-verified)
     "events_streaming_sessions",
+    "events_streaming_enriched",
     "events_streaming_append",
     "events_streaming_dedup",
     "events_streaming_interval_join",
@@ -286,7 +294,6 @@ DRIVER_WINDOW = (
     "docs_char_bigram_profile",
     # corpus preparation (rotated in, round 4)
     "corpus_pii_scrub",
-    "corpus_doc_chunks",
     "corpus_lm_quality",
     "corpus_contamination",
     "corpus_pack_assignments",

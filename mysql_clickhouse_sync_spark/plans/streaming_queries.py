@@ -1209,3 +1209,70 @@ def cdc_mux_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
+
+
+@register(
+    "events_streaming_enriched",
+    oracle="""
+    SELECT e.event_id,
+           e.user_id,
+           c.c_mktsegment AS segment,
+           CAST(c.c_nationkey AS INT) AS nationkey,
+           e.value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    description="STREAM-STATIC ENRICHMENT JOIN — the one Structured "
+    "Streaming join shape not yet driver-graded (stream-stream inner "
+    "+ left-outer are): the events stream joins the STATIC customer "
+    "dimension on user_id = c_custkey, the canonical per-microbatch "
+    "enrichment a production pipeline runs (no join state, no "
+    "watermark requirement — the static side is (re)resolved per "
+    "microbatch and broadcast at harness dim sizes).  Two "
+    "availableNow drains against one checkpoint split the events by "
+    "event_id parity, so the join is exercised across checkpointed "
+    "microbatches and the sink accumulates both halves; oracle = the "
+    "plain batch equi-join.  At 100 TB the static side is the "
+    "broadcast dim (or a bucketed table when it outgrows broadcast) "
+    "— same plan family as the graded batch joins",
+)
+def events_streaming_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"),
+        F.col("c_mktsegment"),
+        F.col("c_nationkey").cast("int").alias("c_nationkey"),
+    )
+    src, ckpt, sink = _two_drain_dirs(
+        spark, "events_streaming_enriched", sf_dir
+    )
+    ev_i = ev.select(
+        "event_id", "user_id", _utc_instant().alias("tsi"), "value"
+    )
+    ev_i.filter(F.col("event_id") % 2 == 0).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    def enriched(stream: DataFrame) -> DataFrame:
+        return (
+            stream.join(
+                F.broadcast(customer),
+                stream["user_id"] == customer["c_custkey"],
+            )
+            .select(
+                "event_id",
+                "user_id",
+                F.col("c_mktsegment").alias("segment"),
+                F.col("c_nationkey").alias("nationkey"),
+                "value",
+            )
+        )
+
+    _drain_append(spark, src, ckpt, sink, enriched)
+    ev_i.filter(F.col("event_id") % 2 == 1).repartition(4).write.mode(
+        "append"
+    ).parquet(src)
+    _drain_append(spark, src, ckpt, sink, enriched)
+    return spark.read.parquet(sink).localCheckpoint()

@@ -52,6 +52,7 @@ def test_untimed_streaming_surfaces_are_only_the_disclosed_ones():
         # checkpoint/trigger machinery, graded by the driver window
         # and window_fidelity, not timed
         "events_streaming_sessions",
+        "events_streaming_enriched",
         "cdc_multi_table_mux",
         "cdc_mux_schema_evolution",
     }, sorted(untimed_streaming)

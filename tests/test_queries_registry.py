@@ -83,7 +83,7 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         "cdc_scd2_history", "docs_repetition_stats",
         "docs_domain_mixture",
         # round-4 rotation: the corpus-prep family is driver-graded
-        "corpus_pii_scrub", "corpus_doc_chunks", "corpus_lm_quality",
+        "corpus_pii_scrub", "corpus_lm_quality",
         "corpus_contamination", "corpus_pack_assignments",
         "corpus_pack_incremental", "corpus_curation_v2",
         "docs_leakage_safe_splits",
@@ -159,6 +159,10 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         # events_value_quantiles (green r5-r7) cedes its slot — the
         # sketch family keeps events_value_percentiles graded
         "cdc_mux_schema_evolution",
+        # and the stream-static enrichment join (the remaining
+        # ungraded Structured Streaming join shape);
+        # corpus_doc_chunks (green r4-r7) cedes its slot
+        "events_streaming_enriched",
     }
     assert required <= window, sorted(required - window)
     # every docs_/emb_/media_/sql_ query is in the graded window,
