@@ -138,6 +138,7 @@ EXTENDED = (
     "media_decode_png",       # r7: compressed-format (zlib PNG) decode
     "media_decode_jpeg",      # r7: lossy-transform (baseline JPEG) decode
     "media_decode_gif",       # r8: palette-indexed LZW decode (4th class)
+    "media_decode_jpeg_prog", # r8: multi-scan SOF2 decode path
     "media_video_mjpeg",      # r8: AVI demux x JPEG decode composition
     "emb_index_drift_stats",  # r8: the append lifecycle's drift monitor
     "media_audio_stats",      # r7: PCM WAV audio decode (2nd modality)

@@ -357,6 +357,48 @@ def _pad_to_blocks(plane, bh: int, bw: int):
     )
 
 
+def _quantized_blocks(arr, quality: int, subsampling: str):
+    """Shared encode prep for the sequential AND progressive
+    encoders: color planes, zigzag-order quant tables, and per-
+    component quantized zigzag coefficient blocks over the padded MCU
+    grid.  Returns ``(planes, qtables, comp_blocks, hmax, vmax,
+    mcus_x, mcus_y)``."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    gray = arr.ndim == 2
+    planes = _to_planes(arr, subsampling)
+    hmax = max(p[1] for p in planes)
+    vmax = max(p[2] for p in planes)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    # Quant tables are used AND stored (DQT segment, per spec) in
+    # zigzag order: element k steps the k-th zigzag coefficient.
+    qluma = _scaled_quant(_QUANT_LUMA, quality)
+    qchroma = _scaled_quant(_QUANT_CHROMA, quality)
+    qtables = [[t[i] for i in ZIGZAG] for t in
+               ([qluma] if gray else [qluma, qchroma])]
+    M = _dct_matrix()
+
+    # per component: quantized zigzag coefficient blocks in MCU order
+    comp_blocks: list = []
+    for ci, (plane, hf, vf) in enumerate(planes):
+        q = np.array(qtables[0 if ci == 0 else 1], dtype=np.float64)
+        padded = _pad_to_blocks(plane, mcus_y * vf, mcus_x * hf)
+        ph, pw = padded.shape
+        blocks = (
+            padded.reshape(ph // 8, 8, pw // 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        ) - 128.0
+        coeffs = np.einsum("ux,nxy,vy->nuv", M, blocks, M)
+        zz = coeffs.reshape(-1, 64)[:, ZIGZAG]
+        quant = np.round(zz / q[np.newaxis, :]).astype(np.int32)
+        comp_blocks.append(quant.reshape(ph // 8, pw // 8, 64))
+    return planes, qtables, comp_blocks, hmax, vmax, mcus_x, mcus_y
+
+
 def encode_jpeg(
     img,
     quality: int = 85,
@@ -400,35 +442,9 @@ def encode_jpeg(
         raise ValueError(f"bad restart_interval: {restart_interval}")
     h, w = arr.shape[:2]
     gray = arr.ndim == 2
-    planes = _to_planes(arr, subsampling)
-    hmax = max(p[1] for p in planes)
-    vmax = max(p[2] for p in planes)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-
-    # Quant tables are used AND stored (DQT segment, per spec) in
-    # zigzag order: element k steps the k-th zigzag coefficient.
-    qluma = _scaled_quant(_QUANT_LUMA, quality)
-    qchroma = _scaled_quant(_QUANT_CHROMA, quality)
-    qtables = [[t[i] for i in ZIGZAG] for t in
-               ([qluma] if gray else [qluma, qchroma])]
-    M = _dct_matrix()
-
-    # per component: quantized zigzag coefficient blocks in MCU order
-    comp_blocks: list[list] = []
-    for ci, (plane, hf, vf) in enumerate(planes):
-        q = np.array(qtables[0 if ci == 0 else 1], dtype=np.float64)
-        padded = _pad_to_blocks(plane, mcus_y * vf, mcus_x * hf)
-        ph, pw = padded.shape
-        blocks = (
-            padded.reshape(ph // 8, 8, pw // 8, 8)
-            .transpose(0, 2, 1, 3)
-            .reshape(-1, 8, 8)
-        ) - 128.0
-        coeffs = np.einsum("ux,nxy,vy->nuv", M, blocks, M)
-        zz = coeffs.reshape(-1, 64)[:, ZIGZAG]
-        quant = np.round(zz / q[np.newaxis, :]).astype(np.int32)
-        comp_blocks.append(quant.reshape(ph // 8, pw // 8, 64))
+    (planes, qtables, comp_blocks, hmax, vmax, mcus_x, mcus_y) = (
+        _quantized_blocks(arr, quality, subsampling)
+    )
 
     dc_tabs = [_build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)]
     ac_tabs = [_build_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)]
@@ -516,11 +532,174 @@ def encode_jpeg(
     return bytes(out)
 
 
+def encode_jpeg_progressive(
+    img, quality: int = 85, subsampling: str = "444"
+) -> bytes:
+    """(h, w) uint8 gray or (h, w, 3) uint8 RGB -> PROGRESSIVE (SOF2)
+    JFIF bytes.
+
+    Scan script (spec-legal, the simple spectral-selection +
+    one-step-DC-successive-approximation shape):
+
+      1. DC scan, all components interleaved, Al=1 — codes the DC
+         diffs of ``dc >> 1`` (arithmetic point transform);
+      2. DC refinement scan (Ah=1, Al=0) — one raw bit per block
+         appends the DC low bit;
+      3. one full-band AC scan per component (Ss=1, Se=63, Al=0) in
+         the component's own raster order, baseline-style run coding
+         (an all-zero band emits EOB == an EOB run of 1).
+
+    The quantized coefficients are IDENTICAL to :func:`encode_jpeg`'s
+    at the same quality/subsampling — progressive only reorders the
+    entropy layer — so a decode of this stream equals a decode of the
+    baseline stream bit-for-bit (pinned in tests), and the quality-100
+    per-8x8-block-constant exactness contract carries over unchanged.
+    """
+    import numpy as np
+
+    arr = np.asarray(img)
+    if arr.dtype != np.uint8 or arr.ndim not in (2, 3) or (
+        arr.ndim == 3 and arr.shape[2] != 3
+    ):
+        raise ValueError(
+            f"encode_jpeg_progressive needs an (h, w) or (h, w, 3) "
+            f"uint8 array, got shape={arr.shape} dtype={arr.dtype}"
+        )
+    if arr.shape[0] == 0 or arr.shape[1] == 0:
+        raise ValueError(
+            f"encode_jpeg_progressive needs non-empty dimensions, got "
+            f"shape={arr.shape}"
+        )
+    if arr.shape[0] > 0xFFFF or arr.shape[1] > 0xFFFF:
+        raise ValueError(
+            f"encode_jpeg_progressive: dimensions exceed JPEG's 65535 "
+            f"limit, got shape={arr.shape}"
+        )
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be '444' or '420', got "
+                         f"{subsampling!r}")
+    h, w = arr.shape[:2]
+    gray = arr.ndim == 2
+    (planes, qtables, comp_blocks, hmax, vmax, mcus_x, mcus_y) = (
+        _quantized_blocks(arr, quality, subsampling)
+    )
+    ncomp = 1 if gray else 3
+    dc_tabs = [_build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)]
+    ac_tabs = [_build_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)]
+    if not gray:
+        dc_tabs.append(_build_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS))
+        ac_tabs.append(_build_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS))
+    # non-interleaved per-component block grid for the AC scans
+    nb = [
+        ((-(-(h * vf) // vmax) + 7) // 8, (-(-(w * hf) // hmax) + 7) // 8)
+        for _p, hf, vf in planes
+    ]
+
+    def sos_header(comp_ids, ss, se, ah, al) -> bytes:
+        sos = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            td_ta = 0x00 if ci == 0 else 0x11
+            sos += bytes([ci + 1, td_ta])
+        sos += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    # scan 1: interleaved DC, Al=1 (diffs of dc >> 1)
+    bw1 = _BitWriter()
+    preds = [0] * ncomp
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (_p, hf, vf) in enumerate(planes):
+                t = 0 if ci == 0 else 1
+                for by in range(vf):
+                    for bx in range(hf):
+                        dc = int(
+                            comp_blocks[ci][my * vf + by, mx * hf + bx][0]
+                        ) >> 1
+                        diff = dc - preds[ci]
+                        preds[ci] = dc
+                        cat, extra = _magnitude(diff)
+                        code, length = dc_tabs[t][cat]
+                        bw1.write(code, length)
+                        bw1.write(extra, cat)
+    bw1.flush()
+
+    # scan 2: DC refinement (Ah=1, Al=0): the low bit, raw
+    bw2 = _BitWriter()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (_p, hf, vf) in enumerate(planes):
+                for by in range(vf):
+                    for bx in range(hf):
+                        dc = int(
+                            comp_blocks[ci][my * vf + by, mx * hf + bx][0]
+                        )
+                        bw2.write(dc & 1, 1)
+    bw2.flush()
+
+    # scans 3..: per-component full-band AC (Ss=1, Se=63), the
+    # component's own raster order over its UNPADDED block grid
+    ac_scans = []
+    for ci in range(ncomp):
+        t = 0 if ci == 0 else 1
+        bwa = _BitWriter()
+        bh, bw_n = nb[ci]
+        for by in range(bh):
+            for bx in range(bw_n):
+                blk = comp_blocks[ci][by, bx]
+                run = 0
+                nz = np.nonzero(blk[1:])[0]
+                last_nz = (nz[-1] + 1) if len(nz) else 0
+                for k in range(1, last_nz + 1):
+                    v = int(blk[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        zc, zl = ac_tabs[t][0xF0]           # ZRL
+                        bwa.write(zc, zl)
+                        run -= 16
+                    cat, extra = _magnitude(v)
+                    sc, sl = ac_tabs[t][(run << 4) | cat]
+                    bwa.write(sc, sl)
+                    bwa.write(extra, cat)
+                    run = 0
+                if last_nz < 63:
+                    ec, el = ac_tabs[t][0x00]   # EOB (= EOB run of 1)
+                    bwa.write(ec, el)
+        bwa.flush()
+        ac_scans.append(bwa.buf)
+
+    out = bytearray(b"\xff\xd8")                            # SOI
+    out += b"\xff\xe0" + struct.pack(
+        ">H", 16
+    ) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"     # APP0
+    for ti, q in enumerate(qtables):                         # DQT
+        data = bytes([ti]) + bytes(q)
+        out += b"\xff\xdb" + struct.pack(">H", 2 + len(data)) + data
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)               # SOF2
+    for ci, (_p, hf, vf) in enumerate(planes):
+        sof += bytes([ci + 1, (hf << 4) | vf, 0 if ci == 0 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    huffs = [(0x00, _DC_LUMA_BITS, _DC_LUMA_VALS),
+             (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS)]
+    if not gray:
+        huffs += [(0x01, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+                  (0x11, _AC_CHROMA_BITS, _AC_CHROMA_VALS)]
+    for tc_th, bits, vals in huffs:                          # DHT
+        data = bytes([tc_th]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(data)) + data
+    out += sos_header(list(range(ncomp)), 0, 0, 0, 1) + bw1.buf
+    out += sos_header(list(range(ncomp)), 0, 0, 1, 0) + bw2.buf
+    for ci in range(ncomp):
+        out += sos_header([ci], 1, 63, 0, 0) + ac_scans[ci]
+    out += b"\xff\xd9"                                       # EOI
+    return bytes(out)
+
+
 # -- decoder -----------------------------------------------------------
 
 _SOF_UNSUPPORTED = {
     0xC1: "extended sequential (SOF1)",
-    0xC2: "progressive (SOF2)",
     0xC3: "lossless (SOF3)",
     0xC5: "differential sequential (SOF5)",
     0xC6: "differential progressive (SOF6)",
@@ -535,13 +714,14 @@ _SOF_UNSUPPORTED = {
 
 
 def decode_jpeg(payload: bytes):
-    """Baseline JFIF bytes -> (h, w, 3) uint8 RGB array (grayscale
-    replicates into all three channels).
+    """JFIF bytes -> (h, w, 3) uint8 RGB array (grayscale replicates
+    into all three channels).
 
-    Accepts baseline sequential (SOF0), 8-bit, 1 or 3 components,
-    integer-ratio sampling factors, restart intervals.  Rejects
-    progressive / arithmetic / 12-bit / hierarchical streams and
-    malformed marker or entropy data with the real cause.
+    Accepts baseline sequential (SOF0) AND progressive (SOF2: multi-
+    scan spectral selection + DC/AC successive approximation, EOB
+    runs), 8-bit, 1 or 3 components, integer-ratio sampling factors,
+    restart intervals.  Rejects arithmetic / 12-bit / hierarchical
+    streams and malformed marker or entropy data with the real cause.
     """
     import numpy as np
 
@@ -553,8 +733,9 @@ def decode_jpeg(payload: bytes):
 
     qtables: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
-    frame = None            # (h, w, comps) from SOF0
+    frame = None            # (h, w, comps) from SOF0/SOF2
     scan = None             # per-component (td, ta) from SOS
+    progressive = False
     dri = 0
     pos = 2
     while pos + 4 <= len(data):
@@ -588,36 +769,11 @@ def decode_jpeg(payload: bytes):
         if len(seg) < seglen - 2:
             raise ValueError("truncated JPEG segment")
         if marker == 0xDB:                                  # DQT
-            p = 0
-            while p < len(seg):
-                pq, tq = seg[p] >> 4, seg[p] & 0x0F
-                if pq != 0:
-                    raise ValueError(
-                        "unsupported JPEG: 16-bit quant table (12-bit "
-                        "precision stream)"
-                    )
-                if p + 65 > len(seg):
-                    raise ValueError("truncated JPEG segment: DQT")
-                qtables[tq] = list(seg[p + 1 : p + 65])
-                p += 65
+            _parse_dqt_segment(seg, qtables)
         elif marker == 0xC4:                                # DHT
-            p = 0
-            while p < len(seg):
-                tc, th = seg[p] >> 4, seg[p] & 0x0F
-                if p + 17 > len(seg):
-                    raise ValueError("truncated JPEG segment: DHT")
-                bits = list(seg[p + 1 : p + 17])
-                nvals = sum(bits)
-                if p + 17 + nvals > len(seg):
-                    raise ValueError("truncated JPEG segment: DHT")
-                vals = list(seg[p + 17 : p + 17 + nvals])
-                codes = _build_codes(bits, vals)
-                huff[(tc, th)] = {
-                    (length, code): sym
-                    for sym, (code, length) in codes.items()
-                }
-                p += 17 + nvals
-        elif marker == 0xC0:                                # SOF0
+            _parse_dht_segment(seg, huff)
+        elif marker in (0xC0, 0xC2):                        # SOF0/SOF2
+            progressive = marker == 0xC2
             prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError(
@@ -635,6 +791,18 @@ def decode_jpeg(payload: bytes):
         elif marker == 0xDD:                                # DRI
             (dri,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:                                # SOS
+            if progressive:
+                if frame is None:
+                    raise ValueError(
+                        "corrupt JPEG: SOS before SOF2 frame header"
+                    )
+                # the multi-scan path owns the rest of the stream:
+                # each SOS fills another (band, bit-plane) slice of
+                # the persistent coefficient array, DHT/DQT/DRI may
+                # appear between scans
+                return _decode_progressive(
+                    data, pos, frame, qtables, huff, dri
+                )
             ns = seg[0]
             scan = {}
             for si in range(ns):
@@ -647,12 +815,11 @@ def decode_jpeg(payload: bytes):
     if frame is None or scan is None:
         raise ValueError("not a baseline JPEG: missing SOF0/SOS")
     fh, fw, comps = frame
-    if fh == 0 or fw == 0:
-        raise ValueError(f"bad JPEG geometry: w={fw} h={fh}")
     if len(scan) != len(comps):
         raise ValueError(
-            "unsupported JPEG: multi-scan stream (one interleaved "
-            "scan only)"
+            "unsupported JPEG: multi-scan SEQUENTIAL stream (one "
+            "interleaved scan only; multi-scan is the progressive "
+            "SOF2 path)"
         )
     if set(scan) != {c[0] for c in comps}:
         # a bare KeyError from the MCU loop would escape the Arrow
@@ -661,16 +828,7 @@ def decode_jpeg(payload: bytes):
             f"corrupt JPEG: SOS component ids {sorted(scan)} do not "
             f"match SOF component ids {sorted(c[0] for c in comps)}"
         )
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    for cid, hf, vf, _tq in comps:
-        if hf < 1 or vf < 1 or hmax % hf or vmax % vf:
-            raise ValueError(
-                f"unsupported JPEG: non-integer sampling ratio for "
-                f"component {cid} (h={hf}, v={vf} vs max {hmax}x{vmax})"
-            )
-    mcus_x = -(-fw // (8 * hmax))
-    mcus_y = -(-fh // (8 * vmax))
+    hmax, vmax, mcus_x, mcus_y = _validate_frame_geometry(fh, fw, comps)
 
     reader = _BitReader(data, pos)
     preds = {cid: 0 for cid, *_ in comps}
@@ -733,7 +891,338 @@ def decode_jpeg(payload: bytes):
                         blocks[cid][my * vf + by, mx * hf + bx] = blk
             mcu_count += 1
 
-    # dequantize + de-zigzag + batch IDCT per component
+    return _blocks_to_rgb(blocks, comps, fh, fw, qtables, hmax, vmax)
+
+
+def _validate_frame_geometry(fh, fw, comps):
+    """Shared SOF0/SOF2 geometry + sampling validation; returns
+    (hmax, vmax, mcus_x, mcus_y)."""
+    if fh == 0 or fw == 0:
+        raise ValueError(f"bad JPEG geometry: w={fw} h={fh}")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    for cid, hf, vf, _tq in comps:
+        if hf < 1 or vf < 1 or hmax % hf or vmax % vf:
+            raise ValueError(
+                f"unsupported JPEG: non-integer sampling ratio for "
+                f"component {cid} (h={hf}, v={vf} vs max {hmax}x{vmax})"
+            )
+    return hmax, vmax, -(-fw // (8 * hmax)), -(-fh // (8 * vmax))
+
+
+def _decode_progressive(data, pos, frame, qtables, huff, dri):
+    """SOF2 multi-scan decode (T.81 Annex G, Huffman): every SOS
+    fills another (spectral band, bit plane) slice of a persistent
+    per-component coefficient array — DC scans are interleaved across
+    components (or single-component raster for 1-component frames),
+    AC scans are single-component by spec; successive-approximation
+    first scans code values at ``<< Al``, refinement scans (Ah = Al+1)
+    append one magnitude bit per coefficient; AC scans use EOB RUNS
+    (symbol RRRR0 with RRRR < 15 = a run of 2^RRRR + extra
+    end-of-band blocks).  DHT/DQT/DRI markers between scans take
+    effect for subsequent scans.  After the last scan the accumulated
+    coefficients run through the same dequant + IDCT + color path as
+    the sequential decoder (:func:`_blocks_to_rgb`)."""
+    import numpy as np
+
+    fh, fw, comps = frame
+    hmax, vmax, mcus_x, mcus_y = _validate_frame_geometry(fh, fw, comps)
+    comp_by_id = {c[0]: c for c in comps}
+    blocks = {
+        cid: np.zeros((mcus_y * vf, mcus_x * hf, 64), dtype=np.int32)
+        for cid, hf, vf, _tq in comps
+    }
+    # per-component NON-interleaved block grid (T.81 A.2.2: ceil of
+    # the component's own scaled dimensions, NOT padded to MCUs)
+    nb = {
+        cid: (
+            (-(-(fh * vf) // vmax) + 7) // 8,
+            (-(-(fw * hf) // hmax) + 7) // 8,
+        )
+        for cid, hf, vf, _tq in comps
+    }
+    saw_scan = False
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(
+                f"corrupt JPEG: expected a marker at byte {pos}"
+            )
+        marker = data[pos + 1]
+        if marker == 0xFF:                      # fill byte
+            pos += 1
+            continue
+        if marker == 0xD9:                      # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            pos += 2
+            continue
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG: segment header ran out")
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        seg = data[pos + 4 : pos + 2 + seglen]
+        if len(seg) < seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xC4:                      # DHT between scans
+            _parse_dht_segment(seg, huff)
+        elif marker == 0xDB:                    # DQT between scans
+            _parse_dqt_segment(seg, qtables)
+        elif marker == 0xDD:
+            (dri,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:                    # next scan
+            ns = seg[0]
+            if len(seg) < 1 + 2 * ns + 3:
+                raise ValueError("truncated JPEG segment: SOS")
+            scan_comps = []
+            for si in range(ns):
+                cid, tdta = seg[1 + 2 * si : 3 + 2 * si]
+                if cid not in comp_by_id:
+                    raise ValueError(
+                        f"corrupt JPEG: SOS component id {cid} not in "
+                        f"SOF2 frame"
+                    )
+                scan_comps.append((cid, tdta >> 4, tdta & 0x0F))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            pos = _progressive_scan(
+                data, pos + 2 + seglen, blocks, nb, comp_by_id,
+                scan_comps, ss, se, ah, al, huff, dri,
+                mcus_x, mcus_y,
+            )
+            saw_scan = True
+            continue
+        pos = pos + 2 + seglen
+    if not saw_scan:
+        raise ValueError("not a progressive JPEG: SOF2 without any SOS")
+    return _blocks_to_rgb(blocks, comps, fh, fw, qtables, hmax, vmax)
+
+
+def _progressive_scan(
+    data, pos, blocks, nb, comp_by_id, scan_comps, ss, se, ah, al,
+    huff, dri, mcus_x, mcus_y,
+):
+    """Entropy-decode ONE progressive scan into ``blocks`` in place;
+    returns the byte position of the marker that ended the scan."""
+    if ss > se or se > 63:
+        raise ValueError(f"corrupt JPEG: bad spectral band {ss}..{se}")
+    if (ss == 0) != (se == 0):
+        raise ValueError(
+            "corrupt JPEG: DC and AC coefficients in one progressive "
+            f"scan (band {ss}..{se})"
+        )
+    if ah not in (0, al + 1):
+        raise ValueError(
+            f"corrupt JPEG: successive approximation Ah={ah} with "
+            f"Al={al} (refinement must step one bit)"
+        )
+    if ss > 0 and len(scan_comps) != 1:
+        raise ValueError(
+            "corrupt JPEG: progressive AC scans must be "
+            "single-component"
+        )
+    reader = _BitReader(data, pos)
+    preds = {cid: 0 for cid, _td, _ta in scan_comps}
+    state = {"eobrun": 0}
+    rst_expect = 0
+    units = 0
+
+    def maybe_restart():
+        nonlocal rst_expect
+        reader.sync_restart(rst_expect)
+        rst_expect = (rst_expect + 1) % 8
+        for c in preds:
+            preds[c] = 0
+        state["eobrun"] = 0
+
+    def dc_table(td):
+        t = huff.get((0, td))
+        if t is None:
+            raise ValueError(
+                f"corrupt JPEG: scan references missing DC table {td}"
+            )
+        return t
+
+    def ac_table(ta):
+        t = huff.get((1, ta))
+        if t is None:
+            raise ValueError(
+                f"corrupt JPEG: scan references missing AC table {ta}"
+            )
+        return t
+
+    if ss == 0 and len(scan_comps) > 1:
+        # interleaved DC scan: MCU order over the padded grid
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if dri and units and units % dri == 0:
+                    maybe_restart()
+                for cid, td, _ta in scan_comps:
+                    _c, hf, vf, _tq = comp_by_id[cid]
+                    for by in range(vf):
+                        for bx in range(hf):
+                            blk = blocks[cid][my * vf + by, mx * hf + bx]
+                            _prog_dc(
+                                reader, blk, preds, cid, ah, al,
+                                dc_table(td) if ah == 0 else None,
+                            )
+                units += 1
+    else:
+        # single-component scan (DC for 1-comp frames, or any AC
+        # band): the component's OWN raster block order
+        cid, td, ta = scan_comps[0]
+        bh, bw_n = nb[cid]
+        tab = (
+            dc_table(td) if ss == 0 and ah == 0
+            else ac_table(ta) if ss > 0
+            else None
+        )
+        for by in range(bh):
+            for bx in range(bw_n):
+                if dri and units and units % dri == 0:
+                    maybe_restart()
+                blk = blocks[cid][by, bx]
+                if ss == 0:
+                    _prog_dc(reader, blk, preds, cid, ah, al, tab)
+                elif ah == 0:
+                    _prog_ac_first(reader, blk, ss, se, al, tab, state)
+                else:
+                    _prog_ac_refine(reader, blk, ss, se, al, tab, state)
+                units += 1
+    # scan ends at the next marker: scrub forward over any pad bits
+    reader.acc = 0
+    reader.n = 0
+    p = reader.pos
+    while p + 1 < len(data) and not (
+        data[p] == 0xFF and data[p + 1] != 0x00
+    ):
+        p += 1
+    return p
+
+
+def _prog_dc(reader, blk, preds, cid, ah, al, dc_tab):
+    if ah == 0:                                 # first DC scan
+        cat = reader.decode_symbol(dc_tab)
+        if cat > 11:
+            raise ValueError(f"corrupt JPEG: DC category {cat}")
+        preds[cid] += _extend(reader.read_bits(cat), cat)
+        blk[0] = preds[cid] << al
+    else:                                       # DC refinement: 1 bit
+        if reader.read_bit():
+            blk[0] |= 1 << al
+
+
+def _prog_ac_first(reader, blk, ss, se, al, ac_tab, state):
+    if state["eobrun"] > 0:                     # inside an EOB run
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        sym = reader.decode_symbol(ac_tab)
+        run, size = sym >> 4, sym & 0x0F
+        if size == 0:
+            if run == 15:                       # ZRL
+                k += 16
+                continue
+            state["eobrun"] = (1 << run) - 1    # EOBn: this block +
+            if run:                             # eobrun more
+                state["eobrun"] += reader.read_bits(run)
+            break
+        k += run
+        if k > se:
+            raise ValueError("corrupt JPEG: AC run past band end")
+        blk[k] = _extend(reader.read_bits(size), size) << al
+        k += 1
+
+
+def _prog_ac_refine(reader, blk, ss, se, al, ac_tab, state):
+    """AC successive-approximation refinement (T.81 G.1.2.3): newly
+    nonzero coefficients arrive as +-1 << Al; every already-nonzero
+    coefficient traversed receives one CORRECTION bit."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+
+    def correct(k):
+        if reader.read_bit() and (int(blk[k]) & p1) == 0:
+            blk[k] += p1 if blk[k] > 0 else m1
+
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            sym = reader.decode_symbol(ac_tab)
+            run, size = sym >> 4, sym & 0x0F
+            if size == 0:
+                if run != 15:
+                    state["eobrun"] = 1 << run
+                    if run:
+                        state["eobrun"] += reader.read_bits(run)
+                    break
+                val = 0                          # ZRL: skip 16 zeros
+            else:
+                if size != 1:
+                    raise ValueError(
+                        "corrupt JPEG: AC refinement magnitude "
+                        f"category {size} (must be 1)"
+                    )
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if val != 0 and k <= se:
+                blk[k] = val
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:                           # EOB run: corrections
+            if blk[k] != 0:                      # only, no insertions
+                correct(k)
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _parse_dht_segment(seg, huff):
+    p = 0
+    while p < len(seg):
+        tc, th = seg[p] >> 4, seg[p] & 0x0F
+        if p + 17 > len(seg):
+            raise ValueError("truncated JPEG segment: DHT")
+        bits = list(seg[p + 1 : p + 17])
+        nvals = sum(bits)
+        if p + 17 + nvals > len(seg):
+            raise ValueError("truncated JPEG segment: DHT")
+        vals = list(seg[p + 17 : p + 17 + nvals])
+        codes = _build_codes(bits, vals)
+        huff[(tc, th)] = {
+            (length, code): sym for sym, (code, length) in codes.items()
+        }
+        p += 17 + nvals
+
+
+def _parse_dqt_segment(seg, qtables):
+    p = 0
+    while p < len(seg):
+        pq, tq = seg[p] >> 4, seg[p] & 0x0F
+        if pq != 0:
+            raise ValueError(
+                "unsupported JPEG: 16-bit quant table (12-bit "
+                "precision stream)"
+            )
+        if p + 65 > len(seg):
+            raise ValueError("truncated JPEG segment: DQT")
+        qtables[tq] = list(seg[p + 1 : p + 65])
+        p += 65
+
+
+def _blocks_to_rgb(blocks, comps, fh, fw, qtables, hmax, vmax):
+    """Quantized zigzag coefficient blocks -> (h, w, 3) uint8 RGB:
+    dequantize + de-zigzag + batch IDCT per component, upsample,
+    color-convert.  Shared by the sequential (one-scan) and
+    progressive (multi-scan accumulated) decode paths."""
+    import numpy as np
+
     M = _dct_matrix()
     inv_zz = np.argsort(np.array(ZIGZAG))
     planes = {}

@@ -948,3 +948,103 @@ def media_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r00").alias("p00"),
         F.col("r_last").alias("p_last"),
     )
+
+
+def _mosaic_jpeg_prog_media(docs: DataFrame) -> DataFrame:
+    """doc ids -> REAL PROGRESSIVE (SOF2) JPEG payloads via the
+    production encoder (operators/jpeg.py::encode_jpeg_progressive)
+    at quality 100 — the same bit-exact per-8x8-block-constant
+    contract as the baseline row, different constants so the two
+    graded relations cannot alias:
+
+      width  = 9 + id % 8   (9..16)
+      height = 8 + id % 6   (8..13)
+      pixel (x, y): g = (3*id + 41*(x//8) + 89*(y//8)) % 256
+    """
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.jpeg import encode_jpeg_progressive
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 9 + did % 8, 8 + did % 6
+                xx = np.arange(w)[None, :]
+                yy = np.arange(h)[:, None]
+                g = (
+                    (3 * did + 41 * (xx // 8) + 89 * (yy // 8)) % 256
+                ).astype(np.uint8)
+                rows.append(
+                    (
+                        did,
+                        "image",
+                        "image/jpeg",
+                        bytearray(encode_jpeg_progressive(g, quality=100)),
+                        w,
+                        h,
+                        None,
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+                )
+
+    return docs.select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+
+
+@register(
+    "media_decode_jpeg_prog",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, 9 + doc_id % 8 AS w, 8 + doc_id % 6 AS h
+        FROM documents
+    ), s AS (
+        SELECT doc_id, w, h,
+           list_sum(flatten(list_transform(range(0, h), y ->
+               list_transform(range(0, w),
+                   x -> (3*doc_id + 41*(x//8) + 89*(y//8)) % 256))))
+               AS sg
+        FROM d
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(sg AS DOUBLE) / (w * h) AS mean_r,
+           CAST(sg AS DOUBLE) / (w * h) AS mean_g,
+           CAST(sg AS DOUBLE) / (w * h) AS mean_b,
+           CAST((3*doc_id) % 256 AS INT) AS r00,
+           CAST((3*doc_id) % 256 AS INT) AS g00,
+           CAST((3*doc_id) % 256 AS INT) AS b00,
+           CAST((3*doc_id + 41*((w-1)//8) + 89*((h-1)//8)) % 256
+               AS INT) AS r_last,
+           CAST((3*doc_id + 41*((w-1)//8) + 89*((h-1)//8)) % 256
+               AS INT) AS g_last,
+           CAST((3*doc_id + 41*((w-1)//8) + 89*((h-1)//8)) % 256
+               AS INT) AS b_last
+    FROM s
+    """,
+    description="PROGRESSIVE (SOF2) JPEG decode — the top documented "
+    "codec gap of rounds 6-7 closed: multi-scan spectral selection "
+    "with DC successive approximation (a first scan of dc >> 1 "
+    "diffs, a refinement scan appending the low bit) and per-"
+    "component full-band AC scans, produced by the production "
+    "progressive encoder and decoded back through the SAME "
+    "image/jpeg registry codec (decode_jpeg dispatches on SOF2, "
+    "accumulating coefficients across scans with EOB-run AC "
+    "coding).  Quality-100 per-8x8-block-constant mosaics make the "
+    "multi-scan round trip BIT-EXACT, so DuckDB regenerates the "
+    "full relation from the closed-form rule.  The decoder's EOB "
+    "runs and AC successive-approximation correction/insertion "
+    "paths — which this encoder's script never emits — are pinned "
+    "against hand-assembled golden streams in tests/test_jpeg.py; "
+    "progressive == baseline decode equality is pinned there for "
+    "arbitrary content at every quality/subsampling tried",
+)
+def media_decode_jpeg_prog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return image_stats(_mosaic_jpeg_prog_media(docs)).drop("n_bytes")

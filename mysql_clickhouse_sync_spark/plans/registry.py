@@ -244,6 +244,15 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 # media_decode_jpeg contract).  OUT: docs_bpe_first_merges (green
 # r5-r7; the tokenizer-support shape stays hash-checked by
 # check_oracle/ci_gate every round; text keeps 7 graded rows).
+# Also IN (enter-on-add): media_decode_jpeg_prog — PROGRESSIVE
+# (SOF2) JPEG, the top documented codec gap of r6-r7 closed:
+# multi-scan spectral selection + DC successive approximation from
+# the production progressive encoder, decoded through the same
+# registry codec (EOB runs and AC-refinement paths pinned against
+# hand-assembled golden streams); bit-exact q100 mosaic contract.
+# OUT: corpus_lm_quality (green r4-r7; the quality gate stays
+# DRIVER-GRADED inside corpus_curation_v2 and docs_curation_pipeline
+# and hash-checked off-window every round).
 # Also IN (enter-on-add): events_streaming_enriched — the
 # STREAM-STATIC enrichment join (the one Structured Streaming join
 # shape not yet driver-graded): events stream x static customer dim
@@ -294,7 +303,6 @@ DRIVER_WINDOW = (
     "docs_char_bigram_profile",
     # corpus preparation (rotated in, round 4)
     "corpus_pii_scrub",
-    "corpus_lm_quality",
     "corpus_contamination",
     "corpus_pack_assignments",
     "corpus_pack_incremental",
@@ -314,6 +322,7 @@ DRIVER_WINDOW = (
     # demux + in-frame BMP decode)
     "media_decode_png",
     "media_decode_jpeg",
+    "media_decode_jpeg_prog",
     "media_decode_gif",
     "media_audio_stats",
     "media_video_frames",

@@ -210,13 +210,31 @@ def test_byte_stuffing_survives():
     assert (out == 255).all()
 
 
-def test_progressive_rejected_with_real_cause():
+def test_progressive_malformed_scans_rejected_with_real_cause():
+    """SOF2 is now SUPPORTED; what must still fail is a structurally
+    invalid progressive stream: a scan mixing DC and AC coefficients
+    (the old baseline golden relabeled SOF2 has Ss=0, Se=63), an AC
+    scan claiming multiple components, a refinement step of more than
+    one bit, and a frame with no scan at all."""
     golden = bytearray(_golden_flat_gray())
-    # rewrite the SOF0 marker byte (FF C0) to SOF2 (progressive)
     idx = golden.index(b"\xff\xc0")
-    golden[idx + 1] = 0xC2
-    with pytest.raises(ValueError, match="progressive"):
+    golden[idx + 1] = 0xC2                     # now a hybrid scan
+    with pytest.raises(ValueError, match="DC and AC"):
         decode_jpeg(bytes(golden))
+
+    dqt = bytes([0x00]) + bytes([1] * 64)
+    sof2 = (bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+            + bytes([1, 1, 0x11, 0]))
+    base = b"\xff\xd8" + _seg(0xDB, dqt) + _seg(0xC2, sof2)
+    with pytest.raises(ValueError, match="missing SOF0/SOS"):
+        decode_jpeg(base + b"\xff\xd9")     # SOF2 with no scan at all
+    dc_bits = [1] + [0] * 15
+    dht = bytes([0x00]) + bytes(dc_bits) + bytes([0])
+    bad_ahal = base + _seg(0xC4, dht) + _seg(
+        0xDA, bytes([1, 1, 0x00, 0, 0, 0x20])   # Ah=2, Al=0
+    ) + bytes([0x7F]) + b"\xff\xd9"
+    with pytest.raises(ValueError, match="refinement must step one"):
+        decode_jpeg(bad_ahal)
 
 
 def test_twelve_bit_quant_rejected():
@@ -370,3 +388,145 @@ def test_registered_in_image_registry():
     assert isinstance(codec, JpegImageCodec)
     img = np.full((9, 11), 77, dtype=np.uint8)
     assert (codec.decode(codec.encode(img, quality=100)) == 77).all()
+
+
+# ------------------------------------------------------- progressive
+
+
+def test_progressive_equals_baseline_decode():
+    """Progressive (SOF2) only reorders the ENTROPY layer — the
+    quantized coefficients are identical — so decoding the
+    progressive stream must equal decoding the baseline stream
+    BIT-FOR-BIT at every quality/geometry/color/subsampling tried."""
+    from mysql_clickhouse_sync_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(5)
+    for _ in range(6):
+        h, w = rng.randint(4, 40), rng.randint(4, 40)
+        img = rng.randint(0, 256, (h, w), dtype=np.uint8)
+        q = int(rng.choice([50, 85, 100]))
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_progressive(img, quality=q)),
+            decode_jpeg(encode_jpeg(img, quality=q)),
+        )
+    rgb = rng.randint(0, 256, (21, 17, 3), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(rgb, quality=85)),
+        decode_jpeg(encode_jpeg(rgb, quality=85)),
+    )
+    sub = rng.randint(0, 256, (33, 29, 3), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(
+            encode_jpeg_progressive(sub, quality=85, subsampling="420")
+        ),
+        decode_jpeg(encode_jpeg(sub, quality=85, subsampling="420")),
+    )
+
+
+def test_progressive_quality_100_mosaic_is_exact():
+    """The media_decode_jpeg exactness contract carries over: quality
+    100 per-8x8-block-constant mosaics round-trip BIT-EXACTLY through
+    the progressive scan script (DC split across a first scan and a
+    refinement scan; all-zero AC bands emit EOB runs)."""
+    from mysql_clickhouse_sync_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    for did in (0, 3, 11):
+        w, h = 10 + did % 7, 9 + did % 5
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        g = ((did + 37 * (xx // 8) + 101 * (yy // 8)) % 256).astype(
+            np.uint8
+        )
+        out = decode_jpeg(encode_jpeg_progressive(g, quality=100))
+        assert np.array_equal(out[:, :, 0], g)
+
+
+def test_progressive_golden_eobrun():
+    """Hand-assembled SOF2 stream whose AC scan covers BOTH blocks
+    with ONE EOB-run symbol (0x10: run length 2 + one extra bit) —
+    the EOBn machinery our own encoder never emits (it writes plain
+    per-block EOBs), pinned against hand-packed bits."""
+    dqt = bytes([0x00]) + bytes([1] * 64)
+    sof2 = (bytes([8]) + (8).to_bytes(2, "big")
+            + (16).to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    dc_bits = [0, 2] + [0] * 14                 # cats 5, 6 -> '00','01'
+    dht_dc = bytes([0x00]) + bytes(dc_bits) + bytes([5, 6])
+    ac_bits = [1] + [0] * 15                    # symbol 0x10 -> '0'
+    dht_ac = bytes([0x10]) + bytes(ac_bits) + bytes([0x10])
+    sos_dc = bytes([1, 1, 0x00, 0, 0, 0x00])
+    sos_ac = bytes([1, 1, 0x00, 1, 63, 0x00])
+    # DC diffs: +16 (cat5 '00' + '10000'), +32 (cat6 '01' + '100000')
+    stream = (
+        b"\xff\xd8" + _seg(0xDB, dqt) + _seg(0xC2, sof2)
+        + _seg(0xC4, dht_dc) + _seg(0xC4, dht_ac)
+        + _seg(0xDA, sos_dc) + bytes([0x20, 0xC1])
+        + _seg(0xDA, sos_ac) + bytes([0x3F])
+        + b"\xff\xd9"
+    )
+    out = decode_jpeg(stream)
+    assert out.shape == (8, 16, 3)
+    assert (out[:, :8, 0] == 130).all()         # DC 16 -> gray 130
+    assert (out[:, 8:, 0] == 134).all()         # DC 48 -> gray 134
+
+
+def test_progressive_golden_ac_successive_approximation():
+    """Hand-assembled AC successive approximation — the refinement
+    paths our encoder never emits: (a) a CORRECTION bit turns a
+    first-scan 1<<1 coefficient into 3; (b) a refinement-scan
+    INSERTION with a zero-run skip places a new +-1 past a
+    zero-history coefficient.  Expected pixels computed from the
+    orthonormal IDCT directly."""
+    from mysql_clickhouse_sync_spark.operators.jpeg import _dct_matrix
+
+    dqt = bytes([0x00]) + bytes([1] * 64)
+    sof1 = (bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+            + bytes([1, 1, 0x11, 0]))
+    dc_bits = [1] + [0] * 15
+    dht_dc = bytes([0x00]) + bytes(dc_bits) + bytes([0])    # cat0 '0'
+    sos_dc = bytes([1, 1, 0x00, 0, 0, 0x00])
+    sos_ac1 = bytes([1, 1, 0x00, 1, 63, 0x01])              # Al=1
+    sos_acr = bytes([1, 1, 0x00, 1, 63, 0x10])              # Ah=1
+    M = _dct_matrix()
+
+    def expect(zig_k, value):
+        coef = np.zeros((8, 8))
+        nat = ZIGZAG[zig_k]
+        coef[nat // 8][nat % 8] = float(value)
+        pix = np.einsum("ux,uv,vy->xy", M, coef, M) + 128.0
+        return np.clip(np.round(pix), 0, 255).astype(np.uint8)
+
+    # (a) correction: first scan stores 2 at zigzag k=1 ('0' sym 0x01
+    # + sign '1', EOB '10' -> 0x6F), refinement EOB then one
+    # correction bit '1' (-> 0xBF): final coefficient 3
+    ac_bits_a = [1, 1] + [0] * 14               # 0x01 -> '0', EOB '10'
+    dht_ac_a = bytes([0x10]) + bytes(ac_bits_a) + bytes([0x01, 0x00])
+    s = (
+        b"\xff\xd8" + _seg(0xDB, dqt) + _seg(0xC2, sof1)
+        + _seg(0xC4, dht_dc) + _seg(0xC4, dht_ac_a)
+        + _seg(0xDA, sos_dc) + bytes([0x7F])
+        + _seg(0xDA, sos_ac1) + bytes([0x6F])
+        + _seg(0xDA, sos_acr) + bytes([0xBF])
+        + b"\xff\xd9"
+    )
+    assert (decode_jpeg(s)[:, :, 0] == expect(1, 3)).all()
+
+    # (b) insertion: first scan all-zero (EOB '10' -> 0xBF); the
+    # refinement emits (run=1, size=1) sign '1' -> skips the
+    # zero-history k=1 and INSERTS +1 at k=2, then EOB ('0 1 1 0'
+    # packed -> 0x6F)
+    ac_bits_b = [1, 1, 1] + [0] * 13      # 0x11 '0', EOB '10', 0x01 '110'
+    dht_ac_b = bytes([0x10]) + bytes(ac_bits_b) + bytes(
+        [0x11, 0x00, 0x01]
+    )
+    s2 = (
+        b"\xff\xd8" + _seg(0xDB, dqt) + _seg(0xC2, sof1)
+        + _seg(0xC4, dht_dc) + _seg(0xC4, dht_ac_b)
+        + _seg(0xDA, sos_dc) + bytes([0x7F])
+        + _seg(0xDA, sos_ac1) + bytes([0xBF])
+        + _seg(0xDA, sos_acr) + bytes([0x6F])
+        + b"\xff\xd9"
+    )
+    assert (decode_jpeg(s2)[:, :, 0] == expect(2, 1)).all()
