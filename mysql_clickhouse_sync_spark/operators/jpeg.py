@@ -1,4 +1,5 @@
-"""Baseline JPEG codec: pure numpy + stdlib, no binary deps.
+"""JPEG codec (baseline sequential + progressive): pure numpy +
+stdlib, no binary deps.
 
 The third real in-repo image codec (after uncompressed BMP and
 zlib-compressed PNG) and the one real corpora are actually made of:
@@ -11,12 +12,14 @@ a transform decode (dequantize -> de-zigzag -> 8x8 IDCT) with
 chroma upsampling and color conversion.
 
 Scope (honest): baseline sequential DCT (SOF0 per the public ITU-T
-T.81 spec + JFIF), 8-bit precision, 1 (grayscale) or 3 (YCbCr)
+T.81 spec + JFIF) AND progressive DCT (SOF2: multi-scan spectral
+selection, DC/AC successive approximation, EOB-run AC coding —
+T.81 Annex G, Huffman), 8-bit precision, 1 (grayscale) or 3 (YCbCr)
 components, integer-ratio sampling factors (4:4:4, 4:2:0, 4:2:2 all
-land here), restart intervals.  Progressive (SOF2), arithmetic coding,
-12-bit, and hierarchical modes are rejected with the real cause — a
-deployment that holds such files injects a libjpeg-backed codec via
-the same MIME registry (``operators/codecs.py::register_image_codec``).
+land here), restart intervals.  Arithmetic coding, 12-bit, and
+hierarchical modes are rejected with the real cause — a deployment
+that holds such files injects a libjpeg-backed codec via the same
+MIME registry (``operators/codecs.py::register_image_codec``).
 
 Layout implemented (the public interchange format): SOI; APP0 JFIF;
 DQT (quant tables in zigzag order); SOF0 (geometry + per-component
@@ -1264,10 +1267,12 @@ def _blocks_to_rgb(blocks, comps, fh, fw, qtables, hmax, vmax):
 
 
 class JpegImageCodec:
-    """In-repo baseline JPEG codec: stdlib struct + numpy (DCT via an
-    orthonormal matrix product, canonical Huffman per T.81 Annex C).
-    The dependency-free fallback — a deployment with libjpeg-turbo
-    injects it over this MIME type for decode throughput."""
+    """In-repo JPEG codec (baseline + progressive decode, baseline
+    encode): stdlib struct + numpy (DCT via an orthonormal matrix
+    product, canonical Huffman per T.81 Annex C, SOF2 multi-scan per
+    Annex G).  The dependency-free fallback — a deployment with
+    libjpeg-turbo injects it over this MIME type for decode
+    throughput."""
 
     def decode(self, payload: bytes):
         return decode_jpeg(payload)
