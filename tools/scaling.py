@@ -81,6 +81,7 @@ SWEEP = (
     "media_decode_png",              # zlib decode in the Arrow loop
     "media_decode_jpeg",             # Huffman+DCT decode in the Arrow loop
     "media_decode_gif",              # LZW decode in the Arrow loop
+    "media_decode_jpeg_prog",        # multi-scan SOF2 decode
     "media_video_mjpeg",             # AVI demux x JPEG decode composition
     "emb_index_drift_stats",         # drift monitor over appended index
     "media_audio_stats",             # PCM decode in the Arrow loop
