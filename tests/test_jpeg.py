@@ -530,3 +530,36 @@ def test_progressive_golden_ac_successive_approximation():
         + b"\xff\xd9"
     )
     assert (decode_jpeg(s2)[:, :, 0] == expect(2, 1)).all()
+
+
+def test_progressive_golden_restart_intervals():
+    """Hand-assembled SOF2 stream with DRI=1: both the DC scan and
+    the AC scan carry an RSTn marker between their two blocks, so
+    the progressive path's restart handling (byte realign + DC
+    predictor reset + EOB-run reset) is pinned — a path our own
+    progressive encoder never emits."""
+    import struct
+
+    dqt = bytes([0x00]) + bytes([1] * 64)
+    sof2 = (bytes([8]) + (8).to_bytes(2, "big")
+            + (16).to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    dc_bits = [0, 2] + [0] * 14
+    dht_dc = bytes([0x00]) + bytes(dc_bits) + bytes([5, 6])
+    ac_bits = [1] + [0] * 15
+    dht_ac = bytes([0x10]) + bytes(ac_bits) + bytes([0x00])   # EOB '0'
+    dri = _seg(0xDD, struct.pack(">H", 1))
+    sos_dc = bytes([1, 1, 0x00, 0, 0, 0x00])
+    sos_ac = bytes([1, 1, 0x00, 1, 63, 0x00])
+    # DC block 0: +16 = cat5 '00'+'10000' -> 0x21; RST0; block 1
+    # (predictor RESET): 48 = cat6 '01'+'110000' -> 0x70
+    dc_data = bytes([0x21]) + b"\xff\xd0" + bytes([0x70])
+    ac_data = bytes([0x7F]) + b"\xff\xd0" + bytes([0x7F])     # EOBs
+    stream = (
+        b"\xff\xd8" + _seg(0xDB, dqt) + _seg(0xC2, sof2)
+        + _seg(0xC4, dht_dc) + _seg(0xC4, dht_ac) + dri
+        + _seg(0xDA, sos_dc) + dc_data
+        + _seg(0xDA, sos_ac) + ac_data + b"\xff\xd9"
+    )
+    out = decode_jpeg(stream)
+    assert (out[:, :8, 0] == 130).all()
+    assert (out[:, 8:, 0] == 134).all()
