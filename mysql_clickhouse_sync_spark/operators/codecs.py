@@ -812,6 +812,12 @@ def decode_gif(payload: bytes):
             pos += 1                                   # label byte
             while pos < len(payload) and payload[pos]:
                 pos += 1 + payload[pos]
+            if pos >= len(payload):
+                # the sub-block chain ran off the end: report the
+                # truncation, not a misleading "no image descriptor"
+                raise ValueError(
+                    "truncated GIF: extension sub-blocks ran out"
+                )
             pos += 1                                   # terminator
             continue
         if block != 0x2C:

@@ -360,6 +360,65 @@ def _pad_to_blocks(plane, bh: int, bw: int):
     )
 
 
+def _validate_encode_input(arr, subsampling: str, name: str) -> None:
+    """Shared input contract of both encoders — one copy, so a
+    message or limit fix cannot silently drift between them."""
+    import numpy as np
+
+    if arr.dtype != np.uint8 or arr.ndim not in (2, 3) or (
+        arr.ndim == 3 and arr.shape[2] != 3
+    ):
+        raise ValueError(
+            f"{name} needs an (h, w) or (h, w, 3) uint8 array, got "
+            f"shape={arr.shape} dtype={arr.dtype}"
+        )
+    if arr.shape[0] == 0 or arr.shape[1] == 0:
+        raise ValueError(
+            f"{name} needs non-empty dimensions, got shape={arr.shape}"
+        )
+    if arr.shape[0] > 0xFFFF or arr.shape[1] > 0xFFFF:
+        # JPEG's SOF geometry fields are 16-bit — check BEFORE paying
+        # the whole DCT+entropy encode (struct.pack would otherwise
+        # fail at the SOF write with an opaque struct.error)
+        raise ValueError(
+            f"{name}: dimensions exceed JPEG's 65535 limit, got "
+            f"shape={arr.shape}"
+        )
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be '444' or '420', got "
+                         f"{subsampling!r}")
+
+
+def _frame_headers(
+    sof_marker: int, h: int, w: int, planes, qtables, gray: bool
+) -> bytearray:
+    """SOI + APP0 + DQT + SOF(0xC0 baseline / 0xC2 progressive) + DHT
+    — the marker prefix shared verbatim by both encoders."""
+    out = bytearray(b"\xff\xd8")                            # SOI
+    out += b"\xff\xe0" + struct.pack(
+        ">H", 16
+    ) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"     # APP0
+    for ti, q in enumerate(qtables):                         # DQT
+        data = bytes([ti]) + bytes(q)                        # zigzag
+        out += b"\xff\xdb" + struct.pack(">H", 2 + len(data)) + data
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci, (_p, hf, vf) in enumerate(planes):
+        sof += bytes([ci + 1, (hf << 4) | vf, 0 if ci == 0 else 1])
+    out += bytes([0xFF, sof_marker]) + struct.pack(
+        ">H", 2 + len(sof)
+    ) + sof
+    huffs = [(0x00, _DC_LUMA_BITS, _DC_LUMA_VALS),
+             (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS)]
+    if not gray:
+        huffs += [(0x01, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+                  (0x11, _AC_CHROMA_BITS, _AC_CHROMA_VALS)]
+    for tc_th, bits, vals in huffs:                          # DHT
+        data = bytes([tc_th]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(data)) + data
+    return out
+
+
 def _quantized_blocks(arr, quality: int, subsampling: str):
     """Shared encode prep for the sequential AND progressive
     encoders: color planes, zigzag-order quant tables, and per-
@@ -419,28 +478,7 @@ def encode_jpeg(
     import numpy as np
 
     arr = np.asarray(img)
-    if arr.dtype != np.uint8 or arr.ndim not in (2, 3) or (
-        arr.ndim == 3 and arr.shape[2] != 3
-    ):
-        raise ValueError(
-            f"encode_jpeg needs an (h, w) or (h, w, 3) uint8 array, got "
-            f"shape={arr.shape} dtype={arr.dtype}"
-        )
-    if arr.shape[0] == 0 or arr.shape[1] == 0:
-        raise ValueError(
-            f"encode_jpeg needs non-empty dimensions, got shape={arr.shape}"
-        )
-    if arr.shape[0] > 0xFFFF or arr.shape[1] > 0xFFFF:
-        # JPEG's SOF geometry fields are 16-bit — check BEFORE paying
-        # the whole DCT+entropy encode (struct.pack would otherwise
-        # fail at the SOF write with an opaque struct.error)
-        raise ValueError(
-            f"encode_jpeg: dimensions exceed JPEG's 65535 limit, got "
-            f"shape={arr.shape}"
-        )
-    if subsampling not in ("444", "420"):
-        raise ValueError(f"subsampling must be '444' or '420', got "
-                         f"{subsampling!r}")
+    _validate_encode_input(arr, subsampling, "encode_jpeg")
     if restart_interval < 0 or restart_interval > 0xFFFF:
         raise ValueError(f"bad restart_interval: {restart_interval}")
     h, w = arr.shape[:2]
@@ -501,27 +539,8 @@ def encode_jpeg(
             mcu_in_interval += 1
     bw_.flush()
 
-    out = bytearray(b"\xff\xd8")                            # SOI
-    out += b"\xff\xe0" + struct.pack(
-        ">H", 16
-    ) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"     # APP0
-    for ti, q in enumerate(qtables):                         # DQT
-        data = bytes([ti]) + bytes(q)                        # zigzag order
-        out += b"\xff\xdb" + struct.pack(">H", 2 + len(data)) + data
-    # SOF0: baseline sequential
     ncomp = 1 if gray else 3
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    for ci, (_p, hf, vf) in enumerate(planes):
-        sof += bytes([ci + 1, (hf << 4) | vf, 0 if ci == 0 else 1])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
-    huffs = [(0x00, _DC_LUMA_BITS, _DC_LUMA_VALS),
-             (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS)]
-    if not gray:
-        huffs += [(0x01, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
-                  (0x11, _AC_CHROMA_BITS, _AC_CHROMA_VALS)]
-    for tc_th, bits, vals in huffs:                          # DHT
-        data = bytes([tc_th]) + bytes(bits) + bytes(vals)
-        out += b"\xff\xc4" + struct.pack(">H", 2 + len(data)) + data
+    out = _frame_headers(0xC0, h, w, planes, qtables, gray)
     if restart_interval:                                     # DRI
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos = bytes([ncomp])                                     # SOS
@@ -561,26 +580,7 @@ def encode_jpeg_progressive(
     import numpy as np
 
     arr = np.asarray(img)
-    if arr.dtype != np.uint8 or arr.ndim not in (2, 3) or (
-        arr.ndim == 3 and arr.shape[2] != 3
-    ):
-        raise ValueError(
-            f"encode_jpeg_progressive needs an (h, w) or (h, w, 3) "
-            f"uint8 array, got shape={arr.shape} dtype={arr.dtype}"
-        )
-    if arr.shape[0] == 0 or arr.shape[1] == 0:
-        raise ValueError(
-            f"encode_jpeg_progressive needs non-empty dimensions, got "
-            f"shape={arr.shape}"
-        )
-    if arr.shape[0] > 0xFFFF or arr.shape[1] > 0xFFFF:
-        raise ValueError(
-            f"encode_jpeg_progressive: dimensions exceed JPEG's 65535 "
-            f"limit, got shape={arr.shape}"
-        )
-    if subsampling not in ("444", "420"):
-        raise ValueError(f"subsampling must be '444' or '420', got "
-                         f"{subsampling!r}")
+    _validate_encode_input(arr, subsampling, "encode_jpeg_progressive")
     h, w = arr.shape[:2]
     gray = arr.ndim == 2
     (planes, qtables, comp_blocks, hmax, vmax, mcus_x, mcus_y) = (
@@ -672,25 +672,7 @@ def encode_jpeg_progressive(
         bwa.flush()
         ac_scans.append(bwa.buf)
 
-    out = bytearray(b"\xff\xd8")                            # SOI
-    out += b"\xff\xe0" + struct.pack(
-        ">H", 16
-    ) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"     # APP0
-    for ti, q in enumerate(qtables):                         # DQT
-        data = bytes([ti]) + bytes(q)
-        out += b"\xff\xdb" + struct.pack(">H", 2 + len(data)) + data
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)               # SOF2
-    for ci, (_p, hf, vf) in enumerate(planes):
-        sof += bytes([ci + 1, (hf << 4) | vf, 0 if ci == 0 else 1])
-    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
-    huffs = [(0x00, _DC_LUMA_BITS, _DC_LUMA_VALS),
-             (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS)]
-    if not gray:
-        huffs += [(0x01, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
-                  (0x11, _AC_CHROMA_BITS, _AC_CHROMA_VALS)]
-    for tc_th, bits, vals in huffs:                          # DHT
-        data = bytes([tc_th]) + bytes(bits) + bytes(vals)
-        out += b"\xff\xc4" + struct.pack(">H", 2 + len(data)) + data
+    out = _frame_headers(0xC2, h, w, planes, qtables, gray)
     out += sos_header(list(range(ncomp)), 0, 0, 0, 1) + bw1.buf
     out += sos_header(list(range(ncomp)), 0, 0, 1, 0) + bw2.buf
     for ci in range(ncomp):
@@ -764,8 +746,9 @@ def decode_jpeg(payload: bytes):
         if marker in _SOF_UNSUPPORTED:
             raise ValueError(
                 f"unsupported JPEG variant: {_SOF_UNSUPPORTED[marker]} — "
-                "baseline sequential (SOF0) only; inject a libjpeg-backed "
-                "codec via register_image_codec for such files"
+                "baseline (SOF0) and progressive (SOF2) only; inject a "
+                "libjpeg-backed codec via register_image_codec for such "
+                "files"
             )
         (seglen,) = struct.unpack_from(">H", data, pos + 2)
         seg = data[pos + 4 : pos + 2 + seglen]
@@ -792,6 +775,8 @@ def decode_jpeg(payload: bytes):
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (fh, fw, comps)
         elif marker == 0xDD:                                # DRI
+            if len(seg) < 2:
+                raise ValueError("truncated JPEG segment: DRI")
             (dri,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:                                # SOS
             if progressive:
@@ -970,6 +955,8 @@ def _decode_progressive(data, pos, frame, qtables, huff, dri):
         elif marker == 0xDB:                    # DQT between scans
             _parse_dqt_segment(seg, qtables)
         elif marker == 0xDD:
+            if len(seg) < 2:
+                raise ValueError("truncated JPEG segment: DRI")
             (dri,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:                    # next scan
             ns = seg[0]

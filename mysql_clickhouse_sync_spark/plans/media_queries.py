@@ -565,8 +565,10 @@ def media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("duration_ms"),
     )
     stats = image_stats(as_imgs)
+    # integer `div`, not `/`: double division of a packed id is only
+    # exact below 2^52 — latent mislabeling at real id magnitudes
     return stats.select(
-        (F.col("media_id") / 10).cast("long").alias("media_id"),
+        F.expr("media_id div 10").alias("media_id"),
         (F.col("media_id") % 10).cast("int").alias("frame_idx"),
         ((F.col("media_id") % 10) * 1000).cast("int").alias("ts_ms"),
         "width",
@@ -937,9 +939,10 @@ def media_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("duration_ms"),
     )
     stats = image_stats(as_imgs)
-    # grayscale mosaics: all three channels identical after decode
+    # grayscale mosaics: all three channels identical after decode.
+    # integer `div`, not `/` (same exactness rationale as above)
     return stats.select(
-        (F.col("media_id") / 10).cast("long").alias("media_id"),
+        F.expr("media_id div 10").alias("media_id"),
         (F.col("media_id") % 10).cast("int").alias("frame_idx"),
         ((F.col("media_id") % 10) * 1000).cast("int").alias("ts_ms"),
         "width",
