@@ -929,6 +929,14 @@ def _decode_progressive(data, pos, frame, qtables, huff, dri):
         )
         for cid, hf, vf, _tq in comps
     }
+    # per-component first-scan coverage (T.81 G.1.1.1.1 scan-script
+    # ordering): coefficient k of component cid may only be REFINED
+    # (Ah > 0) after its Ah=0 first scan, and AC scans may only follow
+    # the component's first DC scan — an out-of-order script would
+    # otherwise decode silently against zeroed coefficients, yielding
+    # wrong pixels instead of the real-cause error this module
+    # promises for malformed streams
+    first_done = {cid: bytearray(64) for cid, _hf, _vf, _tq in comps}
     saw_scan = False
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
@@ -977,7 +985,7 @@ def _decode_progressive(data, pos, frame, qtables, huff, dri):
             pos = _progressive_scan(
                 data, pos + 2 + seglen, blocks, nb, comp_by_id,
                 scan_comps, ss, se, ah, al, huff, dri,
-                mcus_x, mcus_y,
+                mcus_x, mcus_y, first_done,
             )
             saw_scan = True
             continue
@@ -989,10 +997,12 @@ def _decode_progressive(data, pos, frame, qtables, huff, dri):
 
 def _progressive_scan(
     data, pos, blocks, nb, comp_by_id, scan_comps, ss, se, ah, al,
-    huff, dri, mcus_x, mcus_y,
+    huff, dri, mcus_x, mcus_y, first_done,
 ):
     """Entropy-decode ONE progressive scan into ``blocks`` in place;
-    returns the byte position of the marker that ended the scan."""
+    returns the byte position of the marker that ended the scan.
+    ``first_done`` tracks per-component Ah=0 coverage per coefficient
+    so out-of-order scan scripts fail with the real cause."""
     if ss > se or se > 63:
         raise ValueError(f"corrupt JPEG: bad spectral band {ss}..{se}")
     if (ss == 0) != (se == 0):
@@ -1010,6 +1020,21 @@ def _progressive_scan(
             "corrupt JPEG: progressive AC scans must be "
             "single-component"
         )
+    for cid, _td, _ta in scan_comps:
+        cov = first_done[cid]
+        if ss > 0 and not cov[0]:
+            raise ValueError(
+                f"corrupt JPEG: AC scan before the first DC scan "
+                f"(component {cid})"
+            )
+        if ah > 0 and any(not cov[k] for k in range(ss, se + 1)):
+            raise ValueError(
+                f"corrupt JPEG: refinement scan before first scan "
+                f"(component {cid}, band {ss}..{se})"
+            )
+        if ah == 0:
+            for k in range(ss, se + 1):
+                cov[k] = 1
     reader = _BitReader(data, pos)
     preds = {cid: 0 for cid, _td, _ta in scan_comps}
     state = {"eobrun": 0}
@@ -1162,7 +1187,12 @@ def _prog_ac_refine(reader, blk, ss, se, al, ac_tab, state):
                         break
                     run -= 1
                 k += 1
-            if val != 0 and k <= se:
+            if val != 0:
+                # same corrupt-input contract as _prog_ac_first: a
+                # decoded nonzero whose zero-run overran the band end
+                # must error, not silently drop the coefficient
+                if k > se:
+                    raise ValueError("corrupt JPEG: AC run past band end")
                 blk[k] = val
             k += 1
     if state["eobrun"] > 0:

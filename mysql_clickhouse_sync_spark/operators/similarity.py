@@ -833,14 +833,20 @@ def _enforce_dim(df: DataFrame, vec_col: str, expected: int,
     :func:`_require_dim` probe) fails the ingest job with the real
     cause instead of silently persisting mis-assigned rows via
     ``zip_with`` null-padding."""
+    # coalesce BOTH the condition and the message's size operand: for
+    # a NULL vector F.size is NULL, which would (a) null the condition
+    # so assert_true fires, but (b) null the concat'd message too — the
+    # job would fail WITHOUT the promised real-cause diagnostic
+    sz = F.coalesce(F.size(F.col(vec_col)), F.lit(-1))
     ok = F.assert_true(
-        F.size(F.col(vec_col)) == expected,
+        sz == expected,
         F.concat(
             F.lit(f"{what}: vector dimension "),
-            F.size(F.col(vec_col)).cast("string"),
+            sz.cast("string"),
             F.lit(
                 f" does not match the stored index's trained dimension "
                 f"{expected} — mixed-width batch; fix the feed"
+                " (dimension -1 = NULL vector)"
             ),
         ),
     )

@@ -532,6 +532,75 @@ def test_progressive_golden_ac_successive_approximation():
     assert (decode_jpeg(s2)[:, :, 0] == expect(2, 1)).all()
 
 
+def test_progressive_out_of_order_scan_scripts_rejected():
+    """T.81 G.1.1.1.1 scan-script ordering: an AC scan arriving before
+    the component's first DC scan, or a refinement (Ah>0) arriving
+    before the band's Ah=0 first scan, must fail with the real cause —
+    not decode silently against zeroed coefficients."""
+    dqt = bytes([0x00]) + bytes([1] * 64)
+    sof2 = (bytes([8]) + (8).to_bytes(2, "big")
+            + (16).to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    dc_bits = [0, 2] + [0] * 14
+    dht_dc = bytes([0x00]) + bytes(dc_bits) + bytes([5, 6])
+    ac_bits = [1] + [0] * 15
+    dht_ac = bytes([0x10]) + bytes(ac_bits) + bytes([0x10])
+    sos_dc = bytes([1, 1, 0x00, 0, 0, 0x00])
+    sos_ac = bytes([1, 1, 0x00, 1, 63, 0x00])
+    head = (b"\xff\xd8" + _seg(0xDB, dqt) + _seg(0xC2, sof2)
+            + _seg(0xC4, dht_dc) + _seg(0xC4, dht_ac))
+    # (a) the golden EOB-run stream with its scans SWAPPED: AC first
+    ac_first = (
+        head + _seg(0xDA, sos_ac) + bytes([0x3F])
+        + _seg(0xDA, sos_dc) + bytes([0x20, 0xC1]) + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="AC scan before the first DC"):
+        decode_jpeg(ac_first)
+    # (b) DC refinement (Ss=0, Ah=1) with no prior DC first scan
+    sos_dcr = bytes([1, 1, 0x00, 0, 0, 0x10])
+    dc_refine_first = (
+        head + _seg(0xDA, sos_dcr) + bytes([0x7F]) + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="refinement scan before first"):
+        decode_jpeg(dc_refine_first)
+    # (c) AC refinement whose band never had its Ah=0 first scan
+    sos_acr = bytes([1, 1, 0x00, 1, 63, 0x10])
+    ac_refine_first = (
+        head + _seg(0xDA, sos_dc) + bytes([0x20, 0xC1])
+        + _seg(0xDA, sos_acr) + bytes([0x7F]) + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="refinement scan before first"):
+        decode_jpeg(ac_refine_first)
+
+
+def test_progressive_refine_run_past_band_end_rejected():
+    """The refinement path carries the same corrupt-input contract as
+    the first-scan path: a decoded nonzero coefficient whose zero-run
+    skip overruns the band end raises 'AC run past band end' instead
+    of silently dropping the coefficient (hand-packed: band 1..2,
+    refinement symbol run=2/size=1 from k=1 runs past se=2)."""
+    dqt = bytes([0x00]) + bytes([1] * 64)
+    sof1 = (bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+            + bytes([1, 1, 0x11, 0]))
+    dc_bits = [1] + [0] * 15
+    dht_dc = bytes([0x00]) + bytes(dc_bits) + bytes([0])    # cat0 '0'
+    ac_bits = [1, 1] + [0] * 14         # '0' -> 0x21, '10' -> EOB
+    dht_ac = bytes([0x10]) + bytes(ac_bits) + bytes([0x21, 0x00])
+    sos_dc = bytes([1, 1, 0x00, 0, 0, 0x00])
+    sos_ac1 = bytes([1, 1, 0x00, 1, 2, 0x01])               # Al=1
+    sos_acr = bytes([1, 1, 0x00, 1, 2, 0x10])               # Ah=1
+    stream = (
+        b"\xff\xd8" + _seg(0xDB, dqt) + _seg(0xC2, sof1)
+        + _seg(0xC4, dht_dc) + _seg(0xC4, dht_ac)
+        + _seg(0xDA, sos_dc) + bytes([0x7F])                # DC diff 0
+        + _seg(0xDA, sos_ac1) + bytes([0xBF])               # EOB '10'
+        # refinement: sym '0' (run=2,size=1) + sign '1' -> '01' + pad
+        + _seg(0xDA, sos_acr) + bytes([0x7F])
+        + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="AC run past band end"):
+        decode_jpeg(stream)
+
+
 def test_progressive_golden_restart_intervals():
     """Hand-assembled SOF2 stream with DRI=1: both the DC scan and
     the AC scan carry an RSTn marker between their two blocks, so

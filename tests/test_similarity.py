@@ -943,6 +943,32 @@ def test_index_append_rejects_mixed_width_batch(spark):
         )
 
 
+def test_index_append_null_vector_fails_with_real_cause(spark):
+    """A NULL vector in an ingest batch: F.size is NULL, so without a
+    coalesce the assert fires with a NULL message (concat with a NULL
+    operand nulls the whole diagnostic) — the guard must fail the job
+    WITH the promised real-cause text, reporting dimension -1."""
+    import pytest
+    from pyspark.sql import Row
+
+    from mysql_clickhouse_sync_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_index_append,
+    )
+
+    vecs4 = _vecs(spark, [[1, 0, 1, 0], [0, 1, 0, 1], [1, 1, 1, 1],
+                          [2, 1, 2, 1]] * 3)
+    with_null = spark.createDataFrame(
+        [Row(vec_id=100, embedding=[1.0, 0.0, 0.0, 1.0]),
+         Row(vec_id=101, embedding=None)],
+        "vec_id long, embedding array<float>",
+    )
+    centroids, postings = ivf_build_index(vecs4, n_centroids=2)
+    grown = ivf_index_append(centroids, postings, with_null)
+    with pytest.raises(Exception, match="dimension -1 .*NULL vector"):
+        grown.collect()
+
+
 def test_pq_vs_index_rejects_bad_codebook_table(spark):
     import pytest
     from pyspark.sql import functions as F
