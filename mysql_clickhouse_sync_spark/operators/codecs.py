@@ -382,10 +382,94 @@ def encode_wav(samples, rate: int = 16_000, bits: int = 16) -> bytes:
     return _RIFF_MAGIC + struct.pack("<I", len(body)) + body
 
 
+# -- G.711 mu-law companding (ITU-T G.711, the telephony codec) -------
+#
+# The first NON-PCM audio format through the registry: 8-bit
+# logarithmic codewords <-> 14-bit linear PCM.  Both directions are
+# the closed-form integer transforms of the public spec (the CCITT
+# reference tables are exactly ((mant<<3)+BIAS)<<exp - BIAS), so a
+# DuckDB oracle replays the decode per sample — bit-exact by
+# construction, the same contract class as the 8-bit PCM path.
+
+_ULAW_BIAS = 0x84           # 132
+_ULAW_CLIP = 32635
+
+
+def ulaw_to_linear(codes):
+    """uint8 G.711 mu-law codewords -> int16 linear PCM (vectorized).
+    Per spec: complement, split sign/exponent/mantissa, then
+    magnitude = ((mant << 3) + 132) << exp) - 132 — identical to the
+    CCITT exp_lut table {0,132,396,...,16764} + (mant << (exp+3))."""
+    import numpy as np
+
+    u = (~np.asarray(codes, dtype=np.uint8)).astype(np.int32)
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant << 3) + _ULAW_BIAS) << exp) - _ULAW_BIAS
+    return np.where(u & 0x80, -mag, mag).astype(np.int16)
+
+
+def linear_to_ulaw(pcm):
+    """int16 linear PCM -> uint8 G.711 mu-law codewords (vectorized).
+    Magnitudes clip at 32635 per spec; exponent is the MSB position of
+    the biased magnitude's segment (7 integer threshold compares — no
+    float log whose edge rounding could mis-bin exact powers of two).
+    Inverse property (encode(decode(c)) == c for every codeword except
+    the redundant negative zero 0x7F -> 0xFF) is pinned in tests."""
+    import numpy as np
+
+    x = np.asarray(pcm, dtype=np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), _ULAW_CLIP) + _ULAW_BIAS
+    seg = mag >> 7
+    exp = np.zeros_like(mag)
+    for i in range(1, 8):
+        exp += (seg >= (1 << i)).astype(np.int32)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant)).astype(np.uint8)
+
+
+def encode_wav_ulaw(samples, rate: int = 8_000) -> bytes:
+    """float array in [-1, 1] -> mono G.711 mu-law WAV bytes
+    (audio_format=7, 8 bits per sample): quantize to int16 like the
+    PCM path, compand with :func:`linear_to_ulaw`, wrap in the same
+    RIFF layout with WAVE_FORMAT_MULAW."""
+    import numpy as np
+
+    x = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    if x.ndim != 1:
+        raise ValueError(f"encode_wav_ulaw needs a 1-D array, got {x.shape}")
+    if len(x) == 0:
+        raise ValueError("encode_wav_ulaw needs a non-empty sample array")
+    pcm = np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int16)
+    return encode_wav_ulaw_codes(linear_to_ulaw(pcm), rate)
+
+
+def encode_wav_ulaw_codes(codes, rate: int = 8_000) -> bytes:
+    """Raw mu-law CODEWORDS -> the WAV container (audio_format=7).
+    The golden-fixture builder: graded rows generate closed-form
+    codewords directly so the decoded samples are exact by
+    construction, independent of the linear->ulaw encoder (the same
+    separation the JPEG golden streams use)."""
+    import numpy as np
+
+    data = np.asarray(codes, dtype=np.uint8).tobytes()
+    if len(data) == 0:
+        raise ValueError("encode_wav_ulaw_codes needs a non-empty array")
+    fmt = struct.pack("<HHIIHH", 7, 1, rate, rate, 1, 8)
+    body = (
+        _WAVE_MAGIC
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return _RIFF_MAGIC + struct.pack("<I", len(body)) + body
+
+
 def decode_wav(payload: bytes):
-    """PCM WAV bytes -> (waveform float64 in [-1, 1), sample_rate).
-    Accepts 16-bit and 8-bit PCM, any channel count (downmixed to
-    mono by per-sample mean); rejects compressed formats and
+    """WAV bytes -> (waveform float64 in [-1, 1), sample_rate).
+    Accepts 16-bit and 8-bit linear PCM (audio_format=1) and 8-bit
+    G.711 mu-law (audio_format=7), any channel count (downmixed to
+    mono by per-sample mean); rejects other compressed formats and
     malformed chunk streams with the real cause."""
     import numpy as np
 
@@ -417,13 +501,22 @@ def decode_wav(payload: bytes):
     audio_format, channels, rate, _br, _ba, bits = struct.unpack_from(
         "<HHIIHH", fmt, 0
     )
-    if audio_format != 1:
+    if audio_format not in (1, 7):
         raise ValueError(
-            f"unsupported WAV: audio_format={audio_format} (only PCM=1)"
+            f"unsupported WAV: audio_format={audio_format} "
+            "(only PCM=1 and G.711 mu-law=7)"
         )
     if channels < 1 or rate <= 0:
         raise ValueError(f"bad WAV header: channels={channels} rate={rate}")
-    if bits == 16:
+    if audio_format == 7:
+        if bits != 8:
+            raise ValueError(
+                f"corrupt WAV: mu-law with bits={bits} (spec: 8)"
+            )
+        x = ulaw_to_linear(
+            np.frombuffer(data, dtype=np.uint8)
+        ).astype(np.float64) / 32768.0
+    elif bits == 16:
         x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
     elif bits == 8:
         x = (

@@ -441,6 +441,107 @@ def media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_stats(_pcm_wav_media(docs))
 
 
+def _ulaw_wav_media(docs: DataFrame) -> DataFrame:
+    """doc ids -> REAL mono G.711 mu-law WAVs (audio_format=7) via the
+    container builder (operators/codecs.py::encode_wav_ulaw_codes).
+    The CODEWORDS are closed-form — code k = (7·id + 13·k) % 256 over
+    n = 50 + id % 40 samples at 8 kHz (the telephony rate) — so the
+    decoded PCM is the spec's exact integer transform of each code and
+    DuckDB replays it per sample: u = 255 - c, then
+    ±(((u%16)·8 + 132) << ((u//16)%8)) - 132.  Sums of pcm/2^15 (and
+    of pcm²/2^30) stay exact in float64 for n <= 89, so mean/RMS are
+    order-insensitive and oracle-reproducible, same contract class as
+    the 8-bit PCM row."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.codecs import encode_wav_ulaw_codes
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 50 + did % 40
+                codes = ((7 * did + 13 * np.arange(n)) % 256).astype(
+                    np.uint8
+                )
+                rows.append(
+                    (
+                        did,
+                        "audio",
+                        "audio/wav",
+                        bytearray(encode_wav_ulaw_codes(codes, 8_000)),
+                        None,
+                        None,
+                        int(n * 1000 / 8_000),
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+                )
+
+    return docs.select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+
+
+@register(
+    "media_audio_ulaw",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, 50 + doc_id % 40 AS n FROM documents
+    ), p AS (
+        SELECT doc_id, n,
+            list_transform(
+                list_transform(range(0, n),
+                               k -> 255 - (7*doc_id + 13*k) % 256),
+                u -> CASE WHEN u >= 128
+                     THEN 132 - ((u % 16) * 8 + 132)
+                              * (1 << ((u // 16) % 8))
+                     ELSE ((u % 16) * 8 + 132)
+                              * (1 << ((u // 16) % 8)) - 132 END
+            ) AS pcm
+        FROM d
+    ), s AS (
+        SELECT doc_id, n,
+            list_sum(pcm) AS s1,
+            list_sum(list_transform(pcm, v -> v * v)) AS s2,
+            pcm[1] AS p0, pcm[n] AS plast
+        FROM p
+    )
+    SELECT doc_id AS media_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(8000 AS INT) AS sample_rate,
+           (CAST(s1 AS DOUBLE) / 32768.0) / n AS mean_amp,
+           sqrt((CAST(s2 AS DOUBLE) / 1073741824.0) / n) AS rms_amp,
+           CAST(p0 AS DOUBLE) / 32768.0 AS amp0,
+           CAST(plast AS DOUBLE) / 32768.0 AS amp_last
+    FROM s
+    """,
+    description="COMPANDED AUDIO through the codec registry — the "
+    "first NON-PCM audio format (G.711 mu-law, ITU-T public spec): "
+    "tiny real WAV containers with audio_format=7 carry closed-form "
+    "8-bit logarithmic CODEWORDS, and decode runs the spec's exact "
+    "integer expansion (complement -> sign/exponent/mantissa -> "
+    "((mant<<3)+132)<<exp - 132) before the same /32768 scaling as "
+    "linear PCM.  Because the codewords are generated closed-form "
+    "(the JPEG-golden separation: fixture independent of our own "
+    "linear->ulaw encoder), DuckDB replays the decode per sample and "
+    "every statistic hash-matches bit-for-bit: pcm sums and square "
+    "sums are exact integers, scaled by powers of two (exact), with "
+    "one double division (+ sqrt) at the end.  amp0/amp_last pin "
+    "sample order; the decoder is independently pinned against "
+    "hand-computed spec codewords and a hand-constructed format-7 "
+    "container in tests/test_codecs.py",
+)
+def media_audio_ulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import audio_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_stats(_ulaw_wav_media(docs))
+
+
 def _avi_bmp_media(docs: DataFrame) -> DataFrame:
     """doc ids -> REAL tiny AVI videos of BMP frames via the
     production encoders (operators/codecs.py::encode_avi/encode_bmp).

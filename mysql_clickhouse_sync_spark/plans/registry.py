@@ -260,6 +260,32 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 # OUT: corpus_doc_chunks (green r4-r7; chunking stays hash-checked
 # by check_oracle/ci_gate every round and composed in
 # docs_duplicate_chunks's gate checks; corpus keeps 8 graded rows).
+#
+# ROUND-9 ROTATION (enter-on-add, ledgered in PARITY.md "Round 9
+# deltas").  IN: emb_index_rebuild_swap (r8 verdict item 1 — the
+# LAST ungraded lifecycle step: drift trigger -> retrain on the
+# grown corpus -> atomic rename-before-delete swap of the persisted
+# index -> reload + equality to a fresh build, post-rebuild stats
+# fully hash-oracled) and emb_index_compacted_search (r8 item 2 —
+# pipeline/compact.py driven ON the graded surface: 3 append waves
+# into a partitionBy(_cid) postings dir, bin-pack compaction, then
+# the recall-audited search of the COMPACTED index, row-equality to
+# the uncompacted search asserted).  OUT: emb_topk_vs_index (green
+# r7-r8; its read-half search is graded MORE strongly by the
+# compacted/append rows — same stored-index search against REAL
+# partitioned parquet — and stays hash-checked every round; the r8
+# emb_ivf_topk precedent), corpus_pack_assignments (green r4-r8;
+# pack_documents stays DRIVER-GRADED inside corpus_pack_incremental,
+# which builds its prior state with the identical operator).
+# Also IN (enter-on-add): media_audio_ulaw — the first NON-PCM audio
+# codec (G.711 mu-law, r8 item 5): closed-form codewords through the
+# registry WAV container (audio_format=7), spec's integer expansion
+# replayed per sample by DuckDB, bit-exact stats.  OUT:
+# q2_min_cost_supplier (green r1-r8, the window's longest-green row;
+# the min-cost-supplier join shape stays hash-checked by
+# check_oracle/ci_gate every round; analytics keeps
+# orders_in_promo_windows + lineitem_cube_stats + customer_order_gaps
+# graded).
 # Also IN (enter-on-add): cdc_mux_schema_evolution — ADDITIVE schema
 # evolution mid-stream on the live mux runtime (widen the decode
 # schema between two checkpointed drains, no restart; pre-evolution
@@ -279,7 +305,6 @@ DRIVER_WINDOW = (
     "cdc_reconciliation",
     "cdc_tombstoned_keys",
     # representative analytics shapes
-    "q2_min_cost_supplier",
     "orders_in_promo_windows",
     "lineitem_cube_stats",
     "customer_order_gaps",
@@ -304,27 +329,29 @@ DRIVER_WINDOW = (
     # corpus preparation (rotated in, round 4)
     "corpus_pii_scrub",
     "corpus_contamination",
-    "corpus_pack_assignments",
     "corpus_pack_incremental",
     "corpus_curation_v2",
     "docs_leakage_safe_splits",
     "docs_domain_mixture",
     # embeddings / similarity search: the stored-index incremental
-    # lifecycle (r7 read half, r8 append/write half)
+    # lifecycle (r7 read half, r8 append/write half, r9 maintenance:
+    # rebuild-and-swap + compaction)
     "emb_index_append_search",
     "emb_pq_vs_index",
     "emb_dedup_append_chain",
     "emb_semantic_dedup",
-    "emb_topk_vs_index",
+    "emb_index_compacted_search",
     "emb_dedup_incremental",
     "emb_index_drift_stats",
-    # multimodal (the real-codec paths: PNG, JPEG, GIF, WAV, AVI
-    # demux + in-frame BMP decode)
+    "emb_index_rebuild_swap",
+    # multimodal (the real-codec paths: PNG, JPEG, GIF, WAV + mu-law,
+    # AVI demux + in-frame BMP decode)
     "media_decode_png",
     "media_decode_jpeg",
     "media_decode_jpeg_prog",
     "media_decode_gif",
     "media_audio_stats",
+    "media_audio_ulaw",
     "media_video_frames",
     "media_video_mjpeg",
     # SQL surface

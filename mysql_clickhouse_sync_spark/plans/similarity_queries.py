@@ -1635,3 +1635,320 @@ def emb_index_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frac",
         "skew",
     )
+
+
+# -- stored-index lifecycle: rebuild-and-swap + compaction -------------
+
+
+def _semantic_index_dir(spark: SparkSession, sf_dir: str, tag: str) -> str:
+    """Session+SF-scoped scratch dir for persisted-index graded rows
+    (the emb_dedup_incremental_raw naming convention)."""
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"{tag}_{spark.sparkContext.applicationId}_"
+        + os.path.basename(sf_dir.rstrip("/")),
+    )
+
+
+def _write_semantic_index(idx: dict, path: str) -> None:
+    import os
+
+    for name in ("centroids", "assigned", "pairs"):
+        idx[name].write.mode("overwrite").parquet(os.path.join(path, name))
+
+
+def _read_semantic_index(spark: SparkSession, path: str) -> dict:
+    import os
+
+    return {
+        name: spark.read.parquet(os.path.join(path, name))
+        for name in ("centroids", "assigned", "pairs")
+    }
+
+
+@register(
+    "emb_index_rebuild_swap",
+    oracle=f"""
+    WITH e0 AS (
+        SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE vec_id % 4 = 0
+        ORDER BY vec_id LIMIT 1
+    ), e AS (
+        -- the GROWN corpus the rebuild retrains on: slice A plus the
+        -- skewed ingest batch (every % 12 = 2 id carries A's min-id
+        -- vector — a shifted distribution by construction)
+        SELECT vec_id,
+               CASE WHEN vec_id % 12 = 2 THEN (SELECT v FROM e0)
+                    ELSE list_transform(embedding, x -> CAST(x AS DOUBLE))
+               END AS v
+        FROM embeddings WHERE vec_id % 4 = 0 OR vec_id % 12 = 2
+    ), n AS (
+        SELECT vec_id,
+               list_transform(v, x -> x / sqrt({_dot('v', 'v')})) AS u
+        FROM e
+    ), cents AS (
+        -- the RETRAINED quantizer: first k_new over the grown corpus,
+        -- k_new = max(8, |grown| // 1000) — the rebuild re-derives k
+        SELECT vec_id AS cid, u AS cu FROM (
+            SELECT vec_id, u,
+                   row_number() OVER (ORDER BY vec_id) AS _crn
+            FROM n
+        ) WHERE _crn <= greatest(
+            8, (SELECT count(*) FROM embeddings
+                WHERE vec_id % 4 = 0 OR vec_id % 12 = 2) // 1000
+        )
+    ), coarse AS (
+        SELECT cid AS gid, cu AS gu FROM (
+            SELECT cid, cu, row_number() OVER (ORDER BY cid) AS _grn
+            FROM cents
+        ) WHERE _grn <= greatest(1, CAST(floor(sqrt(greatest(
+            8, (SELECT count(*) FROM embeddings
+                WHERE vec_id % 4 = 0 OR vec_id % 12 = 2) // 1000
+        ))) AS BIGINT))
+    ), cent_cell AS (
+        SELECT cid, cu, gid FROM (
+            SELECT c.cid, c.cu, g.gid, row_number() OVER (
+                PARTITION BY c.cid
+                ORDER BY {_dot('c.cu', 'g.gu')} DESC, g.gid
+            ) AS _cr FROM cents c CROSS JOIN coarse g
+        ) WHERE _cr = 1
+        UNION
+        SELECT gid AS cid, gu AS cu, gid FROM coarse
+    ), vec_cell AS (
+        SELECT vec_id, u, gid FROM (
+            SELECT n.vec_id, n.u, g.gid, row_number() OVER (
+                PARTITION BY n.vec_id
+                ORDER BY {_dot('n.u', 'g.gu')} DESC, g.gid
+            ) AS _vr FROM n CROSS JOIN coarse g
+        ) WHERE _vr = 1
+    ), scored AS (
+        SELECT v.vec_id, c.cid, {_dot('v.u', 'c.cu')} AS cos_c
+        FROM vec_cell v JOIN cent_cell c ON v.gid = c.gid
+    ), assigned AS (
+        SELECT vec_id, cid FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cos_c DESC, cid
+            ) AS rn FROM scored
+        ) WHERE rn = 1
+    ), occ AS (
+        SELECT cid, count(*) AS nn FROM assigned GROUP BY cid
+    ), tot AS (
+        SELECT sum(nn) AS t,
+               greatest(8, (SELECT count(*) FROM embeddings
+                            WHERE vec_id % 4 = 0 OR vec_id % 12 = 2)
+                           // 1000) AS k
+        FROM occ
+    )
+    SELECT CAST(o.cid AS BIGINT) AS cid,
+           CAST(o.nn AS BIGINT) AS n,
+           o.nn / CAST(t.t AS DOUBLE) AS frac,
+           o.nn * t.k / CAST(t.t AS DOUBLE) AS skew,
+           TRUE AS drift_tripped,
+           TRUE AS swap_equals_fresh
+    FROM occ o, tot t
+    """,
+    description="THE REBUILD-AND-SWAP — the last step of the stored-"
+    "index lifecycle, end-to-end on real storage: build the semantic "
+    "index on slice A (vec_id % 4 = 0) and PERSIST it (parquet, the "
+    "'current' dir); ingest a skewed batch (% 12 = 2 ids all carrying "
+    "A's min-id vector — a shifted distribution by construction) via "
+    "semantic_index_append under the STORED quantizer; the graded "
+    "drift monitor (ivf_cell_stats) then reads a hot cell and "
+    "drift_tripped asserts max skew >= 2.2 (measured >= 2.7 at all "
+    "three harness scales) — the rebuild TRIGGER firing for real.  "
+    "The response executes: retrain semantic_index_build on the GROWN "
+    "corpus (k re-derived), write to a staging dir, then the ATOMIC "
+    "rename-before-delete swap (current -> retired, staging -> "
+    "current, delete retired — the same contract the ANN concurrent-"
+    "read tests pin; Spark analogue of the reference's delete-"
+    "position-file full resync, /root/reference/src/cdc_replicator.py"
+    ":65-79).  swap_equals_fresh re-reads the swapped dir and asserts "
+    "assignment + pair-count equality to an in-session fresh build of "
+    "the same corpus (parquet round-trip + rename correctness).  The "
+    "hash contract: the output is the POST-REBUILD drift stats over "
+    "the reloaded swapped index, fully replayed by DuckDB (the "
+    "deterministic first-k quantizer over the grown corpus — the "
+    "emb_index_drift_stats oracle retargeted at the retrained rule)",
+)
+def emb_index_rebuild_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..operators.similarity import ivf_cell_stats
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 4 == 0).select("vec_id", "embedding")
+    # skewed ingest batch: every % 12 = 2 id carries A's min-id vector
+    u0 = (
+        a.orderBy("vec_id").limit(1)
+        .select(F.col("embedding").alias("_e0"))
+    )
+    b = (
+        emb.filter(F.col("vec_id") % 12 == 2)
+        .select("vec_id")
+        .crossJoin(F.broadcast(u0))
+        .select("vec_id", F.col("_e0").alias("embedding"))
+    )
+    base = _semantic_index_dir(spark, sf_dir, "emb_rebuild")
+    if os.path.isdir(base):
+        shutil.rmtree(base)
+    cur = os.path.join(base, "current")
+    # day 0: build + persist
+    _write_semantic_index(semantic_index_build(a), cur)
+    # day 1: append the skewed batch under the STORED (reloaded) index
+    stored = _read_semantic_index(spark, cur)
+    grown = semantic_index_append(
+        stored["centroids"], stored["assigned"], stored["pairs"], b
+    )
+    k_old = int(stored["centroids"].select("k_nominal").first()[0])
+    drift = ivf_cell_stats(
+        grown["assigned"].select(F.col("cid").alias("_cid")),
+        n_centroids=k_old,
+    )
+    max_skew = float(drift.agg(F.max("skew")).first()[0])
+    drift_tripped = max_skew >= 2.2
+    # the rebuild the trigger demands: retrain on the grown corpus,
+    # stage, then atomically swap (rename before delete)
+    union = a.unionByName(b)
+    staging = os.path.join(base, "staging")
+    retired = os.path.join(base, "retired")
+    _write_semantic_index(semantic_index_build(union), staging)
+    os.rename(cur, retired)
+    os.rename(staging, cur)
+    shutil.rmtree(retired)
+    # reload the swapped index; prove equality to a fresh build
+    swapped = _read_semantic_index(spark, cur)
+    fresh = semantic_index_build(union)
+    sw = swapped["assigned"].select("vec_id", "cid")
+    fr = fresh["assigned"].select("vec_id", "cid")
+    swap_equals_fresh = (
+        sw.exceptAll(fr).count() == 0
+        and fr.exceptAll(sw).count() == 0
+        and swapped["pairs"].count() == fresh["pairs"].count()
+    )
+    k_new = int(swapped["centroids"].select("k_nominal").first()[0])
+    stats = ivf_cell_stats(
+        swapped["assigned"].select(F.col("cid").alias("_cid")),
+        n_centroids=k_new,
+    )
+    return stats.select(
+        F.col("cid").cast("long").alias("cid"),
+        F.col("n").cast("long").alias("n"),
+        "frac",
+        "skew",
+        F.lit(bool(drift_tripped)).alias("drift_tripped"),
+        F.lit(bool(swap_equals_fresh)).alias("swap_equals_fresh"),
+    )
+
+
+@register(
+    "emb_index_compacted_search",
+    oracle="""
+    SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_returned,
+           TRUE AS recall_ok, TRUE AS mean_recall_ok,
+           TRUE AS compaction_ran,
+           TRUE AS compacted_equals_uncompacted
+    FROM embeddings WHERE vec_id % 50 = 1
+    """,
+    description="STORAGE MAINTENANCE ON THE GRADED SURFACE — the "
+    "small-file hazard every daily 100 TB append loop hits first, "
+    "driven end-to-end on a REAL partitioned postings dir: build the "
+    "IVF index on the old slice (vec_id % 4 = 0), persist postings "
+    "partitionBy(_cid), append THREE ingest waves (% 12 = 2, 6, 10 — "
+    "together the % 4 = 2 batch) as separate writes into the "
+    "partition dirs (ivf_index_append under the stored centroids — "
+    "each wave multiplies the per-partition file count, exactly the "
+    "one-file-per-microbatch-per-partition degradation "
+    "pipeline/compact.py exists for), then plan_table_compaction + "
+    "execute_compaction bin-pack each partition back to one file "
+    "(verified staging write, rename in, delete originals).  "
+    "compaction_ran asserts files were actually removed and the "
+    "file count strictly dropped; compacted_equals_uncompacted "
+    "asserts the SEARCH over the compacted dir returns row-for-row "
+    "(incl. cosine doubles) what the pre-compaction dir returned.  "
+    "The graded output is the recall-audited search of the compacted "
+    "index (prune_cells=True: the probed-cells partition filter "
+    "prunes the compacted files at the SCAN), same floors as "
+    "emb_index_append_search (identical index params and corpus: "
+    "min >= 2, mean >= 3.75 vs the exact top-5 over all even ids)",
+)
+def emb_index_compacted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..operators.similarity import (
+        brute_force_topk_vectorized,
+        ivf_build_index,
+        ivf_index_append,
+        ivf_topk_vs_index,
+    )
+    from ..pipeline.compact import (
+        CompactionPolicy,
+        execute_compaction,
+        list_data_files,
+        plan_table_compaction,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 4 == 0)
+    queries = emb.filter(F.col("vec_id") % 50 == 1)
+    base = _semantic_index_dir(spark, sf_dir, "emb_compact")
+    if os.path.isdir(base):
+        shutil.rmtree(base)
+    pdir = os.path.join(base, "postings")
+    centroids, postings = ivf_build_index(old, n_centroids=16)
+    postings.write.partitionBy("_cid").parquet(pdir)
+    centroids_stored = centroids.localCheckpoint()
+    # three daily waves: assign under the STORED centroids, append
+    # ONLY the new rows into the partition dirs (history untouched)
+    for w in (2, 6, 10):
+        wave = emb.filter(F.col("vec_id") % 12 == w)
+        new_rows = ivf_index_append(
+            centroids_stored,
+            spark.read.parquet(pdir).limit(0),
+            wave,
+        )
+        new_rows.write.mode("append").partitionBy("_cid").parquet(pdir)
+    # search BEFORE compaction (the baseline the compacted read must
+    # reproduce row-for-row)
+    before = ivf_topk_vs_index(
+        centroids_stored, spark.read.parquet(pdir), queries,
+        k=5, nprobe=12, prune_cells=True,
+    ).localCheckpoint()
+    files_before = len(list_data_files(pdir))
+    plan = plan_table_compaction(
+        pdir,
+        policy=CompactionPolicy(max_small_files=2),
+        only_triggered=True,
+    )
+    result = execute_compaction(spark, plan)
+    files_after = len(list_data_files(pdir))
+    compaction_ran = (
+        result.files_removed > 0
+        and not result.errors
+        and files_after < files_before
+    )
+    after = ivf_topk_vs_index(
+        centroids_stored, spark.read.parquet(pdir), queries,
+        k=5, nprobe=12, prune_cells=True,
+    ).localCheckpoint()
+    equal = (
+        before.exceptAll(after).count() == 0
+        and after.exceptAll(before).count() == 0
+    )
+    union = emb.filter(F.col("vec_id") % 2 == 0)
+    exact = brute_force_topk_vectorized(union, queries, k=5)
+    audit = _ann_recall_audit(
+        after, exact, min_matched=2, mean_min_matched=3.75
+    )
+    return audit.select(
+        "query_id",
+        "n_returned",
+        "recall_ok",
+        "mean_recall_ok",
+        F.lit(bool(compaction_ran)).alias("compaction_ran"),
+        F.lit(bool(equal)).alias("compacted_equals_uncompacted"),
+    )

@@ -519,6 +519,93 @@ def test_wav_encode_rejects_empty():
         encode_wav(np.array([]))
 
 
+# -- G.711 mu-law ------------------------------------------------------
+
+def test_ulaw_decode_golden_codewords():
+    """Hand-computed spec values, independent of our encoder: the
+    zero pair (0xFF positive zero, 0x7F negative zero), the extremes
+    (0x00 -> -32124, 0x80 -> +32124 — the spec's max magnitude), and
+    one mid-segment pair (u=0x18: exp 1, mant 8 -> CCITT
+    exp_lut[1]=132 plus 8<<4 = 260)."""
+    from mysql_clickhouse_sync_spark.operators.codecs import ulaw_to_linear
+
+    assert list(ulaw_to_linear([0xFF, 0x7F, 0x00, 0x80, 0xE7, 0x67])) == [
+        0, 0, -32124, 32124, 260, -260,
+    ]
+
+
+def test_ulaw_encode_decode_identity_on_codewords():
+    """encode(decode(c)) == c for every codeword EXCEPT the redundant
+    negative zero 0x7F, which re-encodes to the canonical positive
+    zero 0xFF — the one many-to-one point of the spec's grid."""
+    from mysql_clickhouse_sync_spark.operators.codecs import (
+        linear_to_ulaw,
+        ulaw_to_linear,
+    )
+
+    codes = np.arange(256, dtype=np.uint8)
+    rt = linear_to_ulaw(ulaw_to_linear(codes))
+    diffs = [(int(c), int(r)) for c, r in zip(codes, rt) if c != r]
+    assert diffs == [(0x7F, 0xFF)]
+
+
+def test_ulaw_wav_container_golden_bytes():
+    """Hand-constructed RIFF/WAVE with audio_format=7 (independent of
+    encode_wav_ulaw_codes): three known codewords decode through the
+    registry WAV path to their spec PCM values / 32768."""
+    import struct as _st
+
+    from mysql_clickhouse_sync_spark.operators.codecs import decode_wav
+
+    fmt = _st.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+    data = bytes([0xFF, 0x00, 0xE7])
+    body = (b"WAVE"
+            + b"fmt " + _st.pack("<I", len(fmt)) + fmt
+            + b"data" + _st.pack("<I", len(data)) + data)
+    wave, rate = decode_wav(b"RIFF" + _st.pack("<I", len(body)) + body)
+    assert rate == 8000
+    assert wave.tolist() == [0.0, -32124 / 32768.0, 260 / 32768.0]
+
+
+def test_ulaw_wav_round_trip_and_companding_error():
+    """Production float path: encode_wav_ulaw -> decode_wav lands on
+    the companded grid with bounded error (logarithmic: coarse near
+    full scale, fine near zero), and codes-in == exact samples out."""
+    from mysql_clickhouse_sync_spark.operators.codecs import (
+        decode_wav,
+        encode_wav_ulaw,
+        encode_wav_ulaw_codes,
+        ulaw_to_linear,
+    )
+
+    t = np.sin(np.linspace(0.0, 6.0, 200)) * 0.7
+    wave, rate = decode_wav(encode_wav_ulaw(t, rate=16_000))
+    assert rate == 16_000
+    assert np.abs(wave - t).max() < 0.03
+    codes = (np.arange(90) * 29 % 256).astype(np.uint8)
+    wave2, _ = decode_wav(encode_wav_ulaw_codes(codes, 8_000))
+    assert np.array_equal(
+        wave2, ulaw_to_linear(codes).astype(np.float64) / 32768.0
+    )
+
+
+def test_ulaw_wav_rejects_malformed():
+    from mysql_clickhouse_sync_spark.operators.codecs import (
+        decode_wav,
+        encode_wav_ulaw,
+        encode_wav_ulaw_codes,
+    )
+
+    good = bytearray(encode_wav_ulaw(np.zeros(4)))
+    good[34] = 16                    # bits byte inside the fmt chunk
+    with pytest.raises(ValueError, match="mu-law with bits=16"):
+        decode_wav(bytes(good))
+    with pytest.raises(ValueError, match="non-empty"):
+        encode_wav_ulaw(np.array([]))
+    with pytest.raises(ValueError, match="non-empty"):
+        encode_wav_ulaw_codes(np.array([], dtype=np.uint8))
+
+
 # -- AVI demux ---------------------------------------------------------
 
 def _avi_golden_bytes():

@@ -84,7 +84,7 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         "docs_domain_mixture",
         # round-4 rotation: the corpus-prep family is driver-graded
         "corpus_pii_scrub",
-        "corpus_contamination", "corpus_pack_assignments",
+        "corpus_contamination",
         "corpus_pack_incremental", "corpus_curation_v2",
         "docs_leakage_safe_splits",
         # round-6 rotation: the real-codec decode path and append-mode
@@ -107,7 +107,7 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         # daily-batch path), plus the stream-stream interval join
         # graded across two checkpointed drains (events_type_pivot,
         # green r6, cedes its slot and stays gate-checked)
-        "emb_topk_vs_index", "emb_dedup_incremental",
+        "emb_dedup_incremental",
         "events_streaming_interval_join",
         # and the second real codec path (stdlib-zlib PNG);
         # orders_value_histogram (green r6) cedes its slot
@@ -168,6 +168,18 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         # its slot (the quality gate stays driver-graded inside
         # corpus_curation_v2 + docs_curation_pipeline)
         "media_decode_jpeg_prog",
+        # round-9 rotation (enter-on-add; ledger: PARITY.md "Round 9
+        # deltas"): the stored-index MAINTENANCE rows — rebuild-and-
+        # swap (drift trigger -> retrain -> atomic rename-before-
+        # delete swap -> equality to fresh build) and compaction
+        # (append waves -> bin-pack -> search equality), plus the
+        # first non-PCM audio codec (G.711 mu-law).  Ceded slots:
+        # emb_topk_vs_index (read half graded more strongly by the
+        # compacted/append rows), corpus_pack_assignments
+        # (pack_documents stays graded inside corpus_pack_incremental),
+        # q2_min_cost_supplier (green r1-r8, longest-green)
+        "emb_index_rebuild_swap", "emb_index_compacted_search",
+        "media_audio_ulaw",
     }
     assert required <= window, sorted(required - window)
     # every docs_/emb_/media_/sql_ query is in the graded window,
@@ -254,6 +266,12 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         # r8: slot ceded to media_video_mjpeg; tokenizer-support shape
         # stays hash-checked off-window every round
         "docs_bpe_first_merges",
+        # r9: slot ceded to the stored-index maintenance rows; the
+        # read-half search it graded is graded MORE strongly by
+        # emb_index_compacted_search + emb_index_append_search (the
+        # same stored-index search, against REAL partitioned parquet)
+        # and stays hash-checked by check_oracle/ci_gate every round
+        "emb_topk_vs_index",
     }
     surface = {
         n for n in qs
