@@ -286,6 +286,27 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 # check_oracle/ci_gate every round; analytics keeps
 # orders_in_promo_windows + lineitem_cube_stats + customer_order_gaps
 # graded).
+# Also IN (enter-on-add): events_streaming_interval_join_full — the
+# FULL-outer stream-stream interval join (r8 item 6), completing the
+# join family: both-side NULL-match emission under the
+# min-across-streams watermark, coalesced-key contract for
+# right-only rows, flushed by the SHARED both-side sentinel drain;
+# batch FULL range join is the exact hash oracle.  OUT:
+# events_streaming_interval_join (green r7-r8; its match set is
+# graded IDENTICALLY inside the full-outer row — one shared
+# implementation, matched pairs hash-equal the inner set — and the
+# inner row stays hash-checked every round; streaming keeps 6 graded
+# runtime rows).
+# Also IN (enter-on-add): cdc_mux_restart_recovery — C8 on the mux
+# runtime (r8 item 8): the stream is KILLED mid-drain after a
+# PARTIAL per-table application (orders slice on disk, batch
+# uncommitted), run_stream_with_restart reopens from the same
+# checkpoint, the replayed batch's duplicate appends are absorbed by
+# dedup-latest, and both live views hash-match the same single-table
+# oracles as the no-crash row.  OUT: docs_top_jaccard_pairs (green
+# r6-r8; the SAME n-gram Jaccard operator stays graded via
+# docs_top_jaccard_pairs_capped — the scale-safe hot-bucket-capped
+# twin — and the uncapped row stays hash-checked every round).
 # Also IN (enter-on-add): cdc_mux_schema_evolution — ADDITIVE schema
 # evolution mid-stream on the live mux runtime (widen the decode
 # schema between two checkpointed drains, no restart; pre-evolution
@@ -300,6 +321,7 @@ DRIVER_WINDOW = (
     "cdc_streaming_live",
     "cdc_streaming_upsert",
     "cdc_multi_table_mux",
+    "cdc_mux_restart_recovery",
     "cdc_mux_schema_evolution",
     "cdc_scd2_history",
     "cdc_reconciliation",
@@ -316,11 +338,10 @@ DRIVER_WINDOW = (
     "events_streaming_enriched",
     "events_streaming_append",
     "events_streaming_dedup",
-    "events_streaming_interval_join",
     "events_streaming_interval_join_outer",
+    "events_streaming_interval_join_full",
     # text / dedup pipeline
     "docs_repetition_stats",
-    "docs_top_jaccard_pairs",
     "docs_top_jaccard_pairs_capped",
     "docs_minhash_candidates",
     "docs_dedup_incremental",

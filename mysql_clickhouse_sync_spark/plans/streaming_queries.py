@@ -565,12 +565,12 @@ def _interval_join_two_drains(
         "event_id", "user_id", "tsi", "value"
     )
     mid_us = _interval_join_boundary_us(clicks, purchases)
-    # max_us feeds only the OUTER row's eviction sentinel; the inner
+    # max_us feeds only the OUTER rows' eviction sentinel; the inner
     # row discards it — computing it unconditionally would pay one
     # full extra scan of events per inner-row build
     max_us = (
         ev_i.agg(F.max(F.unix_micros("tsi"))).first()[0]
-        if how == "left_outer"
+        if how in ("left_outer", "full_outer")
         else None
     )
     us = lambda c: F.unix_micros(F.col(c))  # noqa: E731
@@ -647,17 +647,33 @@ def events_streaming_interval_join_outer(
         how="left_outer",
     )
 
-    # ONE sentinel row on EACH source (negative ids, user -1): the
-    # join watermark is min over both inputs, so both must advance
-    # for eviction to see it.  One sentinel DRAIN suffices: its data
-    # batch advances the watermark past every data window, and the
-    # availableNow trigger's trailing no-data batch evicts against
-    # the advanced watermark in the same drain (the behavior
-    # _drain_append documents; default noDataMicroBatches).  Every
-    # column is wrapped NULLABLE (when(true, ...)): bare literals
-    # write REQUIRED parquet fields, and a source whose read schema
-    # flips nullability between drains fails the restarted query with
-    # STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE.
+    _interval_join_sentinel_drain(
+        spark, src_l, src_r, ckpt, sink, joined, max_us
+    )
+    return (
+        spark.read.parquet(sink)
+        .filter(F.col("click_id") >= 0)
+        .localCheckpoint()
+    )
+
+
+def _interval_join_sentinel_drain(
+    spark: SparkSession, src_l: str, src_r: str, ckpt: str, sink: str,
+    joined, max_us: int,
+) -> None:
+    """ONE sentinel row on EACH source (negative ids, user -1): the
+    join watermark is min over both inputs, so both must advance
+    for eviction to see it.  One sentinel DRAIN suffices: its data
+    batch advances the watermark past every data window, and the
+    availableNow trigger's trailing no-data batch evicts against
+    the advanced watermark in the same drain (the behavior
+    _drain_append documents; default noDataMicroBatches).  Every
+    column is wrapped NULLABLE (when(true, ...)): bare literals
+    write REQUIRED parquet fields, and a source whose read schema
+    flips nullability between drains fails the restarted query with
+    STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE.  Shared by the
+    left-outer and full-outer graded rows so the flush contract
+    cannot drift between them."""
     n = lambda c: F.when(F.lit(True), c)  # noqa: E731
     ts = F.timestamp_micros(F.lit(max_us + 36_000_000_000))  # +10 h
     spark.range(1).select(
@@ -672,9 +688,56 @@ def events_streaming_interval_join_outer(
         n(F.lit(0.0)).alias("value"),
     ).write.mode("append").parquet(src_r)
     _drain_join_append(spark, src_l, src_r, ckpt, sink, joined)
+
+
+@register(
+    "events_streaming_interval_join_full",
+    oracle="""
+    SELECT l.event_id AS click_id, r.event_id AS purchase_id,
+           COALESCE(l.user_id, r.user_id) AS user_id,
+           epoch_us(r.ts) - epoch_us(l.ts) AS lag_us,
+           r.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_id % 2 = 0) l
+    FULL JOIN (SELECT * FROM events WHERE event_id % 2 = 1) r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+    """,
+    description="END-TO-END FULL-OUTER STREAM-STREAM INTERVAL JOIN — "
+    "completes the join family (inner + left-outer are graded): "
+    "BOTH-side NULL-match emission under the min-across-streams "
+    "watermark — clicks that never converted (purchase columns NULL) "
+    "AND purchases with no attributable click (click columns NULL; "
+    "the key surfaces via the operator's coalesced key contract).  "
+    "Same two-drain data split as events_streaming_interval_join "
+    "(>= 1 match recovered from checkpointed state across restarts; "
+    "ONE shared implementation so the triplet rows cannot drift), "
+    "then the SHARED both-side sentinel drain advances the watermark "
+    "past every data window and the availableNow trailing no-data "
+    "batch evicts both sides' unmatched rows deterministically — the "
+    "batch FULL range join is an exact hash oracle: matched pairs "
+    "hash-equal the inner row's set, plus one NULL-purchase row per "
+    "never-converted click, plus one NULL-click row per orphan "
+    "purchase.  The two sentinels match EACH OTHER (same user, same "
+    "instant), so they emit as one matched pair and are filtered; "
+    "their windows outlive every watermark, which is itself the "
+    "correct semantics",
+)
+def events_streaming_interval_join_full(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    src_l, src_r, ckpt, sink, joined, max_us = _interval_join_two_drains(
+        spark, sf_dir, "events_streaming_interval_join_full",
+        how="full_outer",
+    )
+    _interval_join_sentinel_drain(
+        spark, src_l, src_r, ckpt, sink, joined, max_us
+    )
     return (
         spark.read.parquet(sink)
-        .filter(F.col("click_id") >= 0)
+        .filter(
+            (F.coalesce(F.col("click_id"), F.lit(0)) >= 0)
+            & (F.coalesce(F.col("purchase_id"), F.lit(0)) >= 0)
+        )
         .localCheckpoint()
     )
 
@@ -994,17 +1057,32 @@ def _derive_customer_changelog(customer: DataFrame) -> DataFrame:
     ":330-333 (membership skip), scale-out guidance README.md:473-476",
 )
 def cdc_multi_table_mux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mux, changelog_dir = _mux_scenario(
+        spark, sf_dir, "cdc_multi_table_mux"
+    )
+    mux.start(changelog_dir).awaitTermination()
+    return _mux_live_union(mux).localCheckpoint()
+
+
+def _mux_scenario(spark: SparkSession, sf_dir: str, name: str):
+    """Shared harness of the mux graded rows (dispatch + restart
+    recovery): the two-table + skip-table changelog written as 8 JSON
+    files (vs maxFilesPerTrigger=4 -> >= 2 checkpointed microbatches,
+    so the dispatch loop's per-batch probe and per-table appends run
+    across batches, not one degenerate pass) and a fresh
+    MultiTableCDCStream over a per-call scratch dir (the per-table
+    sinks are append-mode parquet and the mux checkpoint tracks seen
+    files — reuse would double apply).  ONE copy of the scenario so
+    the twin rows' oracle contracts cannot drift."""
     from ..streaming.multi_table import MultiTableCDCStream
 
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     base = os.path.join(
         tempfile.gettempdir(),
-        f"cdc_multi_table_mux_{spark.sparkContext.applicationId}_"
+        f"{name}_{spark.sparkContext.applicationId}_"
         + os.path.basename(sf_dir.rstrip("/")),
     )
-    # Fresh per call: the per-table sinks are append-mode parquet and
-    # the mux checkpoint tracks seen files — reuse would double apply.
     shutil.rmtree(base, ignore_errors=True)
     changelog_dir = os.path.join(base, "changelog")
 
@@ -1030,9 +1108,6 @@ def cdc_multi_table_mux(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("long").alias("seq"),
         F.lit('{"n_nationkey": 0}').alias("payload"),
     )
-    # 8 files vs maxFilesPerTrigger=4: >= 2 microbatches, so the
-    # dispatch loop's per-batch distinct-tables probe and per-table
-    # appends run across checkpointed batches, not one degenerate pass
     o_mux.unionByName(c_mux).unionByName(n_mux).repartition(
         8
     ).write.mode("overwrite").json(changelog_dir)
@@ -1046,7 +1121,10 @@ def cdc_multi_table_mux(spark: SparkSession, sf_dir: str) -> DataFrame:
         pks={"orders": ["o_orderkey"], "customer": ["c_custkey"]},
         base_dir=base,
     )
-    mux.start(changelog_dir).awaitTermination()
+    return mux, changelog_dir
+
+
+def _mux_live_union(mux) -> DataFrame:
     o_live = mux.live("orders").select(
         F.lit("orders").alias("src_table"),
         F.col("o_orderkey").alias("pk"),
@@ -1059,9 +1137,87 @@ def cdc_multi_table_mux(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").alias("num_val"),
         F.col("c_mktsegment").alias("str_val"),
     )
-    # localCheckpoint: the live views are lazy reads over this
-    # session-reused dir, cleared by the next invocation
-    return o_live.unionByName(c_live).localCheckpoint()
+    # localCheckpoint upstream at the callers: the live views are lazy
+    # reads over a session-reused dir, cleared by the next invocation
+    return o_live.unionByName(c_live)
+
+
+@register(
+    "cdc_mux_restart_recovery",
+    oracle="""
+    SELECT 'orders' AS src_table, o_orderkey AS pk,
+           o_totalprice * CAST(1.2 AS DOUBLE) AS num_val,
+           o_orderpriority AS str_val, TRUE AS recovered
+    FROM orders WHERE o_orderkey % 14 = 0
+    UNION ALL
+    SELECT 'orders', o_orderkey,
+           o_totalprice * CAST(1.1 AS DOUBLE), o_orderpriority, TRUE
+    FROM orders WHERE o_orderkey % 14 = 7
+    UNION ALL
+    SELECT 'orders', o_orderkey, o_totalprice, '5-REINSERTED', TRUE
+    FROM orders WHERE o_orderkey % 14 = 1
+    UNION ALL
+    SELECT 'customer', c_custkey,
+           c_acctbal * CAST(2.0 AS DOUBLE), c_mktsegment, TRUE
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT 'customer', c_custkey,
+           c_acctbal * CAST(1.5 AS DOUBLE), c_mktsegment, TRUE
+    FROM customer WHERE c_custkey % 10 = 5
+    """,
+    description="CRASH-RESTART RECOVERY ON THE MUX RUNTIME (C8 "
+    "upgraded from unit evidence to a driver hash contract, composed "
+    "with the C7 dispatch loop): the SAME two-table + skip-table "
+    "changelog as cdc_multi_table_mux (one shared scenario builder), "
+    "but the stream is KILLED mid-drain — the first microbatch with "
+    "batch_id >= 1 applies its ORDERS slice, then raises before the "
+    "customer apply (a PARTIAL per-table application, the hardest "
+    "crash point: the batch is uncommitted but half its work is on "
+    "disk).  run_stream_with_restart supervises (capped-backoff "
+    "reopen-from-checkpoint, the Spark twin of the reference's "
+    "reconnect-from-saved-position loop, /root/reference/src/"
+    "cdc_replicator.py:369-414): the restarted query replays the "
+    "uncommitted batch against the SAME checkpoint — the orders rows "
+    "append a second time (at-least-once, absorbed by the live "
+    "view's dedup-latest exactly like the reference's overlap "
+    "replay) and the customer rows apply once.  recovered asserts "
+    ">= 1 restart actually happened; the graded output is BOTH live "
+    "views hash-matched against the same single-table batch oracles "
+    "as the no-crash row — driver-green means kill/resume loses "
+    "nothing and duplicates nothing",
+)
+def cdc_mux_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.cdc_pipeline import run_stream_with_restart
+
+    mux, changelog_dir = _mux_scenario(
+        spark, sf_dir, "cdc_mux_restart_recovery"
+    )
+    real_apply = mux.apply_microbatch
+    crashed = {"done": False}
+
+    def crash_once(batch_df, batch_id):
+        if not crashed["done"] and batch_id >= 1:
+            crashed["done"] = True
+            # partial application: the batch's orders slice lands on
+            # disk, then the batch dies uncommitted
+            real_apply(
+                batch_df.filter(F.col("table") == "orders"), batch_id
+            )
+            raise RuntimeError(
+                "injected mid-batch crash (restart-recovery row)"
+            )
+        real_apply(batch_df, batch_id)
+
+    mux.apply_microbatch = crash_once
+    restarts = run_stream_with_restart(
+        mux, changelog_dir, available_now=True, max_restarts=3,
+        sleep=lambda _s: None,
+    )
+    return (
+        _mux_live_union(mux)
+        .withColumn("recovered", F.lit(bool(restarts >= 1)))
+        .localCheckpoint()
+    )
 
 
 @register(

@@ -131,13 +131,19 @@ def interval_join(
     A drain whose last batch never advances the watermark past a
     click's window keeps that click buffered into the NEXT run —
     correct, and asserted in tests.
+    ``how='full_outer'`` emits unmatched rows from BOTH sides under
+    the same eviction rule (purchases with no attributable click AND
+    clicks that never converted — the reconciliation shape); the key
+    column is coalesced across sides so right-only rows still carry
+    it.
 
     Right-side columns are prefixed with ``right_prefix`` to keep the
     output schema collision-free.
     """
-    if how not in ("inner", "left_outer"):
+    if how not in ("inner", "left_outer", "full_outer"):
         raise ValueError(
-            f"interval_join supports how='inner'|'left_outer', got {how!r}"
+            "interval_join supports how='inner'|'left_outer'|"
+            f"'full_outer', got {how!r}"
         )
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
@@ -150,7 +156,12 @@ def interval_join(
         & (F.col(rts) >= F.col(left_ts))
         & (F.col(rts) <= F.col(left_ts) + F.expr(f"interval {max_delay}"))
     )
-    return lw.join(rw, cond, how).drop(rk)
+    j = lw.join(rw, cond, how)
+    if how == "full_outer":
+        # a right-only emission carries the key ONLY in the prefixed
+        # column; coalesce keeps the single-un-prefixed-key contract
+        j = j.withColumn(key, F.coalesce(F.col(key), F.col(rk)))
+    return j.drop(rk)
 
 
 def dedup_within_watermark(

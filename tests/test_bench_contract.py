@@ -55,4 +55,8 @@ def test_untimed_streaming_surfaces_are_only_the_disclosed_ones():
         "events_streaming_enriched",
         "cdc_multi_table_mux",
         "cdc_mux_schema_evolution",
+        # r9: the full-outer triplet completion + the mux crash-restart
+        # recovery drain — same policy
+        "events_streaming_interval_join_full",
+        "cdc_mux_restart_recovery",
     }, sorted(untimed_streaming)

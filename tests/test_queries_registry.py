@@ -100,7 +100,7 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         # land a round early — after this round only the 3
         # machine-checked *_raw variants lack a driver-graded round
         "cdc_tombstoned_keys", "events_value_percentiles",
-        "docs_char_bigram_profile", "docs_top_jaccard_pairs",
+        "docs_char_bigram_profile",
         "orders_in_promo_windows", "events_props_profile",
         # round-7 rotation: the persisted incremental embedding index
         # rows enter on add (the embedding twins of the minhash
@@ -108,7 +108,6 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         # graded across two checkpointed drains (events_type_pivot,
         # green r6, cedes its slot and stays gate-checked)
         "emb_dedup_incremental",
-        "events_streaming_interval_join",
         # and the second real codec path (stdlib-zlib PNG);
         # orders_value_histogram (green r6) cedes its slot
         "media_decode_png",
@@ -180,6 +179,13 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         # q2_min_cost_supplier (green r1-r8, longest-green)
         "emb_index_rebuild_swap", "emb_index_compacted_search",
         "media_audio_ulaw",
+        # r9: the full-outer interval join completes the stream-stream
+        # family (the inner row cedes its slot — its match set is
+        # graded identically inside the full row via the one shared
+        # implementation) and crash-restart recovery lands on the mux
+        # runtime (docs_top_jaccard_pairs cedes its slot — the same
+        # Jaccard operator stays graded via the capped twin)
+        "events_streaming_interval_join_full", "cdc_mux_restart_recovery",
     }
     assert required <= window, sorted(required - window)
     # every docs_/emb_/media_/sql_ query is in the graded window,
@@ -272,6 +278,11 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         # same stored-index search, against REAL partitioned parquet)
         # and stays hash-checked by check_oracle/ci_gate every round
         "emb_topk_vs_index",
+        # r9: slot ceded to cdc_mux_restart_recovery; the SAME n-gram
+        # Jaccard operator stays graded via the capped twin
+        # (docs_top_jaccard_pairs_capped) and the uncapped row stays
+        # hash-checked by check_oracle/ci_gate every round
+        "docs_top_jaccard_pairs",
     }
     surface = {
         n for n in qs

@@ -368,8 +368,77 @@ def test_interval_join_rejects_unknown_how(spark):
     df = spark.createDataFrame(
         [], "ts timestamp, user_id long, value double"
     )
-    with pytest.raises(ValueError, match="inner.*left_outer"):
-        interval_join(df, df, key="user_id", how="full_outer")
+    with pytest.raises(ValueError, match="inner.*left_outer.*full_outer"):
+        interval_join(df, df, key="user_id", how="right_outer")
+
+
+def test_stream_stream_interval_join_full_outer(spark, tmp_path):
+    """full_outer: BOTH sides' unmatched rows emit with NULL other-side
+    columns once the min-across-streams watermark finalizes the
+    non-match, and a right-only emission still carries the key (the
+    operator's coalesced-key contract) — the structural pin behind the
+    graded events_streaming_interval_join_full row."""
+    from mysql_clickhouse_sync_spark.streaming.windows import interval_join
+
+    clicks_src = str(tmp_path / "clicks_fo")
+    buys_src = str(tmp_path / "buys_fo")
+    out = str(tmp_path / "out_fo")
+    ck = str(tmp_path / "ck_fo")
+    _write(clicks_src, [
+        {"ts": "2024-01-01 10:00:00", "user_id": 1,
+         "event_type": "click", "value": 0.0},
+        {"ts": "2024-01-01 10:00:00", "user_id": 2,
+         "event_type": "click", "value": 0.0},     # never converts
+    ], "f1.json")
+    _write(buys_src, [
+        {"ts": "2024-01-01 10:30:00", "user_id": 1,
+         "event_type": "purchase", "value": 9.0},
+        {"ts": "2024-01-01 10:30:00", "user_id": 3,
+         "event_type": "purchase", "value": 7.0},  # orphan purchase
+    ], "f1.json")
+
+    def drain():
+        j = interval_join(
+            _stream(spark, clicks_src).drop("value"),
+            _stream(spark, buys_src).select("ts", "user_id", "value"),
+            key="user_id",
+            max_delay="1 hour",
+            watermark="30 minutes",
+            how="full_outer",
+        )
+        q = (
+            j.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r.user_id, r.event_type, r.r_value)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    # first drain: only the match is final (watermark trails)
+    got = drain()
+    assert got == {(1, "click", 9.0)}, got
+    # sentinel-advance BOTH sides past every data window (two files
+    # per side: eviction uses the PREVIOUS batch's watermark)
+    for fname, ts in (("f2.json", "13:00:00"), ("f3.json", "13:00:01")):
+        _write(clicks_src, [
+            {"ts": f"2024-01-01 {ts}", "user_id": 98,
+             "event_type": "click", "value": 0.0},
+        ], fname)
+        _write(buys_src, [
+            {"ts": f"2024-01-01 {ts}", "user_id": 99,
+             "event_type": "purchase", "value": 1.0},
+        ], fname)
+    got = drain()
+    assert (1, "click", 9.0) in got
+    assert (2, "click", None) in got, got       # unmatched left
+    assert (3, None, 7.0) in got, got           # unmatched RIGHT:
+    # left columns NULL, key carried by the coalesce contract
 
 
 def test_dedup_within_watermark_drops_redeliveries(spark, tmp_path):
