@@ -178,10 +178,50 @@ EXTENDED = (
     "emb_index_append_search",
     "emb_pq_vs_index",
     "emb_dedup_append_chain",
+    # r9: the DECODE-ONLY cost of media_video_mjpeg (fixtures
+    # pre-materialized to parquet on the first repeat; best-of-n then
+    # records the demux + JPEG decode a pipeline actually pays, not
+    # encode_jpeg x frames + encode_avi fixture generation — r8
+    # verdict item 3; equality to the graded row machine-checked)
+    "media_video_mjpeg_raw",
+    # r9: the recurring DAY-2 ingest cost of emb_dedup_append_chain
+    # against a session-persisted GROWN chain (build + day-1 append on
+    # the first repeat only — r8 verdict item 4; prefix equality
+    # machine-checked)
+    "emb_dedup_append_chain_raw",
+    # r9: the stored-index MAINTENANCE rows (rebuild-and-swap +
+    # compaction; audit-carrying graded versions)
+    "emb_index_rebuild_swap",
+    "emb_index_compacted_search",
+    # r9: the first non-PCM audio codec (G.711 mu-law decode)
+    "media_audio_ulaw",
 )
 
 _HEADLINE_REPEATS = 3   # round-4 verdict: best-of-3 minimum, in-artifact
 _EXTENDED_REPEATS = 2
+# Repeat policy for HIGH-SPREAD rows (r8 verdict item 7): any timed row
+# whose spread exceeded 50% of its best in the PRIOR local artifact
+# (bench_detail.json) gets best-of-3 this run — two repeats leave
+# visible spread under the documented ~5x host jitter (r8:
+# emb_dedup_incremental_raw spread 2.09 s).  Data-driven, no hand list
+# to go stale; the artifact records which rows the policy promoted.
+_HIGH_SPREAD_FRACTION = 0.5
+_HIGH_SPREAD_REPEATS = 3
+
+
+def _high_spread_names() -> set[str]:
+    try:
+        with open(os.path.join(_ROOT, "bench_detail.json")) as fh:
+            prior = json.load(fh)
+    except (OSError, ValueError):
+        return set()
+    names: set[str] = set()
+    for sect in ("headline", "extended"):
+        for n, d in (prior.get(sect) or {}).items():
+            best = d.get("best") or 0
+            if best and d.get("spread", 0) > _HIGH_SPREAD_FRACTION * best:
+                names.add(n)
+    return names
 
 
 def throughput_metrics(spark, sf_dir: str) -> dict[str, float]:
@@ -319,18 +359,26 @@ def _await_idle_host(
 
 
 def _time_queries(
-    registry, names, spark, sf_dir: str, repeats: int, tag: str
+    registry, names, spark, sf_dir: str, repeats: int, tag: str,
+    promote: frozenset | set = frozenset(),
 ) -> dict[str, dict]:
     """Per query: run `repeats` times, keep every wall-clock sample.
     The min reflects the plan cost on a shared host (single runs show
     up to 5x transient jitter); spread = max-min distinguishes
-    contention from regression without out-of-band re-runs."""
+    contention from regression without out-of-band re-runs.  Names in
+    ``promote`` (the prior artifact's high-spread rows) run at least
+    ``_HIGH_SPREAD_REPEATS`` times."""
     out: dict[str, dict] = {}
     for name in names:
         q = registry[name]
         runs: list[float] = []
         n_rows = 0
-        for _ in range(repeats):
+        n_reps = (
+            max(repeats, _HIGH_SPREAD_REPEATS)
+            if name in promote
+            else repeats
+        )
+        for _ in range(n_reps):
             t0 = time.time()
             n_rows = q.fn(spark, sf_dir).count()
             runs.append(round(time.time() - t0, 3))
@@ -339,7 +387,7 @@ def _time_queries(
             "best": s[0],
             "median": s[len(s) // 2],
             "spread": round(s[-1] - s[0], 3),
-            "n": repeats,
+            "n": n_reps,
             "runs": runs,
             "rows": n_rows,
         }
@@ -396,14 +444,25 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
+    # high-spread promotion set is read from the PRIOR artifact
+    # BEFORE this run overwrites it
+    promote = _high_spread_names()
+    if promote:
+        print(
+            f"# best-of-{_HIGH_SPREAD_REPEATS} promotion (prior spread "
+            f"> {_HIGH_SPREAD_FRACTION:.0%} of best): {sorted(promote)}",
+            file=sys.stderr,
+        )
     floor_pre = _overhead_floor(spark)
     load_before = round(os.getloadavg()[0], 2)
     detail_head = _time_queries(
-        registry, HEADLINE, spark, sf_dir, _HEADLINE_REPEATS, "headline"
+        registry, HEADLINE, spark, sf_dir, _HEADLINE_REPEATS, "headline",
+        promote=promote,
     )
     load_after_headline = round(os.getloadavg()[0], 2)
     detail_ext = _time_queries(
-        registry, EXTENDED, spark, sf_dir, _EXTENDED_REPEATS, "extended"
+        registry, EXTENDED, spark, sf_dir, _EXTENDED_REPEATS, "extended",
+        promote=promote,
     )
     floor_post = _overhead_floor(spark)
     tp = throughput_metrics(spark, sf_dir)
@@ -447,6 +506,9 @@ def main() -> None:
         ),
         "headline": detail_head,
         "extended": detail_ext,
+        # rows promoted to best-of-3 by the high-spread policy (r8
+        # verdict item 7), read from the PRIOR artifact's spreads
+        "high_spread_promoted": sorted(promote),
         "headline_semantics_changes": HEADLINE_SEMANTICS_CHANGES,
         "gate": gate,
         **tp,

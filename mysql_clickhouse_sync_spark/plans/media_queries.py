@@ -1027,9 +1027,17 @@ def _avi_mjpeg_media(docs: DataFrame) -> DataFrame:
 )
 def media_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    frames = sample_frames(
-        _avi_mjpeg_media(docs), every_ms=1000, decode_kind="real"
-    )
+    return _mjpeg_frame_stats(_avi_mjpeg_media(docs))
+
+
+def _mjpeg_frame_stats(media: DataFrame) -> DataFrame:
+    """The DECODE half of the MJPEG row — demux at the 1000 ms cadence,
+    per-frame JPEG decode, frame statistics — over any MJPEG-AVI media
+    relation.  Shared by the graded row (fixtures generated in-flight)
+    and the bench-only ``media_video_mjpeg_raw`` (fixtures
+    pre-materialized to parquet), so the two relations are equal by
+    construction (pinned in tests/test_multimodal.py)."""
+    frames = sample_frames(media, every_ms=1000, decode_kind="real")
     as_imgs = frames.select(
         (F.col("media_id") * 10 + F.col("frame_idx")).alias("media_id"),
         F.lit("image").alias("kind"),
@@ -1052,6 +1060,39 @@ def media_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r00").alias("p00"),
         F.col("r_last").alias("p_last"),
     )
+
+
+@register(
+    "media_video_mjpeg_raw",
+    oracle=None,
+    description="DECODE-ONLY cost of media_video_mjpeg (r8 verdict "
+    "item 3; the established *_raw pattern): the graded row's timing "
+    "is dominated by FIXTURE GENERATION — encode_jpeg x 2-4 frames "
+    "per doc plus encode_avi — which a real pipeline never pays (its "
+    "videos already exist on storage).  First call per session "
+    "materializes the AVI fixture table to parquet (the corpus); "
+    "repeats read the stored table and time ONLY what the pipeline "
+    "pays: the RIFF/movi demux walk, the per-sampled-frame baseline-"
+    "JPEG decode, and the frame statistics.  Bench-only by design "
+    "(registered past the driver window): equality of this pipeline "
+    "to the graded row's relation is machine-checked in "
+    "tests/test_multimodal.py (ONE shared decode stage, "
+    "_mjpeg_frame_stats), and the graded media_video_mjpeg hash "
+    "contract covers correctness",
+)
+def media_video_mjpeg_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"mjpeg_fixture_{spark.sparkContext.applicationId}_"
+        + os.path.basename(sf_dir.rstrip("/")),
+    )
+    if not os.path.isdir(base):
+        _avi_mjpeg_media(docs).write.mode("overwrite").parquet(base)
+    return _mjpeg_frame_stats(spark.read.parquet(base))
 
 
 def _mosaic_jpeg_prog_media(docs: DataFrame) -> DataFrame:

@@ -86,3 +86,24 @@ def test_media_dedup_keys_jvm_side(spark):
     assert "Python" not in plan
     grouped = keys.groupBy("content_sha256").count().collect()
     assert {r["count"] for r in grouped} == {2}  # pairs share payloads
+
+
+def test_mjpeg_raw_equals_graded_relation(spark):
+    """Machine-check of "media_video_mjpeg_raw == media_video_mjpeg
+    minus fixture generation" (r9; the *_raw disclosure contract): the
+    bench-timed raw entry must return exactly the graded row's sampled-
+    frame relation — one shared decode stage (_mjpeg_frame_stats) makes
+    it true by construction; this pins the parquet persist/reload
+    seam.  Runs the raw entry TWICE so the second call exercises the
+    stored-fixture reuse path bench's best-of-n actually times."""
+    from mysql_clickhouse_sync_spark.plans.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    raw_fn = all_queries()["media_video_mjpeg_raw"].fn
+    first = sorted(map(tuple, raw_fn(spark, sf).collect()))
+    reused = sorted(map(tuple, raw_fn(spark, sf).collect()))
+    assert first == reused                  # stored-fixture reuse path
+    graded = sorted(
+        map(tuple, all_queries()["media_video_mjpeg"].fn(spark, sf).collect())
+    )
+    assert first == graded and len(first) > 0

@@ -222,6 +222,14 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         # index; prefix equality machine-checked in
         # tests/test_similarity.py
         "emb_dedup_incremental_raw",
+        # r9 bench-only raw variants: the decode-only cost of
+        # media_video_mjpeg (pre-materialized fixtures; relation
+        # equality machine-checked in tests/test_multimodal.py) and
+        # the day-2 ingest cost of emb_dedup_append_chain against a
+        # session-persisted grown chain (prefix equality
+        # machine-checked in tests/test_similarity.py)
+        "media_video_mjpeg_raw",
+        "emb_dedup_append_chain_raw",
         # r6: longest-green rows ceding slots to media_decode_real,
         # events_streaming_append and the 6 never-driver-graded
         # analytics rows (ledger: PARITY.md).  All stay hash-checked

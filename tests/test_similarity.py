@@ -1329,3 +1329,45 @@ def test_dedup_incremental_raw_equals_graded_prefix(spark):
         map(tuple, all_pairs.select("id_a", "id_b").collect())
     )
     assert first == prefix and len(first) > 0
+
+
+def test_append_chain_raw_equals_graded_prefix(spark):
+    """Machine-check of "emb_dedup_append_chain_raw == the graded
+    chain row's day-2 pre-clustering prefix" (r9 bench twin): the
+    bench-timed raw entry must return exactly the merged pair set that
+    feeds the graded row's connected components — same stored chain
+    (build on A, day-1 append of B), same day-2 batch assignment, same
+    pair kernel — whether the grown relations arrive freshly built or
+    through the raw entry's parquet persist/reload.  Runs the raw
+    entry TWICE so the second call exercises the stored-chain reuse
+    path bench's best-of-n actually times."""
+    from pyspark.sql import functions as F
+
+    from mysql_clickhouse_sync_spark.plans.registry import all_queries
+    from mysql_clickhouse_sync_spark.plans.similarity_queries import (
+        _semantic_grow,
+        semantic_index_append,
+        semantic_index_build,
+    )
+    from mysql_clickhouse_sync_spark.sources.parquet import load_table
+
+    sf01 = "/root/testdata/sf0.01"
+    fn = all_queries()["emb_dedup_append_chain_raw"].fn
+    first = sorted(map(tuple, fn(spark, sf01).collect()))
+    reused = sorted(map(tuple, fn(spark, sf01).collect()))
+    assert first == reused                  # stored-chain reuse path
+
+    emb = load_table(spark, sf01, "embeddings")
+    idx = semantic_index_build(emb.filter(F.col("vec_id") % 4 == 0))
+    grown = semantic_index_append(
+        idx["centroids"], idx["assigned"], idx["pairs"],
+        emb.filter(F.col("vec_id") % 4 == 2),
+    )
+    _, all_pairs = _semantic_grow(
+        grown["centroids"], grown["assigned"], grown["pairs"],
+        emb.filter(F.col("vec_id") % 2 == 1),
+    )
+    prefix = sorted(
+        map(tuple, all_pairs.select("id_a", "id_b").collect())
+    )
+    assert first == prefix and len(first) > 0

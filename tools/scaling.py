@@ -86,6 +86,12 @@ SWEEP = (
     "emb_index_drift_stats",         # drift monitor over appended index
     "media_audio_stats",             # PCM decode in the Arrow loop
     "media_video_frames",            # AVI demux + per-frame decode
+    # r9 stored-index maintenance + new codec + decode-only twins
+    "emb_index_rebuild_swap",        # drift -> retrain -> atomic swap
+    "emb_index_compacted_search",    # append waves -> compact -> search
+    "media_audio_ulaw",              # mu-law expansion in the Arrow loop
+    "media_video_mjpeg_raw",         # demux+decode only (fixtures stored)
+    "emb_dedup_append_chain_raw",    # day-2 grow vs stored chain
 )
 
 
