@@ -195,6 +195,9 @@ EXTENDED = (
     "emb_index_compacted_search",
     # r9: the first non-PCM audio codec (G.711 mu-law decode)
     "media_audio_ulaw",
+    # r9: interframe video (Microsoft RLE8 delta frames — stateful
+    # demux across frames)
+    "media_video_rle_delta",
 )
 
 _HEADLINE_REPEATS = 3   # round-4 verdict: best-of-3 minimum, in-artifact

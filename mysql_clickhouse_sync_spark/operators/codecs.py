@@ -562,16 +562,26 @@ class WavAudioCodec:
 _AVI_MAGIC = b"AVI "
 
 
-def encode_avi(frames: list, usec_per_frame: int) -> bytes:
+def encode_avi(
+    frames: list,
+    usec_per_frame: int,
+    fourcc: bytes = b"DIB ",
+    strf: bytes = b"",
+) -> bytes:
     """Frame byte strings -> a minimal spec-shaped AVI: RIFF('AVI ')
     containing LIST('hdrl') with the 'avih' main header (frame
     cadence + count) and a minimal 'strl'/'strh' video-stream header
-    (fourcc 'DIB ' — uncompressed frames), then LIST('movi') with one
-    '00db' chunk per frame (word-aligned, per the RIFF rule)."""
+    (default fourcc 'DIB ' — uncompressed frames), then LIST('movi')
+    with one '00db' chunk per frame (word-aligned, per the RIFF
+    rule).  ``fourcc``/``strf`` describe a COMPRESSED stream: 'MRLE'
+    frames need the 'strf' BITMAPINFOHEADER + palette
+    (:func:`rle8_strf`) for the demuxer to reconstruct pixels."""
     if not frames:
         raise ValueError("encode_avi needs a non-empty frame list")
     if usec_per_frame <= 0:
         raise ValueError(f"bad usec_per_frame: {usec_per_frame}")
+    if len(fourcc) != 4:
+        raise ValueError(f"bad stream fourcc: {fourcc!r}")
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         pad = b"\x00" if len(data) & 1 else b""
@@ -586,12 +596,15 @@ def encode_avi(frames: list, usec_per_frame: int) -> bytes:
     )
     strh = struct.pack(
         "<4s4sIHHIIIIIIIIhhhh",
-        b"vids", b"DIB ", 0, 0, 0, 0,
+        b"vids", bytes(fourcc), 0, 0, 0, 0,
         usec_per_frame, 1_000_000,      # rate/scale = fps
         0, len(frames), 0, 0, 0, 0, 0, 0, 0,
     )
+    strl_body = chunk(b"strh", strh)
+    if strf:
+        strl_body += chunk(b"strf", bytes(strf))
     hdrl = list_chunk(
-        b"hdrl", chunk(b"avih", avih) + list_chunk(b"strl", chunk(b"strh", strh))
+        b"hdrl", chunk(b"avih", avih) + list_chunk(b"strl", strl_body)
     )
     movi = list_chunk(
         b"movi", b"".join(chunk(b"00db", bytes(f)) for f in frames)
@@ -606,15 +619,30 @@ def demux_avi(payload: bytes):
     real cause; other streams' chunks (audio '01wb', index 'idx1')
     are skipped by the same word-aligned chunk walk decode_wav uses.
     """
+    usec, frames, _fourcc, _strf = demux_avi_full(payload)
+    return usec, frames
+
+
+def demux_avi_full(payload: bytes):
+    """AVI bytes -> (usec_per_frame, [frame bytes], fourcc, strf)
+    for the first video stream — the stream-format-aware demux:
+    compressed streams ('MRLE' etc.) need the 'strh' fourcc and the
+    'strf' format block (BITMAPINFOHEADER + palette) to reconstruct
+    pixels, which the frame chunks alone do not carry."""
     if payload is None or len(payload) < 12:
         raise ValueError("not an AVI: payload shorter than the RIFF header")
     if bytes(payload[:4]) != _RIFF_MAGIC or bytes(payload[8:12]) != _AVI_MAGIC:
         raise ValueError("not an AVI: bad RIFF/'AVI ' magic")
     usec = None
+    fourcc = None
+    strf = b""
+    # a 'strf' belongs to the 'strh' preceding it in the same strl
+    # list; only the FIRST video stream's format block is captured
+    want_strf = [False]
     frames: list[bytes] = []
 
     def walk(buf: bytes) -> None:
-        nonlocal usec
+        nonlocal usec, fourcc, strf
         pos = 0
         while pos + 8 <= len(buf):
             ctype = bytes(buf[pos : pos + 4])
@@ -630,6 +658,18 @@ def demux_avi(payload: bytes):
                         f"corrupt AVI: avih is {length} bytes"
                     )
                 (usec,) = struct.unpack_from("<I", data, 0)
+            elif ctype == b"strh":
+                if length < 8:
+                    raise ValueError(
+                        f"corrupt AVI: strh is {length} bytes"
+                    )
+                want_strf[0] = data[:4] == b"vids" and fourcc is None
+                if want_strf[0]:
+                    fourcc = data[4:8]
+            elif ctype == b"strf":
+                if want_strf[0]:
+                    strf = data
+                want_strf[0] = False
             elif ctype in (b"00db", b"00dc"):
                 frames.append(data)
             pos += 8 + length + (length & 1)
@@ -639,7 +679,177 @@ def demux_avi(payload: bytes):
         raise ValueError("not an AVI: missing avih header")
     if usec <= 0:
         raise ValueError(f"corrupt AVI: usec_per_frame={usec}")
-    return int(usec), frames
+    return int(usec), frames, fourcc or b"DIB ", strf
+
+
+# -- Microsoft RLE8 (BI_RLE8) — the INTERFRAME video codec -------------
+#
+# The public Windows RLE8 format (BITMAPINFOHEADER biCompression=1,
+# AVI fourcc 'MRLE'): a stream of 2-byte opcodes — (count>0, value)
+# paints a run; escapes (0,0)=end-of-line, (0,1)=end-of-bitmap,
+# (0,2,dx,dy)=DELTA position skip, (0,n>=3)=absolute literals (word-
+# aligned).  Every pixel an escape SKIPS is left UNCHANGED, which over
+# the previous frame's buffer is exactly interframe delta coding —
+# this closes the intra-only gap MJPEG left: frames are no longer
+# independently decodable; the video decoder carries pixel STATE
+# across frames.  Rows are bottom-up like BMP.
+
+_RLE8_EOL = 0
+_RLE8_EOB = 1
+_RLE8_DELTA = 2
+
+
+def decode_rle8_into(data: bytes, buf) -> None:
+    """Apply ONE BI_RLE8 frame to a BOTTOM-UP (h, w) uint8 index
+    buffer IN PLACE: runs/absolute literals paint pixels; EOL, DELTA
+    and EOB escapes leave skipped pixels unchanged (the interframe
+    mechanism).  Malformed streams fail with the real cause."""
+    import numpy as np
+
+    h, w = buf.shape
+    x = y = 0
+    i, n = 0, len(data)
+    while True:
+        if i + 2 > n:
+            raise ValueError("truncated RLE8 frame: opcode ran out")
+        c, v = data[i], data[i + 1]
+        i += 2
+        if c > 0:                                   # encoded run
+            if y >= h or x + c > w:
+                raise ValueError("corrupt RLE8: run past row end")
+            buf[y, x : x + c] = v
+            x += c
+        elif v == _RLE8_EOL:
+            x, y = 0, y + 1
+            if y > h:
+                raise ValueError("corrupt RLE8: end-of-line past buffer")
+        elif v == _RLE8_EOB:
+            return
+        elif v == _RLE8_DELTA:
+            if i + 2 > n:
+                raise ValueError("truncated RLE8 frame: delta ran out")
+            dx, dy = data[i], data[i + 1]
+            i += 2
+            x, y = x + dx, y + dy
+            if x > w or y > h:
+                raise ValueError("corrupt RLE8: delta past buffer")
+        else:                                       # absolute mode
+            if i + v > n:
+                raise ValueError(
+                    "truncated RLE8 frame: absolute run ran out"
+                )
+            if y >= h or x + v > w:
+                raise ValueError("corrupt RLE8: absolute run past row end")
+            buf[y, x : x + v] = np.frombuffer(
+                data[i : i + v], dtype=np.uint8
+            )
+            x += v
+            i += v + (v & 1)                        # word-aligned
+
+
+def encode_rle8_frame(indices, prev=None) -> bytes:
+    """(h, w) TOP-DOWN uint8 index array -> one BI_RLE8 frame.  With
+    ``prev`` (the previously-decoded frame, same shape) rows equal to
+    the prior content are skipped with bare end-of-line escapes — the
+    decoder retains them, producing a DELTA frame; without ``prev``
+    every row is coded (a keyframe).  Runs split at 255 per the
+    two-byte opcode limit.  Inverse property pinned in tests."""
+    import numpy as np
+
+    arr = np.asarray(indices, dtype=np.uint8)
+    if arr.ndim != 2 or arr.size == 0:
+        raise ValueError(
+            f"encode_rle8_frame needs a non-empty 2-D index array, "
+            f"got shape {arr.shape}"
+        )
+    prev_bu = None
+    if prev is not None:
+        prev = np.asarray(prev, dtype=np.uint8)
+        if prev.shape != arr.shape:
+            raise ValueError(
+                f"prev frame shape {prev.shape} != frame {arr.shape}"
+            )
+        prev_bu = prev[::-1]
+    bu = arr[::-1]                                  # bottom-up rows
+    h, w = bu.shape
+    out = bytearray()
+    for y in range(h):
+        row = bu[y]
+        if prev_bu is not None and np.array_equal(row, prev_bu[y]):
+            out += bytes((0, _RLE8_EOL))            # row retained
+            continue
+        # run boundaries where the value changes
+        cuts = [0] + (np.flatnonzero(row[1:] != row[:-1]) + 1).tolist() + [w]
+        for a, b in zip(cuts, cuts[1:]):
+            v = int(row[a])
+            run = b - a
+            while run > 0:
+                c = min(run, 255)
+                out += bytes((c, v))
+                run -= c
+        out += bytes((0, _RLE8_EOL))
+    out += bytes((0, _RLE8_EOB))
+    return bytes(out)
+
+
+def rle8_strf(width: int, height: int, palette) -> bytes:
+    """BITMAPINFOHEADER (biCompression=BI_RLE8) + BGRX palette quads —
+    the 'strf' block an 'MRLE' AVI stream carries, which the demuxer
+    parses to reconstruct pixels."""
+    import numpy as np
+
+    pal = np.asarray(palette, dtype=np.uint8)
+    if pal.ndim != 2 or pal.shape[1] != 3 or not 1 <= len(pal) <= 256:
+        raise ValueError(
+            f"palette must be (n<=256, 3) RGB uint8, got {pal.shape}"
+        )
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad RLE8 geometry: {width}x{height}")
+    hdr = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 8, 1, 0, 0, 0, len(pal), 0,
+    )
+    quads = b"".join(
+        bytes((int(b), int(g), int(r), 0)) for r, g, b in pal
+    )
+    return hdr + quads
+
+
+def _parse_rle8_strf(strf: bytes):
+    """'strf' bytes -> (width, height, palette (256, 3) RGB uint8);
+    entries past biClrUsed are zero-filled so any 8-bit index is
+    addressable."""
+    import numpy as np
+
+    if len(strf) < 40:
+        raise ValueError(
+            f"corrupt RLE8 strf: {len(strf)} bytes (BITMAPINFOHEADER "
+            "is 40)"
+        )
+    (_sz, width, height, _planes, bits, comp, *_rest) = struct.unpack_from(
+        "<IiiHHI", strf, 0
+    )
+    (clr_used,) = struct.unpack_from("<I", strf, 32)
+    if bits != 8 or comp != 1:
+        raise ValueError(
+            f"not an RLE8 strf: bits={bits} compression={comp}"
+        )
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad RLE8 geometry: {width}x{height}")
+    n = clr_used or 256
+    if len(strf) < 40 + 4 * n:
+        raise ValueError("truncated RLE8 strf: palette ran out")
+    quads = np.frombuffer(strf, dtype=np.uint8, count=4 * n, offset=40)
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    pal[:n] = quads.reshape(-1, 4)[:, [2, 1, 0]]    # BGRX -> RGB
+    return int(width), int(height), pal
+
+
+def _is_rle8_stream(fourcc: bytes, strf: bytes) -> bool:
+    if not strf or len(strf) < 20:
+        return False
+    bits, comp = struct.unpack_from("<HI", strf, 14)
+    return comp == 1 and bits == 8 or fourcc in (b"MRLE", b"mrle")
 
 
 class AviDemuxer:
@@ -648,12 +858,22 @@ class AviDemuxer:
     ``every_ms`` bucket of stream time — the FIRST frame whose
     timestamp lands in each bucket (deterministic regardless of frame
     rate vs cadence), as ``(sample_idx, ts_ms, frame_bytes)`` where
-    ``ts_ms`` is the frame's own stream timestamp."""
+    ``ts_ms`` is the frame's own stream timestamp.
+
+    Uncompressed-DIB streams yield the raw frame chunks (BMP bytes the
+    image registry decodes).  'MRLE'/BI_RLE8 streams are INTERFRAME:
+    every physical frame up to a sample point must be applied to the
+    carried pixel state, and each SAMPLED frame is emitted re-encoded
+    as a lossless BMP so the downstream per-frame contract (registry
+    image decode) is unchanged."""
 
     def frames(self, payload: bytes, every_ms: int):
         if every_ms <= 0:
             raise ValueError(f"bad sampling cadence: every_ms={every_ms}")
-        usec, raw = demux_avi(payload)
+        usec, raw, fourcc, strf = demux_avi_full(payload)
+        if _is_rle8_stream(fourcc, strf):
+            yield from self._rle8_frames(usec, raw, strf, every_ms)
+            return
         sample_idx = 0
         last_bucket = None
         for k, frame in enumerate(raw):
@@ -661,6 +881,24 @@ class AviDemuxer:
             bucket = ts_ms // every_ms
             if bucket != last_bucket:
                 yield sample_idx, ts_ms, frame
+                sample_idx += 1
+                last_bucket = bucket
+
+    @staticmethod
+    def _rle8_frames(usec: int, raw, strf: bytes, every_ms: int):
+        import numpy as np
+
+        w, h, pal = _parse_rle8_strf(strf)
+        buf = np.zeros((h, w), dtype=np.uint8)      # bottom-up state
+        sample_idx = 0
+        last_bucket = None
+        for k, frame in enumerate(raw):
+            decode_rle8_into(frame, buf)            # EVERY frame applies
+            ts_ms = k * usec // 1000
+            bucket = ts_ms // every_ms
+            if bucket != last_bucket:
+                rgb = pal[buf[::-1]]                # -> top-down display
+                yield sample_idx, ts_ms, encode_bmp(rgb)
                 sample_idx += 1
                 last_bucket = bucket
 

@@ -678,6 +678,177 @@ def media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _avi_rle_delta_media(docs: DataFrame) -> DataFrame:
+    """doc ids -> REAL INTERFRAME videos: 'MRLE' AVIs whose frames are
+    Microsoft RLE8 (BI_RLE8) — a keyframe from the production encoder,
+    then HAND-PACKED delta frames that reposition with the (0,2,dx,dy)
+    DELTA escape and repaint exactly one row; every other pixel is
+    RETAINED from the previous frame's state, so a sampled frame's
+    content depends on every frame before it.  Closed-form:
+
+      w = 6 + id % 9, h = 4 + id % 5, nf = 2 + id % 3 @ 2 fps
+      palette[i]     = ((11i+3) % 256, (5i+29) % 256, (3i+41) % 256)
+      keyframe row y = index (id + 11y) % 64   (row-constant)
+      delta frame k  : display row (id + 3k) % h := (id + 17k) % 64
+
+    At the 1000 ms cadence the sampled frames are physical 0 and
+    (when nf >= 3) 2 — and frame 2's pixels are keyframe + delta 1 +
+    delta 2 applied IN ORDER (rows (id+3)%h and (id+6)%h are distinct
+    for every h in 4..8), which the oracle replays with one CASE."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.codecs import (
+            encode_avi,
+            encode_rle8_frame,
+            rle8_strf,
+        )
+
+        i = np.arange(64)
+        pal = np.stack(
+            [(11 * i + 3) % 256, (5 * i + 29) % 256, (3 * i + 41) % 256],
+            axis=1,
+        ).astype(np.uint8)
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nf = 2 + did % 3
+                w, h = 6 + did % 9, 4 + did % 5
+                vals = (did + 11 * np.arange(h)) % 64
+                key = np.repeat(
+                    vals.astype(np.uint8)[:, None], w, axis=1
+                )
+                frames = [encode_rle8_frame(key)]
+                for k in range(1, nf):
+                    r = (did + 3 * k) % h
+                    val = (did + 17 * k) % 64
+                    # hand-packed delta frame: DELTA escape to the
+                    # bottom-up target row, ONE run, EOL, EOB — the
+                    # skipped rows are prior-frame state
+                    frames.append(
+                        bytes((0, 2, 0, h - 1 - r))
+                        + bytes((w, val))
+                        + bytes((0, 0))
+                        + bytes((0, 1))
+                    )
+                rows.append(
+                    (
+                        did,
+                        "video",
+                        "video/x-msvideo",
+                        bytearray(
+                            encode_avi(
+                                frames,
+                                500_000,
+                                fourcc=b"MRLE",
+                                strf=rle8_strf(w, h, pal),
+                            )
+                        ),
+                        None,
+                        None,
+                        nf * 500,
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+                )
+
+    return docs.select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+
+
+@register(
+    "media_video_rle_delta",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, 2 + doc_id % 3 AS nf,
+               6 + doc_id % 9 AS w, 4 + doc_id % 5 AS h
+        FROM documents
+    ), f AS (
+        SELECT doc_id, w, h,
+               unnest(CASE WHEN nf >= 3 THEN [0, 1] ELSE [0] END) AS s
+        FROM d
+    ), v AS (
+        SELECT doc_id, w, h, s,
+            list_transform(range(0, h), y ->
+                CASE WHEN s = 1 AND y = (doc_id + 6) % h
+                     THEN (doc_id + 34) % 64
+                     WHEN s = 1 AND y = (doc_id + 3) % h
+                     THEN (doc_id + 17) % 64
+                     ELSE (doc_id + 11*y) % 64 END) AS vals
+        FROM f
+    ), st AS (
+        SELECT doc_id, w, h, s,
+            list_sum(list_transform(vals, i -> (11*i+3) % 256)) AS sr,
+            list_sum(list_transform(vals, i -> (5*i+29) % 256)) AS sg,
+            list_sum(list_transform(vals, i -> (3*i+41) % 256)) AS sb,
+            vals[1] AS v0, vals[h] AS vl
+        FROM v
+    )
+    SELECT doc_id AS media_id,
+           CAST(s AS INT) AS frame_idx,
+           CAST(s * 1000 AS INT) AS ts_ms,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(w * sr AS DOUBLE) / (w * h) AS mean_r,
+           CAST(w * sg AS DOUBLE) / (w * h) AS mean_g,
+           CAST(w * sb AS DOUBLE) / (w * h) AS mean_b,
+           CAST((11*v0+3) % 256 AS INT) AS r00,
+           CAST((5*v0+29) % 256 AS INT) AS g00,
+           CAST((3*v0+41) % 256 AS INT) AS b00,
+           CAST((11*vl+3) % 256 AS INT) AS r_last,
+           CAST((5*vl+29) % 256 AS INT) AS g_last,
+           CAST((3*vl+41) % 256 AS INT) AS b_last
+    FROM st
+    """,
+    description="INTERFRAME VIDEO — the codec matrix's intra-only gap "
+    "closed with a REAL public codec (Microsoft RLE8, BI_RLE8 / AVI "
+    "'MRLE'): frames are no longer independently decodable — a delta "
+    "frame repaints one row via the (0,2,dx,dy) DELTA escape and "
+    "every skipped pixel is RETAINED from the previous frame, so the "
+    "demuxer must carry pixel STATE across all frames up to each "
+    "sample point (media_video_frames/mjpeg grade intra-only "
+    "streams).  The fixture's keyframe comes from the production "
+    "RLE8 encoder; the delta frames are HAND-PACKED escapes (the "
+    "golden separation), and sampled frame 1 = keyframe + delta 1 + "
+    "delta 2 applied IN ORDER — a wrong application order, a "
+    "mis-applied skip, or a cleared buffer between frames goes "
+    "driver-red.  Row-constant content keeps every statistic "
+    "closed-form: exact integer channel sums (one double division), "
+    "corner pixels pin row addressing and the bottom-up flip.  The "
+    "decoder is independently pinned against hand-packed opcode "
+    "streams (runs, absolute mode + word pad, EOL/EOB, delta skips) "
+    "and the encoder round-trip in tests/test_codecs.py",
+)
+def media_video_rle_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(
+        _avi_rle_delta_media(docs), every_ms=1000, decode_kind="real"
+    )
+    as_imgs = frames.select(
+        (F.col("media_id") * 10 + F.col("frame_idx")).alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("image/bmp").alias("mime"),
+        F.col("frame").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    stats = image_stats(as_imgs)
+    return stats.select(
+        F.expr("media_id div 10").alias("media_id"),
+        (F.col("media_id") % 10).cast("int").alias("frame_idx"),
+        ((F.col("media_id") % 10) * 1000).cast("int").alias("ts_ms"),
+        "width",
+        "height",
+        "mean_r", "mean_g", "mean_b",
+        "r00", "g00", "b00", "r_last", "g_last", "b_last",
+    )
+
+
 @register(
     "media_exact_dedup",
     oracle="""

@@ -307,6 +307,17 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 # r6-r8; the SAME n-gram Jaccard operator stays graded via
 # docs_top_jaccard_pairs_capped — the scale-safe hot-bucket-capped
 # twin — and the uncapped row stays hash-checked every round).
+# Also IN (enter-on-add): media_video_rle_delta — INTERFRAME video
+# (the codec matrix's intra-only gap): Microsoft RLE8 ('MRLE' AVI,
+# BI_RLE8), where delta frames repaint one row via the DELTA escape
+# and every skipped pixel is RETAINED from the previous frame — the
+# demuxer carries pixel state across frames; sampled frame 1 =
+# keyframe + both deltas applied in order, fully closed-form-oracled.
+# OUT: media_video_frames (green r7-r8; BOTH its seams stay
+# driver-graded — the raw-DIB demux walk + sampling cadence inside
+# media_video_mjpeg, and the registry BMP per-frame decode inside
+# media_video_rle_delta, whose sampled frames are emitted as BMPs —
+# and the row stays hash-checked every round).
 # Also IN (enter-on-add): cdc_mux_schema_evolution — ADDITIVE schema
 # evolution mid-stream on the live mux runtime (widen the decode
 # schema between two checkpointed drains, no restart; pre-evolution
@@ -373,8 +384,8 @@ DRIVER_WINDOW = (
     "media_decode_gif",
     "media_audio_stats",
     "media_audio_ulaw",
-    "media_video_frames",
     "media_video_mjpeg",
+    "media_video_rle_delta",
     # SQL surface
     "sql_live_segment_stats",
     # sampling

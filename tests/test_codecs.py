@@ -927,3 +927,143 @@ def test_gif_registry_default():
     codec = image_codec_for("image/gif")
     assert isinstance(codec, GifImageCodec)
     assert np.array_equal(codec.decode(codec.encode(_PIXELS)), _PIXELS)
+
+
+# -- Microsoft RLE8 (BI_RLE8) interframe video -------------------------
+
+def test_rle8_decode_golden_opcodes():
+    """Hand-packed opcode streams, independent of our encoder: runs,
+    the DELTA position escape, absolute mode with its word pad, EOL
+    and EOB — each painting exactly the spec'd pixels and leaving
+    skipped pixels untouched."""
+    from mysql_clickhouse_sync_spark.operators.codecs import (
+        decode_rle8_into,
+    )
+
+    # delta escape to bottom-up row 2, paint 3 of 5 pixels with 9
+    buf = np.zeros((4, 5), np.uint8)
+    decode_rle8_into(bytes((0, 2, 0, 2, 3, 9, 0, 1)), buf)
+    assert buf[2, :3].tolist() == [9, 9, 9] and int(buf.sum()) == 27
+    # absolute mode: 3 literals + pad byte, then EOB
+    buf2 = np.full((2, 4), 7, np.uint8)
+    decode_rle8_into(bytes((0, 3, 1, 2, 3, 0, 0, 1)), buf2)
+    assert buf2[0].tolist() == [1, 2, 3, 7]       # 4th pixel retained
+    # EOL advances a row; runs resume at x=0
+    buf3 = np.zeros((2, 3), np.uint8)
+    decode_rle8_into(bytes((2, 5, 0, 0, 1, 6, 0, 1)), buf3)
+    assert buf3[0].tolist() == [5, 5, 0]
+    assert buf3[1].tolist() == [6, 0, 0]
+
+
+def test_rle8_encode_decode_round_trip_and_delta_skips():
+    """Keyframe + delta round trip through the production encoder:
+    unchanged rows are skipped (smaller frame), changed rows repaint,
+    and the decoded state equals the target frame exactly.  Runs
+    longer than 255 split per the two-byte opcode limit."""
+    from mysql_clickhouse_sync_spark.operators.codecs import (
+        decode_rle8_into,
+        encode_rle8_frame,
+    )
+
+    rng = np.random.RandomState(11)
+    f0 = rng.randint(0, 5, (7, 300), dtype=np.uint8)  # forces run split
+    f1 = f0.copy()
+    f1[3, 10:40] = 200
+    k, d = encode_rle8_frame(f0), encode_rle8_frame(f1, prev=f0)
+    assert len(d) < len(k)
+    buf = np.zeros(f0.shape, np.uint8)
+    decode_rle8_into(k, buf)
+    assert np.array_equal(buf[::-1], f0)
+    decode_rle8_into(d, buf)
+    assert np.array_equal(buf[::-1], f1)
+
+
+def test_rle8_strf_round_trip_and_validation():
+    from mysql_clickhouse_sync_spark.operators.codecs import (
+        _parse_rle8_strf,
+        rle8_strf,
+    )
+
+    pal = np.stack(
+        [np.arange(64) * 3 % 256, np.arange(64) * 5 % 256,
+         np.arange(64) * 7 % 256], axis=1
+    ).astype(np.uint8)
+    w, h, pal2 = _parse_rle8_strf(rle8_strf(9, 5, pal))
+    assert (w, h) == (9, 5)
+    assert np.array_equal(pal2[:64], pal) and int(pal2[64:].sum()) == 0
+    with pytest.raises(ValueError, match="palette"):
+        rle8_strf(4, 4, np.zeros((300, 3), np.uint8))
+    with pytest.raises(ValueError, match="not an RLE8 strf"):
+        _parse_rle8_strf(rle8_strf(9, 5, pal)[:16] + b"\x00" * 24)
+
+
+def test_rle8_rejects_malformed_with_real_cause():
+    from mysql_clickhouse_sync_spark.operators.codecs import (
+        decode_rle8_into,
+        encode_rle8_frame,
+    )
+
+    buf = np.zeros((2, 4), np.uint8)
+    with pytest.raises(ValueError, match="run past row end"):
+        decode_rle8_into(bytes((9, 1, 0, 1)), buf)
+    with pytest.raises(ValueError, match="opcode ran out"):
+        decode_rle8_into(bytes((2, 1, 3)), buf)
+    with pytest.raises(ValueError, match="delta past buffer"):
+        decode_rle8_into(bytes((0, 2, 9, 9, 0, 1)), buf)
+    with pytest.raises(ValueError, match="absolute run ran out"):
+        decode_rle8_into(bytes((0, 3, 1)), buf)
+    with pytest.raises(ValueError, match="non-empty 2-D"):
+        encode_rle8_frame(np.zeros((0, 3), np.uint8))
+
+
+def test_mrle_avi_interframe_sampling_end_to_end():
+    """'MRLE' AVI through the demuxer: every physical frame applies to
+    the carried pixel state (interframe), sampled frames emit as
+    lossless BMPs — and a sampled frame's content reflects ALL deltas
+    before it, not just its own bytes."""
+    from mysql_clickhouse_sync_spark.operators.codecs import (
+        AviDemuxer,
+        decode_bmp,
+        demux_avi_full,
+        encode_avi,
+        encode_rle8_frame,
+        rle8_strf,
+    )
+
+    pal = np.stack(
+        [np.arange(16) * 11 % 256, np.arange(16) * 5 % 256,
+         np.arange(16) * 3 % 256], axis=1
+    ).astype(np.uint8)
+    f0 = np.tile(np.arange(4, dtype=np.uint8)[:, None], (1, 6))
+    f1 = f0.copy(); f1[1, :] = 10
+    f2 = f1.copy(); f2[3, :] = 12
+    frames = [
+        encode_rle8_frame(f0),
+        encode_rle8_frame(f1, prev=f0),
+        encode_rle8_frame(f2, prev=f1),
+    ]
+    avi = encode_avi(
+        frames, 500_000, fourcc=b"MRLE", strf=rle8_strf(6, 4, pal)
+    )
+    usec, raw, fourcc, strf = demux_avi_full(avi)
+    assert (usec, len(raw), fourcc) == (500_000, 3, b"MRLE")
+    samples = list(AviDemuxer().frames(avi, 1000))
+    assert [(i, t) for i, t, _ in samples] == [(0, 0), (1, 1000)]
+    assert np.array_equal(decode_bmp(samples[0][2]), pal[f0])
+    # frame 2 carries BOTH deltas: its own row 3 AND frame 1's row 1
+    assert np.array_equal(decode_bmp(samples[1][2]), pal[f2])
+
+
+def test_plain_dib_avi_demux_unchanged():
+    """The default 'DIB ' path still yields raw frame chunks (the
+    pre-RLE8 contract media_video_frames/mjpeg rely on)."""
+    from mysql_clickhouse_sync_spark.operators.codecs import (
+        AviDemuxer,
+        encode_avi,
+    )
+
+    avi = encode_avi([b"AA", b"BB", b"CC"], 500_000)
+    samples = list(AviDemuxer().frames(avi, 1000))
+    assert [(i, t, bytes(f)) for i, t, f in samples] == [
+        (0, 0, b"AA"), (1, 1000, b"CC"),
+    ]

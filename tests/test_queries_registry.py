@@ -116,8 +116,8 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         "media_audio_stats",
         # and the third: real AVI container demux composed with
         # per-frame pixel decode; events_hourly_gapfill (green r6)
-        # cedes its slot
-        "media_video_frames",
+        # cedes its slot (media_video_frames itself rotated out in r9
+        # — both its seams stay graded, see the r9 block below)
         # and the third real image codec (baseline JPEG — the
         # lossy-transform class, graded via the bit-exact q100
         # per-block-constant mosaic contract); media_decode_real
@@ -186,6 +186,12 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         # runtime (docs_top_jaccard_pairs cedes its slot — the same
         # Jaccard operator stays graded via the capped twin)
         "events_streaming_interval_join_full", "cdc_mux_restart_recovery",
+        # r9: interframe video (Microsoft RLE8 delta frames — the
+        # demuxer carries pixel state across frames); the
+        # media_video_frames slot cedes — its raw-DIB demux walk stays
+        # graded inside media_video_mjpeg and its registry BMP decode
+        # inside media_video_rle_delta's sampled-frame path
+        "media_video_rle_delta",
     }
     assert required <= window, sorted(required - window)
     # every docs_/emb_/media_/sql_ query is in the graded window,
@@ -291,6 +297,11 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         # (docs_top_jaccard_pairs_capped) and the uncapped row stays
         # hash-checked by check_oracle/ci_gate every round
         "docs_top_jaccard_pairs",
+        # r9: slot ceded to media_video_rle_delta (interframe RLE8);
+        # the raw-DIB demux walk + cadence stay graded inside
+        # media_video_mjpeg and the registry BMP per-frame decode
+        # inside media_video_rle_delta itself; hash-checked every round
+        "media_video_frames",
     }
     surface = {
         n for n in qs
