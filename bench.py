@@ -198,6 +198,8 @@ EXTENDED = (
     # r9: interframe video (Microsoft RLE8 delta frames — stateful
     # demux across frames)
     "media_video_rle_delta",
+    # r9: stateful audio decode (IMA ADPCM state machine)
+    "media_audio_adpcm",
 )
 
 _HEADLINE_REPEATS = 3   # round-4 verdict: best-of-3 minimum, in-artifact

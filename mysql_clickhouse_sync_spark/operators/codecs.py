@@ -465,12 +465,203 @@ def encode_wav_ulaw_codes(codes, rate: int = 8_000) -> bytes:
     return _RIFF_MAGIC + struct.pack("<I", len(body)) + body
 
 
+# -- IMA ADPCM (DVI4 / WAV format 0x11) --------------------------------
+#
+# The ADAPTIVE-PREDICTIVE audio class (mu-law is memoryless
+# companding; ADPCM is stateful): each 4-bit code updates a
+# (predictor, step-index) state machine — the public IMA/DVI spec's
+# integer tables and update rule, so a DuckDB recursive CTE can
+# replay the entire decode bit-exactly (every operation is integer
+# shifts/adds with clamps).
+
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+)
+_IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8,
+                    -1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_step(pred: int, idx: int, code: int) -> tuple[int, int]:
+    """One IMA ADPCM state update (the spec's integer rule): returns
+    (new_predictor, new_step_index)."""
+    step = _IMA_STEP_TABLE[idx]
+    diff = step >> 3
+    if code & 1:
+        diff += step >> 2
+    if code & 2:
+        diff += step >> 1
+    if code & 4:
+        diff += step
+    pred = pred - diff if code & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_INDEX_TABLE[code]))
+    return pred, idx
+
+
+def ima_adpcm_decode_block(block: bytes, n_samples: int):
+    """One IMA ADPCM block -> int16 samples: 4-byte header (int16
+    predictor = the FIRST output sample, uint8 step index, reserved),
+    then packed nibbles low-first; decode stops at ``n_samples``
+    (trailing pad nibbles are not samples)."""
+    import numpy as np
+
+    if len(block) < 4:
+        raise ValueError(
+            f"corrupt ADPCM block: {len(block)} bytes (header is 4)"
+        )
+    (pred,) = struct.unpack_from("<h", block, 0)
+    idx = block[2]
+    if idx > 88:
+        raise ValueError(f"corrupt ADPCM block: step index {idx} > 88")
+    if n_samples < 1 or n_samples > 1 + 2 * (len(block) - 4):
+        raise ValueError(
+            f"corrupt ADPCM block: {n_samples} samples from "
+            f"{len(block) - 4} nibble bytes"
+        )
+    out = np.empty(n_samples, dtype=np.int16)
+    out[0] = pred
+    for k in range(1, n_samples):
+        b = block[4 + (k - 1) // 2]
+        code = (b >> 4) if (k - 1) & 1 else (b & 0x0F)
+        pred, idx = _ima_step(pred, idx, code)
+        out[k] = pred
+    return out
+
+
+def ima_adpcm_encode(samples, pred0: int | None = None,
+                     idx0: int = 0) -> tuple[int, int, bytes]:
+    """int16 samples -> (predictor0, index0, packed nibble bytes) for
+    ONE block: the spec encoder — quantize each difference against the
+    current step, then advance the state with the DECODER's update so
+    encoder and decoder predictors never diverge."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.int64)
+    if x.ndim != 1 or len(x) == 0:
+        raise ValueError("ima_adpcm_encode needs a non-empty 1-D array")
+    pred = int(x[0]) if pred0 is None else int(pred0)
+    idx = int(idx0)
+    if not 0 <= idx <= 88:
+        raise ValueError(f"bad ADPCM step index {idx}")
+    nibbles = []
+    p, i = pred, idx
+    for s in x[1:]:
+        step = _IMA_STEP_TABLE[i]
+        diff = int(s) - p
+        code = 0
+        if diff < 0:
+            code = 8
+            diff = -diff
+        if diff >= step:
+            code |= 4
+            diff -= step
+        if diff >= step >> 1:
+            code |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            code |= 1
+        nibbles.append(code)
+        p, i = _ima_step(p, i, code)
+    data = bytearray()
+    for j in range(0, len(nibbles), 2):
+        lo = nibbles[j]
+        hi = nibbles[j + 1] if j + 1 < len(nibbles) else 0
+        data.append(lo | (hi << 4))
+    return pred, idx, bytes(data)
+
+
+def encode_wav_adpcm_codes(
+    pred0: int, idx0: int, codes, rate: int = 16_000
+) -> bytes:
+    """Raw 4-bit CODES + initial state -> a one-block IMA ADPCM WAV
+    (audio_format=0x11, mono): the golden-fixture builder — graded
+    rows generate closed-form codes so the decoded samples are the
+    spec state machine's exact outputs, independent of our encoder
+    (the same separation the mu-law/JPEG fixtures use).  The fmt
+    extension carries wSamplesPerBlock = 1 + len(codes), and a
+    'fact' chunk pins the total sample count."""
+    import numpy as np
+
+    c = np.asarray(codes, dtype=np.uint8)
+    if c.ndim != 1 or len(c) == 0 or int(c.max()) > 15:
+        raise ValueError("codes must be a non-empty 1-D array of 0..15")
+    if not -32768 <= pred0 <= 32767 or not 0 <= idx0 <= 88:
+        raise ValueError(
+            f"bad ADPCM initial state pred={pred0} idx={idx0}"
+        )
+    n = 1 + len(c)
+    data = bytearray(struct.pack("<hBB", pred0, idx0, 0))
+    for j in range(0, len(c), 2):
+        lo = int(c[j])
+        hi = int(c[j + 1]) if j + 1 < len(c) else 0
+        data.append(lo | (hi << 4))
+    block_align = len(data)
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x11, 1, rate, rate * block_align // max(n, 1), block_align, 4,
+        2, n,
+    )
+    body = (
+        _WAVE_MAGIC
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n)
+        + b"data" + struct.pack("<I", len(data)) + bytes(data)
+    )
+    return _RIFF_MAGIC + struct.pack("<I", len(body)) + body
+
+
+def encode_wav_adpcm(samples, rate: int = 16_000,
+                     block_align: int = 256) -> bytes:
+    """float array in [-1, 1] -> mono IMA ADPCM WAV (the production
+    encoder): int16 quantization like the PCM path, then standard
+    fixed-size blocks — each block restarts the state from its header
+    sample, wSamplesPerBlock = 1 + 2*(block_align - 4)."""
+    import numpy as np
+
+    x = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    if x.ndim != 1 or len(x) == 0:
+        raise ValueError("encode_wav_adpcm needs a non-empty 1-D array")
+    if block_align < 8:
+        raise ValueError(f"bad ADPCM block_align {block_align}")
+    pcm = np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int64)
+    spb = 1 + 2 * (block_align - 4)
+    idx = 0
+    blocks = bytearray()
+    for start in range(0, len(pcm), spb):
+        seg = pcm[start : start + spb]
+        pred0, idx, nib = ima_adpcm_encode(seg, idx0=idx)
+        block = bytearray(struct.pack("<hBB", pred0, idx, 0)) + nib
+        if start + spb <= len(pcm) - 1 or len(seg) == spb:
+            block += b"\x00" * (block_align - len(block))
+        blocks += block
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x11, 1, rate, rate * block_align // spb, block_align, 4,
+        2, spb,
+    )
+    body = (
+        _WAVE_MAGIC
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, len(pcm))
+        + b"data" + struct.pack("<I", len(blocks)) + bytes(blocks)
+    )
+    return _RIFF_MAGIC + struct.pack("<I", len(body)) + body
+
+
 def decode_wav(payload: bytes):
     """WAV bytes -> (waveform float64 in [-1, 1), sample_rate).
-    Accepts 16-bit and 8-bit linear PCM (audio_format=1) and 8-bit
-    G.711 mu-law (audio_format=7), any channel count (downmixed to
-    mono by per-sample mean); rejects other compressed formats and
-    malformed chunk streams with the real cause."""
+    Accepts 16-bit and 8-bit linear PCM (audio_format=1), 8-bit G.711
+    mu-law (audio_format=7) and mono IMA ADPCM (audio_format=0x11),
+    any channel count for the PCM-class formats (downmixed to mono by
+    per-sample mean); rejects other compressed formats and malformed
+    chunk streams with the real cause."""
     import numpy as np
 
     if payload is None or len(payload) < 12:
@@ -480,6 +671,7 @@ def decode_wav(payload: bytes):
     pos = 12
     fmt = None
     data = None
+    fact_samples = None
     while pos + 8 <= len(payload):
         ctype = bytes(payload[pos : pos + 4])
         (length,) = struct.unpack_from("<I", payload, pos + 4)
@@ -490,6 +682,8 @@ def decode_wav(payload: bytes):
             fmt = chunk
         elif ctype == b"data":
             data = chunk
+        elif ctype == b"fact" and length >= 4:
+            (fact_samples,) = struct.unpack_from("<I", chunk, 0)
         # chunks are word-aligned: odd sizes carry a pad byte
         pos += 8 + length + (length & 1)
     if fmt is None or data is None:
@@ -498,16 +692,47 @@ def decode_wav(payload: bytes):
         raise ValueError(
             f"corrupt WAV: fmt chunk is {len(fmt)} bytes, expected >= 16"
         )
-    audio_format, channels, rate, _br, _ba, bits = struct.unpack_from(
+    audio_format, channels, rate, _br, block_align, bits = struct.unpack_from(
         "<HHIIHH", fmt, 0
     )
-    if audio_format not in (1, 7):
+    if audio_format not in (1, 7, 0x11):
         raise ValueError(
             f"unsupported WAV: audio_format={audio_format} "
-            "(only PCM=1 and G.711 mu-law=7)"
+            "(only PCM=1, G.711 mu-law=7, IMA ADPCM=17)"
         )
     if channels < 1 or rate <= 0:
         raise ValueError(f"bad WAV header: channels={channels} rate={rate}")
+    if audio_format == 0x11:
+        if channels != 1:
+            raise ValueError(
+                f"unsupported WAV: IMA ADPCM with channels={channels} "
+                "(mono only)"
+            )
+        if len(fmt) < 20:
+            raise ValueError(
+                "corrupt WAV: IMA ADPCM fmt chunk without the "
+                "wSamplesPerBlock extension"
+            )
+        (spb,) = struct.unpack_from("<H", fmt, 18)
+        if block_align < 5 or spb < 1 or spb > 1 + 2 * (block_align - 4):
+            raise ValueError(
+                f"corrupt WAV: ADPCM block_align={block_align} "
+                f"samples_per_block={spb}"
+            )
+        chunks = []
+        remaining = fact_samples
+        for off in range(0, len(data) - 4, block_align):
+            block = data[off : off + block_align]
+            n = min(spb, 1 + 2 * (len(block) - 4))
+            if remaining is not None:
+                n = min(n, remaining)
+                remaining -= n
+            if n > 0:
+                chunks.append(ima_adpcm_decode_block(block, n))
+        if not chunks:
+            raise ValueError("corrupt WAV: ADPCM data without one block")
+        x = np.concatenate(chunks).astype(np.float64) / 32768.0
+        return x, int(rate)
     if audio_format == 7:
         if bits != 8:
             raise ValueError(

@@ -542,6 +542,141 @@ def media_audio_ulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_stats(_ulaw_wav_media(docs))
 
 
+def _adpcm_wav_media(docs: DataFrame) -> DataFrame:
+    """doc ids -> REAL mono IMA ADPCM WAVs (audio_format=0x11) via the
+    container builder (operators/codecs.py::encode_wav_adpcm_codes).
+    Unlike PCM/mu-law the decode is STATEFUL — each 4-bit code updates
+    a (predictor, step-index) machine — so the fixture fixes the
+    initial state and the CODE stream closed-form and the oracle
+    replays the spec's integer state machine step by step:
+
+      n     = 40 + id % 50 total samples (1 header + n-1 codes)
+      pred0 = ((7·id) % 256 - 128) * 64,  idx0 = id % 30
+      code k = (3·id + 7·k) % 16          (k = 1 .. n-1)
+    """
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.codecs import encode_wav_adpcm_codes
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 40 + did % 50
+                pred0 = ((7 * did) % 256 - 128) * 64
+                idx0 = did % 30
+                codes = (
+                    (3 * did + 7 * np.arange(1, n)) % 16
+                ).astype(np.uint8)
+                rows.append(
+                    (
+                        did,
+                        "audio",
+                        "audio/wav",
+                        bytearray(
+                            encode_wav_adpcm_codes(
+                                pred0, idx0, codes, 16_000
+                            )
+                        ),
+                        None,
+                        None,
+                        int(n * 1000 / 16_000),
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+                )
+
+    return docs.select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+
+
+_IMA_STEP_SQL = (
+    "[7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,"
+    "60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,"
+    "307,337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,"
+    "1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,"
+    "4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,"
+    "13899,15289,16818,18500,20350,22385,24623,27086,29794,32767]"
+)
+_IMA_INDEX_SQL = "[-1,-1,-1,-1,2,4,6,8,-1,-1,-1,-1,2,4,6,8]"
+
+
+@register(
+    "media_audio_adpcm",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+        SELECT doc_id, 40 + doc_id % 50 AS n,
+               ((7*doc_id) % 256 - 128) * 64 AS p0,
+               doc_id % 30 AS i0
+        FROM documents
+    ), st(doc_id, k, pred, idx, s1, s2, n) AS (
+        SELECT doc_id, 0, p0, i0,
+               CAST(p0 AS BIGINT), CAST(p0*p0 AS BIGINT), n
+        FROM d
+        UNION ALL
+        SELECT doc_id, k, np, ni, s1 + np, s2 + np*np, n FROM (
+            SELECT doc_id, k + 1 AS k, s1, s2, n,
+                greatest(-32768, least(32767,
+                    pred + CASE WHEN code >= 8
+                                THEN -diff ELSE diff END)) AS np,
+                greatest(0, least(88,
+                    idx + ({_IMA_INDEX_SQL})[code + 1])) AS ni
+            FROM (
+                SELECT *,
+                    (step // 8)
+                    + CASE WHEN code % 2 = 1 THEN step // 4 ELSE 0 END
+                    + CASE WHEN (code // 2) % 2 = 1
+                           THEN step // 2 ELSE 0 END
+                    + CASE WHEN (code // 4) % 2 = 1
+                           THEN step ELSE 0 END AS diff
+                FROM (
+                    SELECT st.*,
+                        (3*doc_id + 7*(k+1)) % 16 AS code,
+                        ({_IMA_STEP_SQL})[idx + 1] AS step
+                    FROM st WHERE k < n - 1
+                )
+            )
+        )
+    )
+    SELECT st.doc_id AS media_id,
+           CAST(st.n AS BIGINT) AS n_samples,
+           CAST(16000 AS INT) AS sample_rate,
+           (CAST(s1 AS DOUBLE) / 32768.0) / st.n AS mean_amp,
+           sqrt((CAST(s2 AS DOUBLE) / 1073741824.0) / st.n) AS rms_amp,
+           CAST(d.p0 AS DOUBLE) / 32768.0 AS amp0,
+           CAST(pred AS DOUBLE) / 32768.0 AS amp_last
+    FROM st JOIN d ON st.doc_id = d.doc_id
+    WHERE k = st.n - 1
+    """,
+    description="ADAPTIVE-PREDICTIVE AUDIO through the codec registry "
+    "— the third audio class and the first STATEFUL audio decode "
+    "(PCM = direct samples, mu-law = memoryless companding, IMA "
+    "ADPCM = a per-sample state machine): each 4-bit code updates a "
+    "(predictor, step-index) state per the public IMA/DVI spec, so a "
+    "single corrupted step would poison every later sample — and the "
+    "DuckDB oracle replays the ENTIRE state machine with a recursive "
+    "CTE over the spec's integer tables (shifts/adds/clamps are all "
+    "exact), making the decode hash-checkable end to end.  WAV "
+    "format 0x11 with the wSamplesPerBlock extension and a fact "
+    "chunk; block header carries the initial state (closed-form in "
+    "the id) and the code stream is closed-form (fixture independent "
+    "of our encoder — the golden separation).  Sums of pred/2^15 and "
+    "pred^2/2^30 stay exact in float64 for n < 90, so mean/RMS are "
+    "bit-reproducible; amp0/amp_last pin the header sample and the "
+    "final state.  Decoder pinned against hand-computed state steps "
+    "and the production encoder's round trip in tests/test_codecs.py",
+)
+def media_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import audio_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_stats(_adpcm_wav_media(docs))
+
+
 def _avi_bmp_media(docs: DataFrame) -> DataFrame:
     """doc ids -> REAL tiny AVI videos of BMP frames via the
     production encoders (operators/codecs.py::encode_avi/encode_bmp).

@@ -318,6 +318,18 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 # media_video_mjpeg, and the registry BMP per-frame decode inside
 # media_video_rle_delta, whose sampled frames are emitted as BMPs —
 # and the row stays hash-checked every round).
+# Also IN (enter-on-add): media_audio_adpcm — the third audio class
+# and the first STATEFUL audio decode (IMA ADPCM, WAV format 0x11):
+# each 4-bit code advances a (predictor, step-index) machine, and
+# the oracle replays the ENTIRE state machine with a recursive CTE
+# over the spec's integer tables — full hash on a stateful decode.
+# OUT: docs_minhash_candidates (green r1-r8, the text family's
+# longest-green row; the MinHash+LSH banding operators stay
+# DRIVER-GRADED inside docs_dedup_incremental — the same
+# band-index/banded-equi-join path, daily-batch shaped — the
+# production stage stays a bench HEADLINE row via
+# docs_minhash_candidates_raw, and the row stays hash-checked every
+# round).
 # Also IN (enter-on-add): cdc_mux_schema_evolution — ADDITIVE schema
 # evolution mid-stream on the live mux runtime (widen the decode
 # schema between two checkpointed drains, no restart; pre-evolution
@@ -354,7 +366,6 @@ DRIVER_WINDOW = (
     # text / dedup pipeline
     "docs_repetition_stats",
     "docs_top_jaccard_pairs_capped",
-    "docs_minhash_candidates",
     "docs_dedup_incremental",
     "docs_curation_pipeline",
     "docs_char_bigram_profile",
@@ -384,6 +395,7 @@ DRIVER_WINDOW = (
     "media_decode_gif",
     "media_audio_stats",
     "media_audio_ulaw",
+    "media_audio_adpcm",
     "media_video_mjpeg",
     "media_video_rle_delta",
     # SQL surface

@@ -1067,3 +1067,76 @@ def test_plain_dib_avi_demux_unchanged():
     assert [(i, t, bytes(f)) for i, t, f in samples] == [
         (0, 0, b"AA"), (1, 1000, b"CC"),
     ]
+
+
+# -- IMA ADPCM (WAV format 0x11) ---------------------------------------
+
+def test_adpcm_golden_state_steps_and_block():
+    """Hand-computed spec steps, independent of our encoder: from
+    (pred 0, index 0), code 7 -> diff 0+1+3+7=11 (step 7), index +8;
+    then code 15 (step 16) -> diff 2+4+8+16=30, sign bit -> -19,
+    index 16.  The packed block (low nibble first) decodes to exactly
+    that sample path."""
+    from mysql_clickhouse_sync_spark.operators.codecs import (
+        _ima_step,
+        ima_adpcm_decode_block,
+    )
+
+    assert _ima_step(0, 0, 7) == (11, 8)
+    assert _ima_step(11, 8, 15) == (-19, 16)
+    blk = bytes([0, 0, 0, 0, 0x7 | (0xF << 4)])
+    assert ima_adpcm_decode_block(blk, 3).tolist() == [0, 11, -19]
+
+
+def test_adpcm_codes_container_round_trip():
+    from mysql_clickhouse_sync_spark.operators.codecs import (
+        decode_wav,
+        encode_wav_adpcm_codes,
+    )
+
+    codes = (np.arange(37) * 5 % 16).astype(np.uint8)
+    x, rate = decode_wav(encode_wav_adpcm_codes(-1024, 12, codes, 8000))
+    assert rate == 8000 and len(x) == 38
+    assert x[0] == -1024 / 32768.0
+    # clamps hold: every decoded sample is a representable int16
+    pcm = x * 32768.0
+    assert np.all(pcm == np.round(pcm))
+    assert pcm.min() >= -32768 and pcm.max() <= 32767
+
+
+def test_adpcm_production_encoder_error_bound_and_blocks():
+    """Multi-block production path (block_align 256 -> 505 samples per
+    block): length preserved across the block boundary, companding
+    error bounded, and the fact chunk caps trailing pad nibbles."""
+    from mysql_clickhouse_sync_spark.operators.codecs import (
+        decode_wav,
+        encode_wav_adpcm,
+    )
+
+    t = np.sin(np.linspace(0.0, 12.0, 1500)) * 0.6
+    x, rate = decode_wav(encode_wav_adpcm(t, rate=16_000))
+    assert rate == 16_000 and len(x) == 1500
+    assert np.abs(x - t).max() < 0.06
+
+
+def test_adpcm_rejects_malformed_with_real_cause():
+    import struct as _st
+
+    from mysql_clickhouse_sync_spark.operators.codecs import (
+        decode_wav,
+        encode_wav_adpcm_codes,
+        ima_adpcm_decode_block,
+    )
+
+    with pytest.raises(ValueError, match="step index 99"):
+        ima_adpcm_decode_block(_st.pack("<hBB", 0, 99, 0) + b"\x00", 2)
+    with pytest.raises(ValueError, match="header is 4"):
+        ima_adpcm_decode_block(b"\x00\x00", 1)
+    with pytest.raises(ValueError, match="samples from"):
+        ima_adpcm_decode_block(_st.pack("<hBB", 0, 0, 0) + b"\x00", 9)
+    with pytest.raises(ValueError, match="0..15"):
+        encode_wav_adpcm_codes(0, 0, [99])
+    good = bytearray(encode_wav_adpcm_codes(0, 0, [1, 2], 8000))
+    good[22] = 2                     # channels byte inside fmt
+    with pytest.raises(ValueError, match="mono only"):
+        decode_wav(bytes(good))

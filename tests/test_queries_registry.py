@@ -76,7 +76,6 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
     window = set(DRIVER_WINDOW)
     required = {
         "cdc_live_orders", "cdc_streaming_live",
-        "docs_minhash_candidates",
         "docs_curation_pipeline", "docs_top_jaccard_pairs_capped",
         # round-5 rotation: SCD-2 history, repetition filter, domain
         # mixture, quantile sketch enter the round they were added
@@ -192,6 +191,11 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         # graded inside media_video_mjpeg and its registry BMP decode
         # inside media_video_rle_delta's sampled-frame path
         "media_video_rle_delta",
+        # r9: the first STATEFUL audio decode (IMA ADPCM — recursive-
+        # CTE-replayed state machine); docs_minhash_candidates cedes
+        # its slot (banding stays graded inside docs_dedup_incremental,
+        # the production stage stays a bench headline via the raw twin)
+        "media_audio_adpcm",
     }
     assert required <= window, sorted(required - window)
     # every docs_/emb_/media_/sql_ query is in the graded window,
@@ -302,6 +306,12 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         # media_video_mjpeg and the registry BMP per-frame decode
         # inside media_video_rle_delta itself; hash-checked every round
         "media_video_frames",
+        # r9: slot ceded to media_audio_adpcm; MinHash+LSH banding
+        # stays driver-graded inside docs_dedup_incremental (the same
+        # band-index operators, daily-batch shaped), the production
+        # stage stays a bench headline via docs_minhash_candidates_raw,
+        # and the row stays hash-checked every round
+        "docs_minhash_candidates",
     }
     surface = {
         n for n in qs

@@ -90,6 +90,7 @@ SWEEP = (
     "emb_index_rebuild_swap",        # drift -> retrain -> atomic swap
     "emb_index_compacted_search",    # append waves -> compact -> search
     "media_audio_ulaw",              # mu-law expansion in the Arrow loop
+    "media_audio_adpcm",             # stateful ADPCM decode loop
     "media_video_rle_delta",         # interframe RLE8 stateful demux
     "media_video_mjpeg_raw",         # demux+decode only (fixtures stored)
     "emb_dedup_append_chain_raw",    # day-2 grow vs stored chain
