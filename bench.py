@@ -200,6 +200,9 @@ EXTENDED = (
     "media_video_rle_delta",
     # r9: stateful audio decode (IMA ADPCM state machine)
     "media_audio_adpcm",
+    # r9: dead-letter CSV ingestion (PERMISSIVE parse + validation
+    # split, all JVM-side)
+    "orders_csv_ingest_quarantine",
 )
 
 _HEADLINE_REPEATS = 3   # round-4 verdict: best-of-3 minimum, in-artifact

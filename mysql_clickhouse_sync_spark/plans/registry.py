@@ -330,6 +330,15 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 # production stage stays a bench HEADLINE row via
 # docs_minhash_candidates_raw, and the row stays hash-checked every
 # round).
+# Also IN (enter-on-add): orders_csv_ingest_quarantine — the
+# DEAD-LETTER ingestion surface (sources/ingest.py): PERMISSIVE
+# from_csv + semantic validation split a raw feed into valid rows
+# and a whole-line quarantine with deterministic reasons; the oracle
+# replays the closed-form corruption rule, so a split that loses,
+# double-counts, or mis-reasons one line goes red.  OUT:
+# events_props_profile (green r6-r8; the JSON-props profiling shape
+# stays hash-checked by check_oracle/ci_gate every round; events
+# keeps events_value_percentiles + 6 streaming graded rows).
 # Also IN (enter-on-add): cdc_mux_schema_evolution — ADDITIVE schema
 # evolution mid-stream on the live mux runtime (widen the decode
 # schema between two checkpointed drains, no restart; pre-evolution
@@ -353,9 +362,9 @@ DRIVER_WINDOW = (
     "orders_in_promo_windows",
     "lineitem_cube_stats",
     "customer_order_gaps",
-    # event analytics
-    "events_props_profile",
+    # event analytics + raw-feed ingestion
     "events_value_percentiles",
+    "orders_csv_ingest_quarantine",
     # streaming runtimes (end-to-end, batch-oracle-verified)
     "events_streaming_sessions",
     "events_streaming_enriched",
@@ -420,6 +429,7 @@ def all_queries() -> dict[str, Query]:
     from . import behavior_queries  # noqa: F401
     from . import corpus_queries  # noqa: F401
     from . import streaming_queries  # noqa: F401
+    from . import ingest_queries  # noqa: F401
 
     missing = [n for n in DRIVER_WINDOW if n not in _REGISTRY]
     if missing:

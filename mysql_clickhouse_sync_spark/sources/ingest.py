@@ -1,0 +1,95 @@
+"""Schema-enforced text-feed ingestion with a DEAD-LETTER path.
+
+The reference ingests from MySQL, where the server enforces types
+before rows ever reach the replicator; a training-data pipeline's raw
+feeds (CSV/TSV drops, log lines, scraped exports) carry no such
+guarantee — the FIRST operator at 100 TB is "parse what parses,
+quarantine what doesn't, and never lose a byte of the rejects".
+
+Spark-first shape: ``F.from_csv`` in PERMISSIVE mode with a declared
+corrupt-record column does the parse split JVM-side (no Python in the
+row path); semantic validation is plain boolean ``Column`` predicates
+evaluated post-parse.  The quarantine keeps the RAW line plus a
+deterministic reason, so rejects are re-driable after a rule fix (the
+dead-letter contract every ingestion system documents — Kafka DLQs,
+BigQuery error tables).
+
+Scale notes: one narrow projection per branch over the same scan —
+Catalyst collapses the shared parse; no shuffle is introduced by the
+split itself.  The quarantine relation is append-only and tiny
+relative to the feed in the healthy case; a quarantine-rate monitor
+belongs downstream exactly like ``ivf_cell_stats`` for index drift.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_CORRUPT = "_corrupt_record"
+
+
+def parse_csv_with_quarantine(
+    df: DataFrame,
+    raw_col: str,
+    schema: str,
+    validators: Mapping[str, Column] | None = None,
+    options: Mapping[str, str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Split a raw-line feed into ``(valid, quarantine)``.
+
+    * ``schema`` — DDL of the EXPECTED fields (the corrupt-record
+      column is appended internally; declaring it yourself is an
+      error because its name is part of this operator's contract);
+    * ``validators`` — ordered ``{reason: predicate}`` semantic checks
+      over the parsed fields (e.g. ``{"invalid_price": col >= 0}``);
+      a row failing any predicate (or where the predicate is NULL —
+      a null field never "passes" a check it cannot evaluate)
+      quarantines under the FIRST failing reason, deterministically;
+    * ``valid`` carries exactly the schema fields; ``quarantine``
+      carries ``(raw, reason)`` — the untouched input line plus
+      ``"malformed"`` or the validator's reason.
+
+    PERMISSIVE parsing keeps convertible fields of a partially-bad
+    line, but the line still quarantines whole: a row is either fully
+    trusted or fully dead-lettered, never half-ingested.
+    """
+    if _CORRUPT in schema:
+        raise ValueError(
+            f"schema must not declare {_CORRUPT!r}: the corrupt-record "
+            "column is the operator's own contract"
+        )
+    opts = {
+        "mode": "PERMISSIVE",
+        "columnNameOfCorruptRecord": _CORRUPT,
+        **(options or {}),
+    }
+    if opts.get("mode") != "PERMISSIVE":
+        raise ValueError(
+            "parse_csv_with_quarantine requires PERMISSIVE mode: "
+            "FAILFAST kills the job on the first bad line and "
+            "DROPMALFORMED silently loses data — both defeat the "
+            "dead-letter contract"
+        )
+    parsed = df.select(
+        F.col(raw_col).alias("_raw"),
+        F.from_csv(
+            F.col(raw_col), f"{schema}, {_CORRUPT} STRING", dict(opts)
+        ).alias("_p"),
+    ).select("_raw", "_p.*")
+    malformed = F.col(_CORRUPT).isNotNull()
+    reason = F.when(malformed, F.lit("malformed"))
+    ok = ~malformed
+    for name, pred in (validators or {}).items():
+        # NULL predicate = cannot evaluate = NOT valid (coalesce to
+        # False), and the first failing reason wins
+        holds = F.coalesce(pred, F.lit(False))
+        reason = reason.when(~holds, F.lit(str(name)))
+        ok = ok & holds
+    valid = parsed.filter(ok).drop("_raw", _CORRUPT)
+    quarantine = parsed.filter(~F.coalesce(ok, F.lit(False))).select(
+        F.col("_raw").alias("raw"), reason.alias("reason")
+    )
+    return valid, quarantine

@@ -1,0 +1,96 @@
+"""Dead-letter ingestion operator contracts (sources/ingest.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_clickhouse_sync_spark.sources.ingest import (
+    parse_csv_with_quarantine,
+)
+
+_SCHEMA = "k LONG, price DOUBLE, prio STRING"
+
+
+def _feed(spark, lines):
+    return spark.createDataFrame([(ln,) for ln in lines], "line string")
+
+
+def test_parse_split_and_reasons(spark):
+    """Malformed lines quarantine as 'malformed'; parseable lines
+    failing a validator quarantine under that validator's reason; a
+    NULL field never passes a check it cannot evaluate; valid rows
+    carry exactly the schema fields."""
+    valid, quar = parse_csv_with_quarantine(
+        _feed(spark, ["1,10.5,A", "2,xx,B", "3,-4.0,C", "4,,D"]),
+        "line",
+        _SCHEMA,
+        validators={"invalid_price": F.col("price") >= 0},
+    )
+    assert sorted(map(tuple, valid.collect())) == [(1, 10.5, "A")]
+    assert valid.columns == ["k", "price", "prio"]
+    assert sorted(map(tuple, quar.collect())) == [
+        ("2,xx,B", "malformed"),
+        ("3,-4.0,C", "invalid_price"),
+        ("4,,D", "invalid_price"),
+    ]
+
+
+def test_first_failing_reason_is_deterministic(spark):
+    """A row failing several validators quarantines under the FIRST
+    failing one in declaration order, and the raw line is preserved
+    byte-for-byte (the re-drive contract)."""
+    raw = "5,-1.0,"
+    _, quar = parse_csv_with_quarantine(
+        _feed(spark, [raw]),
+        "line",
+        _SCHEMA,
+        validators={
+            "invalid_price": F.col("price") >= 0,
+            "missing_prio": F.col("prio").isNotNull(),
+        },
+    )
+    assert [tuple(r) for r in quar.collect()] == [(raw, "invalid_price")]
+
+
+def test_no_row_is_lost_or_duplicated(spark):
+    """Conservation: |input| == |valid| + |quarantine| for a mixed
+    feed (the property a wrong NULL-handling split silently breaks)."""
+    lines = [f"{i},{i}.5,P{i % 3}" for i in range(50)]
+    lines += [f"{i},bad,P0" for i in range(50, 60)]
+    lines += [f"{i},-2.0,P1" for i in range(60, 70)]
+    valid, quar = parse_csv_with_quarantine(
+        _feed(spark, lines),
+        "line",
+        _SCHEMA,
+        validators={"invalid_price": F.col("price") >= 0},
+    )
+    assert valid.count() + quar.count() == len(lines)
+    assert valid.count() == 50
+    reasons = {
+        r["reason"]: r["n"]
+        for r in quar.groupBy("reason").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert reasons == {"malformed": 10, "invalid_price": 10}
+
+
+def test_contract_violations_fail_fast(spark):
+    df = _feed(spark, ["1,1.0,A"])
+    with pytest.raises(ValueError, match="corrupt-record column"):
+        parse_csv_with_quarantine(
+            df, "line", _SCHEMA + ", _corrupt_record STRING"
+        )
+    with pytest.raises(ValueError, match="PERMISSIVE"):
+        parse_csv_with_quarantine(
+            df, "line", _SCHEMA, options={"mode": "FAILFAST"}
+        )
+
+
+def test_no_validators_still_splits_malformed(spark):
+    valid, quar = parse_csv_with_quarantine(
+        _feed(spark, ["1,1.0,A", "z,z"]), "line", _SCHEMA
+    )
+    assert valid.count() == 1
+    assert [tuple(r) for r in quar.collect()] == [("z,z", "malformed")]
