@@ -632,15 +632,18 @@ def encode_wav_adpcm(samples, rate: int = 16_000,
         raise ValueError(f"bad ADPCM block_align {block_align}")
     pcm = np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int64)
     spb = 1 + 2 * (block_align - 4)
-    idx = 0
     blocks = bytearray()
     for start in range(0, len(pcm), spb):
         seg = pcm[start : start + spb]
-        pred0, idx, nib = ima_adpcm_encode(seg, idx0=idx)
-        block = bytearray(struct.pack("<hBB", pred0, idx, 0)) + nib
-        if start + spb <= len(pcm) - 1 or len(seg) == spb:
-            block += b"\x00" * (block_align - len(block))
-        blocks += block
+        # each block is independently decodable from its own header
+        # (predictor = the block's first sample, step index restarts
+        # at 0) — the spec's block contract; adaptation re-converges
+        # within a few samples, which the round-trip test bounds
+        pred0, idx0, nib = ima_adpcm_encode(seg, idx0=0)
+        # a FULL block is exactly block_align bytes by construction
+        # (4 + (spb-1)/2 nibble bytes); only the final partial block
+        # is shorter, and the fact chunk caps its decoded samples
+        blocks += struct.pack("<hBB", pred0, idx0, 0) + nib
     fmt = struct.pack(
         "<HHIIHHHH",
         0x11, 1, rate, rate * block_align // spb, block_align, 4,
@@ -1071,10 +1074,20 @@ def _parse_rle8_strf(strf: bytes):
 
 
 def _is_rle8_stream(fourcc: bytes, strf: bytes) -> bool:
-    if not strf or len(strf) < 20:
-        return False
-    bits, comp = struct.unpack_from("<HI", strf, 14)
-    return comp == 1 and bits == 8 or fourcc in (b"MRLE", b"mrle")
+    if strf and len(strf) >= 20:
+        bits, comp = struct.unpack_from("<HI", strf, 14)
+        if comp == 1 and bits == 8:
+            return True
+    if fourcc in (b"MRLE", b"mrle"):
+        # an RLE8 stream is NOT decodable without its format block
+        # (geometry + palette live in strf, not in the frame chunks) —
+        # falling through to the raw path would hand RLE opcodes to an
+        # image decoder and fail far from the real cause
+        raise ValueError(
+            "corrupt AVI: 'MRLE' stream without an RLE8 strf "
+            "(BITMAPINFOHEADER + palette)"
+        )
+    return False
 
 
 class AviDemuxer:

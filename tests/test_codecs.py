@@ -1140,3 +1140,18 @@ def test_adpcm_rejects_malformed_with_real_cause():
     good[22] = 2                     # channels byte inside fmt
     with pytest.raises(ValueError, match="mono only"):
         decode_wav(bytes(good))
+
+
+def test_mrle_without_strf_fails_with_real_cause():
+    """An 'MRLE' stream whose strf is missing cannot be decoded (the
+    geometry + palette live in the format block) — the demuxer must
+    name the real cause instead of handing RLE opcodes to an image
+    decoder downstream."""
+    from mysql_clickhouse_sync_spark.operators.codecs import (
+        AviDemuxer,
+        encode_avi,
+    )
+
+    avi = encode_avi([b"\x00\x01"], 500_000, fourcc=b"MRLE")
+    with pytest.raises(ValueError, match="MRLE.*without an RLE8 strf"):
+        list(AviDemuxer().frames(avi, 1000))
