@@ -86,3 +86,133 @@ def orders_csv_ingest_quarantine(
         F.lit(None).cast("double").alias("sum_price"),
     )
     return good.unionByName(dead)
+
+
+@register(
+    "orders_streaming_ingest_quarantine",
+    oracle="""
+    SELECT o_orderpriority AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_price
+    FROM orders WHERE o_orderkey % 13 NOT IN (3, 7)
+    GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'quarantine:malformed', CAST(count(*) AS BIGINT),
+           CAST(NULL AS DOUBLE)
+    FROM orders WHERE o_orderkey % 13 = 3
+    UNION ALL
+    SELECT 'quarantine:invalid_price', CAST(count(*) AS BIGINT),
+           CAST(NULL AS DOUBLE)
+    FROM orders WHERE o_orderkey % 13 = 7
+    """,
+    description="DEAD-LETTER INGESTION ON THE STREAMING RUNTIME: the "
+    "same corrupted CSV feed as orders_csv_ingest_quarantine, but "
+    "arriving as a file STREAM drained across TWO checkpointed "
+    "availableNow passes (split by o_orderkey parity), with the "
+    "parse/validate/quarantine split running INSIDE foreachBatch and "
+    "fanning out to TWO append sinks per microbatch — the valid "
+    "table and the dead-letter table, the shape every production "
+    "ingest loop runs (Kafka -> DLQ).  The graded output aggregates "
+    "BOTH sinks after the second drain and hash-matches the same "
+    "single-pass oracle as the batch row: a split that loses a line "
+    "between sinks, double-applies a batch, or mis-reasons a reject "
+    "under restart goes red.  Untimed drain row (correctness "
+    "surface), disclosed in tests/test_bench_contract.py",
+)
+def orders_streaming_ingest_quarantine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.ingest import parse_csv_with_quarantine
+
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    price_txt = F.when(
+        key % 13 == 3, F.lit("xx")
+    ).when(
+        key % 13 == 7, (-F.col("o_totalprice")).cast("string")
+    ).otherwise(F.col("o_totalprice").cast("string"))
+    raw = orders.select(
+        key.alias("k"),
+        F.concat_ws(
+            ",", key.cast("string"), price_txt, F.col("o_orderpriority")
+        ).alias("line"),
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"orders_streaming_ingest_{spark.sparkContext.applicationId}_"
+        + os.path.basename(sf_dir.rstrip("/")),
+    )
+    src, ckpt, sink_v, sink_q = (
+        os.path.join(base, d) for d in ("src", "ckpt", "valid", "dead")
+    )
+    # fresh checkpoint + sinks per call (the _two_drain_dirs rule):
+    # the checkpoint carries the seen-files log BETWEEN the drains,
+    # but reuse across invocations would double the append sinks
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(sink_v, ignore_errors=True)
+    shutil.rmtree(sink_q, ignore_errors=True)
+    raw.filter(key % 2 == 0).select("line").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    def apply(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df = batch_df.cache()
+        try:
+            valid, quar = parse_csv_with_quarantine(
+                batch_df,
+                "line",
+                "k LONG, price DOUBLE, prio STRING",
+                validators={"invalid_price": F.col("price") >= 0},
+            )
+            valid.write.mode("append").parquet(sink_v)
+            quar.write.mode("append").parquet(sink_q)
+        finally:
+            batch_df.unpersist()
+
+    def drain() -> None:
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(apply)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    raw.filter(key % 2 == 1).select("line").repartition(4).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+
+    good = (
+        spark.read.parquet(sink_v)
+        .groupBy(F.col("prio").alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("price").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+    dead = (
+        spark.read.parquet(sink_q)
+        .groupBy(
+            F.concat(F.lit("quarantine:"), F.col("reason")).alias(
+                "bucket"
+            )
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.lit(None).cast("double").alias("sum_price"),
+        )
+    )
+    return good.unionByName(dead).localCheckpoint()

@@ -339,6 +339,15 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 # events_props_profile (green r6-r8; the JSON-props profiling shape
 # stays hash-checked by check_oracle/ci_gate every round; events
 # keeps events_value_percentiles + 6 streaming graded rows).
+# Also IN (enter-on-add): orders_streaming_ingest_quarantine — the
+# dead-letter split ON the streaming runtime: the same corrupted
+# feed as the batch row, drained across two checkpointed
+# availableNow passes with the parse/validate/quarantine split
+# inside foreachBatch fanning out to TWO append sinks (valid +
+# dead-letter), both aggregated and hash-matched against the same
+# single-pass oracle.  OUT: docs_char_bigram_profile (green r6-r8;
+# the character-distribution profile stays hash-checked by
+# check_oracle/ci_gate every round; text keeps 6 graded rows).
 # Also IN (enter-on-add): cdc_mux_schema_evolution — ADDITIVE schema
 # evolution mid-stream on the live mux runtime (widen the decode
 # schema between two checkpointed drains, no restart; pre-evolution
@@ -362,9 +371,10 @@ DRIVER_WINDOW = (
     "orders_in_promo_windows",
     "lineitem_cube_stats",
     "customer_order_gaps",
-    # event analytics + raw-feed ingestion
+    # event analytics + raw-feed ingestion (batch + streaming runtime)
     "events_value_percentiles",
     "orders_csv_ingest_quarantine",
+    "orders_streaming_ingest_quarantine",
     # streaming runtimes (end-to-end, batch-oracle-verified)
     "events_streaming_sessions",
     "events_streaming_enriched",
@@ -377,7 +387,6 @@ DRIVER_WINDOW = (
     "docs_top_jaccard_pairs_capped",
     "docs_dedup_incremental",
     "docs_curation_pipeline",
-    "docs_char_bigram_profile",
     # corpus preparation (rotated in, round 4)
     "corpus_pii_scrub",
     "corpus_contamination",

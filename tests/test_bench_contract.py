@@ -56,7 +56,9 @@ def test_untimed_streaming_surfaces_are_only_the_disclosed_ones():
         "cdc_multi_table_mux",
         "cdc_mux_schema_evolution",
         # r9: the full-outer triplet completion + the mux crash-restart
-        # recovery drain — same policy
+        # recovery drain + the dead-letter split on the streaming
+        # runtime — same policy
         "events_streaming_interval_join_full",
         "cdc_mux_restart_recovery",
+        "orders_streaming_ingest_quarantine",
     }, sorted(untimed_streaming)

@@ -99,7 +99,6 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         # land a round early — after this round only the 3
         # machine-checked *_raw variants lack a driver-graded round
         "cdc_tombstoned_keys", "events_value_percentiles",
-        "docs_char_bigram_profile",
         "orders_in_promo_windows",
         # round-7 rotation: the persisted incremental embedding index
         # rows enter on add (the embedding twins of the minhash
@@ -201,6 +200,11 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         # deterministic reasons); events_props_profile (green r6-r8)
         # cedes its slot and stays hash-checked every round
         "orders_csv_ingest_quarantine",
+        # r9: the dead-letter split on the STREAMING runtime (two
+        # checkpointed drains, foreachBatch fan-out to valid + DLQ
+        # sinks); docs_char_bigram_profile (green r6-r8) cedes its
+        # slot and stays hash-checked every round
+        "orders_streaming_ingest_quarantine",
     }
     assert required <= window, sorted(required - window)
     # every docs_/emb_/media_/sql_ query is in the graded window,
@@ -317,6 +321,10 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         # stage stays a bench headline via docs_minhash_candidates_raw,
         # and the row stays hash-checked every round
         "docs_minhash_candidates",
+        # r9: slot ceded to orders_streaming_ingest_quarantine; the
+        # character-distribution profile stays hash-checked by
+        # check_oracle/ci_gate every round
+        "docs_char_bigram_profile",
     }
     surface = {
         n for n in qs
