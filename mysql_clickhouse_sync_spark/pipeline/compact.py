@@ -314,6 +314,42 @@ def execute_compaction(
     return result
 
 
+def swap_directory(current: str, staging: str,
+                   retired_suffix: str = "_retired") -> None:
+    """Atomic rename-before-delete replacement of a table/index
+    directory — the REBUILD response's storage step (retrain writes to
+    ``staging``; this promotes it): rename ``current`` aside, rename
+    ``staging`` in, delete the retired copy last.
+
+    Crash contract (single writer, POSIX rename atomicity): a crash
+    BEFORE the first rename leaves the old directory serving and the
+    staging write idle (re-run converges); a crash BETWEEN the renames
+    leaves NO ``current`` — readers fail fast with FileNotFound (never
+    a torn mix of generations) and recovery restores the intact
+    retired copy or completes the promotion; a crash AFTER the second
+    rename leaves both generations on disk until the delete re-runs.
+    At no point can a reader observe half-old half-new files under one
+    path — the property the ANN concurrent-read tests demand of every
+    index replacement.  A leftover retired dir from a crashed prior
+    run is reclaimed first (idempotent re-run)."""
+    if not os.path.isdir(staging):
+        raise ValueError(
+            f"swap_directory: staging dir {staging!r} does not exist — "
+            "write the new generation before promoting it"
+        )
+    if not os.path.isdir(current):
+        raise ValueError(
+            f"swap_directory: current dir {current!r} does not exist "
+            "(first build should write it directly, not via swap)"
+        )
+    retired = current.rstrip("/") + retired_suffix
+    if os.path.isdir(retired):          # crashed prior run: reclaim
+        shutil.rmtree(retired)
+    os.rename(current, retired)
+    os.rename(staging, current)
+    shutil.rmtree(retired)
+
+
 def compact_cdc_table(
     spark: SparkSession,
     table_path: str,

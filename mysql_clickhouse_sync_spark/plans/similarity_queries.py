@@ -1856,14 +1856,14 @@ def emb_index_rebuild_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_skew = float(drift.agg(F.max("skew")).first()[0])
     drift_tripped = max_skew >= 2.2
     # the rebuild the trigger demands: retrain on the grown corpus,
-    # stage, then atomically swap (rename before delete)
+    # stage, then atomically swap via the production promotion step
+    # (rename-before-delete; crash contract documented on the helper)
+    from ..pipeline.compact import swap_directory
+
     union = a.unionByName(b)
     staging = os.path.join(base, "staging")
-    retired = os.path.join(base, "retired")
     _write_semantic_index(semantic_index_build(union), staging)
-    os.rename(cur, retired)
-    os.rename(staging, cur)
-    shutil.rmtree(retired)
+    swap_directory(cur, staging)
     # reload the swapped index; prove equality to a fresh build
     swapped = _read_semantic_index(spark, cur)
     fresh = semantic_index_build(union)

@@ -480,3 +480,59 @@ def test_stored_index_compaction_after_appends(spark, tmp_path):
     )
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan_str)
     assert m and "_cid" in m.group(1), m.group(0) if m else plan_str
+
+
+def test_swap_directory_promotes_and_reclaims(tmp_path):
+    """The rebuild promotion step: staging replaces current via
+    rename-before-delete; a leftover retired dir from a crashed prior
+    run is reclaimed; missing current/staging fail with the real
+    cause (the crash contract documented on the helper)."""
+    import pytest
+
+    from mysql_clickhouse_sync_spark.pipeline.compact import (
+        swap_directory,
+    )
+
+    cur = tmp_path / "index"
+    stage = tmp_path / "staging"
+    cur.mkdir(); (cur / "old.parquet").write_bytes(b"OLD")
+    stage.mkdir(); (stage / "new.parquet").write_bytes(b"NEW")
+    # simulate a crashed PRIOR swap's leftover retired copy
+    retired = tmp_path / "index_retired"
+    retired.mkdir(); (retired / "stale.parquet").write_bytes(b"X")
+
+    swap_directory(str(cur), str(stage))
+    assert (cur / "new.parquet").read_bytes() == b"NEW"
+    assert not (cur / "old.parquet").exists()
+    assert not stage.exists() and not retired.exists()
+
+    with pytest.raises(ValueError, match="staging dir"):
+        swap_directory(str(cur), str(tmp_path / "nope"))
+    other = tmp_path / "s2"
+    other.mkdir()
+    with pytest.raises(ValueError, match="current dir"):
+        swap_directory(str(tmp_path / "gone"), str(other))
+
+
+def test_swap_directory_crash_window_recovery(tmp_path):
+    """Crash BETWEEN the two renames leaves no current (readers fail
+    fast, never a torn mix) and the retired copy intact — re-running
+    the promotion from the surviving staging completes it."""
+    from mysql_clickhouse_sync_spark.pipeline.compact import (
+        swap_directory,
+    )
+
+    cur = tmp_path / "index"
+    stage = tmp_path / "staging"
+    cur.mkdir(); (cur / "old.parquet").write_bytes(b"OLD")
+    stage.mkdir(); (stage / "new.parquet").write_bytes(b"NEW")
+    # simulate the crash window: first rename happened, second did not
+    os.rename(str(cur), str(tmp_path / "index_retired"))
+    assert not cur.exists()                    # readers fail fast here
+    # recovery path: the retired generation is intact...
+    assert (tmp_path / "index_retired" / "old.parquet").exists()
+    # ...and completing the promotion converges: restore retired as
+    # current, then re-run the full swap
+    os.rename(str(tmp_path / "index_retired"), str(cur))
+    swap_directory(str(cur), str(stage))
+    assert (cur / "new.parquet").read_bytes() == b"NEW"
