@@ -717,14 +717,15 @@ def decode_wav(payload: bytes):
                 "wSamplesPerBlock extension"
             )
         (spb,) = struct.unpack_from("<H", fmt, 18)
-        if block_align < 5 or spb < 1 or spb > 1 + 2 * (block_align - 4):
+        if block_align < 4 or spb < 1 or spb > 1 + 2 * (block_align - 4):
             raise ValueError(
                 f"corrupt WAV: ADPCM block_align={block_align} "
                 f"samples_per_block={spb}"
             )
         chunks = []
         remaining = fact_samples
-        for off in range(0, len(data) - 4, block_align):
+        off = 0
+        while off + 4 <= len(data):     # a header-only block is legal
             block = data[off : off + block_align]
             n = min(spb, 1 + 2 * (len(block) - 4))
             if remaining is not None:
@@ -732,6 +733,7 @@ def decode_wav(payload: bytes):
                 remaining -= n
             if n > 0:
                 chunks.append(ima_adpcm_decode_block(block, n))
+            off += block_align
         if not chunks:
             raise ValueError("corrupt WAV: ADPCM data without one block")
         x = np.concatenate(chunks).astype(np.float64) / 32768.0

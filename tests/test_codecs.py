@@ -1155,3 +1155,21 @@ def test_mrle_without_strf_fails_with_real_cause():
     avi = encode_avi([b"\x00\x01"], 500_000, fourcc=b"MRLE")
     with pytest.raises(ValueError, match="MRLE.*without an RLE8 strf"):
         list(AviDemuxer().frames(avi, 1000))
+
+
+def test_adpcm_header_only_block_is_one_sample():
+    """A block of exactly 4 bytes (header, zero nibble bytes) is a
+    legal 1-sample block — the header sample IS an output sample
+    (review finding: the block walk previously excluded it)."""
+    import struct as _st
+
+    from mysql_clickhouse_sync_spark.operators.codecs import decode_wav
+
+    block = _st.pack("<hBB", -512, 3, 0)
+    fmt = _st.pack("<HHIIHHHH", 0x11, 1, 8000, 8000, len(block), 4, 2, 1)
+    body = (b"WAVE"
+            + b"fmt " + _st.pack("<I", len(fmt)) + fmt
+            + b"fact" + _st.pack("<II", 4, 1)
+            + b"data" + _st.pack("<I", len(block)) + block)
+    x, rate = decode_wav(b"RIFF" + _st.pack("<I", len(body)) + body)
+    assert rate == 8000 and x.tolist() == [-512 / 32768.0]
