@@ -93,3 +93,37 @@ def parse_csv_with_quarantine(
         F.col("_raw").alias("raw"), reason.alias("reason")
     )
     return valid, quarantine
+
+
+def quarantine_stats(valid: DataFrame, quarantine: DataFrame) -> DataFrame:
+    """The ingestion family's health monitor — the analogue of
+    ``operators/similarity.py::ivf_cell_stats`` for the dead-letter
+    path: per-reason reject counts plus each reason's share of the
+    TOTAL feed, so an alerting rule ("quarantine rate > x%") is one
+    filter over this relation.  Run it per batch/drain; at 100 TB a
+    rising 'malformed' share means the upstream producer changed its
+    format before anyone announced it — the failure mode dead-letter
+    queues exist to surface.
+
+    Output: ``(reason, n, share)`` — one row per reason present plus
+    an ``_ingested`` row for the valid side, shares summing to 1.0
+    over the whole feed (single double division of exact counts).
+    Plan shape: two counts + a <= |reasons|-row aggregate; the
+    SinglePartition stage sits over the bounded reason set."""
+    n_valid = valid.count()
+    by_reason = quarantine.groupBy("reason").agg(
+        F.count("*").alias("n")
+    )
+    rows = by_reason.unionByName(
+        valid.sparkSession.createDataFrame(
+            [("_ingested", n_valid)], "reason string, n long"
+        )
+    )
+    from pyspark.sql import Window
+
+    total = F.sum("n").over(Window.partitionBy())
+    return rows.select(
+        "reason",
+        F.col("n").cast("long").alias("n"),
+        (F.col("n") / total).alias("share"),
+    )

@@ -94,3 +94,26 @@ def test_no_validators_still_splits_malformed(spark):
     )
     assert valid.count() == 1
     assert [tuple(r) for r in quar.collect()] == [("z,z", "malformed")]
+
+
+def test_quarantine_stats_shares_sum_to_one(spark):
+    """The ingestion health monitor: per-reason shares + the
+    _ingested row cover the whole feed exactly."""
+    from mysql_clickhouse_sync_spark.sources.ingest import (
+        quarantine_stats,
+    )
+
+    lines = [f"{i},{i}.5,P" for i in range(8)]
+    lines += ["9,bad,P", "10,bad,P", "11,-1.0,P"]
+    valid, quar = parse_csv_with_quarantine(
+        _feed(spark, lines),
+        "line",
+        _SCHEMA,
+        validators={"invalid_price": F.col("price") >= 0},
+    )
+    stats = {r["reason"]: (r["n"], r["share"])
+             for r in quarantine_stats(valid, quar).collect()}
+    assert stats["_ingested"] == (8, 8 / 11)
+    assert stats["malformed"] == (2, 2 / 11)
+    assert stats["invalid_price"] == (1, 1 / 11)
+    assert abs(sum(s for _n, s in stats.values()) - 1.0) < 1e-15
