@@ -201,8 +201,9 @@ EXTENDED = (
     # r9: stateful audio decode (IMA ADPCM state machine)
     "media_audio_adpcm",
     # r9: dead-letter CSV ingestion (PERMISSIVE parse + validation
-    # split, all JVM-side)
+    # split, all JVM-side) + its health monitor
     "orders_csv_ingest_quarantine",
+    "orders_ingest_health",
 )
 
 _HEADLINE_REPEATS = 3   # round-4 verdict: best-of-3 minimum, in-artifact

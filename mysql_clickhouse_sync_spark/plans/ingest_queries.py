@@ -53,6 +53,28 @@ from .registry import register
 def orders_csv_ingest_quarantine(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    valid, quarantine = _split_corrupted_feed(spark, sf_dir)
+    good = valid.groupBy(F.col("prio").alias("bucket")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("price").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+    dead = quarantine.groupBy(
+        F.concat(F.lit("quarantine:"), F.col("reason")).alias("bucket")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.lit(None).cast("double").alias("sum_price"),
+    )
+    return good.unionByName(dead)
+
+
+def _split_corrupted_feed(spark: SparkSession, sf_dir: str):
+    """Shared scenario of the ingestion graded rows: orders serialized
+    to CSV under the closed-form corruption rule (% 13 = 3 unparseable
+    price, % 13 = 7 negative price), split by the production operator.
+    ONE copy so the batch row, the health-monitor row and the
+    streaming twin cannot drift."""
     from ..sources.ingest import parse_csv_with_quarantine
 
     orders = load_table(spark, sf_dir, "orders")
@@ -67,25 +89,48 @@ def orders_csv_ingest_quarantine(
             ",", key.cast("string"), price_txt, F.col("o_orderpriority")
         ).alias("line")
     )
-    valid, quarantine = parse_csv_with_quarantine(
+    return parse_csv_with_quarantine(
         lines,
         "line",
         "k LONG, price DOUBLE, prio STRING",
         validators={"invalid_price": F.col("price") >= 0},
     )
-    good = valid.groupBy(F.col("prio").alias("bucket")).agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum(F.col("price").cast("decimal(18,4)"))
-        .cast("double")
-        .alias("sum_price"),
+
+
+@register(
+    "orders_ingest_health",
+    oracle="""
+    WITH c AS (
+        SELECT count(*) FILTER (WHERE o_orderkey % 13 = 3) AS n_mal,
+               count(*) FILTER (WHERE o_orderkey % 13 = 7) AS n_bad,
+               count(*) AS total
+        FROM orders
     )
-    dead = quarantine.groupBy(
-        F.concat(F.lit("quarantine:"), F.col("reason")).alias("bucket")
-    ).agg(
-        F.count("*").cast("long").alias("n"),
-        F.lit(None).cast("double").alias("sum_price"),
-    )
-    return good.unionByName(dead)
+    SELECT 'malformed' AS reason, CAST(n_mal AS BIGINT) AS n,
+           n_mal / CAST(total AS DOUBLE) AS share FROM c
+    UNION ALL
+    SELECT 'invalid_price', CAST(n_bad AS BIGINT),
+           n_bad / CAST(total AS DOUBLE) FROM c
+    UNION ALL
+    SELECT '_ingested', CAST(total - n_mal - n_bad AS BIGINT),
+           (total - n_mal - n_bad) / CAST(total AS DOUBLE) FROM c
+    """,
+    description="THE INGESTION HEALTH MONITOR, driver-graded (the "
+    "same upgrade ivf_cell_stats got for the ANN lifecycle): "
+    "quarantine_stats over the corrupted-feed split — per-reason "
+    "reject counts plus each reason's share of the TOTAL feed "
+    "(including the _ingested row, shares summing to 1.0) — is the "
+    "relation an alerting rule filters, and the oracle replays the "
+    "closed-form corruption rule directly, so a monitor that "
+    "under-counts a reason (masking the producer-changed-its-format "
+    "failure mode) goes red.  Shares are single double divisions of "
+    "exact counts (order-insensitive)",
+)
+def orders_ingest_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.ingest import quarantine_stats
+
+    valid, quarantine = _split_corrupted_feed(spark, sf_dir)
+    return quarantine_stats(valid, quarantine)
 
 
 @register(

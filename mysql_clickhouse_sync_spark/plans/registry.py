@@ -348,6 +348,15 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 # single-pass oracle.  OUT: docs_char_bigram_profile (green r6-r8;
 # the character-distribution profile stays hash-checked by
 # check_oracle/ci_gate every round; text keeps 6 graded rows).
+# Also IN (enter-on-add): orders_ingest_health — the ingestion
+# family's health monitor driver-graded (the ivf_cell_stats upgrade
+# pattern): quarantine_stats' per-reason counts + whole-feed shares
+# vs the closed-form corruption rule.  OUT: cdc_tombstoned_keys
+# (green r6-r8; delete/tombstone semantics stay DRIVER-GRADED inside
+# cdc_multi_table_mux AND cdc_mux_restart_recovery — both apply the
+# customer D-shadowing scenario with full hash — and the tombstone
+# view stays hash-checked by check_oracle/ci_gate every round; CDC
+# keeps 8 graded rows).
 # Also IN (enter-on-add): cdc_mux_schema_evolution — ADDITIVE schema
 # evolution mid-stream on the live mux runtime (widen the decode
 # schema between two checkpointed drains, no restart; pre-evolution
@@ -366,7 +375,6 @@ DRIVER_WINDOW = (
     "cdc_mux_schema_evolution",
     "cdc_scd2_history",
     "cdc_reconciliation",
-    "cdc_tombstoned_keys",
     # representative analytics shapes
     "orders_in_promo_windows",
     "lineitem_cube_stats",
@@ -375,6 +383,7 @@ DRIVER_WINDOW = (
     "events_value_percentiles",
     "orders_csv_ingest_quarantine",
     "orders_streaming_ingest_quarantine",
+    "orders_ingest_health",
     # streaming runtimes (end-to-end, batch-oracle-verified)
     "events_streaming_sessions",
     "events_streaming_enriched",

@@ -98,7 +98,7 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         # late-r6: the final 6 never-driver-graded oracled queries
         # land a round early — after this round only the 3
         # machine-checked *_raw variants lack a driver-graded round
-        "cdc_tombstoned_keys", "events_value_percentiles",
+        "events_value_percentiles",
         "orders_in_promo_windows",
         # round-7 rotation: the persisted incremental embedding index
         # rows enter on add (the embedding twins of the minhash
@@ -205,6 +205,11 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         # sinks); docs_char_bigram_profile (green r6-r8) cedes its
         # slot and stays hash-checked every round
         "orders_streaming_ingest_quarantine",
+        # r9: the ingestion health monitor driver-graded (the
+        # ivf_cell_stats upgrade pattern); cdc_tombstoned_keys (green
+        # r6-r8) cedes its slot — delete/tombstone semantics stay
+        # graded inside both mux rows' D-shadowing scenarios
+        "orders_ingest_health",
     }
     assert required <= window, sorted(required - window)
     # every docs_/emb_/media_/sql_ query is in the graded window,

@@ -93,6 +93,7 @@ SWEEP = (
     "media_audio_adpcm",             # stateful ADPCM decode loop
     "media_video_rle_delta",         # interframe RLE8 stateful demux
     "orders_csv_ingest_quarantine",  # JVM-side parse/validate split
+    "orders_ingest_health",          # feed-share monitor (bounded agg)
     "media_video_mjpeg_raw",         # demux+decode only (fixtures stored)
     "emb_dedup_append_chain_raw",    # day-2 grow vs stored chain
 )
