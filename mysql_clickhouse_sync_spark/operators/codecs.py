@@ -706,6 +706,10 @@ def decode_wav(payload: bytes):
     if channels < 1 or rate <= 0:
         raise ValueError(f"bad WAV header: channels={channels} rate={rate}")
     if audio_format == 0x11:
+        if bits != 4:           # spec: IMA ADPCM codes are 4-bit
+            raise ValueError(
+                f"corrupt WAV: IMA ADPCM with bits={bits} (spec: 4)"
+            )
         if channels != 1:
             raise ValueError(
                 f"unsupported WAV: IMA ADPCM with channels={channels} "

@@ -332,6 +332,20 @@ def swap_directory(current: str, staging: str,
     path — the property the ANN concurrent-read tests demand of every
     index replacement.  A leftover retired dir from a crashed prior
     run is reclaimed first (idempotent re-run)."""
+    retired = current.rstrip("/") + retired_suffix
+    if not os.path.isdir(current) and os.path.isdir(retired):
+        # crash BETWEEN the renames of a prior run: the old generation
+        # sits intact under the retired name.  Complete the promotion
+        # if this run brought a staged generation (the normal re-run),
+        # else restore the retired copy so readers come back up —
+        # either way `current` exists again and the contract's
+        # "recovery restores or completes" promise is kept here, not
+        # left to the operator.
+        if os.path.isdir(staging):
+            os.rename(staging, current)
+            shutil.rmtree(retired)
+            return
+        os.rename(retired, current)
     if not os.path.isdir(staging):
         raise ValueError(
             f"swap_directory: staging dir {staging!r} does not exist — "
@@ -342,7 +356,6 @@ def swap_directory(current: str, staging: str,
             f"swap_directory: current dir {current!r} does not exist "
             "(first build should write it directly, not via swap)"
         )
-    retired = current.rstrip("/") + retired_suffix
     if os.path.isdir(retired):          # crashed prior run: reclaim
         shutil.rmtree(retired)
     os.rename(current, retired)

@@ -1396,7 +1396,11 @@ def media_video_mjpeg_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"mjpeg_fixture_{spark.sparkContext.applicationId}_"
         + os.path.basename(sf_dir.rstrip("/")),
     )
-    if not os.path.isdir(base):
+    from ..util import parquet_complete
+
+    # gate reuse on the _SUCCESS marker, not isdir: an interrupted
+    # first write leaves a partial dir; overwrite mode re-drives it
+    if not parquet_complete(base):
         _avi_mjpeg_media(docs).write.mode("overwrite").parquet(base)
     return _mjpeg_frame_stats(spark.read.parquet(base))
 

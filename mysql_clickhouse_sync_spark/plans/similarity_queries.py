@@ -1516,8 +1516,13 @@ def emb_dedup_incremental_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"emb_dedup_idx_{spark.sparkContext.applicationId}_"
         + os.path.basename(sf_dir.rstrip("/")),
     )
+    from ..util import parquet_complete
+
+    # pairs is written LAST, so its _SUCCESS marker (not a bare isdir
+    # that a partial interrupted write also satisfies) proves the
+    # whole three-relation fixture completed; overwrite re-drives
     marker = os.path.join(base, "pairs")
-    if not os.path.isdir(marker):
+    if not parquet_complete(marker):
         idx = semantic_index_build(old)
         idx["centroids"].write.mode("overwrite").parquet(
             os.path.join(base, "centroids")
@@ -1563,9 +1568,14 @@ def emb_dedup_append_chain_raw(
 
     emb = load_table(spark, sf_dir, "embeddings")
     c = emb.filter(F.col("vec_id") % 2 == 1)
+    from ..util import parquet_complete
+
     base = _semantic_index_dir(spark, sf_dir, "emb_chain_idx")
+    # pairs is written LAST by _write_semantic_index, so its _SUCCESS
+    # marker proves the whole chain fixture completed (isdir would
+    # accept a partial interrupted write); overwrite re-drives
     marker = os.path.join(base, "pairs")
-    if not os.path.isdir(marker):
+    if not parquet_complete(marker):
         a = emb.filter(F.col("vec_id") % 4 == 0)
         b = emb.filter(F.col("vec_id") % 4 == 2)
         idx = semantic_index_build(a)

@@ -56,7 +56,14 @@ def parse_csv_with_quarantine(
     line, but the line still quarantines whole: a row is either fully
     trusted or fully dead-lettered, never half-ingested.
     """
-    if _CORRUPT in schema:
+    # exact identifier match, not substring: a legitimate field like
+    # 'pre_corrupt_record_raw STRING' must not be rejected
+    declared = {
+        field.strip().split()[0].strip("`").lower()
+        for field in schema.split(",")
+        if field.strip()
+    }
+    if _CORRUPT in declared:
         raise ValueError(
             f"schema must not declare {_CORRUPT!r}: the corrupt-record "
             "column is the operator's own contract"

@@ -54,6 +54,8 @@ class ProgressLogger(StreamingQueryListener):
             )
 
     def onQueryIdle(self, event) -> None:  # pragma: no cover - passive
+        # intentionally ignored: idle ticks carry no progress to log
+        # and no fault to surface (QueryTerminated carries failures)
         pass
 
     def onQueryTerminated(self, event) -> None:

@@ -2,7 +2,21 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
+
+
+def parquet_complete(path: str) -> bool:
+    """True iff ``path`` holds a COMPLETED Spark parquet write.
+
+    Gates session-cached fixture reuse on the ``_SUCCESS`` marker the
+    committer drops at job completion, not on ``os.path.isdir``: Spark
+    creates the directory before any file lands, so an interrupted
+    first write leaves a partial dir that a bare isdir check would
+    silently treat as the complete dataset on every later run.
+    """
+    return os.path.isfile(os.path.join(path, "_SUCCESS"))
 
 
 def spread(df: DataFrame, min_factor: int = 1) -> DataFrame:

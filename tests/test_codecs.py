@@ -1140,6 +1140,10 @@ def test_adpcm_rejects_malformed_with_real_cause():
     good[22] = 2                     # channels byte inside fmt
     with pytest.raises(ValueError, match="mono only"):
         decode_wav(bytes(good))
+    bad_bits = bytearray(encode_wav_adpcm_codes(0, 0, [1, 2], 8000))
+    bad_bits[34] = 16                # bits-per-sample byte inside fmt
+    with pytest.raises(ValueError, match="spec: 4"):
+        decode_wav(bytes(bad_bits))
 
 
 def test_mrle_without_strf_fails_with_real_cause():

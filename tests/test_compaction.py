@@ -517,7 +517,8 @@ def test_swap_directory_promotes_and_reclaims(tmp_path):
 def test_swap_directory_crash_window_recovery(tmp_path):
     """Crash BETWEEN the two renames leaves no current (readers fail
     fast, never a torn mix) and the retired copy intact — re-running
-    the promotion from the surviving staging completes it."""
+    swap_directory itself COMPLETES the promotion from the surviving
+    staging (no manual restore step)."""
     from mysql_clickhouse_sync_spark.pipeline.compact import (
         swap_directory,
     )
@@ -531,8 +532,30 @@ def test_swap_directory_crash_window_recovery(tmp_path):
     assert not cur.exists()                    # readers fail fast here
     # recovery path: the retired generation is intact...
     assert (tmp_path / "index_retired" / "old.parquet").exists()
-    # ...and completing the promotion converges: restore retired as
-    # current, then re-run the full swap
-    os.rename(str(tmp_path / "index_retired"), str(cur))
+    # ...and a bare re-run completes the promotion from staging
     swap_directory(str(cur), str(stage))
     assert (cur / "new.parquet").read_bytes() == b"NEW"
+    assert not stage.exists()
+    assert not (tmp_path / "index_retired").exists()
+
+
+def test_swap_directory_crash_window_restore_without_staging(tmp_path):
+    """The other half of the crash contract: current missing, retired
+    intact, but NO staged generation survives (e.g. the retrain was
+    interrupted too) — recovery restores the retired copy to current,
+    then fails with the normal missing-staging error so the caller
+    re-stages; readers come back up on the OLD generation."""
+    import pytest
+
+    from mysql_clickhouse_sync_spark.pipeline.compact import (
+        swap_directory,
+    )
+
+    cur = tmp_path / "index"
+    cur.mkdir(); (cur / "old.parquet").write_bytes(b"OLD")
+    os.rename(str(cur), str(tmp_path / "index_retired"))
+    with pytest.raises(ValueError, match="staging dir"):
+        swap_directory(str(cur), str(tmp_path / "staging"))
+    # the old generation is serving again
+    assert (cur / "old.parquet").read_bytes() == b"OLD"
+    assert not (tmp_path / "index_retired").exists()

@@ -88,6 +88,18 @@ def test_contract_violations_fail_fast(spark):
         )
 
 
+def test_corrupt_column_check_is_exact_identifier_match(spark):
+    """A legitimate field whose name merely CONTAINS the reserved
+    identifier (e.g. 'pre_corrupt_record_raw') must not be rejected —
+    the guard compares exact parsed field names, not substrings."""
+    df = _feed(spark, ["1,keep"])
+    valid, quar = parse_csv_with_quarantine(
+        df, "line", "k LONG, pre_corrupt_record_raw STRING"
+    )
+    assert [tuple(r) for r in valid.collect()] == [(1, "keep")]
+    assert quar.count() == 0
+
+
 def test_no_validators_still_splits_malformed(spark):
     valid, quar = parse_csv_with_quarantine(
         _feed(spark, ["1,1.0,A", "z,z"]), "line", _SCHEMA
