@@ -102,6 +102,47 @@ def parse_csv_with_quarantine(
     return valid, quarantine
 
 
+def redrive_quarantine(
+    quarantine: DataFrame,
+    schema: str,
+    validators: Mapping[str, Column] | None = None,
+    options: Mapping[str, str] | None = None,
+    fix: Column | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Re-parse a dead-letter table after a rule fix — the second half
+    of the DLQ contract ("never lose a byte" is only useful because
+    the bytes can be re-driven once the rule catches up).
+
+    * ``quarantine`` — a relation with the ``raw`` column this module's
+      split wrote (read it back from the DLQ sink; the stored line is
+      byte-for-byte the rejected input, pinned in tests/test_ingest.py);
+    * ``fix`` — optional Column over ``raw``: the PARSER UPGRADE (e.g.
+      strip the currency prefix a producer started emitting), applied
+      to the in-flight copy only — the stored raw line is never
+      mutated, so a wrong fix can be re-driven again;
+    * ``schema`` / ``validators`` / ``options`` — the upgraded rule,
+      same contract as :func:`parse_csv_with_quarantine`.
+
+    Returns ``(recovered, still_dead)``: recovered rows carry the
+    schema fields and merge into the main table with a plain
+    ``unionByName``; ``still_dead`` keeps the ``(raw, reason)`` shape
+    so re-drive is COMPOSABLE — rejects of this pass are the next
+    pass's input.  Reference analogue: the delete-position-file full
+    resync at /root/reference/src/cdc_replicator.py:65-79, except the
+    re-drive replays only the rejects, not the whole feed.
+
+    Scale notes: the quarantine is tiny relative to the feed in the
+    healthy case, and the re-parse is the same JVM-side ``from_csv``
+    path as the main split — no Python in the row path, no shuffle.
+    """
+    lines = quarantine.select(
+        (fix if fix is not None else F.col("raw")).alias("_line")
+    )
+    return parse_csv_with_quarantine(
+        lines, "_line", schema, validators, options
+    )
+
+
 def quarantine_stats(valid: DataFrame, quarantine: DataFrame) -> DataFrame:
     """The ingestion family's health monitor — the analogue of
     ``operators/similarity.py::ivf_cell_stats`` for the dead-letter
