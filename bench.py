@@ -200,10 +200,24 @@ EXTENDED = (
     "media_video_rle_delta",
     # r9: stateful audio decode (IMA ADPCM state machine)
     "media_audio_adpcm",
+    # r10: stereo IMA ADPCM (two interleaved independent machines +
+    # per-sample mean downmix)
+    "media_audio_adpcm_stereo",
     # r9: dead-letter CSV ingestion (PERMISSIVE parse + validation
     # split, all JVM-side) + its health monitor
     "orders_csv_ingest_quarantine",
     "orders_ingest_health",
+    # r10: the DLQ re-drive (split -> DLQ parquet round-trip -> parser
+    # fix -> re-parse rejects only -> merge; same JVM-side from_csv)
+    "orders_ingest_redrive",
+    # r10: PQ lifecycle parity (pq_code_stats drift monitor + rebuild
+    # + atomic swap + post-rebuild recall-audited ADC search)
+    "emb_pq_rebuild_swap",
+    # r10: the MAINTENANCE-ONLY cost of emb_index_compacted_search
+    # (plan + execute compaction + one pruned search against a
+    # session-persisted degraded dir; the fixture builds on the first
+    # repeat only — r9 verdict item 3; equality machine-checked)
+    "emb_index_compacted_search_raw",
 )
 
 _HEADLINE_REPEATS = 3   # round-4 verdict: best-of-3 minimum, in-artifact
@@ -218,12 +232,15 @@ _HIGH_SPREAD_FRACTION = 0.5
 _HIGH_SPREAD_REPEATS = 3
 
 
-def _high_spread_names() -> set[str]:
+def _load_prior_detail() -> dict:
     try:
         with open(os.path.join(_ROOT, "bench_detail.json")) as fh:
-            prior = json.load(fh)
+            return json.load(fh)
     except (OSError, ValueError):
-        return set()
+        return {}
+
+
+def _high_spread_names(prior: dict) -> set[str]:
     names: set[str] = set()
     for sect in ("headline", "extended"):
         for n, d in (prior.get(sect) or {}).items():
@@ -231,6 +248,41 @@ def _high_spread_names() -> set[str]:
             if best and d.get("spread", 0) > _HIGH_SPREAD_FRACTION * best:
                 names.add(n)
     return names
+
+
+# Movers ledger (round-9 verdict item 5): any headline row whose
+# best-of-n moved more than this fraction vs the PRIOR local artifact
+# is adjudicated IN the artifact — prev/now seconds, whether the
+# high-spread policy re-measured it best-of-3 this run, and whether
+# its own spread this run brackets the delta (spread_covers_delta:
+# the move is inside this run's observed jitter band, i.e. host
+# noise, not a plan change).  Replaces the per-round verdict prose
+# about single-row drifts like r9's sql_region_revenue +28%.
+_MOVER_FRACTION = 0.10
+
+
+def _movers_vs_prev(
+    prior: dict, now: dict[str, dict], promote: set[str]
+) -> list[dict]:
+    prev = prior.get("headline") or {}
+    movers: list[dict] = []
+    for name, d in now.items():
+        p = (prev.get(name) or {}).get("best")
+        if not p:
+            continue
+        delta = d["best"] - p
+        if abs(delta) <= _MOVER_FRACTION * p:
+            continue
+        movers.append({
+            "query": name,
+            "prev": p,
+            "now": d["best"],
+            "delta_pct": round(100.0 * delta / p, 1),
+            "remeasured_best_of_3": name in promote or d["n"] >= 3,
+            "spread_covers_delta": abs(delta) <= d["spread"],
+        })
+    movers.sort(key=lambda m: -abs(m["delta_pct"]))
+    return movers
 
 
 def throughput_metrics(spark, sf_dir: str) -> dict[str, float]:
@@ -453,9 +505,10 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
-    # high-spread promotion set is read from the PRIOR artifact
-    # BEFORE this run overwrites it
-    promote = _high_spread_names()
+    # prior artifact is read BEFORE this run overwrites it: it feeds
+    # the high-spread promotion set AND the movers-vs-prev ledger
+    prior = _load_prior_detail()
+    promote = _high_spread_names(prior)
     if promote:
         print(
             f"# best-of-{_HIGH_SPREAD_REPEATS} promotion (prior spread "
@@ -518,6 +571,11 @@ def main() -> None:
         # rows promoted to best-of-3 by the high-spread policy (r8
         # verdict item 7), read from the PRIOR artifact's spreads
         "high_spread_promoted": sorted(promote),
+        # headline rows that moved > 10% vs the prior artifact,
+        # machine-adjudicated (r9 verdict item 5): was the mover
+        # re-measured best-of-3, and does this run's own spread
+        # bracket the delta (= host jitter, not a plan change)?
+        "movers_vs_prev": _movers_vs_prev(prior, detail_head, promote),
         "headline_semantics_changes": HEADLINE_SEMANTICS_CHANGES,
         "gate": gate,
         **tp,
@@ -542,6 +600,17 @@ def main() -> None:
         "load": [load_before, load_after_headline],
         "load_ok": idle["load_ok"],
         "repeats": _HEADLINE_REPEATS,
+        # >10% headline movers vs the prior artifact, adjudicated
+        # in-artifact: [query, prev_s, now_s, cleared] where cleared =
+        # re-measured best-of-3 this run OR the delta sits inside this
+        # run's own spread (host jitter, not a plan change)
+        "movers_vs_prev": [
+            [
+                m["query"], m["prev"], m["now"],
+                m["remeasured_best_of_3"] or m["spread_covers_delta"],
+            ]
+            for m in detail["movers_vs_prev"]
+        ],
         "gate": {
             k: gate[k] for k in ("mode", "status", "sec") if k in gate
         },

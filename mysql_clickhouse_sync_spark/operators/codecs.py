@@ -535,6 +535,112 @@ def ima_adpcm_decode_block(block: bytes, n_samples: int):
     return out
 
 
+def ima_adpcm_decode_stereo_block(block: bytes, n_samples: int):
+    """One STEREO IMA ADPCM block -> (n_samples, 2) int16 samples
+    (left, right) — the IMA/Microsoft interleave: TWO 4-byte headers
+    (left then right, each int16 predictor = the channel's first
+    sample + uint8 step index + reserved), then the code stream as
+    alternating 4-byte groups — 4 bytes of left nibbles (8 samples),
+    4 bytes of right nibbles, repeating.  The channels run TWO
+    independent (predictor, step-index) machines; only the byte
+    layout interleaves.  ``n_samples`` counts PER CHANNEL; decode
+    stops there (trailing pad nibbles are not samples)."""
+    import numpy as np
+
+    if len(block) < 8:
+        raise ValueError(
+            f"corrupt ADPCM block: {len(block)} bytes "
+            "(stereo header is 8)"
+        )
+    data = block[8:]
+    if len(data) % 8:
+        raise ValueError(
+            f"corrupt ADPCM block: stereo code stream of {len(data)} "
+            "bytes is not 4-byte-per-channel interleave groups"
+        )
+    if n_samples < 1 or n_samples > 1 + len(data):
+        raise ValueError(
+            f"corrupt ADPCM block: {n_samples} samples/channel from "
+            f"{len(data)} interleaved nibble bytes"
+        )
+    out = np.empty((n_samples, 2), dtype=np.int16)
+    for ch in range(2):
+        (pred,) = struct.unpack_from("<h", block, 4 * ch)
+        idx = block[4 * ch + 2]
+        if idx > 88:
+            raise ValueError(
+                f"corrupt ADPCM block: channel {ch} step index "
+                f"{idx} > 88"
+            )
+        out[0, ch] = pred
+        for k in range(1, n_samples):
+            # sample k-1 of this channel's nibble stream: group
+            # (k-1)//8, byte ((k-1)%8)//2 within the channel's 4-byte
+            # half, low nibble first within each byte
+            j = k - 1
+            b = data[8 * (j // 8) + 4 * ch + (j % 8) // 2]
+            code = (b >> 4) if j & 1 else (b & 0x0F)
+            pred, idx = _ima_step(pred, idx, code)
+            out[k, ch] = pred
+    return out
+
+
+def encode_wav_adpcm_stereo_codes(
+    pred0s, idx0s, codes_left, codes_right, rate: int = 16_000
+) -> bytes:
+    """Per-channel raw 4-bit CODES + initial states -> a one-block
+    STEREO IMA ADPCM WAV (audio_format=0x11, channels=2): the stereo
+    golden-fixture builder (same separation as
+    :func:`encode_wav_adpcm_codes` — codes are closed-form, so the
+    decoded samples are the two spec machines' exact outputs,
+    independent of our encoder).  Code streams must be equal length
+    and a multiple of 8 (the interleave's full-group contract);
+    wSamplesPerBlock = 1 + len(codes), fact pins the per-channel
+    sample count."""
+    import numpy as np
+
+    cl = np.asarray(codes_left, dtype=np.uint8)
+    cr = np.asarray(codes_right, dtype=np.uint8)
+    if (
+        cl.ndim != 1 or cr.ndim != 1 or len(cl) == 0
+        or len(cl) != len(cr) or len(cl) % 8
+        or int(cl.max()) > 15 or int(cr.max()) > 15
+    ):
+        raise ValueError(
+            "stereo codes must be two equal-length non-empty 1-D "
+            "arrays of 0..15 with length % 8 == 0 (full 4-byte "
+            "interleave groups)"
+        )
+    hdr = bytearray()
+    for ch in range(2):
+        p0, i0 = int(pred0s[ch]), int(idx0s[ch])
+        if not -32768 <= p0 <= 32767 or not 0 <= i0 <= 88:
+            raise ValueError(
+                f"bad ADPCM initial state (channel {ch}) "
+                f"pred={p0} idx={i0}"
+            )
+        hdr += struct.pack("<hBB", p0, i0, 0)
+    data = bytearray(hdr)
+    for g in range(0, len(cl), 8):
+        for c in (cl, cr):
+            for j in range(g, g + 8, 2):
+                data.append(int(c[j]) | (int(c[j + 1]) << 4))
+    n = 1 + len(cl)
+    block_align = len(data)
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x11, 2, rate, rate * block_align // max(n, 1), block_align, 4,
+        2, n,
+    )
+    body = (
+        _WAVE_MAGIC
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n)
+        + b"data" + struct.pack("<I", len(data)) + bytes(data)
+    )
+    return _RIFF_MAGIC + struct.pack("<I", len(body)) + body
+
+
 def ima_adpcm_encode(samples, pred0: int | None = None,
                      idx0: int = 0) -> tuple[int, int, bytes]:
     """int16 samples -> (predictor0, index0, packed nibble bytes) for
@@ -710,10 +816,10 @@ def decode_wav(payload: bytes):
             raise ValueError(
                 f"corrupt WAV: IMA ADPCM with bits={bits} (spec: 4)"
             )
-        if channels != 1:
+        if channels not in (1, 2):
             raise ValueError(
                 f"unsupported WAV: IMA ADPCM with channels={channels} "
-                "(mono only)"
+                "(mono and stereo only)"
             )
         if len(fmt) < 20:
             raise ValueError(
@@ -721,26 +827,46 @@ def decode_wav(payload: bytes):
                 "wSamplesPerBlock extension"
             )
         (spb,) = struct.unpack_from("<H", fmt, 18)
-        if block_align < 4 or spb < 1 or spb > 1 + 2 * (block_align - 4):
+        hdr = 4 * channels
+        # max decodable samples PER CHANNEL in a full block: mono
+        # packs 2 nibbles/byte; stereo packs 4-byte groups per
+        # channel, so each channel owns half the code bytes
+        max_spb = 1 + 2 * (block_align - hdr) // channels
+        if block_align < hdr or spb < 1 or spb > max_spb:
             raise ValueError(
                 f"corrupt WAV: ADPCM block_align={block_align} "
-                f"samples_per_block={spb}"
+                f"samples_per_block={spb} channels={channels}"
             )
         chunks = []
-        remaining = fact_samples
+        remaining = fact_samples       # per-channel sample count
         off = 0
-        while off + 4 <= len(data):     # a header-only block is legal
+        while off + hdr <= len(data):   # a header-only block is legal
             block = data[off : off + block_align]
-            n = min(spb, 1 + 2 * (len(block) - 4))
+            if channels == 2:
+                n = min(spb, 1 + len(block) - 8)
+            else:
+                n = min(spb, 1 + 2 * (len(block) - 4))
             if remaining is not None:
                 n = min(n, remaining)
                 remaining -= n
             if n > 0:
-                chunks.append(ima_adpcm_decode_block(block, n))
+                if channels == 2:
+                    # two independent state machines; downmix to mono
+                    # by the per-sample mean, the PCM-path convention
+                    lr = ima_adpcm_decode_stereo_block(block, n)
+                    chunks.append(
+                        lr.astype(np.float64).mean(axis=1)
+                    )
+                else:
+                    chunks.append(
+                        ima_adpcm_decode_block(block, n).astype(
+                            np.float64
+                        )
+                    )
             off += block_align
         if not chunks:
             raise ValueError("corrupt WAV: ADPCM data without one block")
-        x = np.concatenate(chunks).astype(np.float64) / 32768.0
+        x = np.concatenate(chunks) / 32768.0
         return x, int(rate)
     if audio_format == 7:
         if bits != 8:

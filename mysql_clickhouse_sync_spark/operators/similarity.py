@@ -1668,3 +1668,44 @@ def pq_topk_vs_index(
         books, enc, corpus, queries, k, m, ksub, rerank, id_col, vec_col,
         max_queries,
     )
+
+def pq_code_stats(codebooks: DataFrame, codes: DataFrame) -> DataFrame:
+    """Per-subspace code-usage diagnostics over a stored PQ codes
+    relation — the PQ REBUILD TRIGGER, giving the PQ family the same
+    drift monitor :func:`ivf_cell_stats` gives IVF (the r9 lifecycle
+    asymmetry): :func:`pq_index_append` encodes under STORED codebooks,
+    so a shifted ingest distribution skews each subquantizer's code
+    histogram long before ADC recall degrades — quantization error
+    rises silently; code usage is the observable.
+
+    Output: ``(j, c, n, frac, skew)`` per OCCUPIED (subspace, code)
+    pair — ``frac`` = the code's share of subspace ``j``'s rows (every
+    vector contributes exactly one code per subspace, so each
+    subspace's fracs sum to 1), ``skew`` = n / (total / ksub) with
+    ksub read from the TRAINED codebook table (empty codes vanish
+    from a groupBy; normalizing by the trained ksub keeps the mean
+    honest, the ``ivf_cell_stats`` ``n_centroids`` rule).  A healthy
+    index reads ~1.0 everywhere; a drifted one shows hot codes >> 1.
+
+    Plan shape: one ``posexplode`` (m rows per vector, a narrow map)
+    into one groupBy (<= m x ksub rows out) + a per-subspace window
+    total over those bounded rows — no join, no collect of the codes
+    relation; the SinglePartition-free aggregate scales with the
+    corpus exactly like any count.
+    """
+    from pyspark.sql import Window
+
+    _books, _m, ksub = _stored_codebooks(codebooks)
+    occ = (
+        codes.select(F.posexplode("_codes").alias("j", "c"))
+        .groupBy("j", "c")
+        .agg(F.count("*").alias("n"))
+    )
+    total = F.sum("n").over(Window.partitionBy("j"))
+    return occ.select(
+        "j",
+        "c",
+        "n",
+        (F.col("n") / total).alias("frac"),
+        (F.col("n") * F.lit(ksub) / total).alias("skew"),
+    )

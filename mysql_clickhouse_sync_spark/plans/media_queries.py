@@ -677,6 +677,154 @@ def media_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_stats(_adpcm_wav_media(docs))
 
 
+def _adpcm_stereo_wav_media(docs: DataFrame) -> DataFrame:
+    """doc ids -> one-block STEREO IMA ADPCM WAVs with closed-form
+    per-channel initial states and code streams (the golden
+    separation): per channel, n = 1 + 8*(4 + id % 5) samples
+    (full 4-byte interleave groups);
+
+      left:  pred0 = ((7*id) % 256 - 128) * 64,  idx0 = id % 30,
+             code_k = (3*id + 7*k) % 16
+      right: pred0 = ((11*id) % 256 - 128) * 64, idx0 = (id+13) % 30,
+             code_k = (5*id + 3*k) % 16            (k = 1..n-1)
+    """
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.codecs import encode_wav_adpcm_stereo_codes
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nc = 8 * (4 + did % 5)
+                k = np.arange(1, nc + 1)
+                rows.append(
+                    (
+                        did,
+                        "audio",
+                        "audio/wav",
+                        bytearray(
+                            encode_wav_adpcm_stereo_codes(
+                                (
+                                    ((7 * did) % 256 - 128) * 64,
+                                    ((11 * did) % 256 - 128) * 64,
+                                ),
+                                (did % 30, (did + 13) % 30),
+                                ((3 * did + 7 * k) % 16).astype(
+                                    np.uint8
+                                ),
+                                ((5 * did + 3 * k) % 16).astype(
+                                    np.uint8
+                                ),
+                                16_000,
+                            )
+                        ),
+                        None,
+                        None,
+                        int((1 + nc) * 1000 / 16_000),
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+                )
+
+    return docs.select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+
+
+@register(
+    "media_audio_adpcm_stereo",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+        SELECT doc_id, 1 + 8 * (4 + doc_id % 5) AS n,
+               ((7*doc_id) % 256 - 128) * 64 AS pl0,
+               doc_id % 30 AS il0,
+               ((11*doc_id) % 256 - 128) * 64 AS pr0,
+               (doc_id + 13) % 30 AS ir0
+        FROM documents
+    ), st(doc_id, k, pl, il, pr, ir, s1, s2, n) AS (
+        SELECT doc_id, 0, pl0, il0, pr0, ir0,
+               CAST(pl0 + pr0 AS BIGINT),
+               CAST((pl0 + pr0)*(pl0 + pr0) AS BIGINT), n
+        FROM d
+        UNION ALL
+        SELECT doc_id, k, npl, nil, npr, nir,
+               s1 + npl + npr, s2 + (npl + npr)*(npl + npr), n FROM (
+            SELECT doc_id, k + 1 AS k, s1, s2, n,
+                greatest(-32768, least(32767,
+                    pl + CASE WHEN cl >= 8
+                              THEN -dl ELSE dl END)) AS npl,
+                greatest(0, least(88,
+                    il + ({_IMA_INDEX_SQL})[cl + 1])) AS nil,
+                greatest(-32768, least(32767,
+                    pr + CASE WHEN cr >= 8
+                              THEN -dr ELSE dr END)) AS npr,
+                greatest(0, least(88,
+                    ir + ({_IMA_INDEX_SQL})[cr + 1])) AS nir
+            FROM (
+                SELECT *,
+                    (sl // 8)
+                    + CASE WHEN cl % 2 = 1 THEN sl // 4 ELSE 0 END
+                    + CASE WHEN (cl // 2) % 2 = 1
+                           THEN sl // 2 ELSE 0 END
+                    + CASE WHEN (cl // 4) % 2 = 1
+                           THEN sl ELSE 0 END AS dl,
+                    (sr // 8)
+                    + CASE WHEN cr % 2 = 1 THEN sr // 4 ELSE 0 END
+                    + CASE WHEN (cr // 2) % 2 = 1
+                           THEN sr // 2 ELSE 0 END
+                    + CASE WHEN (cr // 4) % 2 = 1
+                           THEN sr ELSE 0 END AS dr
+                FROM (
+                    SELECT st.*,
+                        (3*doc_id + 7*(k+1)) % 16 AS cl,
+                        (5*doc_id + 3*(k+1)) % 16 AS cr,
+                        ({_IMA_STEP_SQL})[il + 1] AS sl,
+                        ({_IMA_STEP_SQL})[ir + 1] AS sr
+                    FROM st WHERE k < n - 1
+                )
+            )
+        )
+    )
+    SELECT st.doc_id AS media_id,
+           CAST(st.n AS BIGINT) AS n_samples,
+           CAST(16000 AS INT) AS sample_rate,
+           (CAST(s1 AS DOUBLE) / 65536.0) / st.n AS mean_amp,
+           sqrt((CAST(s2 AS DOUBLE) / 4294967296.0) / st.n) AS rms_amp,
+           CAST(d.pl0 + d.pr0 AS DOUBLE) / 65536.0 AS amp0,
+           CAST(pl + pr AS DOUBLE) / 65536.0 AS amp_last
+    FROM st JOIN d ON st.doc_id = d.doc_id
+    WHERE k = st.n - 1
+    """,
+    description="STEREO IMA ADPCM through the codec registry — the "
+    "multi-channel compressed-audio gap closed (r9 verdict item 4; "
+    "real-world ADPCM WAVs are commonly stereo): the IMA/Microsoft "
+    "interleave carries TWO 4-byte headers then alternating 4-byte "
+    "nibble groups (8 left samples, 8 right samples, ...), and the "
+    "channels run TWO INDEPENDENT (predictor, step-index) machines — "
+    "only the byte layout interleaves, so a decoder that crosses the "
+    "streams corrupts both channels' adaptation.  The DuckDB oracle "
+    "replays BOTH machines in lockstep with one recursive CTE over "
+    "the spec's integer tables and recomputes the per-sample mean "
+    "downmix ((L+R)/2 — the PCM-path convention): a full hash "
+    "contract on a two-machine stateful decode.  Per-channel states "
+    "and code streams are closed-form in the id (golden separation); "
+    "(L+R)/65536 and its square sum exactly in float64 for n <= 65, "
+    "so mean/RMS are bit-reproducible; amp0/amp_last pin the header "
+    "samples and both final states.  Decoder pinned against "
+    "hand-packed interleave groups and two independent mono machines "
+    "in tests/test_codecs.py",
+)
+def media_audio_adpcm_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import audio_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_stats(_adpcm_stereo_wav_media(docs))
+
+
 def _avi_bmp_media(docs: DataFrame) -> DataFrame:
     """doc ids -> REAL tiny AVI videos of BMP frames via the
     production encoders (operators/codecs.py::encode_avi/encode_bmp).

@@ -364,6 +364,64 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 # C10 path hash-proved end-to-end.  OUT: events_value_quantiles
 # (green r5-r7; the sketch family keeps events_value_percentiles
 # graded and the GK shape stays hash-checked every round).
+#
+# ROUND-10 ROTATION (enter-on-add, ledgered in PARITY.md "Round 10
+# deltas").  IN: orders_ingest_redrive — the DLQ RE-DRIVE (r9
+# verdict item 1, the ungraded half of the dead-letter contract):
+# quarantine under the strict rule, write the DLQ to real storage,
+# re-parse ONLY the stored raw lines under the parser fix, merge
+# with the valid side and hash-match the UNCORRUPTED feed;
+# genuinely-bad lines stay dead under the same reason (composable).
+# OUT: orders_csv_ingest_quarantine (green r9; the identical
+# split operator stays DRIVER-GRADED inside orders_ingest_redrive —
+# which executes split -> fix -> re-drive -> merge — AND inside
+# orders_streaming_ingest_quarantine; the batch split row stays
+# hash-checked every round).
+# Also IN (enter-on-add): orders_streaming_ingest_health — the
+# health monitor ON the streaming runtime (r9 verdict item 7 + nit
+# 3): per-microbatch (reason, n) counts appended to a ledger from
+# inside foreachBatch, the valid-side count taken from an
+# Observation on the valid WRITE itself (zero extra feed scans);
+# whole-feed shares computed over the summed ledger across both
+# drains, hash-matched to the single-pass oracle.  OUT:
+# orders_ingest_health (green r9; the same quarantine_stats /
+# health_shares semantics are graded MORE strongly by the streaming
+# row — counts additive across drains, observe()-integrated — and
+# the batch monitor stays hash-checked every round).
+# Also IN (enter-on-add): cdc_mux_schema_drop — column DROP + RENAME
+# schema evolution on the live mux runtime (r9 verdict item 6): the
+# projection-compatible drop (explicit-schema reads stop selecting
+# the column; the append sink never unwrites) and rename as drop+add
+# (pre-rename rows read NULL — the changelog-safe semantics),
+# mid-stream with no restart, tombstones shadowing both generations;
+# PK drops refused.  OUT: cdc_scd2_history (green r5-r9, the CDC
+# family's longest-green row; the SCD-2 ranked-window shape stays
+# hash-checked by check_oracle/ci_gate every round, the window-fn
+# family keeps customer_order_gaps graded, and CDC keeps 8 graded
+# rows incl. both mux evolution rows).
+# Also IN (enter-on-add): media_audio_adpcm_stereo — STEREO IMA
+# ADPCM (r9 verdict item 4, the codec matrix's narrowest column
+# widened): two 4-byte headers + alternating 4-byte nibble groups,
+# TWO independent (predictor, step-index) machines replayed in
+# lockstep by ONE recursive-CTE oracle, per-sample mean downmix.
+# OUT: media_audio_stats (green r7-r9; the WAV container walk it
+# graded stays DRIVER-GRADED inside media_audio_ulaw +
+# media_audio_adpcm + media_audio_adpcm_stereo — all four rows share
+# decode_wav's chunk walk — the PCM sample branch + multi-channel
+# mean downmix stay unit-pinned in tests/test_codecs.py, and the row
+# stays hash-checked every round).
+# Also IN (enter-on-add): emb_pq_rebuild_swap — PQ lifecycle parity
+# (r9 verdict item 2, closing the stored-index asymmetry): the NEW
+# pq_code_stats drift monitor (per-subspace code-usage skew) trips
+# on a skewed append under the STORED codebooks, the response
+# retrains on the grown corpus, swaps via the production
+# swap_directory, asserts codebook+codes equality to a fresh build,
+# and the graded output is the recall-audited ADC search of the
+# RELOADED swapped index.  OUT: emb_index_drift_stats (green r8-r9;
+# the drift-monitor operator ivf_cell_stats stays DRIVER-GRADED as
+# the trigger INSIDE emb_index_rebuild_swap — same monitor, same
+# stored-then-appended shape — and the standalone row stays
+# hash-checked every round).
 DRIVER_WINDOW = (
     # CDC sentinels (8 graded rows incl. the r8 multi-table mux +
     # mid-stream schema evolution)
@@ -373,17 +431,19 @@ DRIVER_WINDOW = (
     "cdc_multi_table_mux",
     "cdc_mux_restart_recovery",
     "cdc_mux_schema_evolution",
-    "cdc_scd2_history",
+    "cdc_mux_schema_drop",
     "cdc_reconciliation",
     # representative analytics shapes
     "orders_in_promo_windows",
     "lineitem_cube_stats",
     "customer_order_gaps",
-    # event analytics + raw-feed ingestion (batch + streaming runtime)
+    # event analytics + raw-feed ingestion (batch split graded inside
+    # the r10 re-drive row; health monitor graded on the streaming
+    # runtime with observe()-ledgered per-microbatch counts)
     "events_value_percentiles",
-    "orders_csv_ingest_quarantine",
+    "orders_ingest_redrive",
     "orders_streaming_ingest_quarantine",
-    "orders_ingest_health",
+    "orders_streaming_ingest_health",
     # streaming runtimes (end-to-end, batch-oracle-verified)
     "events_streaming_sessions",
     "events_streaming_enriched",
@@ -412,7 +472,7 @@ DRIVER_WINDOW = (
     "emb_semantic_dedup",
     "emb_index_compacted_search",
     "emb_dedup_incremental",
-    "emb_index_drift_stats",
+    "emb_pq_rebuild_swap",
     "emb_index_rebuild_swap",
     # multimodal (the real-codec paths: PNG, JPEG, GIF, WAV + mu-law,
     # AVI demux + in-frame BMP decode)
@@ -420,9 +480,9 @@ DRIVER_WINDOW = (
     "media_decode_jpeg",
     "media_decode_jpeg_prog",
     "media_decode_gif",
-    "media_audio_stats",
     "media_audio_ulaw",
     "media_audio_adpcm",
+    "media_audio_adpcm_stereo",
     "media_video_mjpeg",
     "media_video_rle_delta",
     # SQL surface

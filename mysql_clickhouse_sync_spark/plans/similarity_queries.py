@@ -1724,6 +1724,138 @@ def _read_semantic_index(spark: SparkSession, path: str) -> dict:
     }
 
 
+def _write_pq_index(codebooks: DataFrame, codes: DataFrame,
+                    path: str) -> None:
+    import os
+
+    codebooks.write.mode("overwrite").parquet(
+        os.path.join(path, "codebooks")
+    )
+    codes.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+
+
+def _read_pq_index(spark: SparkSession, path: str):
+    import os
+
+    return (
+        spark.read.parquet(os.path.join(path, "codebooks")),
+        spark.read.parquet(os.path.join(path, "codes")),
+    )
+
+
+@register(
+    "emb_pq_rebuild_swap",
+    oracle="""
+    SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_returned,
+           TRUE AS recall_ok, TRUE AS mean_recall_ok,
+           TRUE AS drift_tripped, TRUE AS swap_equals_fresh
+    FROM embeddings WHERE vec_id % 50 = 1
+    """,
+    description="PQ LIFECYCLE PARITY — drift monitor + rebuild-and-"
+    "swap for the PQ index, closing the r9 asymmetry (IVF and the "
+    "semantic index had graded drift -> rebuild -> swap; PQ stopped "
+    "at append, and a drifted codebook degrades ADC recall "
+    "SILENTLY): build the PQ index on slice A (vec_id % 4 = 0) and "
+    "PERSIST it (codebooks + codes parquet, the 'current' dir); "
+    "ingest a skewed batch (% 12 = 2 ids all carrying A's min-id "
+    "vector) via pq_index_append under the STORED (reloaded) "
+    "codebooks; the NEW pq_code_stats monitor reads each "
+    "subquantizer's code-usage histogram and drift_tripped asserts "
+    "max skew >= 8 (the hot code absorbs the whole batch by "
+    "construction: skew >= |batch| * ksub / total ~ 16; measured "
+    ">= 15 at all three harness scales).  The response executes: "
+    "retrain pq_build_index on the GROWN corpus, staging write, "
+    "ATOMIC rename-before-delete swap via the production "
+    "swap_directory operator, then swap_equals_fresh re-reads the "
+    "swapped dir and asserts codebook AND codes equality to an "
+    "in-session fresh build (exceptAll both ways — doubles exact: "
+    "same deterministic numpy path, parquet round trip lossless).  "
+    "Graded output = the recall-audited ADC search of the query "
+    "batch (vec_id % 50 = 1) against the RELOADED swapped index "
+    "with corpus-proportional exact rerank, floors min >= 1 / mean "
+    ">= 4.0 (the retrained codebooks absorb the duplicated-vector "
+    "mass, so per-query recall sits below emb_pq_vs_index's: "
+    "measured min 1-5, mean 4.3-5.0, max skew 17.1-17.6 across all "
+    "three harness scales — all deterministic), plus the two "
+    "lifecycle booleans",
+)
+def emb_pq_rebuild_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..operators.similarity import (
+        brute_force_topk_vectorized,
+        pq_build_index,
+        pq_code_stats,
+        pq_index_append,
+        pq_topk_vs_index,
+    )
+    from ..pipeline.compact import swap_directory
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 4 == 0).select("vec_id", "embedding")
+    # skewed ingest batch: every % 12 = 2 id carries A's min-id vector
+    # (the emb_index_rebuild_swap construction — a shifted
+    # distribution by design, so every subquantizer develops one hot
+    # code and the monitor MUST fire)
+    u0 = (
+        a.orderBy("vec_id").limit(1)
+        .select(F.col("embedding").alias("_e0"))
+    )
+    b = (
+        emb.filter(F.col("vec_id") % 12 == 2)
+        .select("vec_id")
+        .crossJoin(F.broadcast(u0))
+        .select("vec_id", F.col("_e0").alias("embedding"))
+    )
+    base = _semantic_index_dir(spark, sf_dir, "emb_pq_rebuild")
+    if os.path.isdir(base):
+        shutil.rmtree(base)
+    cur = os.path.join(base, "current")
+    # day 0: train + encode + persist
+    codebooks0, codes0 = pq_build_index(a, m=8, ksub=64)
+    _write_pq_index(codebooks0, codes0, cur)
+    # day 1: append the skewed batch under the STORED (reloaded) index
+    books_stored, codes_stored = _read_pq_index(spark, cur)
+    grown = pq_index_append(books_stored, codes_stored, b)
+    drift = pq_code_stats(books_stored, grown)
+    max_skew = float(drift.agg(F.max("skew")).first()[0])
+    drift_tripped = max_skew >= 8.0
+    # the rebuild the trigger demands: retrain on the grown corpus,
+    # stage, promote via the production atomic swap
+    union = a.unionByName(b)
+    staging = os.path.join(base, "staging")
+    fresh_books, fresh_codes = pq_build_index(union, m=8, ksub=64)
+    _write_pq_index(fresh_books, fresh_codes, staging)
+    swap_directory(cur, staging)
+    # reload the swapped index; prove equality to the fresh build
+    sw_books, sw_codes = _read_pq_index(spark, cur)
+    swap_equals_fresh = (
+        sw_books.exceptAll(fresh_books).count() == 0
+        and fresh_books.exceptAll(sw_books).count() == 0
+        and sw_codes.exceptAll(fresh_codes).count() == 0
+        and fresh_codes.exceptAll(sw_codes).count() == 0
+    )
+    # post-rebuild recall-audited search over the swapped index
+    queries = emb.filter(F.col("vec_id") % 50 == 1)
+    rerank = max(10, union.count() // 50)
+    ann = pq_topk_vs_index(
+        sw_books, sw_codes, union, queries, k=5, rerank=rerank
+    )
+    exact = brute_force_topk_vectorized(union, queries, k=5)
+    audit = _ann_recall_audit(
+        ann, exact, min_matched=1, mean_min_matched=4.0
+    )
+    return audit.select(
+        "query_id",
+        "n_returned",
+        "recall_ok",
+        "mean_recall_ok",
+        F.lit(bool(drift_tripped)).alias("drift_tripped"),
+        F.lit(bool(swap_equals_fresh)).alias("swap_equals_fresh"),
+    )
+
+
 @register(
     "emb_index_rebuild_swap",
     oracle=f"""
@@ -2006,4 +2138,84 @@ def emb_index_compacted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_recall_ok",
         F.lit(bool(compaction_ran)).alias("compaction_ran"),
         F.lit(bool(equal)).alias("compacted_equals_uncompacted"),
+    )
+
+
+@register(
+    "emb_index_compacted_search_raw",
+    oracle=None,
+    description="MAINTENANCE-ONLY cost of emb_index_compacted_search "
+    "(r9 verdict nit 1 / item 3; the established *_raw pattern): the "
+    "graded row's 9s-class timing is lifecycle-fixture mass — build, "
+    "three append waves, TWO searches, the row-equality audit and "
+    "the exact brute-force twin — but a daily maintenance loop pays "
+    "only plan + execute compaction + the next search.  First call "
+    "per session builds the degraded fixture ONCE (ivf_build_index "
+    "on the old slice, postings persisted partitionBy(_cid), three "
+    "append waves multiplying the per-partition file count) and "
+    "persists it pristine; every call restores the degraded state "
+    "into a work dir with an OS-level copy (compaction MUTATES the "
+    "dir, so the restore is what makes repeats measure compaction, "
+    "not a no-op over already-compacted files; the copy is "
+    "millisecond-scale against the multi-second maintenance work and "
+    "is charged to the timing), then times plan_table_compaction + "
+    "execute_compaction + ONE pruned search of the compacted dir.  "
+    "Bench-only by design (registered past the driver window): "
+    "search equality of this path to a fresh stored-index search is "
+    "machine-checked in tests/test_similarity.py, and the graded "
+    "emb_index_compacted_search contract covers correctness",
+)
+def emb_index_compacted_search_raw(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+
+    from ..operators.similarity import (
+        ivf_build_index,
+        ivf_index_append,
+        ivf_topk_vs_index,
+    )
+    from ..pipeline.compact import (
+        CompactionPolicy,
+        execute_compaction,
+        plan_table_compaction,
+    )
+    from ..util import parquet_complete
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 1)
+    base = _semantic_index_dir(spark, sf_dir, "emb_compact_raw")
+    degraded = os.path.join(base, "degraded")
+    cdir = os.path.join(base, "centroids")
+    # centroids are written LAST, so their _SUCCESS marker proves the
+    # whole degraded fixture completed (a bare isdir would accept a
+    # partial interrupted write); overwrite re-drives
+    if not parquet_complete(cdir):
+        old = emb.filter(F.col("vec_id") % 4 == 0)
+        centroids, postings = ivf_build_index(old, n_centroids=16)
+        shutil.rmtree(degraded, ignore_errors=True)
+        postings.write.partitionBy("_cid").parquet(degraded)
+        empty = spark.read.parquet(degraded).limit(0)
+        for w in (2, 6, 10):
+            ivf_index_append(
+                centroids, empty, emb.filter(F.col("vec_id") % 12 == w)
+            ).write.mode("append").partitionBy("_cid").parquet(degraded)
+        centroids.write.mode("overwrite").parquet(cdir)
+    work = os.path.join(base, "work")
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(degraded, work)
+    plan = plan_table_compaction(
+        work,
+        policy=CompactionPolicy(max_small_files=2),
+        only_triggered=True,
+    )
+    execute_compaction(spark, plan)
+    return ivf_topk_vs_index(
+        spark.read.parquet(cdir),
+        spark.read.parquet(work),
+        queries,
+        k=5,
+        nprobe=12,
+        prune_cells=True,
     )

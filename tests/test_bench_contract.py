@@ -61,4 +61,11 @@ def test_untimed_streaming_surfaces_are_only_the_disclosed_ones():
         "events_streaming_interval_join_full",
         "cdc_mux_restart_recovery",
         "orders_streaming_ingest_quarantine",
+        # r10: the observe()-ledgered health monitor on the same
+        # two-drain runtime — same policy (drain cost is checkpoint/
+        # trigger machinery; the monitor itself adds zero feed scans)
+        "orders_streaming_ingest_health",
+        # r10: column DROP + RENAME evolution on the mux runtime —
+        # same policy as the other mux drains
+        "cdc_mux_schema_drop",
     }, sorted(untimed_streaming)

@@ -1136,10 +1136,17 @@ def test_adpcm_rejects_malformed_with_real_cause():
         ima_adpcm_decode_block(_st.pack("<hBB", 0, 0, 0) + b"\x00", 9)
     with pytest.raises(ValueError, match="0..15"):
         encode_wav_adpcm_codes(0, 0, [99])
+    # channels=2 on a MONO-shaped container: the stereo geometry
+    # check (8-byte header, per-channel group math) rejects it with
+    # the real cause instead of mis-decoding the interleave
     good = bytearray(encode_wav_adpcm_codes(0, 0, [1, 2], 8000))
     good[22] = 2                     # channels byte inside fmt
-    with pytest.raises(ValueError, match="mono only"):
+    with pytest.raises(ValueError, match="block_align"):
         decode_wav(bytes(good))
+    many = bytearray(encode_wav_adpcm_codes(0, 0, [1, 2], 8000))
+    many[22] = 3                     # >2 channels: honest unsupported
+    with pytest.raises(ValueError, match="mono and stereo only"):
+        decode_wav(bytes(many))
     bad_bits = bytearray(encode_wav_adpcm_codes(0, 0, [1, 2], 8000))
     bad_bits[34] = 16                # bits-per-sample byte inside fmt
     with pytest.raises(ValueError, match="spec: 4"):
@@ -1177,3 +1184,95 @@ def test_adpcm_header_only_block_is_one_sample():
             + b"data" + _st.pack("<I", len(block)) + block)
     x, rate = decode_wav(b"RIFF" + _st.pack("<I", len(body)) + body)
     assert rate == 8000 and x.tolist() == [-512 / 32768.0]
+
+
+def test_adpcm_stereo_block_is_two_independent_machines():
+    """Stereo IMA ADPCM: two 4-byte headers + alternating 4-byte
+    nibble groups; each channel's decode must equal an independent
+    MONO machine fed that channel's codes alone — the interleave is
+    byte layout, never shared state."""
+    import numpy as np
+
+    from mysql_clickhouse_sync_spark.operators.codecs import (
+        _ima_step,
+        encode_wav_adpcm_stereo_codes,
+        ima_adpcm_decode_stereo_block,
+    )
+
+    cl = np.array([(3 + 7 * k) % 16 for k in range(16)], np.uint8)
+    cr = np.array([(5 + 3 * k) % 16 for k in range(16)], np.uint8)
+    wav = encode_wav_adpcm_stereo_codes(
+        (1000, -2000), (5, 12), cl, cr, 16_000
+    )
+    blk = bytes(wav[wav.index(b"data") + 8:])
+
+    def mono(p, i, codes, n):
+        out = [p]
+        for c in codes[: n - 1]:
+            p, i = _ima_step(p, i, int(c))
+            out.append(p)
+        return out
+
+    lr = ima_adpcm_decode_stereo_block(blk, 17)
+    assert lr.shape == (17, 2)
+    assert lr[:, 0].tolist() == mono(1000, 5, cl, 17)
+    assert lr[:, 1].tolist() == mono(-2000, 12, cr, 17)
+
+
+def test_adpcm_stereo_hand_packed_golden_block():
+    """Hand-packed stereo block against hand-computed spec values:
+    headers L=(100, idx 0), R=(-100, idx 2); left codes 1,8 and right
+    codes 4,15 land in the FIRST 4-byte group of each channel (pad
+    nibbles 0 beyond n_samples).  Left: step(0)=7 -> code 1: diff =
+    7//8 + 7//4 = 0+1, pred 101, idx max(0,0-1)=0; code 8: diff =
+    7//8 = 0, pred 101-0=101, idx 0.  Right: step(2)=9 -> code 4:
+    diff = 9//8 + 9 = 10, pred -90, idx 2+2=4; step(4)=11 -> code
+    15: diff = 11//8+11//4+11//2+11 = 1+2+5+11 = 19, pred -109."""
+    import struct as _st
+
+    from mysql_clickhouse_sync_spark.operators.codecs import (
+        ima_adpcm_decode_stereo_block,
+    )
+
+    hdr = _st.pack("<hBB", 100, 0, 0) + _st.pack("<hBB", -100, 2, 0)
+    left = bytes([1 | (8 << 4), 0, 0, 0])
+    right = bytes([4 | (15 << 4), 0, 0, 0])
+    lr = ima_adpcm_decode_stereo_block(hdr + left + right, 3)
+    assert lr[:, 0].tolist() == [100, 101, 101]
+    assert lr[:, 1].tolist() == [-100, -90, -109]
+
+
+def test_adpcm_stereo_container_downmix_and_rejections():
+    """decode_wav on a stereo ADPCM container downmixes per-sample
+    (L+R)/2 (the PCM-path convention); malformed stereo shapes fail
+    with the real cause."""
+    import numpy as np
+    import pytest as _pt
+
+    from mysql_clickhouse_sync_spark.operators.codecs import (
+        decode_wav,
+        encode_wav_adpcm_stereo_codes,
+        ima_adpcm_decode_stereo_block,
+    )
+
+    cl = np.arange(8, dtype=np.uint8)
+    cr = np.arange(8, dtype=np.uint8)[::-1].copy()
+    wav = encode_wav_adpcm_stereo_codes((64, 192), (0, 0), cl, cr, 8000)
+    x, rate = decode_wav(wav)
+    assert rate == 8000 and len(x) == 9
+    blk = bytes(wav[wav.index(b"data") + 8:])
+    lr = ima_adpcm_decode_stereo_block(blk, 9)
+    want = lr.astype(np.float64).mean(axis=1) / 32768.0
+    assert np.array_equal(x, want)
+    assert x[0] == (64 + 192) / 2 / 32768.0
+
+    with _pt.raises(ValueError, match="stereo header is 8"):
+        ima_adpcm_decode_stereo_block(b"\x00" * 7, 1)
+    with _pt.raises(ValueError, match="interleave groups"):
+        ima_adpcm_decode_stereo_block(b"\x00" * 8 + b"\x00" * 5, 2)
+    with _pt.raises(ValueError, match="channel 1 step index"):
+        ima_adpcm_decode_stereo_block(
+            b"\x00\x00\x00\x00" + b"\x00\x00\x59\x00", 1
+        )
+    with _pt.raises(ValueError, match="equal-length"):
+        encode_wav_adpcm_stereo_codes((0, 0), (0, 0), [1] * 8, [1] * 16)

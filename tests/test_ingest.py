@@ -129,3 +129,105 @@ def test_quarantine_stats_shares_sum_to_one(spark):
     assert stats["malformed"] == (2, 2 / 11)
     assert stats["invalid_price"] == (1, 1 / 11)
     assert abs(sum(s for _n, s in stats.values()) - 1.0) < 1e-15
+
+
+def test_redrive_recovers_after_rule_fix(spark):
+    """The second half of the DLQ contract: a parser fix re-drives
+    ONLY the quarantined raw lines; recoverable lines come back
+    byte-exactly, genuinely-bad lines stay dead under the same
+    reason (composability), and nothing is lost either way."""
+    from mysql_clickhouse_sync_spark.sources.ingest import (
+        redrive_quarantine,
+    )
+
+    lines = ["1,10.5,A", "2,USD 3.25,B", "3,-4.0,C"]
+    valid, quar = parse_csv_with_quarantine(
+        _feed(spark, lines),
+        "line",
+        _SCHEMA,
+        validators={"invalid_price": F.col("price") >= 0},
+    )
+    assert valid.count() == 1 and quar.count() == 2
+    recovered, still_dead = redrive_quarantine(
+        quar,
+        _SCHEMA,
+        validators={"invalid_price": F.col("price") >= 0},
+        fix=F.regexp_replace(F.col("raw"), "USD ", ""),
+    )
+    assert sorted(map(tuple, recovered.collect())) == [(2, 3.25, "B")]
+    # the negative price re-parses fine but fails the UNCHANGED
+    # validator again -> stays dead, (raw, reason) shape preserved so
+    # the output feeds a further re-drive pass
+    assert [tuple(r) for r in still_dead.collect()] == [
+        ("3,-4.0,C", "invalid_price")
+    ]
+    assert still_dead.columns == ["raw", "reason"]
+    merged = valid.unionByName(recovered)
+    assert sorted(map(tuple, merged.collect())) == [
+        (1, 10.5, "A"),
+        (2, 3.25, "B"),
+    ]
+
+
+def test_redrive_without_fix_is_identity_split(spark):
+    """fix=None re-parses the stored lines verbatim: under the same
+    rule every reject stays dead — a no-op re-drive never invents
+    rows (the wrong-fix safety property: the stored raw line is
+    never mutated, so re-driving again is always possible)."""
+    from mysql_clickhouse_sync_spark.sources.ingest import (
+        redrive_quarantine,
+    )
+
+    _, quar = parse_csv_with_quarantine(
+        _feed(spark, ["2,xx,B", "3,-4.0,C"]),
+        "line",
+        _SCHEMA,
+        validators={"invalid_price": F.col("price") >= 0},
+    )
+    recovered, still_dead = redrive_quarantine(
+        quar,
+        _SCHEMA,
+        validators={"invalid_price": F.col("price") >= 0},
+    )
+    assert recovered.count() == 0
+    assert sorted(map(tuple, still_dead.collect())) == [
+        ("2,xx,B", "malformed"),
+        ("3,-4.0,C", "invalid_price"),
+    ]
+
+
+def test_quarantine_stats_accepts_observed_count(spark):
+    """An integration that already scanned the valid side (e.g. an
+    observe()d write) passes the count in; the monitor must not run
+    its own extra count job and must produce identical shares."""
+    from mysql_clickhouse_sync_spark.sources.ingest import (
+        quarantine_stats,
+    )
+
+    valid, quar = parse_csv_with_quarantine(
+        _feed(spark, ["1,1.0,A", "2,xx,B"]),
+        "line",
+        _SCHEMA,
+    )
+    stats = {
+        r["reason"]: (r["n"], r["share"])
+        for r in quarantine_stats(valid, quar, n_valid=1).collect()
+    }
+    assert stats == {"_ingested": (1, 0.5), "malformed": (1, 0.5)}
+
+
+def test_health_shares_over_summed_ledger(spark):
+    """health_shares turns additive per-drain counts into whole-feed
+    shares: summing a two-drain ledger then sharing equals sharing
+    the single-pass counts (counts are additive, shares are not)."""
+    from mysql_clickhouse_sync_spark.sources.ingest import health_shares
+
+    ledger = spark.createDataFrame(
+        [("_ingested", 3), ("malformed", 1),
+         ("_ingested", 4), ("malformed", 2)],
+        "reason string, n long",
+    )
+    summed = ledger.groupBy("reason").agg(F.sum("n").alias("n"))
+    out = {r["reason"]: (r["n"], r["share"])
+           for r in health_shares(summed).collect()}
+    assert out == {"_ingested": (7, 0.7), "malformed": (3, 0.3)}

@@ -1371,3 +1371,109 @@ def test_append_chain_raw_equals_graded_prefix(spark):
         map(tuple, all_pairs.select("id_a", "id_b").collect())
     )
     assert first == prefix and len(first) > 0
+
+
+def test_pq_code_stats_contract(spark):
+    """The PQ drift monitor: per-subspace fracs sum to 1, skew
+    normalizes by the TRAINED ksub (empty codes vanish from the
+    groupBy but must not inflate the occupied ones' baseline), and a
+    skewed append — many copies of one vector, hence one hot code per
+    subspace — pushes max skew to ~|batch| * ksub / total."""
+    from mysql_clickhouse_sync_spark.operators.similarity import (
+        pq_build_index,
+        pq_code_stats,
+        pq_index_append,
+    )
+    from mysql_clickhouse_sync_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    a = emb.filter(F.col("vec_id") % 4 == 0).select("vec_id", "embedding")
+    books, codes = pq_build_index(a, m=8, ksub=16)
+    healthy = pq_code_stats(books, codes).collect()
+    n_a = a.count()
+    by_j = {}
+    for r in healthy:
+        assert 0 <= r["c"] < 16
+        by_j.setdefault(r["j"], []).append(r)
+        # skew = frac * ksub, normalized by the TRAINED ksub
+        assert abs(r["skew"] - r["frac"] * 16) < 1e-12
+    assert sorted(by_j) == list(range(8))
+    for j, rows in by_j.items():
+        assert abs(sum(r["frac"] for r in rows) - 1.0) < 1e-12
+        assert sum(r["n"] for r in rows) == n_a
+
+    # skewed append: every batch row carries A's min-id vector, so in
+    # EVERY subspace the batch lands on one code
+    u0 = a.orderBy("vec_id").limit(1).select(
+        F.col("embedding").alias("_e0")
+    )
+    b = (
+        emb.filter(F.col("vec_id") % 4 == 1)
+        .select("vec_id")
+        .crossJoin(F.broadcast(u0))
+        .select("vec_id", F.col("_e0").alias("embedding"))
+    )
+    grown = pq_index_append(books, codes, b)
+    drifted = pq_code_stats(books, grown)
+    n_b = b.count()
+    floor = 0.8 * n_b * 16 / (n_a + n_b)
+    per_j_max = {
+        r["j"]: r["skew"]
+        for r in drifted.groupBy("j")
+        .agg(F.max("skew").alias("skew"))
+        .collect()
+    }
+    assert sorted(per_j_max) == list(range(8))
+    for j, mx in per_j_max.items():
+        assert mx >= floor, f"subspace {j}: max skew {mx} < {floor}"
+
+
+def test_pq_code_stats_rejects_bad_codebooks(spark):
+    """The monitor validates the codebook table exactly like the
+    search path — a sparse grid means a corrupted store."""
+    import pytest
+    from mysql_clickhouse_sync_spark.operators.similarity import (
+        pq_code_stats,
+    )
+
+    bad = spark.createDataFrame(
+        [(0, 0, [0.0, 1.0]), (0, 2, [1.0, 0.0])],
+        "j int, c int, centroid array<double>",
+    )
+    codes = spark.createDataFrame(
+        [(1, [0, 0], 1.0)], "vec_id long, _codes array<int>, _norm double"
+    )
+    with pytest.raises(ValueError, match="dense"):
+        pq_code_stats(bad, codes)
+
+
+def test_compacted_search_raw_equals_fresh_stored_search(spark):
+    """The bench-only maintenance twin must return exactly the search
+    the graded emb_index_compacted_search audits: a compacted work
+    dir searched with prune_cells equals a fresh stored-index search
+    over the same grown corpus (build on the old slice, the three
+    appended waves = the % 4 = 2 batch)."""
+    from mysql_clickhouse_sync_spark.plans.similarity_queries import (
+        emb_index_compacted_search_raw,
+    )
+    from mysql_clickhouse_sync_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_index_append,
+        ivf_topk_vs_index,
+    )
+    from mysql_clickhouse_sync_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    raw = emb_index_compacted_search_raw(spark, SF_DIR)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    old = emb.filter(F.col("vec_id") % 4 == 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 2)
+    queries = emb.filter(F.col("vec_id") % 50 == 1)
+    centroids, postings = ivf_build_index(old, n_centroids=16)
+    grown = ivf_index_append(centroids, postings.localCheckpoint(), batch)
+    want = ivf_topk_vs_index(
+        centroids, grown, queries, k=5, nprobe=12, prune_cells=False
+    )
+    assert raw.exceptAll(want).count() == 0
+    assert want.exceptAll(raw).count() == 0

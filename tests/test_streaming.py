@@ -769,3 +769,74 @@ def test_schema_evolution_widens_types_across_restart(spark, dirs):
     ])
     with _pytest.raises(ValueError, match="retype column"):
         p.evolve_schema(crossed)
+
+
+def test_multi_table_drop_and_rename_evolution(spark, tmp_path):
+    """The projection-compatible DROP (opt-in via allow_drops) and
+    RENAME-as-drop+add on the mux dispatcher: old files' dropped
+    column is no longer selected (the explicit-schema read ignores
+    file columns the schema stopped declaring), pre-rename rows read
+    NULL under the new name, and dropping a PK column is refused
+    regardless of allow_drops."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from mysql_clickhouse_sync_spark.streaming.multi_table import (
+        MultiTableCDCStream,
+    )
+
+    base = str(tmp_path / "drop_tables")
+    changelog = str(tmp_path / "drop_changelog")
+    v1 = StructType([
+        StructField("id", LongType(), False),
+        StructField("name", StringType(), True),
+        StructField("phone", StringType(), True),
+    ])
+
+    def row(table, op, seq, **payload):
+        return {"table": table, "op": op, "seq": seq,
+                "payload": _json.dumps(payload)}
+
+    _write_events(
+        changelog,
+        [row("users", "I", 1, id=1, name="A", phone="111"),
+         row("users", "I", 2, id=2, name="B", phone="222")],
+        filename="f1.json",
+    )
+    mux = MultiTableCDCStream(
+        spark, schemas={"users": v1}, pks={"users": ["id"]},
+        base_dir=base,
+    )
+    mux.start(changelog).awaitTermination()
+
+    # DROP phone, RENAME name -> label (drop + add)
+    v2 = StructType([
+        StructField("id", LongType(), False),
+        StructField("label", StringType(), True),
+    ])
+    # the default stays drop-refusing (the additive contract)
+    with _pytest.raises(ValueError, match="drop column"):
+        mux.evolve_table_schema("users", v2)
+    mux.evolve_table_schema("users", v2, allow_drops=True)
+    _write_events(
+        changelog,
+        [row("users", "U", 3, id=2, label="B2")],
+        filename="f2.json",
+    )
+    mux.start(changelog).awaitTermination()
+
+    rows = mux.live("users").collect()
+    assert set(rows[0].asDict()) == {"id", "label"}
+    live = {r["id"]: r["label"] for r in rows}
+    # pre-rename row 1 reads NULL under the new name (history is
+    # never backfilled); row 2's v2 version wins with the new column
+    assert live == {1: None, 2: "B2"}
+
+    # dropping the PK is refused even with allow_drops
+    with _pytest.raises(ValueError, match="primary-key"):
+        mux.evolve_table_schema(
+            "users",
+            StructType([StructField("label", StringType(), True)]),
+            allow_drops=True,
+        )

@@ -96,6 +96,11 @@ SWEEP = (
     "orders_ingest_health",          # feed-share monitor (bounded agg)
     "media_video_mjpeg_raw",         # demux+decode only (fixtures stored)
     "emb_dedup_append_chain_raw",    # day-2 grow vs stored chain
+    # r10: DLQ re-drive, PQ lifecycle, stereo ADPCM, maintenance twin
+    "orders_ingest_redrive",         # split -> DLQ round-trip -> re-parse
+    "emb_pq_rebuild_swap",           # code-usage drift -> retrain -> swap
+    "media_audio_adpcm_stereo",      # two interleaved state machines
+    "emb_index_compacted_search_raw",  # compaction + one search only
 )
 
 
