@@ -203,6 +203,8 @@ EXTENDED = (
     # r10: stereo IMA ADPCM (two interleaved independent machines +
     # per-sample mean downmix)
     "media_audio_adpcm_stereo",
+    # r10: G.711 A-law (the second companding law)
+    "media_audio_alaw",
     # r9: dead-letter CSV ingestion (PERMISSIVE parse + validation
     # split, all JVM-side) + its health monitor
     "orders_csv_ingest_quarantine",

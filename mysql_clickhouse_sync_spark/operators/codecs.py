@@ -465,6 +465,79 @@ def encode_wav_ulaw_codes(codes, rate: int = 8_000) -> bytes:
     return _RIFF_MAGIC + struct.pack("<I", len(body)) + body
 
 
+# -- G.711 A-law companding (the spec's second law) --------------------
+#
+# Same contract class as mu-law — closed-form integer transforms of
+# the public spec — but three details differ: the 0x55 XOR toggle
+# (not a full complement), the segment-0 special case, and the
+# INVERTED sign convention (bit set = positive).
+
+_ALAW_XOR = 0x55
+
+
+def alaw_to_linear(codes):
+    """uint8 G.711 A-law codewords -> int16 linear PCM (vectorized).
+    Per spec (ITU-T G.711's second companding law; the CCITT table in
+    the public-domain Sun g711.c): XOR the 0x55 toggle pattern, split
+    segment/mantissa; segment 0 -> (mant << 4) + 8, segment s >= 1 ->
+    ((mant << 4) + 0x108) << (s - 1).  The sign bit SET means
+    POSITIVE (A-law's inverted-sign convention — opposite of mu-law).
+    Max magnitude 32256 (the 13-bit law), no zero output, and every
+    one of the 256 codewords round-trips encode(decode(c)) == c
+    (A-law has no redundant negative zero, unlike mu-law's 0x7F)."""
+    import numpy as np
+
+    a = (np.asarray(codes, dtype=np.uint8).astype(np.int32)) ^ _ALAW_XOR
+    seg = (a >> 4) & 0x07
+    t = (a & 0x0F) << 4
+    mag = np.where(
+        seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0)
+    )
+    return np.where(a & 0x80, mag, -mag).astype(np.int16)
+
+
+def linear_to_alaw(pcm):
+    """int16 linear PCM -> uint8 G.711 A-law codewords (vectorized).
+    The 13-bit law: drop 3 LSBs (negatives via the spec's
+    -(v >> 3) - 1 fold), find the segment by 7 integer threshold
+    compares (no float log), pack seg/mantissa, XOR the toggle
+    pattern (0xD5 positive / 0x55 negative)."""
+    import numpy as np
+
+    x = np.asarray(pcm, dtype=np.int32)
+    mask = np.where(x >= 0, 0xD5, 0x55)
+    v = np.where(x >= 0, x >> 3, -(x >> 3) - 1)
+    seg = np.zeros_like(v)
+    for t in (0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF):
+        seg += (v > t).astype(np.int32)
+    shift = np.where(seg < 2, 1, seg)
+    aval = (seg << 4) | ((v >> shift) & 0x0F)
+    return (aval ^ mask).astype(np.uint8)
+
+
+def encode_wav_alaw(samples, rate: int = 8_000) -> bytes:
+    """float array in [-1, 1] -> mono G.711 A-law WAV bytes
+    (audio_format=6, 8 bits per sample): quantize to int16 like the
+    PCM path, compand with :func:`linear_to_alaw`, wrap in the same
+    RIFF layout with WAVE_FORMAT_ALAW."""
+    import numpy as np
+
+    x = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    if x.ndim != 1:
+        raise ValueError(f"encode_wav_alaw needs a 1-D array, got {x.shape}")
+    if len(x) == 0:
+        raise ValueError("encode_wav_alaw needs a non-empty sample array")
+    pcm = np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int16)
+    codes = linear_to_alaw(pcm).tobytes()
+    fmt = struct.pack("<HHIIHH", 6, 1, rate, rate, 1, 8)
+    body = (
+        _WAVE_MAGIC
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(codes)) + codes
+    )
+    return _RIFF_MAGIC + struct.pack("<I", len(body)) + body
+
+
 # -- IMA ADPCM (DVI4 / WAV format 0x11) --------------------------------
 #
 # The ADAPTIVE-PREDICTIVE audio class (mu-law is memoryless
@@ -804,10 +877,10 @@ def decode_wav(payload: bytes):
     audio_format, channels, rate, _br, block_align, bits = struct.unpack_from(
         "<HHIIHH", fmt, 0
     )
-    if audio_format not in (1, 7, 0x11):
+    if audio_format not in (1, 6, 7, 0x11):
         raise ValueError(
             f"unsupported WAV: audio_format={audio_format} "
-            "(only PCM=1, G.711 mu-law=7, IMA ADPCM=17)"
+            "(only PCM=1, G.711 A-law=6, mu-law=7, IMA ADPCM=17)"
         )
     if channels < 1 or rate <= 0:
         raise ValueError(f"bad WAV header: channels={channels} rate={rate}")
@@ -868,7 +941,15 @@ def decode_wav(payload: bytes):
             raise ValueError("corrupt WAV: ADPCM data without one block")
         x = np.concatenate(chunks) / 32768.0
         return x, int(rate)
-    if audio_format == 7:
+    if audio_format == 6:
+        if bits != 8:
+            raise ValueError(
+                f"corrupt WAV: A-law with bits={bits} (spec: 8)"
+            )
+        x = alaw_to_linear(
+            np.frombuffer(data, dtype=np.uint8)
+        ).astype(np.float64) / 32768.0
+    elif audio_format == 7:
         if bits != 8:
             raise ValueError(
                 f"corrupt WAV: mu-law with bits={bits} (spec: 8)"

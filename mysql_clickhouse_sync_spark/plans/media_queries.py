@@ -542,6 +542,110 @@ def media_audio_ulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_stats(_ulaw_wav_media(docs))
 
 
+def _alaw_wav_media(docs: DataFrame) -> DataFrame:
+    """doc ids -> tiny REAL G.711 A-law WAVs (audio_format=6) with
+    closed-form codewords (the golden separation — fixture
+    independent of our linear->alaw encoder):
+
+      n      = 45 + id % 40 samples
+      code k = (11*id + 29*k) % 256      (k = 0 .. n-1)
+    """
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+        import struct as _st
+
+        from ..operators.codecs import _RIFF_MAGIC, _WAVE_MAGIC
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 45 + did % 40
+                codes = (
+                    (11 * did + 29 * np.arange(n)) % 256
+                ).astype(np.uint8).tobytes()
+                fmt = _st.pack("<HHIIHH", 6, 1, 8000, 8000, 1, 8)
+                body = (
+                    _WAVE_MAGIC
+                    + b"fmt " + _st.pack("<I", len(fmt)) + fmt
+                    + b"data" + _st.pack("<I", len(codes)) + codes
+                )
+                payload = _RIFF_MAGIC + _st.pack("<I", len(body)) + body
+                rows.append(
+                    (
+                        did,
+                        "audio",
+                        "audio/wav",
+                        bytearray(payload),
+                        None,
+                        None,
+                        int(n * 1000 / 8000),
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+                )
+
+    return docs.select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+
+
+@register(
+    "media_audio_alaw",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, 45 + doc_id % 40 AS n FROM documents
+    ), p AS (
+        SELECT doc_id, n,
+            list_transform(
+                list_transform(range(0, n),
+                               k -> xor((11*doc_id + 29*k) % 256, 85)),
+                a -> CASE WHEN a >= 128 THEN 1 ELSE -1 END *
+                     CASE WHEN (a // 16) % 8 = 0
+                          THEN (a % 16) * 16 + 8
+                          ELSE ((a % 16) * 16 + 264)
+                               * (1 << ((a // 16) % 8 - 1)) END
+            ) AS pcm
+        FROM d
+    ), s AS (
+        SELECT doc_id, n,
+            list_sum(pcm) AS s1,
+            list_sum(list_transform(pcm, v -> v * v)) AS s2,
+            pcm[1] AS p0, pcm[n] AS plast
+        FROM p
+    )
+    SELECT doc_id AS media_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(8000 AS INT) AS sample_rate,
+           (CAST(s1 AS DOUBLE) / 32768.0) / n AS mean_amp,
+           sqrt((CAST(s2 AS DOUBLE) / 1073741824.0) / n) AS rms_amp,
+           CAST(p0 AS DOUBLE) / 32768.0 AS amp0,
+           CAST(plast AS DOUBLE) / 32768.0 AS amp_last
+    FROM s
+    """,
+    description="G.711 COMPLETED — A-law, the spec's second "
+    "companding law (audio_format=6; European telephony where mu-law "
+    "is North American): decode XORs the 0x55 toggle pattern, splits "
+    "segment/mantissa, expands seg 0 as (mant<<4)+8 and seg >= 1 as "
+    "((mant<<4)+0x108)<<(seg-1), with the INVERTED sign convention "
+    "(bit set = positive) — three integer details a mu-law-shaped "
+    "decoder gets wrong, which is why the law needs its own graded "
+    "row.  Closed-form codewords (golden separation), DuckDB replays "
+    "the expansion per sample, sums are exact integers scaled by "
+    "powers of two, one double division (+ sqrt) at the end — "
+    "bit-exact hash.  Unlike mu-law, ALL 256 codewords round-trip "
+    "encode(decode(c)) == c (no redundant negative zero) — pinned "
+    "with hand-computed spec values in tests/test_codecs.py",
+)
+def media_audio_alaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import audio_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_stats(_alaw_wav_media(docs))
+
+
 def _adpcm_wav_media(docs: DataFrame) -> DataFrame:
     """doc ids -> REAL mono IMA ADPCM WAVs (audio_format=0x11) via the
     container builder (operators/codecs.py::encode_wav_adpcm_codes).

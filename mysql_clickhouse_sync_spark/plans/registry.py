@@ -410,6 +410,27 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 # decode_wav's chunk walk — the PCM sample branch + multi-channel
 # mean downmix stay unit-pinned in tests/test_codecs.py, and the row
 # stays hash-checked every round).
+# Also IN (enter-on-add): orders_streaming_ingest_redrive — the
+# DLQ re-drive composed ON the streaming runtime: the DLQ sink of
+# the two-drain split becomes the SOURCE of a second checkpointed
+# stream whose foreachBatch runs redrive_quarantine under the parser
+# fix, fanning out to recovered + second-generation dead-letter
+# sinks; (valid UNION recovered) hash-matches the uncorrupted-feed
+# oracle.  OUT: orders_streaming_ingest_quarantine (green r9; the
+# IDENTICAL split-on-runtime path stays DRIVER-GRADED inside BOTH
+# remaining streaming ingest rows — orders_streaming_ingest_health
+# and the re-drive row literally run the same _run_streaming_ingest
+# scenario builder — and the row stays hash-checked every round).
+# Also IN (enter-on-add): media_audio_alaw — G.711 COMPLETED: A-law,
+# the spec's second companding law (audio_format=6), whose decode
+# differs from mu-law in three integer details (0x55 XOR toggle, the
+# segment-0 special case, the inverted sign convention) — closed-form
+# codewords, DuckDB replays the expansion per sample, bit-exact hash;
+# all 256 codewords round-trip (no redundant negative zero).  OUT:
+# media_decode_png (green r7-r9, the longest-green image-codec row;
+# the filter+DEFLATE class stays bench-timed + hash-checked every
+# round, and the image-codec family keeps JPEG, progressive JPEG,
+# GIF, and the in-video BMP path graded).
 # Also IN (enter-on-add): emb_pq_rebuild_swap — PQ lifecycle parity
 # (r9 verdict item 2, closing the stored-index asymmetry): the NEW
 # pq_code_stats drift monitor (per-subspace code-usage skew) trips
@@ -442,7 +463,7 @@ DRIVER_WINDOW = (
     # runtime with observe()-ledgered per-microbatch counts)
     "events_value_percentiles",
     "orders_ingest_redrive",
-    "orders_streaming_ingest_quarantine",
+    "orders_streaming_ingest_redrive",
     "orders_streaming_ingest_health",
     # streaming runtimes (end-to-end, batch-oracle-verified)
     "events_streaming_sessions",
@@ -476,11 +497,11 @@ DRIVER_WINDOW = (
     "emb_index_rebuild_swap",
     # multimodal (the real-codec paths: PNG, JPEG, GIF, WAV + mu-law,
     # AVI demux + in-frame BMP decode)
-    "media_decode_png",
     "media_decode_jpeg",
     "media_decode_jpeg_prog",
     "media_decode_gif",
     "media_audio_ulaw",
+    "media_audio_alaw",
     "media_audio_adpcm",
     "media_audio_adpcm_stereo",
     "media_video_mjpeg",

@@ -65,6 +65,9 @@ def test_untimed_streaming_surfaces_are_only_the_disclosed_ones():
         # two-drain runtime — same policy (drain cost is checkpoint/
         # trigger machinery; the monitor itself adds zero feed scans)
         "orders_streaming_ingest_health",
+        # r10: the DLQ re-drive as a second checkpointed stream over
+        # the dead-letter sink — same policy
+        "orders_streaming_ingest_redrive",
         # r10: column DROP + RENAME evolution on the mux runtime —
         # same policy as the other mux drains
         "cdc_mux_schema_drop",

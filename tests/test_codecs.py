@@ -1276,3 +1276,59 @@ def test_adpcm_stereo_container_downmix_and_rejections():
         )
     with _pt.raises(ValueError, match="equal-length"):
         encode_wav_adpcm_stereo_codes((0, 0), (0, 0), [1] * 8, [1] * 16)
+
+
+def test_alaw_golden_codewords_and_round_trip():
+    """A-law pinned against hand-computed spec values, and the
+    property mu-law lacks: encode(decode(c)) == c for ALL 256
+    codewords (A-law has no redundant negative zero)."""
+    import numpy as np
+
+    from mysql_clickhouse_sync_spark.operators.codecs import (
+        alaw_to_linear,
+        linear_to_alaw,
+    )
+
+    # hand-computed: code 0x55 -> a=0x00: seg 0, mant 0, sign clear
+    # -> -8; code 0xD5 -> a=0x80 -> +8; code 0x2A -> a=0x7F: seg 7,
+    # mant 15 -> ((15<<4)+264)<<6 = 32256, sign clear -> -32256;
+    # code 0xAA -> a=0xFF -> +32256; code 0x45 -> a=0x10: seg 1,
+    # mant 0 -> 264, sign clear -> -264
+    got = alaw_to_linear(np.array([0x55, 0xD5, 0x2A, 0xAA, 0x45],
+                                  dtype=np.uint8))
+    assert got.tolist() == [-8, 8, -32256, 32256, -264]
+    all_codes = np.arange(256, dtype=np.uint8)
+    dec = alaw_to_linear(all_codes)
+    assert int(np.abs(dec).max()) == 32256 and 0 not in dec
+    assert np.array_equal(linear_to_alaw(dec), all_codes)
+
+
+def test_alaw_container_decode_and_bits_guard():
+    """A format-6 WAV decodes through the registry codec with the
+    /32768 scaling; bits != 8 fails with the real cause."""
+    import struct as _st
+
+    import numpy as np
+
+    from mysql_clickhouse_sync_spark.operators.codecs import (
+        alaw_to_linear,
+        decode_wav,
+        encode_wav_alaw,
+    )
+
+    x = np.array([0.0, 0.5, -0.25, 0.984375])
+    wav = encode_wav_alaw(x, rate=8000)
+    out, rate = decode_wav(wav)
+    assert rate == 8000 and len(out) == 4
+    # the container round trip equals decode(encode-codewords)
+    pcm16 = np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int16)
+    from mysql_clickhouse_sync_spark.operators.codecs import (
+        linear_to_alaw,
+    )
+
+    want = alaw_to_linear(linear_to_alaw(pcm16)) / 32768.0
+    assert np.array_equal(out, want)
+    bad = bytearray(wav)
+    bad[34] = 16                     # bits-per-sample byte inside fmt
+    with pytest.raises(ValueError, match="A-law with bits=16"):
+        decode_wav(bytes(bad))

@@ -110,7 +110,10 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         "emb_dedup_incremental",
         # and the second real codec path (stdlib-zlib PNG);
         # orders_value_histogram (green r6) cedes its slot
-        "media_decode_png",
+        # (media_decode_png entered r7, rotated out r10 for
+        # media_audio_alaw — stays bench-timed + hash-checked)
+        # r10: G.711 A-law — the second companding law completed
+        "media_audio_alaw",
         # r10: STEREO IMA ADPCM (two independent state machines under
         # the IMA interleave, one recursive-CTE oracle replaying both
         # + the mean downmix); media_audio_stats (green r7-r9) cedes
@@ -202,11 +205,14 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         # its slot (banding stays graded inside docs_dedup_incremental,
         # the production stage stays a bench headline via the raw twin)
         "media_audio_adpcm",
-        # r9: the dead-letter split on the STREAMING runtime (two
-        # checkpointed drains, foreachBatch fan-out to valid + DLQ
-        # sinks); docs_char_bigram_profile (green r6-r8) cedes its
-        # slot and stays hash-checked every round
-        "orders_streaming_ingest_quarantine",
+        # r10: the DLQ re-drive composed ON the streaming runtime
+        # (the DLQ sink feeds a second checkpointed stream running
+        # redrive_quarantine per microbatch);
+        # orders_streaming_ingest_quarantine (green r9) cedes its
+        # slot — the identical split-on-runtime path runs inside BOTH
+        # remaining streaming ingest rows via the shared scenario
+        # builder, and the row stays hash-checked every round
+        "orders_streaming_ingest_redrive",
         # r10: the DLQ RE-DRIVE (r9 verdict item 1 — quarantine under
         # the strict rule, re-parse ONLY the stored raw lines under
         # the parser fix, merge, hash-match the uncorrupted feed);
@@ -364,6 +370,11 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         # tests/test_codecs.py, and the row stays hash-checked by
         # check_oracle/ci_gate every round
         "media_audio_stats",
+        # r10: slot ceded to media_audio_alaw (G.711 completed); the
+        # filter+DEFLATE class stays bench-timed + hash-checked every
+        # round, and the image-codec family keeps JPEG, progressive
+        # JPEG, GIF, and the in-video BMP path graded
+        "media_decode_png",
     }
     surface = {
         n for n in qs

@@ -100,6 +100,7 @@ SWEEP = (
     "orders_ingest_redrive",         # split -> DLQ round-trip -> re-parse
     "emb_pq_rebuild_swap",           # code-usage drift -> retrain -> swap
     "media_audio_adpcm_stereo",      # two interleaved state machines
+    "media_audio_alaw",              # A-law expansion in the Arrow loop
     "emb_index_compacted_search_raw",  # compaction + one search only
 )
 
