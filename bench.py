@@ -205,6 +205,8 @@ EXTENDED = (
     "media_audio_adpcm_stereo",
     # r10: G.711 A-law (the second companding law)
     "media_audio_alaw",
+    # r10: both skew mitigations over a deliberately hot key
+    "events_skew_salted_stats",
     # r9: dead-letter CSV ingestion (PERMISSIVE parse + validation
     # split, all JVM-side) + its health monitor
     "orders_csv_ingest_quarantine",
@@ -622,6 +624,10 @@ def main() -> None:
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:  # hard guard: never regress the tail capture
         compact.pop("queries")
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # still long: keep only the biggest movers
+        compact["movers_vs_prev"] = compact["movers_vs_prev"][:5]
+        compact["movers_truncated"] = True
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
 

@@ -798,15 +798,24 @@ def encode_wav_adpcm_codes(
 
 def encode_wav_adpcm(samples, rate: int = 16_000,
                      block_align: int = 256) -> bytes:
-    """float array in [-1, 1] -> mono IMA ADPCM WAV (the production
+    """float array in [-1, 1] -> IMA ADPCM WAV (the production
     encoder): int16 quantization like the PCM path, then standard
     fixed-size blocks — each block restarts the state from its header
-    sample, wSamplesPerBlock = 1 + 2*(block_align - 4)."""
+    sample.  A 1-D array encodes MONO (wSamplesPerBlock =
+    1 + 2*(block_align - 4)); an (n, 2) array encodes STEREO under
+    the IMA interleave — two independent per-channel machines, two
+    4-byte headers, alternating 4-byte nibble groups,
+    wSamplesPerBlock = 1 + (block_align - 8)."""
     import numpy as np
 
     x = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    if x.ndim == 2 and x.shape[1] == 2 and len(x):
+        return _encode_wav_adpcm_stereo(x, rate, block_align)
     if x.ndim != 1 or len(x) == 0:
-        raise ValueError("encode_wav_adpcm needs a non-empty 1-D array")
+        raise ValueError(
+            "encode_wav_adpcm needs a non-empty 1-D (mono) or "
+            "(n, 2) (stereo) array"
+        )
     if block_align < 8:
         raise ValueError(f"bad ADPCM block_align {block_align}")
     pcm = np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int64)
@@ -837,13 +846,61 @@ def encode_wav_adpcm(samples, rate: int = 16_000,
     return _RIFF_MAGIC + struct.pack("<I", len(body)) + body
 
 
+def _encode_wav_adpcm_stereo(x, rate: int, block_align: int) -> bytes:
+    """(n, 2) float array in [-1, 1] -> stereo IMA ADPCM WAV: per
+    block, each channel's segment encodes through the SAME mono
+    machine (:func:`ima_adpcm_encode`, state restarting at the block
+    header), then the nibble bytes pack as alternating 4-byte groups.
+    ``block_align`` must be >= 16 with (block_align - 8) % 8 == 0
+    (whole interleave groups); the final partial block zero-pads its
+    groups and the fact chunk caps decoded frames."""
+    import numpy as np
+
+    if block_align < 16 or (block_align - 8) % 8:
+        raise ValueError(
+            f"bad stereo ADPCM block_align {block_align}: need >= 16 "
+            "with (block_align - 8) % 8 == 0 (whole 4-byte-per-channel "
+            "interleave groups)"
+        )
+    pcm = np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int64)
+    spb = 1 + (block_align - 8)
+    blocks = bytearray()
+    for start in range(0, len(pcm), spb):
+        seg = pcm[start : start + spb]
+        hdr = bytearray()
+        nibs = []
+        for ch in range(2):
+            pred0, idx0, nib = ima_adpcm_encode(seg[:, ch], idx0=0)
+            hdr += struct.pack("<hBB", pred0, idx0, 0)
+            pad = (-len(nib)) % 4
+            nibs.append(nib + b"\x00" * pad)
+        blocks += hdr
+        for g in range(0, len(nibs[0]), 4):
+            blocks += nibs[0][g : g + 4] + nibs[1][g : g + 4]
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x11, 2, rate, rate * block_align // spb, block_align, 4,
+        2, spb,
+    )
+    body = (
+        _WAVE_MAGIC
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, len(pcm))
+        + b"data" + struct.pack("<I", len(blocks)) + bytes(blocks)
+    )
+    return _RIFF_MAGIC + struct.pack("<I", len(body)) + body
+
+
 def decode_wav(payload: bytes):
     """WAV bytes -> (waveform float64 in [-1, 1), sample_rate).
     Accepts 16-bit and 8-bit linear PCM (audio_format=1), 8-bit G.711
-    mu-law (audio_format=7) and mono IMA ADPCM (audio_format=0x11),
-    any channel count for the PCM-class formats (downmixed to mono by
-    per-sample mean); rejects other compressed formats and malformed
-    chunk streams with the real cause."""
+    A-law (audio_format=6) and mu-law (audio_format=7), and mono or
+    stereo IMA ADPCM (audio_format=0x11; stereo = two independent
+    state machines under the IMA 4-byte-group interleave).  Any
+    channel count for the PCM-class formats, downmixed to mono by
+    per-sample mean — the same convention the ADPCM stereo path
+    applies; rejects other compressed formats and malformed chunk
+    streams with the real cause."""
     import numpy as np
 
     if payload is None or len(payload) < 12:

@@ -580,3 +580,68 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Column order must match the oracle: p50 p90 p99 then ok flags.
     ordered = cols[:2] + [cols[2], cols[3], cols[4], cols[5], cols[6], cols[7]]
     return out.select(*ordered)
+
+
+@register(
+    "events_skew_salted_stats",
+    oracle="""
+    WITH e AS (
+        SELECT CASE WHEN user_id % 3 <> 0 THEN 1 ELSE user_id END AS k,
+               value
+        FROM events
+    )
+    SELECT e.k AS user_key,
+           c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_value
+    FROM e JOIN customer c ON c.c_custkey = e.k
+    GROUP BY e.k, c.c_mktsegment
+    """,
+    description="SKEW MITIGATION ON THE GRADED SURFACE — both "
+    "operators/skew.py mitigations driven end to end over a "
+    "DELIBERATELY hot key (every user_id % 3 <> 0 event remaps to "
+    "key 1, so one key holds ~2/3 of the fact table — the exact "
+    "shape AQE's skew splitting cannot fix, because a single key "
+    "still lands in one partition per side): salted_join scatters "
+    "the probe across 16 deterministic content-derived salt buckets "
+    "(the build side explodes once per bucket — a narrow literal "
+    "explode, no driver round-trip) to join the customer dimension, "
+    "then two_phase_agg computes per-(key, segment) count and exact "
+    "DECIMAL sum as partial-per-salt -> final-per-key phases, "
+    "bounding any single reducer to ~1/16 of the hot key.  The "
+    "oracle is the PLAIN join + GROUP BY — salting must be invisible "
+    "in the result (the operator contract: exactly equal to the "
+    "unsalted plan), so a salt that duplicates or drops one row, or "
+    "a partial/final split that miscombines, hash-mismatches.  "
+    "Salts derive from row content (xxhash64), never rand(): "
+    "retried tasks salt identically under fault replay",
+)
+def events_skew_salted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join, two_phase_agg
+
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    fact = events.select(
+        F.when(F.col("user_id") % 3 != 0, F.lit(1))
+        .otherwise(F.col("user_id"))
+        .alias("user_key"),
+        "value",
+    )
+    dim = customer.select(
+        F.col("c_custkey").alias("user_key"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    joined = salted_join(fact, dim, ["user_key"], n_salts=16)
+    return two_phase_agg(
+        joined,
+        ["user_key", "segment"],
+        partial_aggs={
+            "_n": F.count("*"),
+            "_s": F.sum(F.col("value").cast("decimal(18,4)")),
+        },
+        final_aggs={
+            "n": F.sum("_n").cast("long"),
+            "sum_value": F.sum("_s").cast("double"),
+        },
+    )

@@ -410,6 +410,17 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 # decode_wav's chunk walk — the PCM sample branch + multi-channel
 # mean downmix stay unit-pinned in tests/test_codecs.py, and the row
 # stays hash-checked every round).
+# Also IN (enter-on-add): events_skew_salted_stats — BOTH skew
+# mitigations (operators/skew.py: salted_join + two_phase_agg)
+# driven on the graded surface over a deliberately hot key (~2/3 of
+# the fact on one key — the shape AQE's skew splitting cannot fix),
+# hash-matched against the PLAIN join + GROUP BY oracle: salting
+# must be invisible in the result.  Upgrades the cluster-scale skew
+# caveat's mitigations from unit evidence to driver evidence.  OUT:
+# docs_stratified_sample (green r5-r9; the sampling family keeps
+# docs_domain_mixture driver-graded — the same operators/sampling.py
+# surface, token-budget shaped — and the stratified row stays
+# hash-checked every round).
 # Also IN (enter-on-add): orders_streaming_ingest_redrive — the
 # DLQ re-drive composed ON the streaming runtime: the DLQ sink of
 # the two-drain split becomes the SOURCE of a second checkpointed
@@ -508,8 +519,9 @@ DRIVER_WINDOW = (
     "media_video_rle_delta",
     # SQL surface
     "sql_live_segment_stats",
-    # sampling
-    "docs_stratified_sample",
+    # skew mitigation (r10: salted join + two-phase agg over a
+    # deliberately hot key, plain-join oracle)
+    "events_skew_salted_stats",
 )
 
 

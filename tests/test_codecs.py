@@ -1332,3 +1332,53 @@ def test_alaw_container_decode_and_bits_guard():
     bad[34] = 16                     # bits-per-sample byte inside fmt
     with pytest.raises(ValueError, match="A-law with bits=16"):
         decode_wav(bytes(bad))
+
+
+def test_adpcm_stereo_production_encoder_round_trip():
+    """The production stereo path ((n, 2) input): each channel's
+    per-block encode is the SAME mono machine, so the decoded
+    downmix equals a manual per-block per-channel replay EXACTLY;
+    companding error on smooth content stays bounded like mono;
+    block-geometry violations fail with the real cause."""
+    import pytest as _pt
+
+    from mysql_clickhouse_sync_spark.operators.codecs import (
+        _ima_step,
+        decode_wav,
+        encode_wav_adpcm,
+        ima_adpcm_encode,
+    )
+
+    n = 1300
+    left = np.sin(np.linspace(0.0, 9.0, n)) * 0.55
+    right = np.cos(np.linspace(0.0, 7.0, n)) * 0.4
+    x2 = np.stack([left, right], axis=1)
+    out, rate = decode_wav(encode_wav_adpcm(x2, rate=16_000,
+                                            block_align=64))
+    assert rate == 16_000 and len(out) == n
+    assert np.abs(out - x2.mean(axis=1)).max() < 0.06
+
+    # bit-exact: decoded downmix == manual per-block two-machine replay
+    pcm = np.clip(np.round(x2 * 32768.0), -32768, 32767).astype(np.int64)
+    spb = 1 + (64 - 8)
+    want = []
+    for start in range(0, len(pcm), spb):
+        seg = pcm[start : start + spb]
+        chans = []
+        for ch in range(2):
+            pred0, idx0, nib = ima_adpcm_encode(seg[:, ch], idx0=0)
+            vals, p, i = [pred0], pred0, idx0
+            codes = []
+            for b in nib:
+                codes += [b & 0xF, b >> 4]
+            for c in codes[: len(seg) - 1]:
+                p, i = _ima_step(p, i, c)
+                vals.append(p)
+            chans.append(vals)
+        want += [(a + b) / 2 / 32768.0 for a, b in zip(*chans)]
+    assert np.array_equal(out, np.array(want))
+
+    with _pt.raises(ValueError, match="interleave groups"):
+        encode_wav_adpcm(x2, block_align=60)   # (60-8) % 8 != 0
+    with _pt.raises(ValueError, match="mono.*or.*stereo|1-D"):
+        encode_wav_adpcm(np.zeros((4, 3)))

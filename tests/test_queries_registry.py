@@ -357,6 +357,12 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         # character-distribution profile stays hash-checked by
         # check_oracle/ci_gate every round
         "docs_char_bigram_profile",
+        # r10: slot ceded to events_skew_salted_stats (both skew
+        # mitigations driven on the graded surface); the sampling
+        # family keeps docs_domain_mixture driver-graded (the same
+        # operators/sampling.py surface) and the stratified row stays
+        # hash-checked by check_oracle/ci_gate every round
+        "docs_stratified_sample",
         # r10: slot ceded to emb_pq_rebuild_swap; the ivf_cell_stats
         # drift monitor stays DRIVER-GRADED as the rebuild trigger
         # inside emb_index_rebuild_swap (same monitor over the same
