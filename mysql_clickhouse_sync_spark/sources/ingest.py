@@ -37,6 +37,7 @@ def parse_csv_with_quarantine(
     schema: str,
     validators: Mapping[str, Column] | None = None,
     options: Mapping[str, str] | None = None,
+    quarantine_raw: Column | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Split a raw-line feed into ``(valid, quarantine)``.
 
@@ -55,6 +56,12 @@ def parse_csv_with_quarantine(
     PERMISSIVE parsing keeps convertible fields of a partially-bad
     line, but the line still quarantines whole: a row is either fully
     trusted or fully dead-lettered, never half-ingested.
+
+    ``quarantine_raw`` — what the quarantine's ``raw`` column stores
+    (defaults to the parsed line itself).  :func:`redrive_quarantine`
+    passes the ORIGINAL stored line here while parsing the FIXED
+    copy, so a wrong fix can never mangle the bytes a later re-drive
+    needs.
     """
     # exact identifier match, not substring: a legitimate field like
     # 'pre_corrupt_record_raw STRING' must not be rejected
@@ -80,8 +87,11 @@ def parse_csv_with_quarantine(
             "DROPMALFORMED silently loses data — both defeat the "
             "dead-letter contract"
         )
+    kept_raw = (
+        quarantine_raw if quarantine_raw is not None else F.col(raw_col)
+    )
     parsed = df.select(
-        F.col(raw_col).alias("_raw"),
+        kept_raw.alias("_raw"),
         F.from_csv(
             F.col(raw_col), f"{schema}, {_CORRUPT} STRING", dict(opts)
         ).alias("_p"),
@@ -126,20 +136,30 @@ def redrive_quarantine(
     Returns ``(recovered, still_dead)``: recovered rows carry the
     schema fields and merge into the main table with a plain
     ``unionByName``; ``still_dead`` keeps the ``(raw, reason)`` shape
-    so re-drive is COMPOSABLE — rejects of this pass are the next
-    pass's input.  Reference analogue: the delete-position-file full
-    resync at /root/reference/src/cdc_replicator.py:65-79, except the
-    re-drive replays only the rejects, not the whole feed.
+    — with ``raw`` the ORIGINAL stored line, never the fixed copy
+    (the parse runs on the fixed line, the quarantine retains the
+    original bytes) — so re-drive is COMPOSABLE: rejects of this
+    pass are the next pass's input, and even a WRONG fix cannot
+    mangle the bytes that next pass needs.  Reference analogue: the
+    delete-position-file full resync at
+    /root/reference/src/cdc_replicator.py:65-79, except the re-drive
+    replays only the rejects, not the whole feed.
 
     Scale notes: the quarantine is tiny relative to the feed in the
     healthy case, and the re-parse is the same JVM-side ``from_csv``
     path as the main split — no Python in the row path, no shuffle.
     """
     lines = quarantine.select(
-        (fix if fix is not None else F.col("raw")).alias("_line")
+        F.col("raw").alias("_orig"),
+        (fix if fix is not None else F.col("raw")).alias("_line"),
     )
     return parse_csv_with_quarantine(
-        lines, "_line", schema, validators, options
+        lines,
+        "_line",
+        schema,
+        validators,
+        options,
+        quarantine_raw=F.col("_orig"),
     )
 
 

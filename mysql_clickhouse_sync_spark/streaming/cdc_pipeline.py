@@ -197,7 +197,9 @@ class CDCStreamPipeline:
         if plan.bins:
             execute_compaction(self.spark, plan)
 
-    def evolve_schema(self, new_schema: StructType) -> None:
+    def evolve_schema(
+        self, new_schema: StructType, allow_drops: bool = False
+    ) -> None:
         """ADDITIVE schema evolution — a capability the reference
         documents as unsupported (no DDL replication,
         ``/root/reference/README.md:585-588``): when the source table
@@ -217,8 +219,26 @@ class CDCStreamPipeline:
         version history.  (The matching target-side DDL for JDBC
         sinks is ``sources/dialects.py::add_column_ddl`` /
         ``modify_column_type_ddl``.)
+
+        ``allow_drops`` opts into the projection-compatible DROP
+        (rename = drop + add) with the same contract and PK guard as
+        ``MultiTableCDCStream.evolve_table_schema``: the explicit-
+        current-schema read simply stops selecting dropped columns;
+        dropping a primary-key column is refused regardless (the
+        dedup-latest identity).
         """
-        validate_additive_evolution(self.changelog_schema, new_schema)
+        if allow_drops:
+            kept = {f.name for f in new_schema.fields}
+            lost_pks = [p for p in self.pks if p not in kept]
+            if lost_pks:
+                raise ValueError(
+                    f"schema evolution cannot drop primary-key "
+                    f"column(s) {lost_pks}: the PK set is the live "
+                    "view's dedup-latest identity"
+                )
+        validate_additive_evolution(
+            self.changelog_schema, new_schema, allow_drops=allow_drops
+        )
         self.changelog_schema = new_schema
 
     def start(self, changelog_dir: str, available_now: bool = True):

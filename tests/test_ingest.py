@@ -231,3 +231,38 @@ def test_health_shares_over_summed_ledger(spark):
     out = {r["reason"]: (r["n"], r["share"])
            for r in health_shares(summed).collect()}
     assert out == {"_ingested": (7, 0.7), "malformed": (3, 0.3)}
+
+
+def test_redrive_wrong_fix_never_mangles_stored_bytes(spark):
+    """A WRONG fix (one that rewrites the line but does not make it
+    parse) must leave still_dead carrying the ORIGINAL raw bytes —
+    the parse runs on the fixed copy, the quarantine retains the
+    original — so the fix can be corrected and re-driven again
+    (the 'never lose a byte' half of the contract under operator
+    error)."""
+    from mysql_clickhouse_sync_spark.sources.ingest import (
+        redrive_quarantine,
+    )
+
+    _, quar = parse_csv_with_quarantine(
+        _feed(spark, ["2,EUR 3.25,B"]), "line", _SCHEMA
+    )
+    # the wrong fix: strips a prefix the producer never used AND
+    # mangles the line — the row still fails to parse
+    recovered, still_dead = redrive_quarantine(
+        quar,
+        _SCHEMA,
+        fix=F.regexp_replace(F.col("raw"), "EUR", "USD"),
+    )
+    assert recovered.count() == 0
+    assert [tuple(r) for r in still_dead.collect()] == [
+        ("2,EUR 3.25,B", "malformed")
+    ]
+    # second pass with the CORRECT fix over still_dead succeeds
+    recovered2, still_dead2 = redrive_quarantine(
+        still_dead,
+        _SCHEMA,
+        fix=F.regexp_replace(F.col("raw"), "EUR ", ""),
+    )
+    assert [tuple(r) for r in recovered2.collect()] == [(2, 3.25, "B")]
+    assert still_dead2.count() == 0

@@ -840,3 +840,33 @@ def test_multi_table_drop_and_rename_evolution(spark, tmp_path):
             StructType([StructField("label", StringType(), True)]),
             allow_drops=True,
         )
+
+
+def test_single_table_drop_evolution_parity(spark, tmp_path):
+    """The single-table pipeline exposes the same opt-in drop/rename
+    contract as the mux dispatcher: default refuses, allow_drops
+    accepts, PK drops refused regardless."""
+    import pytest as _pytest
+
+    from mysql_clickhouse_sync_spark.streaming.cdc_pipeline import (
+        CDCStreamPipeline,
+    )
+
+    schema = StructType([
+        StructField("id", LongType(), False),
+        StructField("name", StringType(), True),
+        StructField("phone", StringType(), True),
+    ])
+    p = CDCStreamPipeline(
+        spark, "users", ["id"], schema, str(tmp_path / "t")
+    )
+    dropped = StructType([f for f in schema.fields if f.name != "phone"])
+    with _pytest.raises(ValueError, match="drop column"):
+        p.evolve_schema(dropped)
+    p.evolve_schema(dropped, allow_drops=True)
+    assert [f.name for f in p.changelog_schema.fields] == ["id", "name"]
+    with _pytest.raises(ValueError, match="primary-key"):
+        p.evolve_schema(
+            StructType([StructField("name", StringType(), True)]),
+            allow_drops=True,
+        )
