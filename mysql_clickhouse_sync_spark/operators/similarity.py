@@ -1692,6 +1692,12 @@ def pq_code_stats(codebooks: DataFrame, codes: DataFrame) -> DataFrame:
     total over those bounded rows — no join, no collect of the codes
     relation; the SinglePartition-free aggregate scales with the
     corpus exactly like any count.
+
+    A code outside the trained ``[0, ksub)`` range means the codes
+    relation does not belong to this codebook table (a corrupted or
+    mismatched store) — the monitor fails loudly rather than folding
+    the impossible bin into the histogram (the ``ivf_cell_stats``
+    stale-k rule: a silently-wrong monitor is worse than none).
     """
     from pyspark.sql import Window
 
@@ -1701,11 +1707,25 @@ def pq_code_stats(codebooks: DataFrame, codes: DataFrame) -> DataFrame:
         .groupBy("j", "c")
         .agg(F.count("*").alias("n"))
     )
+    # null-on-success assertion folded into the skew expression so it
+    # cannot be pruned away (the ivf_cell_stats guard pattern)
+    guard = F.assert_true(
+        (F.col("c") >= 0) & (F.col("c") < ksub),
+        F.concat(
+            F.lit("pq_code_stats: code "),
+            F.col("c").cast("string"),
+            F.lit(f" outside the trained range [0, {ksub}) — the "
+                  "codes relation does not match this codebook table"),
+        ),
+    ).cast("double")
     total = F.sum("n").over(Window.partitionBy("j"))
     return occ.select(
         "j",
         "c",
         "n",
         (F.col("n") / total).alias("frac"),
-        (F.col("n") * F.lit(ksub) / total).alias("skew"),
+        (
+            F.col("n") * F.lit(ksub) / total
+            + F.coalesce(guard, F.lit(0.0))
+        ).alias("skew"),
     )

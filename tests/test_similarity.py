@@ -1477,3 +1477,25 @@ def test_compacted_search_raw_equals_fresh_stored_search(spark):
     )
     assert raw.exceptAll(want).count() == 0
     assert want.exceptAll(raw).count() == 0
+
+
+def test_pq_code_stats_rejects_out_of_range_codes(spark):
+    """A code outside the trained [0, ksub) range means the codes
+    relation does not belong to this codebook table — the monitor
+    fails loudly instead of folding the impossible bin in."""
+    import pytest
+
+    from mysql_clickhouse_sync_spark.operators.similarity import (
+        pq_code_stats,
+    )
+
+    books = spark.createDataFrame(
+        [(j, c, [float(j), float(c)]) for j in range(2) for c in range(4)],
+        "j int, c int, centroid array<double>",
+    )
+    codes = spark.createDataFrame(
+        [(1, [0, 9], 1.0)],  # 9 >= ksub=4
+        "vec_id long, _codes array<int>, _norm double",
+    )
+    with pytest.raises(Exception, match="outside the trained range"):
+        pq_code_stats(books, codes).collect()
