@@ -282,7 +282,13 @@ def _movers_vs_prev(
             "prev": p,
             "now": d["best"],
             "delta_pct": round(100.0 * delta / p, 1),
-            "remeasured_best_of_3": name in promote or d["n"] >= 3,
+            # n is 3+ for every headline row, so "was it measured
+            # more than once" is inherent; what adjudicates the
+            # move is whether THIS run's observed spread brackets
+            # it (host jitter) and whether the high-spread policy
+            # additionally promoted the row
+            "n": d["n"],
+            "spread_promoted": name in promote,
             "spread_covers_delta": abs(delta) <= d["spread"],
         })
     movers.sort(key=lambda m: -abs(m["delta_pct"]))
@@ -605,14 +611,12 @@ def main() -> None:
         "load_ok": idle["load_ok"],
         "repeats": _HEADLINE_REPEATS,
         # >10% headline movers vs the prior artifact, adjudicated
-        # in-artifact: [query, prev_s, now_s, cleared] where cleared =
-        # re-measured best-of-3 this run OR the delta sits inside this
-        # run's own spread (host jitter, not a plan change)
+        # in-artifact: [query, prev_s, now_s, jitter_cleared] where
+        # jitter_cleared = the delta sits inside this run's own
+        # best-of-n spread (host jitter, not a plan change); a
+        # false here flags a genuine plan-level move to investigate
         "movers_vs_prev": [
-            [
-                m["query"], m["prev"], m["now"],
-                m["remeasured_best_of_3"] or m["spread_covers_delta"],
-            ]
+            [m["query"], m["prev"], m["now"], m["spread_covers_delta"]]
             for m in detail["movers_vs_prev"]
         ],
         "gate": {
