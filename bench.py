@@ -134,50 +134,32 @@ HEADLINE_SEMANTICS_CHANGES = {
 # tests/test_bench_contract.py so a new heavyweight streaming row
 # cannot silently skip both the ledger and the timing lists.)
 EXTENDED = (
-    "media_decode_real",      # r6: injected-codec BMP decode path
     "media_decode_png",       # r7: compressed-format (zlib PNG) decode
     "media_decode_jpeg",      # r7: lossy-transform (baseline JPEG) decode
     "media_decode_gif",       # r8: palette-indexed LZW decode (4th class)
     "media_decode_jpeg_prog", # r8: multi-scan SOF2 decode path
-    "media_video_mjpeg",      # r8: AVI demux x JPEG decode composition
     "emb_index_drift_stats",  # r8: the append lifecycle's drift monitor
-    "media_audio_stats",      # r7: PCM WAV audio decode (2nd modality)
-    "media_video_frames",     # r7: AVI demux + per-frame decode (3rd)
     "cdc_scd2_history",
     "docs_bpe_first_merges",
     "docs_repetition_stats",
     "docs_domain_mixture",
     "events_value_quantiles",
     "docs_duplicate_chunks",
-    "docs_minhash_candidates",
-    "docs_dedup_incremental",
-    "emb_ivf_topk",
     "media_resized_images",
     "corpus_pii_scrub",
-    "corpus_doc_chunks",
-    "corpus_lm_quality",
     "corpus_contamination",
-    "corpus_pack_assignments",
     "corpus_pack_incremental",
     "corpus_curation_v2",
     "emb_semantic_dedup",
-    "emb_pq_topk",
-    "emb_quantized_topk",
-    # r7: the stored-index incremental lifecycle rows (audit-carrying
-    # contract versions; the underlying search/pair operators are the
-    # same family already timed above)
-    "emb_topk_vs_index",
-    "emb_dedup_incremental",
-    # r8: the DAILY-INGEST cost of the row above with the audit mass
-    # stripped (grow against a session-persisted stored index; the
-    # first repeat pays the day-0 build, best-of-n records the
-    # recurring grow) — makes the daily figure a recorded number
-    # instead of a PERFORMANCE.md argument (r7 verdict item 5)
+    # r8: the DAILY-INGEST cost of the incremental embedding dedup
+    # with the audit mass stripped (grow against a session-persisted
+    # stored index; the first repeat pays the day-0 build, best-of-n
+    # records the recurring grow) — the daily figure as a recorded
+    # number, not a PERFORMANCE.md argument (r7 verdict item 5)
     "emb_dedup_incremental_raw",
     # r8: the stored-index APPEND lifecycle rows (write half)
     "emb_index_append_search",
     "emb_pq_vs_index",
-    "emb_dedup_append_chain",
     # r9: the DECODE-ONLY cost of media_video_mjpeg (fixtures
     # pre-materialized to parquet on the first repeat; best-of-n then
     # records the demux + JPEG decode a pipeline actually pays, not
@@ -189,10 +171,9 @@ EXTENDED = (
     # the first repeat only — r8 verdict item 4; prefix equality
     # machine-checked)
     "emb_dedup_append_chain_raw",
-    # r9: the stored-index MAINTENANCE rows (rebuild-and-swap +
-    # compaction; audit-carrying graded versions)
+    # r9: the stored-index MAINTENANCE row (rebuild-and-swap;
+    # audit-carrying graded version — no _raw twin exists yet)
     "emb_index_rebuild_swap",
-    "emb_index_compacted_search",
     # r9: the first non-PCM audio codec (G.711 mu-law decode)
     "media_audio_ulaw",
     # r9: interframe video (Microsoft RLE8 delta frames — stateful
@@ -207,13 +188,16 @@ EXTENDED = (
     "media_audio_alaw",
     # r10: both skew mitigations over a deliberately hot key
     "events_skew_salted_stats",
-    # r9: dead-letter CSV ingestion (PERMISSIVE parse + validation
-    # split, all JVM-side) + its health monitor
-    "orders_csv_ingest_quarantine",
-    "orders_ingest_health",
     # r10: the DLQ re-drive (split -> DLQ parquet round-trip -> parser
     # fix -> re-parse rejects only -> merge; same JVM-side from_csv)
     "orders_ingest_redrive",
+    # r11: the SECOND-GENERATION re-drive (gen-1 parser fix + gen-2
+    # rule upgrade over the retained original bytes, dead_gen2
+    # drained to empty)
+    "orders_ingest_redrive_gen2",
+    # r11: PQ codes-dir compaction (flat-dir bin-pack + row-for-row
+    # search equality + recall-audited ADC search)
+    "emb_pq_compacted_search",
     # r10: PQ lifecycle parity (pq_code_stats drift monitor + rebuild
     # + atomic swap + post-rebuild recall-audited ADC search)
     "emb_pq_rebuild_swap",
@@ -223,6 +207,92 @@ EXTENDED = (
     # repeat only — r9 verdict item 3; equality machine-checked)
     "emb_index_compacted_search_raw",
 )
+
+# ROUND-11 EXTENDED ROTATION LEDGER (r10 verdict item 6: the timed
+# session grew every round — 50 always-timed extended rows, 109.9 s in
+# r10 — exposing the figure of record to intra-session host drift; the
+# driver window rotates, the timed set now does too).  Every row here
+# stays REGISTERED, driver-window/ci_gate hash-checked every round,
+# and (where noted) machine-checked equal to a still-timed twin; what
+# rotates out is only the duplicate TIMING.  Pinned in
+# tests/test_bench_contract.py: a registered non-streaming query must
+# be timed OR ledgered here — nothing exits silently.
+EXTENDED_ROTATED_OUT = {
+    "media_decode_real": (
+        "BMP decode path timed inside media_video_rle_delta (per-frame "
+        "registry BMP decode) and graded by the driver off-window"
+    ),
+    "media_video_frames": (
+        "AVI demux walk timed inside media_video_mjpeg_raw; per-frame "
+        "BMP decode inside media_video_rle_delta"
+    ),
+    "media_video_mjpeg": (
+        "fixture-ENCODE mass (encode_jpeg x frames + encode_avi); the "
+        "pipeline-realistic decode cost stays timed as "
+        "media_video_mjpeg_raw, machine-checked equal"
+    ),
+    "media_audio_stats": (
+        "decode_wav chunk walk timed inside media_audio_ulaw/alaw/"
+        "adpcm/adpcm_stereo (all four share it); PCM branch unit-pinned"
+    ),
+    "docs_minhash_candidates": (
+        "exact-Jaccard audit twin of the HEADLINE "
+        "docs_minhash_candidates_raw (same LSH operators)"
+    ),
+    "docs_dedup_incremental": (
+        "audit twin of the HEADLINE docs_dedup_incremental_raw (same "
+        "band-index join)"
+    ),
+    "emb_ivf_topk": (
+        "audit twin of the HEADLINE emb_ivf_topk_raw (same IVF search)"
+    ),
+    "emb_pq_topk": (
+        "train-per-run PQ search; the stored-codes ADC search stays "
+        "timed via emb_pq_vs_index and emb_pq_rebuild_swap"
+    ),
+    "emb_quantized_topk": (
+        "int8-quantized rerank variant; same family as the timed PQ "
+        "rows, hash-checked every round"
+    ),
+    "emb_topk_vs_index": (
+        "read-half stored-index search; timed MORE realistically by "
+        "emb_index_append_search / emb_index_compacted_search_raw "
+        "(same search against real partitioned parquet)"
+    ),
+    "emb_dedup_incremental": (
+        "audit twin of the timed emb_dedup_incremental_raw (prefix "
+        "equality machine-checked)"
+    ),
+    "emb_dedup_append_chain": (
+        "day-0 build + audit mass; the recurring day-2 cost stays "
+        "timed as emb_dedup_append_chain_raw, equality machine-checked"
+    ),
+    "emb_index_compacted_search": (
+        "lifecycle-fixture mass (3 append waves + degraded-dir build "
+        "per repeat); the maintenance-only cost stays timed as "
+        "emb_index_compacted_search_raw, equality machine-checked"
+    ),
+    "corpus_doc_chunks": (
+        "chunking timed inside corpus_curation_v2 and "
+        "docs_duplicate_chunks"
+    ),
+    "corpus_lm_quality": (
+        "quality gate timed inside corpus_curation_v2 and "
+        "docs_curation_pipeline (headline)"
+    ),
+    "corpus_pack_assignments": (
+        "pack_documents timed inside corpus_pack_incremental (same "
+        "operator builds its prior state)"
+    ),
+    "orders_csv_ingest_quarantine": (
+        "the identical split executes as stage 1 of the timed "
+        "orders_ingest_redrive"
+    ),
+    "orders_ingest_health": (
+        "quarantine_stats/health_shares over the split the redrive row "
+        "already times; graded on the streaming runtime"
+    ),
+}
 
 _HEADLINE_REPEATS = 3   # round-4 verdict: best-of-3 minimum, in-artifact
 _EXTENDED_REPEATS = 2
@@ -254,19 +324,21 @@ def _high_spread_names(prior: dict) -> set[str]:
     return names
 
 
-# Movers ledger (round-9 verdict item 5): any headline row whose
-# best-of-n moved more than this fraction vs the PRIOR local artifact
-# is adjudicated IN the artifact — prev/now seconds, whether the
-# high-spread policy re-measured it best-of-3 this run, and whether
-# its own spread this run brackets the delta (spread_covers_delta:
-# the move is inside this run's observed jitter band, i.e. host
-# noise, not a plan change).  Replaces the per-round verdict prose
-# about single-row drifts like r9's sql_region_revenue +28%.
+# Movers ledger (round-9 verdict item 5, sharpened per the r10
+# verdict nit 1): any headline row whose best-of-n moved more than
+# this fraction vs the PRIOR local artifact is adjudicated IN the
+# artifact.  The jitter band is the WARM-RUN spread (runs[1:]) — the
+# cold first run is routinely 2-4x the warm runs, so a full-range
+# spread near-vacuously covered every delta.  A mover the warm band
+# does NOT cover gets ONE extra re-measure on the spot
+# (best-vs-best); only if the delta survives that too is it flagged
+# jitter_cleared=false — a genuine plan-level move to investigate.
 _MOVER_FRACTION = 0.10
 
 
 def _movers_vs_prev(
-    prior: dict, now: dict[str, dict], promote: set[str]
+    prior: dict, now: dict[str, dict], promote: set[str],
+    remeasure=None,
 ) -> list[dict]:
     prev = prior.get("headline") or {}
     movers: list[dict] = []
@@ -277,22 +349,59 @@ def _movers_vs_prev(
         delta = d["best"] - p
         if abs(delta) <= _MOVER_FRACTION * p:
             continue
+        warm = d.get("warm_spread", d["spread"])
+        cleared = abs(delta) <= warm
+        extra = None
+        if not cleared and remeasure is not None:
+            # one targeted re-run: if the fresh sample lands within
+            # the mover fraction of prev (or beats this run's best,
+            # shrinking the delta under the fraction), the original
+            # delta was jitter the warm band was too narrow to see
+            extra = remeasure(name)
+            best2 = min(d["best"], extra)
+            delta = best2 - p
+            cleared = abs(delta) <= _MOVER_FRACTION * p
+            d = {**d, "best": best2}
         movers.append({
             "query": name,
             "prev": p,
             "now": d["best"],
             "delta_pct": round(100.0 * delta / p, 1),
-            # n is 3+ for every headline row, so "was it measured
-            # more than once" is inherent; what adjudicates the
-            # move is whether THIS run's observed spread brackets
-            # it (host jitter) and whether the high-spread policy
-            # additionally promoted the row
             "n": d["n"],
             "spread_promoted": name in promote,
-            "spread_covers_delta": abs(delta) <= d["spread"],
+            # warm-run jitter band (r10 nit 1): cold-run spread no
+            # longer counts toward clearance
+            "warm_spread": warm,
+            "remeasured_sec": extra,
+            "jitter_cleared": cleared,
         })
     movers.sort(key=lambda m: -abs(m["delta_pct"]))
     return movers
+
+
+# Session canary (r10 verdict item 1): ONE fixed, cheap, plan-stable
+# query timed best-of-3 at session START, MIDDLE (after the headline
+# loop) and END (after extended + throughput, before the gate).  The
+# r8->r10 figure of record drifted +29% on an identical mix with no
+# engine cause in the diff; the canary makes host-vs-engine
+# attribution mechanical: a canary that drifts WITH the session means
+# environment (ambient load / thermal / page-cache decay); a flat
+# canary under a drifted headline means the engine.  The query has
+# been plan-identical since r1 and costs ~0.1-0.3 s, so three probes
+# add < 3 s to the session.
+_CANARY_QUERY = "sql_region_revenue"
+_CANARY_REPEATS = 3
+
+
+def _canary_probe(registry, spark, sf_dir: str) -> float:
+    q = registry[_CANARY_QUERY]
+    return round(
+        min(
+            _timed(lambda: q.fn(spark, sf_dir).count())
+            for _ in range(_CANARY_REPEATS)
+        ),
+        3,
+    )
 
 
 def throughput_metrics(spark, sf_dir: str) -> dict[str, float]:
@@ -454,10 +563,14 @@ def _time_queries(
             n_rows = q.fn(spark, sf_dir).count()
             runs.append(round(time.time() - t0, 3))
         s = sorted(runs)
+        warm = runs[1:] if len(runs) > 1 else runs
         out[name] = {
             "best": s[0],
             "median": s[len(s) // 2],
             "spread": round(s[-1] - s[0], 3),
+            # jitter band EXCLUDING the cold first run (r10 verdict
+            # nit 1): the movers ledger adjudicates against this
+            "warm_spread": round(max(warm) - min(warm), 3),
             "n": n_reps,
             "runs": runs,
             "rows": n_rows,
@@ -526,20 +639,37 @@ def main() -> None:
             file=sys.stderr,
         )
     floor_pre = _overhead_floor(spark)
+    canary_start = _canary_probe(registry, spark, sf_dir)
     load_before = round(os.getloadavg()[0], 2)
     detail_head = _time_queries(
         registry, HEADLINE, spark, sf_dir, _HEADLINE_REPEATS, "headline",
         promote=promote,
     )
     load_after_headline = round(os.getloadavg()[0], 2)
+    canary_mid = _canary_probe(registry, spark, sf_dir)
+
+    def _remeasure(name: str) -> float:
+        t = round(_timed(lambda: registry[name].fn(spark, sf_dir).count()), 3)
+        print(f"# mover re-measure {name}: {t}s", file=sys.stderr)
+        return t
+
+    movers = _movers_vs_prev(prior, detail_head, promote, _remeasure)
     detail_ext = _time_queries(
         registry, EXTENDED, spark, sf_dir, _EXTENDED_REPEATS, "extended",
         promote=promote,
     )
     floor_post = _overhead_floor(spark)
     tp = throughput_metrics(spark, sf_dir)
+    canary_end = _canary_probe(registry, spark, sf_dir)
+    # the gate (minutes of non-timed correctness work) runs LAST so
+    # every timed figure is captured in the shortest possible session
+    # (r10 verdict item 6)
     gate = _run_gate()
     load_end = round(os.getloadavg()[0], 2)
+    canary = [canary_start, canary_mid, canary_end]
+    canary_drift_pct = round(
+        100.0 * (max(canary) - min(canary)) / min(canary), 1
+    )
 
     timings = {n: d["best"] for n, d in detail_head.items()}
     total = round(sum(timings.values()), 3)
@@ -582,10 +712,21 @@ def main() -> None:
         # verdict item 7), read from the PRIOR artifact's spreads
         "high_spread_promoted": sorted(promote),
         # headline rows that moved > 10% vs the prior artifact,
-        # machine-adjudicated (r9 verdict item 5): was the mover
-        # re-measured best-of-3, and does this run's own spread
-        # bracket the delta (= host jitter, not a plan change)?
-        "movers_vs_prev": _movers_vs_prev(prior, detail_head, promote),
+        # machine-adjudicated (r9 item 5, warm-band + re-measure per
+        # r10 nit 1): jitter_cleared means the move is host noise
+        "movers_vs_prev": movers,
+        # session canary (r10 verdict item 1): the same fixed query
+        # best-of-3 at [start, middle, end] of the timed session — a
+        # drifting canary attributes a drifted headline to the HOST;
+        # a flat canary under a drifted headline means the ENGINE
+        "canary": {
+            "query": _CANARY_QUERY,
+            "sec": canary,
+            "drift_pct": canary_drift_pct,
+        },
+        # the timing rows rotated out of EXTENDED this round and why
+        # (r10 verdict item 6) — all stay registered + hash-checked
+        "extended_rotated_out": EXTENDED_ROTATED_OUT,
         "headline_semantics_changes": HEADLINE_SEMANTICS_CHANGES,
         "gate": gate,
         **tp,
@@ -612,26 +753,44 @@ def main() -> None:
         "repeats": _HEADLINE_REPEATS,
         # >10% headline movers vs the prior artifact, adjudicated
         # in-artifact: [query, prev_s, now_s, jitter_cleared] where
-        # jitter_cleared = the delta sits inside this run's own
-        # best-of-n spread (host jitter, not a plan change); a
+        # jitter_cleared = the delta sits inside this run's WARM-run
+        # spread, or survived a targeted re-measure (r10 nit 1); a
         # false here flags a genuine plan-level move to investigate
         "movers_vs_prev": [
-            [m["query"], m["prev"], m["now"], m["spread_covers_delta"]]
-            for m in detail["movers_vs_prev"]
+            [m["query"], m["prev"], m["now"], m["jitter_cleared"]]
+            for m in movers
         ],
+        # fixed-workload canary at [session start, middle, end]: the
+        # host-vs-engine attribution for any headline drift
+        "canary": canary,
         "gate": {
             k: gate[k] for k in ("mode", "status", "sec") if k in gate
         },
         "detail": "bench_detail.json",
         **tp,
     }
+    # Hard guard on the tail capture: shrink in steps and RE-CHECK
+    # after each (r10 advice: the old two-step guard could still
+    # emit > 1900 chars when long query names survived the mover
+    # truncation), ending at a skeleton that cannot exceed the cap.
+    shrinks = (
+        lambda: compact.pop("queries", None),
+        lambda: (
+            compact.update(
+                movers_vs_prev=compact["movers_vs_prev"][:5],
+                movers_truncated=True,
+            )
+            if compact.get("movers_vs_prev")
+            else None
+        ),
+        lambda: compact.pop("movers_vs_prev", None),
+        lambda: compact.pop("load", None),
+    )
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # hard guard: never regress the tail capture
-        compact.pop("queries")
-        line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # still long: keep only the biggest movers
-        compact["movers_vs_prev"] = compact["movers_vs_prev"][:5]
-        compact["movers_truncated"] = True
+    for shrink in shrinks:
+        if len(line) <= 1900:
+            break
+        shrink()
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
 

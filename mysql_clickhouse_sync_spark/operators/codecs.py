@@ -617,7 +617,14 @@ def ima_adpcm_decode_stereo_block(block: bytes, n_samples: int):
     4 bytes of right nibbles, repeating.  The channels run TWO
     independent (predictor, step-index) machines; only the byte
     layout interleaves.  ``n_samples`` counts PER CHANNEL; decode
-    stops there (trailing pad nibbles are not samples)."""
+    stops there (trailing pad nibbles are not samples).
+
+    A truncated final block (a code stream that is not a whole number
+    of 8-byte interleave groups — spec encoders pad, but foreign
+    files exist) decodes its COMPLETE leading groups, mirroring the
+    mono path's odd-length-tail tolerance; only a request for samples
+    BEYOND those complete groups is rejected (a partial group cannot
+    supply both channels)."""
     import numpy as np
 
     if len(block) < 8:
@@ -626,16 +633,14 @@ def ima_adpcm_decode_stereo_block(block: bytes, n_samples: int):
             "(stereo header is 8)"
         )
     data = block[8:]
-    if len(data) % 8:
+    usable = (len(data) // 8) * 8   # complete 4-byte-per-channel groups
+    if n_samples < 1 or n_samples > 1 + usable:
         raise ValueError(
-            f"corrupt ADPCM block: stereo code stream of {len(data)} "
-            "bytes is not 4-byte-per-channel interleave groups"
+            f"corrupt ADPCM block: {n_samples} samples/channel exceeds "
+            f"the {usable // 8} complete 4-byte interleave groups "
+            f"({len(data) - usable} truncated trailing bytes)"
         )
-    if n_samples < 1 or n_samples > 1 + len(data):
-        raise ValueError(
-            f"corrupt ADPCM block: {n_samples} samples/channel from "
-            f"{len(data)} interleaved nibble bytes"
-        )
+    data = data[:usable]
     out = np.empty((n_samples, 2), dtype=np.int16)
     for ch in range(2):
         (pred,) = struct.unpack_from("<h", block, 4 * ch)
@@ -973,7 +978,9 @@ def decode_wav(payload: bytes):
         while off + hdr <= len(data):   # a header-only block is legal
             block = data[off : off + block_align]
             if channels == 2:
-                n = min(spb, 1 + len(block) - 8)
+                # a truncated final block yields only its complete
+                # 8-byte interleave groups (8 samples/channel each)
+                n = min(spb, 1 + 8 * ((len(block) - 8) // 8))
             else:
                 n = min(spb, 1 + 2 * (len(block) - 4))
             if remaining is not None:

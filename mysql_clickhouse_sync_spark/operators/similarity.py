@@ -1693,39 +1693,76 @@ def pq_code_stats(codebooks: DataFrame, codes: DataFrame) -> DataFrame:
     relation; the SinglePartition-free aggregate scales with the
     corpus exactly like any count.
 
-    A code outside the trained ``[0, ksub)`` range means the codes
-    relation does not belong to this codebook table (a corrupted or
-    mismatched store) — the monitor fails loudly rather than folding
-    the impossible bin into the histogram (the ``ivf_cell_stats``
-    stale-k rule: a silently-wrong monitor is worse than none).
+    A code outside the trained ``[0, ksub)`` range, a subspace index
+    outside ``[0, m)``, or a codes relation whose vectors do not all
+    carry exactly ``m`` codes means the relation does not belong to
+    this codebook table (a corrupted or mismatched store) — the
+    monitor fails loudly rather than folding the impossible bin into
+    the histogram (the ``ivf_cell_stats`` stale-k rule: a
+    silently-wrong monitor is worse than none).  The guard is folded
+    into BOTH ``frac`` and ``skew`` so a caller projecting either
+    column still executes it — Catalyst prunes unreferenced columns,
+    so a single-column guard protects only that column's readers.
     """
     from pyspark.sql import Window
 
-    _books, _m, ksub = _stored_codebooks(codebooks)
+    _books, m, ksub = _stored_codebooks(codebooks)
     occ = (
         codes.select(F.posexplode("_codes").alias("j", "c"))
         .groupBy("j", "c")
         .agg(F.count("*").alias("n"))
     )
-    # null-on-success assertion folded into the skew expression so it
-    # cannot be pruned away (the ivf_cell_stats guard pattern)
+    # null-on-success assertion folded into the emitted expressions so
+    # it cannot be pruned away (the ivf_cell_stats guard pattern):
+    # per-bin, both axes must sit inside the TRAINED (m, ksub) grid.
     guard = F.assert_true(
-        (F.col("c") >= 0) & (F.col("c") < ksub),
+        (F.col("c") >= 0)
+        & (F.col("c") < ksub)
+        & (F.col("j") >= 0)
+        & (F.col("j") < m),
         F.concat(
-            F.lit("pq_code_stats: code "),
+            F.lit("pq_code_stats: bin (j="),
+            F.col("j").cast("string"),
+            F.lit(", c="),
             F.col("c").cast("string"),
-            F.lit(f" outside the trained range [0, {ksub}) — the "
-                  "codes relation does not match this codebook table"),
+            F.lit(f") outside the trained grid [0, {m}) x [0, {ksub}) "
+                  "— the codes relation does not match this codebook "
+                  "table"),
         ),
     ).cast("double")
     total = F.sum("n").over(Window.partitionBy("j"))
-    return occ.select(
+    stats = occ.select(
         "j",
         "c",
         "n",
-        (F.col("n") / total).alias("frac"),
+        (F.col("n") / total + F.coalesce(guard, F.lit(0.0))).alias("frac"),
         (
             F.col("n") * F.lit(ksub) / total
             + F.coalesce(guard, F.lit(0.0))
         ).alias("skew"),
+        total.alias("_tot"),
+    )
+    # Shape guard over the BOUNDED aggregate (<= m x ksub rows): every
+    # vector contributes exactly one code per subspace, so a codes
+    # relation encoded under this codebook table must occupy exactly m
+    # distinct subspaces with identical per-subspace totals.  Vectors
+    # encoded under a different m (extra subspaces -> j >= m above;
+    # missing/ragged subspaces -> unequal totals or < m subspaces)
+    # fail here instead of folding in silently.
+    whole = Window.partitionBy()
+    shape_guard = F.assert_true(
+        (F.size(F.collect_set("j").over(whole)) == m)
+        & (F.min("_tot").over(whole) == F.max("_tot").over(whole)),
+        F.lit(
+            f"pq_code_stats: codes relation does not carry exactly "
+            f"{m} codes per vector — it was not encoded under this "
+            "codebook table"
+        ),
+    ).cast("double")
+    return stats.select(
+        "j",
+        "c",
+        "n",
+        (F.col("frac") + F.coalesce(shape_guard, F.lit(0.0))).alias("frac"),
+        (F.col("skew") + F.coalesce(shape_guard, F.lit(0.0))).alias("skew"),
     )

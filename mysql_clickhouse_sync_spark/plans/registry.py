@@ -454,6 +454,41 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 # the trigger INSIDE emb_index_rebuild_swap — same monitor, same
 # stored-then-appended shape — and the standalone row stays
 # hash-checked every round).
+# ROUND-11 ROTATION (enter-on-add, ledgered in PARITY.md "Round 11
+# deltas").  IN: orders_streaming_ingest_crash_replay — the r10
+# verdict's top structural gap closed AND graded: all three
+# streaming-ingest sinks now write through idempotent_batch_sink
+# (batchId-keyed dynamic partition overwrite, the foreachBatch
+# exactly-once recipe), and the row KILLS the first microbatch after
+# two of the three sink writes but before the checkpoint commit; the
+# supervised restart replays the batch, which must OVERWRITE, not
+# double-append — hash-matched against the same no-crash oracle,
+# with replay_exact folding in >= 1 restart + exact health-ledger
+# consistency.  OUT: orders_streaming_ingest_health (green r10; the
+# SAME observe()-ledgered health machinery is verified INSIDE the
+# crash row's consistency guard — one shared scenario builder — and
+# the shares row stays hash-checked every round).
+# Also IN (enter-on-add): orders_ingest_redrive_gen2 — the
+# SECOND-GENERATION re-drive (r10 verdict item 5): gen-1's parser
+# fix recovers the prefixed lines; gen-2 is a RULE upgrade (negative
+# prices are refunds, flagged in a new column) that re-drives
+# dead_gen1 with NO fix — possible only because still_dead always
+# retains the ORIGINAL bytes — and drains dead_gen2 to EMPTY, the
+# merged sums hash-matching the full feed with refund signs.  OUT:
+# orders_ingest_redrive (green r10; its identical gen-0 split +
+# gen-1 fix path executes as stages 1-2 of the gen2 row, and the row
+# stays bench-timed + hash-checked every round).
+# Also IN (enter-on-add): emb_pq_compacted_search — PQ codes-dir
+# compaction (r10 verdict item 3, the last maintenance asymmetry
+# between the three stored-index families): three append waves
+# degrade the FLAT codes dir, bin-pack compaction must drop files
+# and be row-for-row invisible to the ADC search, graded by the same
+# recall-audit contract as emb_pq_vs_index.  OUT:
+# emb_dedup_incremental (green r7-r10, the similarity family's
+# longest-green row; its dedup-batch-vs-stored-index core is graded
+# MORE strongly by emb_dedup_append_chain — build -> append -> dedup
+# against the GROWN persisted chain — and the row stays hash-checked
+# every round; similarity keeps 8 graded rows).
 DRIVER_WINDOW = (
     # CDC sentinels (8 graded rows incl. the r8 multi-table mux +
     # mid-stream schema evolution)
@@ -473,9 +508,9 @@ DRIVER_WINDOW = (
     # the r10 re-drive row; health monitor graded on the streaming
     # runtime with observe()-ledgered per-microbatch counts)
     "events_value_percentiles",
-    "orders_ingest_redrive",
+    "orders_ingest_redrive_gen2",
     "orders_streaming_ingest_redrive",
-    "orders_streaming_ingest_health",
+    "orders_streaming_ingest_crash_replay",
     # streaming runtimes (end-to-end, batch-oracle-verified)
     "events_streaming_sessions",
     "events_streaming_enriched",
@@ -503,7 +538,7 @@ DRIVER_WINDOW = (
     "emb_dedup_append_chain",
     "emb_semantic_dedup",
     "emb_index_compacted_search",
-    "emb_dedup_incremental",
+    "emb_pq_compacted_search",
     "emb_pq_rebuild_swap",
     "emb_index_rebuild_swap",
     # multimodal (the real-codec paths: PNG, JPEG, GIF, WAV + mu-law,

@@ -2219,3 +2219,115 @@ def emb_index_compacted_search_raw(
         nprobe=12,
         prune_cells=True,
     )
+
+
+@register(
+    "emb_pq_compacted_search",
+    oracle="""
+    SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_returned,
+           TRUE AS recall_ok, TRUE AS mean_recall_ok,
+           TRUE AS compaction_ran,
+           TRUE AS compacted_equals_uncompacted
+    FROM embeddings WHERE vec_id % 50 = 1
+    """,
+    description="PQ CODES-DIR COMPACTION — the last storage-"
+    "maintenance asymmetry between the three stored-index families "
+    "closed (r10 verdict item 3: IVF postings had graded bin-pack "
+    "compaction since r9; the PQ codes parquet degrades IDENTICALLY "
+    "under pq_index_append waves — one small file set per daily "
+    "batch — and its lifecycle stopped at drift + rebuild): train "
+    "codebooks + encode the old slice (vec_id % 4 = 0, "
+    "pq_build_index) and persist the codes dir, append THREE ingest "
+    "waves (% 12 = 2, 6, 10) encoded under the STORED codebooks as "
+    "separate mode-append writes (each multiplies the file count — "
+    "the degradation pipeline/compact.py exists for), then "
+    "plan_table_compaction + execute_compaction bin-pack the FLAT "
+    "codes dir (no partition column — exercising the planner's "
+    "root-partition branch, unlike the IVF row's partitionBy(_cid) "
+    "layout).  compaction_ran asserts files strictly dropped with "
+    "zero errors; compacted_equals_uncompacted asserts the ADC "
+    "search over the compacted dir returns row-for-row (incl. "
+    "cosine doubles) what the degraded dir returned — compaction "
+    "must be invisible to the reader.  Graded output is the "
+    "recall-audited ADC search of the COMPACTED codes against the "
+    "reloaded stored codebooks with corpus-proportional exact "
+    "rerank, same floors as emb_pq_vs_index (identical params, "
+    "corpus and query batch: min >= 2, mean >= 4.0)",
+)
+def emb_pq_compacted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..operators.similarity import (
+        brute_force_topk_vectorized,
+        pq_build_index,
+        pq_index_append,
+        pq_topk_vs_index,
+    )
+    from ..pipeline.compact import (
+        CompactionPolicy,
+        execute_compaction,
+        list_data_files,
+        plan_table_compaction,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 4 == 0)
+    queries = emb.filter(F.col("vec_id") % 50 == 1)
+    base = _semantic_index_dir(spark, sf_dir, "emb_pq_compact")
+    if os.path.isdir(base):
+        shutil.rmtree(base)
+    cur = os.path.join(base, "current")
+    cdir = os.path.join(cur, "codes")
+    codebooks0, codes0 = pq_build_index(old, m=8, ksub=64)
+    _write_pq_index(codebooks0, codes0, cur)
+    books_stored, _ = _read_pq_index(spark, cur)
+    # three daily waves: encode under the STORED codebooks, append
+    # ONLY the new rows' files into the codes dir (history untouched;
+    # empty stored side = the ivf_index_append wave construction)
+    empty_codes = spark.read.parquet(cdir).limit(0)
+    for w in (2, 6, 10):
+        wave = emb.filter(F.col("vec_id") % 12 == w)
+        pq_index_append(
+            books_stored, empty_codes, wave
+        ).write.mode("append").parquet(cdir)
+    union = emb.filter(F.col("vec_id") % 2 == 0)
+    rerank = max(10, union.count() // 50)
+    # the baseline the compacted read must reproduce row-for-row
+    before = pq_topk_vs_index(
+        books_stored, spark.read.parquet(cdir), union, queries,
+        k=5, rerank=rerank,
+    ).localCheckpoint()
+    files_before = len(list_data_files(cdir))
+    plan = plan_table_compaction(
+        cdir,
+        policy=CompactionPolicy(max_small_files=2),
+        only_triggered=True,
+    )
+    result = execute_compaction(spark, plan)
+    files_after = len(list_data_files(cdir))
+    compaction_ran = (
+        result.files_removed > 0
+        and not result.errors
+        and files_after < files_before
+    )
+    after = pq_topk_vs_index(
+        books_stored, spark.read.parquet(cdir), union, queries,
+        k=5, rerank=rerank,
+    ).localCheckpoint()
+    equal = (
+        before.exceptAll(after).count() == 0
+        and after.exceptAll(before).count() == 0
+    )
+    exact = brute_force_topk_vectorized(union, queries, k=5)
+    audit = _ann_recall_audit(
+        after, exact, min_matched=2, mean_min_matched=4.0
+    )
+    return audit.select(
+        "query_id",
+        "n_returned",
+        "recall_ok",
+        "mean_recall_ok",
+        F.lit(bool(compaction_ran)).alias("compaction_ran"),
+        F.lit(bool(equal)).alias("compacted_equals_uncompacted"),
+    )

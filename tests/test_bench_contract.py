@@ -25,6 +25,62 @@ def test_bench_lists_are_disjoint_and_unique():
     )
 
 
+def test_extended_rotation_is_ledgered_and_bounded():
+    """The r11 extended rotation (r10 verdict item 6): a row that
+    exits the timed session must carry a justification in
+    EXTENDED_ROTATED_OUT — pinned by freezing the r10 timed set here
+    and requiring every name still registered to be timed OR
+    ledgered.  The ledger never overlaps the timed lists, never
+    names a ghost query, and the timed extended set stays bounded so
+    the figure of record runs in a short, uniform session.  (The
+    pre-r3 untimed analytics tail — graded by the driver window +
+    ci_gate, never in a timing list — is out of scope: this pin
+    guards EXITS from the timed set, which began in r11.)"""
+    import bench
+    from mysql_clickhouse_sync_spark.plans.registry import all_queries
+
+    names = set(all_queries())
+    timed = set(bench.HEADLINE) | set(bench.EXTENDED)
+    ledgered = set(bench.EXTENDED_ROTATED_OUT)
+    assert not ledgered & timed, sorted(ledgered & timed)
+    assert ledgered <= names, sorted(ledgered - names)
+    r10_timed = {
+        "media_decode_real", "media_decode_png", "media_decode_jpeg",
+        "media_decode_gif", "media_decode_jpeg_prog", "media_video_mjpeg",
+        "emb_index_drift_stats", "media_audio_stats", "media_video_frames",
+        "cdc_scd2_history", "docs_bpe_first_merges", "docs_repetition_stats",
+        "docs_domain_mixture", "events_value_quantiles",
+        "docs_duplicate_chunks", "docs_minhash_candidates",
+        "docs_dedup_incremental", "emb_ivf_topk", "media_resized_images",
+        "corpus_pii_scrub", "corpus_doc_chunks", "corpus_lm_quality",
+        "corpus_contamination", "corpus_pack_assignments",
+        "corpus_pack_incremental", "corpus_curation_v2",
+        "emb_semantic_dedup", "emb_pq_topk", "emb_quantized_topk",
+        "emb_topk_vs_index", "emb_dedup_incremental",
+        "emb_dedup_incremental_raw", "emb_index_append_search",
+        "emb_pq_vs_index", "emb_dedup_append_chain",
+        "media_video_mjpeg_raw", "emb_dedup_append_chain_raw",
+        "emb_index_rebuild_swap", "emb_index_compacted_search",
+        "media_audio_ulaw", "media_video_rle_delta", "media_audio_adpcm",
+        "media_audio_adpcm_stereo", "media_audio_alaw",
+        "events_skew_salted_stats", "orders_csv_ingest_quarantine",
+        "orders_ingest_health", "orders_ingest_redrive",
+        "emb_pq_rebuild_swap", "emb_index_compacted_search_raw",
+    } | set(bench.HEADLINE)
+    exited = (r10_timed & names) - timed
+    unledgered = exited - ledgered
+    assert not unledgered, (
+        f"rows left the timed set without a ledger entry: "
+        f"{sorted(unledgered)}"
+    )
+    assert len(bench.EXTENDED) <= 36, (
+        "extended timed set grew past the r11 bound — rotate, don't "
+        "append (r10 verdict item 6)"
+    )
+    # the canary must resolve and sit in the registry
+    assert bench._CANARY_QUERY in names
+
+
 def test_untimed_streaming_surfaces_are_only_the_disclosed_ones():
     """Every registered query is either timed (HEADLINE/EXTENDED) or
     graded-only streaming machinery (the disclosed drains) — pin the
@@ -68,7 +124,52 @@ def test_untimed_streaming_surfaces_are_only_the_disclosed_ones():
         # r10: the DLQ re-drive as a second checkpointed stream over
         # the dead-letter sink — same policy
         "orders_streaming_ingest_redrive",
+        # r11: the crash-replay row — the same two-drain runtime with
+        # an injected mid-fan-out kill + supervised restart over the
+        # idempotent sinks; drain + restart cost is checkpoint/
+        # trigger machinery, graded by the driver window, not timed
+        "orders_streaming_ingest_crash_replay",
         # r10: column DROP + RENAME evolution on the mux runtime —
         # same policy as the other mux drains
         "cdc_mux_schema_drop",
     }, sorted(untimed_streaming)
+
+
+def test_movers_adjudicate_against_warm_spread_with_remeasure():
+    """r10 verdict nit 1: the cold first run no longer counts toward
+    jitter clearance — a mover is cleared only by the WARM-run band,
+    or by a targeted re-measure landing back near the prior best."""
+    import bench
+
+    prior = {"headline": {"q": {"best": 1.0}, "r": {"best": 1.0}}}
+    # q: moved +50%, warm spread tiny, but the re-measure comes back
+    # at 1.02 (within 10% of prev) -> cleared, best updated
+    # r: moved +50%, warm spread tiny, re-measure confirms 1.5 ->
+    # NOT cleared (a genuine plan-level move)
+    now = {
+        "q": {"best": 1.5, "spread": 2.0, "warm_spread": 0.05,
+              "n": 3, "runs": [3.0, 1.5, 1.55]},
+        "r": {"best": 1.5, "spread": 2.0, "warm_spread": 0.05,
+              "n": 3, "runs": [3.0, 1.5, 1.55]},
+    }
+    remeasured = {"q": 1.02, "r": 1.5}
+    movers = bench._movers_vs_prev(
+        prior, now, set(), remeasure=lambda n: remeasured[n]
+    )
+    by_name = {m["query"]: m for m in movers}
+    assert by_name["q"]["jitter_cleared"] is True
+    assert by_name["q"]["now"] == 1.02
+    assert by_name["q"]["remeasured_sec"] == 1.02
+    assert by_name["r"]["jitter_cleared"] is False
+    assert by_name["r"]["remeasured_sec"] == 1.5
+    # under the OLD full-range spread both would have been vacuously
+    # cleared (spread 2.0 > delta 0.5) — the exact vacuity fixed here
+    # a warm-spread-covered mover is cleared WITHOUT a re-measure
+    movers2 = bench._movers_vs_prev(
+        {"headline": {"s": {"best": 1.0}}},
+        {"s": {"best": 1.2, "spread": 2.0, "warm_spread": 0.4, "n": 3}},
+        set(),
+        remeasure=lambda n: (_ for _ in ()).throw(AssertionError(n)),
+    )
+    assert movers2[0]["jitter_cleared"] is True
+    assert movers2[0]["remeasured_sec"] is None

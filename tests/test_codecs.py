@@ -1278,6 +1278,55 @@ def test_adpcm_stereo_container_downmix_and_rejections():
         encode_wav_adpcm_stereo_codes((0, 0), (0, 0), [1] * 8, [1] * 16)
 
 
+def test_adpcm_stereo_truncated_final_block_mono_parity():
+    """A stereo block whose code stream is NOT a whole number of
+    8-byte interleave groups (foreign encoders truncate; spec ones
+    pad) decodes its COMPLETE leading groups — parity with the mono
+    path's odd-length-tail tolerance (r10 advice) — and only a
+    request beyond them is rejected.  The container path caps the
+    final block's sample count the same way."""
+    import struct as _st
+
+    import numpy as np
+    import pytest as _pt
+
+    from mysql_clickhouse_sync_spark.operators.codecs import (
+        decode_wav,
+        encode_wav_adpcm_stereo_codes,
+        ima_adpcm_decode_stereo_block,
+    )
+
+    cl = np.arange(16, dtype=np.uint8) % 16
+    cr = (np.arange(16, dtype=np.uint8)[::-1] % 16).copy()
+    wav = encode_wav_adpcm_stereo_codes((100, -200), (3, 7), cl, cr, 8000)
+    blk = bytes(wav[wav.index(b"data") + 8:])   # 8 hdr + 16 bytes (2 groups)
+    full = ima_adpcm_decode_stereo_block(blk, 17)
+
+    # Chop 3 bytes off the final group: only group 0 (8 samples/chan
+    # + the header sample) survives, and it matches the full decode.
+    trunc = blk[:-3]
+    part = ima_adpcm_decode_stereo_block(trunc, 9)
+    assert np.array_equal(part, full[:9])
+    with _pt.raises(ValueError, match="complete 4-byte interleave"):
+        ima_adpcm_decode_stereo_block(trunc, 10)
+
+    # Same truncation through the WAV container: rebuild the file
+    # with the short data chunk (block_align still claims the full
+    # size — the stream just ends early) and no fact cap; decode_wav
+    # must emit exactly the 9 recoverable downmixed samples.
+    data_off = wav.index(b"data")
+    hdr = bytearray(wav[:data_off])
+    body = b"data" + _st.pack("<I", len(trunc)) + trunc
+    riff = hdr + body
+    _st.pack_into("<I", riff, 4, len(riff) - 8)
+    # drop the fact chunk's sample cap if present by keeping it:
+    # fact says 17 but only 9 are recoverable -> the cap is a min()
+    x, rate = decode_wav(bytes(riff))
+    assert rate == 8000
+    want = full[:9].astype(np.float64).mean(axis=1) / 32768.0
+    assert np.array_equal(x, want)
+
+
 def test_alaw_golden_codewords_and_round_trip():
     """A-law pinned against hand-computed spec values, and the
     property mu-law lacks: encode(decode(c)) == c for ALL 256

@@ -266,3 +266,48 @@ def test_redrive_wrong_fix_never_mangles_stored_bytes(spark):
     )
     assert [tuple(r) for r in recovered2.collect()] == [(2, 3.25, "B")]
     assert still_dead2.count() == 0
+
+
+def test_idempotent_batch_sink_absorbs_replay(spark, tmp_path):
+    """The foreachBatch exactly-once contract (r10 verdict item 2):
+    re-writing the SAME batch_id overwrites its partition instead of
+    double-appending; other batches' partitions are untouched."""
+    from mysql_clickhouse_sync_spark.sources.ingest import (
+        idempotent_batch_sink,
+        read_batch_sink,
+    )
+
+    path = str(tmp_path / "sink")
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    b1 = spark.createDataFrame([(3, "c")], "k long, v string")
+    idempotent_batch_sink(b0, 0, path)
+    idempotent_batch_sink(b1, 1, path)
+    # crash-replay: batch 0 re-executes in full
+    idempotent_batch_sink(b0, 0, path)
+    got = sorted(tuple(r) for r in read_batch_sink(spark, path).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+    # a CHANGED replay (non-deterministic batch) still ends
+    # exactly-once: last write wins for that partition only
+    idempotent_batch_sink(
+        spark.createDataFrame([(9, "z")], "k long, v string"), 1, path
+    )
+    got = sorted(tuple(r) for r in read_batch_sink(spark, path).collect())
+    assert got == [(1, "a"), (2, "b"), (9, "z")]
+
+
+def test_idempotent_batch_sink_partition_pruning(spark, tmp_path):
+    """_batch_id is a real partition column: a batch-scoped read
+    prunes to one directory (the sink adds no read amplification)."""
+    from mysql_clickhouse_sync_spark.sources.ingest import (
+        idempotent_batch_sink,
+    )
+
+    path = str(tmp_path / "sink")
+    for i in range(3):
+        idempotent_batch_sink(
+            spark.createDataFrame([(i,)], "k long"), i, path
+        )
+    df = spark.read.parquet(path).filter(F.col("_batch_id") == 1)
+    assert [r.k for r in df.collect()] == [1]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "_batch_id" in plan

@@ -107,3 +107,47 @@ def test_mjpeg_raw_equals_graded_relation(spark):
         map(tuple, all_queries()["media_video_mjpeg"].fn(spark, sf).collect())
     )
     assert first == graded and len(first) > 0
+
+
+def test_stereo_adpcm_routes_through_featurizer_registry(spark):
+    """r10 verdict item 7 — the last seam between the codec matrix and
+    the featurizer: media_audio_adpcm_stereo grades the stereo decode
+    via its own row, but the GENERIC audio paths (audio_stats /
+    decode_and_featurize) must route a stereo IMA ADPCM payload
+    through the same registry WAV codec and mean downmix, not error
+    on the two-machine interleave."""
+    import numpy as np
+
+    from mysql_clickhouse_sync_spark.operators.codecs import (
+        audio_codecs_snapshot,
+        decode_wav,
+        encode_wav_adpcm_stereo_codes,
+    )
+    from mysql_clickhouse_sync_spark.operators.multimodal import (
+        audio_stats,
+        decode_and_featurize,
+    )
+
+    cl = (np.arange(16, dtype=np.uint8) % 16)
+    cr = ((np.arange(16, dtype=np.uint8)[::-1]) % 16).copy()
+    wav = encode_wav_adpcm_stereo_codes((300, -450), (5, 11), cl, cr, 8000)
+    want, rate = decode_wav(wav)
+    assert rate == 8000 and len(want) == 17
+
+    # the registry codec the generic paths resolve for audio/wav must
+    # BE the stereo-capable decode_wav path
+    codec = audio_codecs_snapshot()["audio/wav"]
+    got = codec.decode(wav)
+    assert np.array_equal(np.asarray(got, dtype=np.float64), want)
+
+    df = spark.createDataFrame(
+        [(1, "audio/wav", "audio", bytes(wav))],
+        "media_id long, mime string, kind string, payload binary",
+    )
+    stats = audio_stats(df).collect()
+    assert len(stats) == 1
+    s = stats[0]
+    assert s.n_samples == 17
+    assert abs(s.mean_amp - float(np.mean(want))) < 1e-12
+    feats = decode_and_featurize(df, decode_kind="real").collect()
+    assert len(feats) == 1

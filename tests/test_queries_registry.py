@@ -107,7 +107,9 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         # daily-batch path), plus the stream-stream interval join
         # graded across two checkpointed drains (events_type_pivot,
         # green r6, cedes its slot and stays gate-checked)
-        "emb_dedup_incremental",
+        # (emb_dedup_incremental entered r7, rotated out r11 for
+        # emb_pq_compacted_search — its dedup-vs-stored-index core is
+        # graded more strongly by emb_dedup_append_chain)
         # and the second real codec path (stdlib-zlib PNG);
         # orders_value_histogram (green r6) cedes its slot
         # (media_decode_png entered r7, rotated out r10 for
@@ -219,19 +221,34 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         # orders_csv_ingest_quarantine (green r9) cedes its slot —
         # the identical split operator stays driver-graded inside
         # this row AND the streaming quarantine row
-        "orders_ingest_redrive",
+        # (orders_ingest_redrive entered r10, rotated out r11 for
+        # orders_ingest_redrive_gen2 — its gen-0 split + gen-1 fix
+        # path executes as stages 1-2 of the gen2 row)
+        "orders_ingest_redrive_gen2",
         # r10: the health monitor ON the streaming runtime
         # (observe()-ledgered per-microbatch counts summed across
         # drains); orders_ingest_health (green r9) cedes its slot —
         # the same quarantine_stats/health_shares semantics graded
         # more strongly here, batch monitor hash-checked every round
-        "orders_streaming_ingest_health",
+        # (orders_streaming_ingest_health entered r10, rotated out
+        # r11 for the crash-replay row, whose replay_exact guard
+        # verifies the same ledger machinery)
+        # r11: ingest crash-replay with idempotent sinks — the r10
+        # verdict's top structural gap closed and graded (injected
+        # mid-fan-out kill + supervised restart, replayed batch must
+        # overwrite, not double-append)
+        "orders_streaming_ingest_crash_replay",
         # r10: column DROP + RENAME evolution on the mux runtime
         # (projection-compatible drop, rename as drop+add, PK drops
         # refused); cdc_scd2_history (green r5-r9, the CDC family's
         # longest-green row) cedes its slot and stays hash-checked
         # every round
         "cdc_mux_schema_drop",
+        # r11: second-generation re-drive (rule upgrade over retained
+        # original bytes, dead_gen2 drained to empty) and PQ codes-dir
+        # compaction (the last stored-index maintenance asymmetry)
+        "orders_ingest_redrive_gen2",
+        "emb_pq_compacted_search",
     }
     assert required <= window, sorted(required - window)
     # every docs_/emb_/media_/sql_ query is in the graded window,
@@ -381,6 +398,13 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         # round, and the image-codec family keeps JPEG, progressive
         # JPEG, GIF, and the in-video BMP path graded
         "media_decode_png",
+        # r11: slot ceded to emb_pq_compacted_search (PQ codes-dir
+        # compaction, the last stored-index maintenance asymmetry);
+        # the dedup-batch-vs-stored-index core stays DRIVER-GRADED
+        # inside emb_dedup_append_chain (build -> append -> dedup
+        # against the grown persisted chain) and the row stays
+        # hash-checked by check_oracle/ci_gate every round
+        "emb_dedup_incremental",
     }
     surface = {
         n for n in qs

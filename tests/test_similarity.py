@@ -1497,5 +1497,67 @@ def test_pq_code_stats_rejects_out_of_range_codes(spark):
         [(1, [0, 9], 1.0)],  # 9 >= ksub=4
         "vec_id long, _codes array<int>, _norm double",
     )
-    with pytest.raises(Exception, match="outside the trained range"):
+    with pytest.raises(Exception, match="outside the trained grid"):
         pq_code_stats(books, codes).collect()
+
+
+def test_pq_code_stats_guard_survives_column_pruning(spark):
+    """The fail-loudly contract must hold for a caller projecting
+    only (j, c, n, frac) — the r10 advice gap: a guard folded only
+    into skew is pruned away with it."""
+    import pytest
+
+    from mysql_clickhouse_sync_spark.operators.similarity import (
+        pq_code_stats,
+    )
+
+    books = spark.createDataFrame(
+        [(j, c, [float(j), float(c)]) for j in range(2) for c in range(4)],
+        "j int, c int, centroid array<double>",
+    )
+    codes = spark.createDataFrame(
+        [(1, [0, 9], 1.0)],  # 9 >= ksub=4
+        "vec_id long, _codes array<int>, _norm double",
+    )
+    pruned = pq_code_stats(books, codes).select("j", "c", "n", "frac")
+    with pytest.raises(Exception, match="outside the trained grid"):
+        pruned.collect()
+
+
+def test_pq_code_stats_rejects_wrong_subspace_count(spark):
+    """Codes encoded under a different m than the trained codebooks
+    (extra or missing subspaces) fail loudly instead of folding in."""
+    import pytest
+
+    from mysql_clickhouse_sync_spark.operators.similarity import (
+        pq_code_stats,
+    )
+
+    books = spark.createDataFrame(
+        [(j, c, [float(j), float(c)]) for j in range(2) for c in range(4)],
+        "j int, c int, centroid array<double>",
+    )
+    # Three codes per vector under a trained m=2: the extra subspace
+    # j=2 sits outside [0, m).
+    extra = spark.createDataFrame(
+        [(1, [0, 1, 2], 1.0)],
+        "vec_id long, _codes array<int>, _norm double",
+    )
+    with pytest.raises(Exception, match="outside the trained grid"):
+        pq_code_stats(books, extra).collect()
+    # One code per vector under a trained m=2: in-range bins, but the
+    # relation occupies only one subspace — the shape guard trips.
+    short = spark.createDataFrame(
+        [(1, [0], 1.0), (2, [1], 1.0)],
+        "vec_id long, _codes array<int>, _norm double",
+    )
+    with pytest.raises(Exception, match="codes per vector"):
+        pq_code_stats(books, short).collect()
+    # Ragged: one full vector, one short — totals diverge across
+    # subspaces even though both subspaces are occupied.
+    ragged = spark.createDataFrame(
+        [(1, [0, 1], 1.0), (2, [0], 1.0)],
+        "vec_id long, _codes array<int>, _norm double",
+    )
+    with pytest.raises(Exception, match="codes per vector"):
+        pq_code_stats(books, ragged).collect()

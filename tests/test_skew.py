@@ -222,3 +222,68 @@ def test_q18_shape_agg_on_join_key_salting_and_force_flag(spark):
     assert salted_rows == reference
     hot = next(r for r in reference if r[0] == 0)
     assert hot[1] == 30_000
+
+
+def test_salt_actually_flattens_the_hot_key(spark):
+    """r10 verdict item 4: result-equality alone would stay green if
+    a refactor broke the SCATTER while preserving semantics (e.g. a
+    constant salt, or the salt dropped from the join keys).  Pin the
+    mitigation's EFFECT two ways over the graded row's own scenario:
+
+    1. distribution — the hot key's rows must spread across (almost)
+       all n_salts buckets, with no bucket holding more than 2x the
+       even share;
+    2. plan — the salted join's shuffle must actually partition on
+       the salt column (hashpartitioning includes __salt), so the
+       hot key's work lands on n_salts reducers, not one.
+    """
+    from mysql_clickhouse_sync_spark.operators.skew import _content_salt
+
+    events = load_table(spark, SF_DIR, "events")
+    customer = load_table(spark, SF_DIR, "customer")
+    fact = events.select(
+        F.when(F.col("user_id") % 3 != 0, F.lit(1))
+        .otherwise(F.col("user_id"))
+        .alias("user_key"),
+        "value",
+    )
+    n_salts = 16
+    buckets = (
+        fact.filter(F.col("user_key") == 1)
+        .withColumn("_salt", _content_salt(fact, n_salts))
+        .groupBy("_salt")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    hot_total = sum(r.n for r in buckets)
+    assert hot_total > 500, "scenario lost its hot key"
+    assert len(buckets) >= int(0.9 * n_salts), (
+        f"hot key occupies only {len(buckets)}/{n_salts} salt buckets"
+    )
+    max_share = max(r.n for r in buckets) / hot_total
+    assert max_share <= 2.0 / n_salts, (
+        f"hot key still concentrated: max bucket holds "
+        f"{max_share:.1%} (even share {1 / n_salts:.1%})"
+    )
+
+    dim = customer.select(
+        F.col("c_custkey").alias("user_key"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    # at harness scale the exploded build side is broadcastable and
+    # Spark rightly picks BroadcastHashJoin (no shuffle to flatten);
+    # the mitigation exists for the 100 TB shape where BOTH sides
+    # shuffle — force that path and pin that the exchange partitions
+    # on the salt, so the hot key's rows land on n_salts reducers
+    def _plan():
+        joined = salted_join(fact, dim, ["user_key"], n_salts=n_salts)
+        return joined._jdf.queryExecution().executedPlan().toString()
+
+    plan = _with_confs(
+        spark, {"spark.sql.autoBroadcastJoinThreshold": "-1"}, _plan
+    )
+    import re
+
+    parts = re.findall(r"hashpartitioning\([^)]*\)", plan)
+    assert parts, plan[:2000]
+    assert any("__salt" in p for p in parts), parts

@@ -101,6 +101,11 @@ def main() -> None:
             "media_audio_alaw",
             "events_skew_salted_stats",
             "emb_index_compacted_search_raw",
+            # r11: second-generation re-drive + PQ codes compaction
+            # (streaming drains stay excluded as ever — their cost is
+            # checkpoint machinery, not plan shape)
+            "orders_ingest_redrive_gen2",
+            "emb_pq_compacted_search",
         )
         if n not in bench.HEADLINE
     ]

@@ -102,6 +102,9 @@ SWEEP = (
     "media_audio_adpcm_stereo",      # two interleaved state machines
     "media_audio_alaw",              # A-law expansion in the Arrow loop
     "emb_index_compacted_search_raw",  # compaction + one search only
+    # r11: gen-2 re-drive chain + PQ codes-dir compaction
+    "orders_ingest_redrive_gen2",    # two-generation DLQ drain to empty
+    "emb_pq_compacted_search",       # append waves -> flat-dir compact -> ADC
 )
 
 
