@@ -198,6 +198,12 @@ EXTENDED = (
     # r11: PQ codes-dir compaction (flat-dir bin-pack + row-for-row
     # search equality + recall-audited ADC search)
     "emb_pq_compacted_search",
+    # r11: the MAINTENANCE-ONLY cost of the two rebuild-swap rows
+    # (grown-index fixture persisted per session; best-of-n records
+    # drift check + ONE retrain + atomic swap + post-swap read — the
+    # graded rows' second train is equality-audit mass)
+    "emb_index_rebuild_swap_raw",
+    "emb_pq_rebuild_swap_raw",
     # r10: PQ lifecycle parity (pq_code_stats drift monitor + rebuild
     # + atomic swap + post-rebuild recall-audited ADC search)
     "emb_pq_rebuild_swap",

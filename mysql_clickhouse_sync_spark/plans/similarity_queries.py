@@ -2331,3 +2331,179 @@ def emb_pq_compacted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(compaction_ran)).alias("compaction_ran"),
         F.lit(bool(equal)).alias("compacted_equals_uncompacted"),
     )
+
+
+@register(
+    "emb_index_rebuild_swap_raw",
+    oracle=None,
+    description="MAINTENANCE-ONLY cost of emb_index_rebuild_swap "
+    "(the established *_raw pattern, extended to the rebuild rows — "
+    "the r10 extended-rotation note that no such twin existed): the "
+    "graded row's timing is lifecycle-fixture mass — day-0 build, "
+    "day-1 append, TWO full retrains (staging + the fresh build the "
+    "equality audit compares against) — but a daily maintenance loop "
+    "pays only: reload the stored grown index, run the drift monitor, "
+    "retrain ONCE on the grown corpus, stage, atomic-swap, and read "
+    "the post-swap stats.  First call per session builds the GROWN "
+    "index fixture once (build on the old slice + skewed append) and "
+    "persists it pristine; every call restores it into a work dir "
+    "with an OS-level copy (the swap MUTATES the dir; the copy is "
+    "millisecond-scale and charged to the timing), then times "
+    "exactly the maintenance pass.  The drift trigger is asserted to "
+    "actually fire (max skew >= 2.2) so the timed pass is the real "
+    "response, not a no-op.  Bench-only by design (registered past "
+    "the driver window): post-swap stats equality to the graded "
+    "row's relation is machine-checked in tests/test_similarity.py, "
+    "and the graded emb_index_rebuild_swap contract covers "
+    "correctness",
+)
+def emb_index_rebuild_swap_raw(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+
+    from ..operators.similarity import ivf_cell_stats
+    from ..pipeline.compact import swap_directory
+    from ..util import parquet_complete
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 4 == 0).select("vec_id", "embedding")
+    u0 = (
+        a.orderBy("vec_id").limit(1)
+        .select(F.col("embedding").alias("_e0"))
+    )
+    b = (
+        emb.filter(F.col("vec_id") % 12 == 2)
+        .select("vec_id")
+        .crossJoin(F.broadcast(u0))
+        .select("vec_id", F.col("_e0").alias("embedding"))
+    )
+    base = _semantic_index_dir(spark, sf_dir, "emb_rebuild_raw")
+    pristine = os.path.join(base, "pristine")
+    # pairs is written LAST by _write_semantic_index, so its _SUCCESS
+    # marker proves the whole grown fixture completed
+    if not parquet_complete(os.path.join(pristine, "pairs")):
+        day0 = os.path.join(base, "day0")
+        shutil.rmtree(pristine, ignore_errors=True)
+        _write_semantic_index(semantic_index_build(a), day0)
+        stored0 = _read_semantic_index(spark, day0)
+        _write_semantic_index(
+            semantic_index_append(
+                stored0["centroids"], stored0["assigned"],
+                stored0["pairs"], b,
+            ),
+            pristine,
+        )
+        shutil.rmtree(day0, ignore_errors=True)
+    work = os.path.join(base, "work")
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(pristine, work)
+    # --- the recurring maintenance pass (what best-of-n records) ---
+    stored = _read_semantic_index(spark, work)
+    k_old = int(stored["centroids"].select("k_nominal").first()[0])
+    drift = ivf_cell_stats(
+        stored["assigned"].select(F.col("cid").alias("_cid")),
+        n_centroids=k_old,
+    )
+    if float(drift.agg(F.max("skew")).first()[0]) < 2.2:
+        raise RuntimeError(
+            "rebuild trigger did not fire — the raw twin would be "
+            "timing a no-op maintenance pass"
+        )
+    union = a.unionByName(b)
+    staging = os.path.join(base, "staging")
+    shutil.rmtree(staging, ignore_errors=True)
+    _write_semantic_index(semantic_index_build(union), staging)
+    swap_directory(work, staging)
+    swapped = _read_semantic_index(spark, work)
+    k_new = int(swapped["centroids"].select("k_nominal").first()[0])
+    return ivf_cell_stats(
+        swapped["assigned"].select(F.col("cid").alias("_cid")),
+        n_centroids=k_new,
+    ).select(
+        F.col("cid").cast("long").alias("cid"),
+        F.col("n").cast("long").alias("n"),
+        "frac",
+        "skew",
+    )
+
+
+@register(
+    "emb_pq_rebuild_swap_raw",
+    oracle=None,
+    description="MAINTENANCE-ONLY cost of emb_pq_rebuild_swap (same "
+    "*_raw pattern as emb_index_rebuild_swap_raw): the graded row "
+    "pays day-0 train+encode, the skewed append, TWO full PQ trains "
+    "(staging + the fresh build for the equality audit) and the "
+    "exact brute-force recall twin; the daily maintenance loop pays "
+    "only reload stored codebooks+codes, pq_code_stats drift check "
+    "(asserted to actually trip, max skew >= 8), ONE retrain on the "
+    "grown corpus, staging write, atomic swap, and the ADC search of "
+    "the reloaded swapped index.  Fixture (grown codes under the "
+    "stored codebooks) persisted pristine on first call; every call "
+    "restores it into a work dir (OS copy, ms-scale, charged) and "
+    "times exactly the maintenance pass.  Bench-only by design "
+    "(registered past the driver window): search equality to a "
+    "fresh-build ADC search is machine-checked in "
+    "tests/test_similarity.py, and the graded emb_pq_rebuild_swap "
+    "contract covers correctness",
+)
+def emb_pq_rebuild_swap_raw(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+
+    from ..operators.similarity import (
+        pq_build_index,
+        pq_code_stats,
+        pq_index_append,
+        pq_topk_vs_index,
+    )
+    from ..pipeline.compact import swap_directory
+    from ..util import parquet_complete
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 4 == 0).select("vec_id", "embedding")
+    u0 = (
+        a.orderBy("vec_id").limit(1)
+        .select(F.col("embedding").alias("_e0"))
+    )
+    b = (
+        emb.filter(F.col("vec_id") % 12 == 2)
+        .select("vec_id")
+        .crossJoin(F.broadcast(u0))
+        .select("vec_id", F.col("_e0").alias("embedding"))
+    )
+    base = _semantic_index_dir(spark, sf_dir, "emb_pq_rebuild_raw")
+    pristine = os.path.join(base, "pristine")
+    # codes is written LAST by _write_pq_index: its marker gates reuse
+    if not parquet_complete(os.path.join(pristine, "codes")):
+        shutil.rmtree(pristine, ignore_errors=True)
+        books0, codes0 = pq_build_index(a, m=8, ksub=64)
+        grown = pq_index_append(books0, codes0.localCheckpoint(), b)
+        _write_pq_index(books0, grown, pristine)
+    work = os.path.join(base, "work")
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(pristine, work)
+    # --- the recurring maintenance pass (what best-of-n records) ---
+    books_stored, codes_stored = _read_pq_index(spark, work)
+    drift = pq_code_stats(books_stored, codes_stored)
+    if float(drift.agg(F.max("skew")).first()[0]) < 8.0:
+        raise RuntimeError(
+            "PQ rebuild trigger did not fire — the raw twin would be "
+            "timing a no-op maintenance pass"
+        )
+    union = a.unionByName(b)
+    staging = os.path.join(base, "staging")
+    shutil.rmtree(staging, ignore_errors=True)
+    fresh_books, fresh_codes = pq_build_index(union, m=8, ksub=64)
+    _write_pq_index(fresh_books, fresh_codes, staging)
+    swap_directory(work, staging)
+    sw_books, sw_codes = _read_pq_index(spark, work)
+    queries = emb.filter(F.col("vec_id") % 50 == 1)
+    rerank = max(10, union.count() // 50)
+    return pq_topk_vs_index(
+        sw_books, sw_codes, union, queries, k=5, rerank=rerank
+    )

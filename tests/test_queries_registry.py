@@ -398,6 +398,12 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         # round, and the image-codec family keeps JPEG, progressive
         # JPEG, GIF, and the in-video BMP path graded
         "media_decode_png",
+        # r11 bench-only raw variants: the maintenance-only cost of
+        # the two rebuild-swap rows (one retrain instead of the
+        # graded rows' train + equality-audit train; equality to the
+        # graded relations machine-checked in tests/test_similarity.py)
+        "emb_index_rebuild_swap_raw",
+        "emb_pq_rebuild_swap_raw",
         # r11: slot ceded to emb_pq_compacted_search (PQ codes-dir
         # compaction, the last stored-index maintenance asymmetry);
         # the dedup-batch-vs-stored-index core stays DRIVER-GRADED

@@ -1561,3 +1561,61 @@ def test_pq_code_stats_rejects_wrong_subspace_count(spark):
     )
     with pytest.raises(Exception, match="codes per vector"):
         pq_code_stats(books, ragged).collect()
+
+
+def test_rebuild_swap_raw_matches_graded_stats(spark):
+    """The r11 maintenance-only twin must time the SAME maintenance
+    outcome the graded row audits: the post-swap cell stats are
+    row-for-row equal to emb_index_rebuild_swap's stats columns
+    (identical deterministic retrain over the identical grown
+    corpus)."""
+    from mysql_clickhouse_sync_spark.plans.similarity_queries import (
+        emb_index_rebuild_swap,
+        emb_index_rebuild_swap_raw,
+    )
+
+    raw = emb_index_rebuild_swap_raw(spark, SF_DIR).localCheckpoint()
+    graded = emb_index_rebuild_swap(spark, SF_DIR).select(
+        "cid", "n", "frac", "skew"
+    )
+    assert raw.exceptAll(graded).count() == 0
+    assert graded.exceptAll(raw).count() == 0
+
+
+def test_pq_rebuild_swap_raw_matches_fresh_search(spark):
+    """The PQ maintenance-only twin's ADC search of the swapped index
+    equals a fresh-build search over the same grown corpus (the
+    graded row's swap_equals_fresh contract, checked from the
+    outside)."""
+    from mysql_clickhouse_sync_spark.operators.similarity import (
+        pq_build_index,
+        pq_topk_vs_index,
+    )
+    from mysql_clickhouse_sync_spark.plans.similarity_queries import (
+        emb_pq_rebuild_swap_raw,
+    )
+    from mysql_clickhouse_sync_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    raw = emb_pq_rebuild_swap_raw(spark, SF_DIR).localCheckpoint()
+    emb = load_table(spark, SF_DIR, "embeddings")
+    a = emb.filter(F.col("vec_id") % 4 == 0).select("vec_id", "embedding")
+    u0 = (
+        a.orderBy("vec_id").limit(1)
+        .select(F.col("embedding").alias("_e0"))
+    )
+    b = (
+        emb.filter(F.col("vec_id") % 12 == 2)
+        .select("vec_id")
+        .crossJoin(F.broadcast(u0))
+        .select("vec_id", F.col("_e0").alias("embedding"))
+    )
+    union = a.unionByName(b)
+    books, codes = pq_build_index(union, m=8, ksub=64)
+    queries = emb.filter(F.col("vec_id") % 50 == 1)
+    rerank = max(10, union.count() // 50)
+    want = pq_topk_vs_index(
+        books, codes, union, queries, k=5, rerank=rerank
+    )
+    assert raw.exceptAll(want).count() == 0
+    assert want.exceptAll(raw).count() == 0

@@ -106,6 +106,8 @@ def main() -> None:
             # checkpoint machinery, not plan shape)
             "orders_ingest_redrive_gen2",
             "emb_pq_compacted_search",
+            "emb_index_rebuild_swap_raw",
+            "emb_pq_rebuild_swap_raw",
         )
         if n not in bench.HEADLINE
     ]

@@ -105,6 +105,8 @@ SWEEP = (
     # r11: gen-2 re-drive chain + PQ codes-dir compaction
     "orders_ingest_redrive_gen2",    # two-generation DLQ drain to empty
     "emb_pq_compacted_search",       # append waves -> flat-dir compact -> ADC
+    "emb_index_rebuild_swap_raw",    # maintenance-only rebuild + swap
+    "emb_pq_rebuild_swap_raw",       # maintenance-only PQ rebuild + swap
 )
 
 
