@@ -972,6 +972,16 @@ def decode_wav(payload: bytes):
                 f"corrupt WAV: ADPCM block_align={block_align} "
                 f"samples_per_block={spb} channels={channels}"
             )
+        if channels == 2 and (block_align - hdr) % 8:
+            # spec: the stereo code stream is whole 4-byte-per-channel
+            # interleave groups — a non-aligned block_align would make
+            # EVERY block silently drop its trailing partial group
+            # (the complete-groups tolerance below is for a TRUNCATED
+            # FINAL block only, never spec-invalid geometry)
+            raise ValueError(
+                f"corrupt WAV: stereo ADPCM block_align={block_align} "
+                "is not whole 4-byte-per-channel interleave groups"
+            )
         chunks = []
         remaining = fact_samples       # per-channel sample count
         off = 0

@@ -1707,27 +1707,36 @@ def pq_code_stats(codebooks: DataFrame, codes: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
     _books, m, ksub = _stored_codebooks(codebooks)
+    # posexplode_OUTER: a vector with an EMPTY (or null) _codes array
+    # must not silently vanish from the histogram — it surfaces as a
+    # null (j, c) bin and trips the per-bin guard below (a plain
+    # posexplode drops the row, and the shape guard cannot see it:
+    # the remaining subspaces still balance)
     occ = (
-        codes.select(F.posexplode("_codes").alias("j", "c"))
+        codes.select(F.posexplode_outer("_codes").alias("j", "c"))
         .groupBy("j", "c")
         .agg(F.count("*").alias("n"))
     )
     # null-on-success assertion folded into the emitted expressions so
     # it cannot be pruned away (the ivf_cell_stats guard pattern):
-    # per-bin, both axes must sit inside the TRAINED (m, ksub) grid.
+    # per-bin, both axes must be present and sit inside the TRAINED
+    # (m, ksub) grid.
     guard = F.assert_true(
-        (F.col("c") >= 0)
+        F.col("j").isNotNull()
+        & F.col("c").isNotNull()
+        & (F.col("c") >= 0)
         & (F.col("c") < ksub)
         & (F.col("j") >= 0)
         & (F.col("j") < m),
         F.concat(
             F.lit("pq_code_stats: bin (j="),
-            F.col("j").cast("string"),
+            F.coalesce(F.col("j").cast("string"), F.lit("null")),
             F.lit(", c="),
-            F.col("c").cast("string"),
+            F.coalesce(F.col("c").cast("string"), F.lit("null")),
             F.lit(f") outside the trained grid [0, {m}) x [0, {ksub}) "
                   "— the codes relation does not match this codebook "
-                  "table"),
+                  "table (a null bin means a vector carried an empty "
+                  "or null _codes array)"),
         ),
     ).cast("double")
     total = F.sum("n").over(Window.partitionBy("j"))

@@ -69,28 +69,46 @@ def orders_csv_ingest_quarantine(
     return good.unionByName(dead)
 
 
-def _split_corrupted_feed(spark: SparkSession, sf_dir: str):
-    """Shared scenario of the ingestion graded rows: orders serialized
-    to CSV under the closed-form corruption rule (% 13 = 3 unparseable
-    price, % 13 = 7 negative price), split by the production operator.
-    ONE copy so the batch row, the health-monitor row and the
-    streaming twin cannot drift."""
-    from ..sources.ingest import parse_csv_with_quarantine
-
+def _corrupted_feed(
+    spark: SparkSession, sf_dir: str, recoverable_malformed: bool = False
+) -> DataFrame:
+    """Orders serialized to raw CSV under the ONE closed-form
+    corruption rule every ingestion oracle replays: % 13 = 3 prices
+    are malformed under the strict schema ('xx', or a 'USD ' prefix
+    when ``recoverable_malformed`` — the re-drive scenarios where a
+    parser fix can strip it), % 13 = 7 prices are negative
+    (parseable, semantically invalid).  Returns ``(k, line)`` — the
+    streaming rows split the feed by key parity; batch rows
+    ``select("line")``.  ONE copy so no graded row can drift from
+    its oracle (the rule previously existed in four inline copies —
+    r11 review)."""
     orders = load_table(spark, sf_dir, "orders")
     key = F.col("o_orderkey")
+    bad_price = (
+        F.concat(F.lit("USD "), F.col("o_totalprice").cast("string"))
+        if recoverable_malformed
+        else F.lit("xx")
+    )
     price_txt = F.when(
-        key % 13 == 3, F.lit("xx")
+        key % 13 == 3, bad_price
     ).when(
         key % 13 == 7, (-F.col("o_totalprice")).cast("string")
     ).otherwise(F.col("o_totalprice").cast("string"))
-    lines = orders.select(
+    return orders.select(
+        key.alias("k"),
         F.concat_ws(
             ",", key.cast("string"), price_txt, F.col("o_orderpriority")
-        ).alias("line")
+        ).alias("line"),
     )
+
+
+def _split_corrupted_feed(spark: SparkSession, sf_dir: str):
+    """The corrupted feed split by the production operator — shared
+    by the batch quarantine and health rows."""
+    from ..sources.ingest import parse_csv_with_quarantine
+
     return parse_csv_with_quarantine(
-        lines,
+        _corrupted_feed(spark, sf_dir).select("line"),
         "line",
         "k LONG, price DOUBLE, prio STRING",
         validators={"invalid_price": F.col("price") >= 0},
@@ -141,23 +159,9 @@ def orders_ingest_redrive(spark: SparkSession, sf_dir: str) -> DataFrame:
         redrive_quarantine,
     )
 
-    orders = load_table(spark, sf_dir, "orders")
-    key = F.col("o_orderkey")
-    # Recoverable corruption: a currency prefix the strict DOUBLE
-    # field rejects; the % 13 = 7 negative prices stay genuinely bad.
-    price_txt = F.when(
-        key % 13 == 3,
-        F.concat(F.lit("USD "), F.col("o_totalprice").cast("string")),
-    ).when(
-        key % 13 == 7, (-F.col("o_totalprice")).cast("string")
-    ).otherwise(F.col("o_totalprice").cast("string"))
-    lines = orders.select(
-        F.concat_ws(
-            ",", key.cast("string"), price_txt, F.col("o_orderpriority")
-        ).alias("line")
-    )
     valid, quarantine = parse_csv_with_quarantine(
-        lines,
+        _corrupted_feed(spark, sf_dir, recoverable_malformed=True)
+        .select("line"),
         "line",
         "k LONG, price DOUBLE, prio STRING",
         validators={"invalid_price": F.col("price") >= 0},
@@ -340,27 +344,8 @@ def _run_streaming_ingest(
         parse_csv_with_quarantine,
     )
 
-    orders = load_table(spark, sf_dir, "orders")
-    key = F.col("o_orderkey")
-    # recoverable_malformed: the % 13 = 3 lines carry a currency
-    # prefix a parser FIX can strip (the re-drive scenario) instead
-    # of the unrecoverable 'xx' of the plain split rows
-    bad_price = (
-        F.concat(F.lit("USD "), F.col("o_totalprice").cast("string"))
-        if recoverable_malformed
-        else F.lit("xx")
-    )
-    price_txt = F.when(
-        key % 13 == 3, bad_price
-    ).when(
-        key % 13 == 7, (-F.col("o_totalprice")).cast("string")
-    ).otherwise(F.col("o_totalprice").cast("string"))
-    raw = orders.select(
-        key.alias("k"),
-        F.concat_ws(
-            ",", key.cast("string"), price_txt, F.col("o_orderpriority")
-        ).alias("line"),
-    )
+    raw = _corrupted_feed(spark, sf_dir, recoverable_malformed)
+    key = F.col("k")
     base = os.path.join(
         tempfile.gettempdir(),
         f"{tag}_{spark.sparkContext.applicationId}_"
@@ -430,7 +415,11 @@ def _run_streaming_ingest(
     def drain() -> None:
         # supervision: reopen from the SAME checkpoint on a crashed
         # query (the run_stream_with_restart construction) — the
-        # uncommitted batch replays against the idempotent sinks
+        # uncommitted batch replays against the idempotent sinks.
+        # Retries exist ONLY for the crash-injection row; the plain
+        # rows re-raise immediately so a genuine transient failure
+        # stays loud instead of silently grading green on a re-run
+        # (r11 review finding)
         while True:
             stream = (
                 spark.readStream.schema(spark.read.parquet(src).schema)
@@ -447,7 +436,7 @@ def _run_streaming_ingest(
                 return
             except StreamingQueryException:
                 crash["restarts"] += 1
-                if crash["restarts"] > 3:
+                if not crash_first_batch or crash["restarts"] > 3:
                     raise
 
     drain()
@@ -764,23 +753,14 @@ def orders_ingest_redrive_gen2(
         redrive_quarantine,
     )
 
-    orders = load_table(spark, sf_dir, "orders")
-    key = F.col("o_orderkey")
-    price_txt = F.when(
-        key % 13 == 3,
-        F.concat(F.lit("USD "), F.col("o_totalprice").cast("string")),
-    ).when(
-        key % 13 == 7, (-F.col("o_totalprice")).cast("string")
-    ).otherwise(F.col("o_totalprice").cast("string"))
-    lines = orders.select(
-        F.concat_ws(
-            ",", key.cast("string"), price_txt, F.col("o_orderpriority")
-        ).alias("line")
-    )
     schema = "k LONG, price DOUBLE, prio STRING"
     strict = {"invalid_price": F.col("price") >= 0}
     valid, quarantine = parse_csv_with_quarantine(
-        lines, "line", schema, validators=strict
+        _corrupted_feed(spark, sf_dir, recoverable_malformed=True)
+        .select("line"),
+        "line",
+        schema,
+        validators=strict,
     )
     base = os.path.join(
         tempfile.gettempdir(),

@@ -162,6 +162,25 @@ def test_movers_adjudicate_against_warm_spread_with_remeasure():
     assert by_name["q"]["remeasured_sec"] == 1.02
     assert by_name["r"]["jitter_cleared"] is False
     assert by_name["r"]["remeasured_sec"] == 1.5
+    # direction-aware (r11 review): a FASTER-than-prev fluke is
+    # jitter too — the re-measure landing back at prev refutes it
+    # (the old min() logic could never clear a speedup)
+    movers3 = bench._movers_vs_prev(
+        {"headline": {"f": {"best": 1.0}, "g": {"best": 1.0}}},
+        {
+            "f": {"best": 0.85, "spread": 0.7, "warm_spread": 0.01,
+                  "n": 3, "runs": [1.55, 0.85, 0.86]},
+            "g": {"best": 0.85, "spread": 0.7, "warm_spread": 0.01,
+                  "n": 3, "runs": [1.55, 0.85, 0.86]},
+        },
+        set(),
+        remeasure=lambda n: {"f": 1.0, "g": 0.84}[n],
+    )
+    by3 = {m["query"]: m for m in movers3}
+    assert by3["f"]["jitter_cleared"] is True      # refuted fluke
+    assert by3["f"]["now"] == 1.0
+    assert by3["g"]["jitter_cleared"] is False     # confirmed speedup
+    assert by3["g"]["now"] == 0.85
     # under the OLD full-range spread both would have been vacuously
     # cleared (spread 2.0 > delta 0.5) — the exact vacuity fixed here
     # a warm-spread-covered mover is cleared WITHOUT a re-measure

@@ -1326,6 +1326,17 @@ def test_adpcm_stereo_truncated_final_block_mono_parity():
     want = full[:9].astype(np.float64).mean(axis=1) / 32768.0
     assert np.array_equal(x, want)
 
+    # the tolerance is for a truncated FINAL block ONLY: a stereo
+    # file whose block_align itself is not whole interleave groups
+    # would silently drop bytes from EVERY block — spec-invalid
+    # geometry fails loudly at the header (r11 review finding)
+    bad = bytearray(wav)
+    fmt_off = bad.index(b"fmt ")
+    # nBlockAlign lives 12 bytes into the fmt chunk payload
+    _st.pack_into("<H", bad, fmt_off + 8 + 12, 28)   # (28-8) % 8 != 0
+    with _pt.raises(ValueError, match="not whole 4-byte"):
+        decode_wav(bytes(bad))
+
 
 def test_alaw_golden_codewords_and_round_trip():
     """A-law pinned against hand-computed spec values, and the

@@ -244,10 +244,9 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         # longest-green row) cedes its slot and stays hash-checked
         # every round
         "cdc_mux_schema_drop",
-        # r11: second-generation re-drive (rule upgrade over retained
-        # original bytes, dead_gen2 drained to empty) and PQ codes-dir
-        # compaction (the last stored-index maintenance asymmetry)
-        "orders_ingest_redrive_gen2",
+        # r11: PQ codes-dir compaction (the last stored-index
+        # maintenance asymmetry; the gen2 re-drive entry is pinned
+        # above where it replaced orders_ingest_redrive)
         "emb_pq_compacted_search",
     }
     assert required <= window, sorted(required - window)

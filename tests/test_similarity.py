@@ -1561,6 +1561,15 @@ def test_pq_code_stats_rejects_wrong_subspace_count(spark):
     )
     with pytest.raises(Exception, match="codes per vector"):
         pq_code_stats(books, ragged).collect()
+    # EMPTY code arrays must not silently vanish (posexplode would
+    # drop the row and the remaining subspaces still balance — the
+    # r11 review gap): the outer explode surfaces them as a null bin
+    empty = spark.createDataFrame(
+        [(1, [0, 1], 1.0), (2, [], 1.0)],
+        "vec_id long, _codes array<int>, _norm double",
+    )
+    with pytest.raises(Exception, match="empty or null _codes"):
+        pq_code_stats(books, empty).collect()
 
 
 def test_rebuild_swap_raw_matches_graded_stats(spark):
