@@ -322,12 +322,17 @@ def _run_streaming_ingest(
     three sinks (the r10 verdict's top structural gap; CDC absorbs
     replays via dedup-latest, ingest had no absorbing read).
 
-    ``crash_first_batch`` injects exactly that crash: the first
-    microbatch writes the valid AND dead-letter sinks, then dies
-    BEFORE the health ledger write and before the checkpoint commit
-    (a partial fan-out — the hardest point: two sinks on disk, batch
-    uncommitted); the supervision loop reopens from the same
-    checkpoint and the replayed batch must overwrite, not append.
+    ``crash_first_batch`` injects that crash TWICE against the SAME
+    microbatch, at the two distinct points a fan-out can die: the
+    original attempt writes the valid AND dead-letter sinks, then
+    dies BEFORE the health write (partial fan-out — two sinks on
+    disk, batch uncommitted); the first replay completes ALL THREE
+    writes, then dies before the commit (full fan-out — including
+    the health ledger, so its overwrite-on-replay path is exercised
+    too); the second replay commits.  One batch, two replays, a
+    different on-disk sink state each time — overwrite must be
+    stable under repetition.  The supervision loop reopens from the
+    same checkpoint each time.
 
     Returns ``(valid_sink, dlq_sink, health_ledger, restarts)``
     paths; ONE copy so the quarantine, health, re-drive and
@@ -366,7 +371,14 @@ def _run_streaming_ingest(
         "overwrite"
     ).parquet(src)
 
-    crash = {"armed": crash_first_batch, "restarts": 0}
+    # two one-shot crash points when injection is on: "partial"
+    # (after valid+DLQ, before health — drain 1) then "full" (after
+    # all three writes — drain 2); each fires once, on that drain's
+    # first microbatch
+    crash = {
+        "pending": ["partial", "full"] if crash_first_batch else [],
+        "restarts": 0,
+    }
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.cache()
@@ -384,14 +396,14 @@ def _run_streaming_ingest(
                 sink_v,
             )
             idempotent_batch_sink(quar, batch_id, sink_q)
-            if crash["armed"]:
-                # the injected crash point: two sinks on disk, the
-                # health ledger unwritten, the batch uncommitted —
-                # the restarted query replays this batch_id and must
-                # OVERWRITE the two partitions, not append to them
-                crash["armed"] = False
+            if crash["pending"] and crash["pending"][0] == "partial":
+                # crash point 1: two sinks on disk, the health ledger
+                # unwritten, the batch uncommitted — the restarted
+                # query replays this batch_id and must OVERWRITE the
+                # two partitions and first-write the third
+                crash["pending"].pop(0)
                 raise RuntimeError(
-                    "injected mid-fan-out crash (ingest replay row)"
+                    "injected partial-fan-out crash (ingest replay row)"
                 )
             # per-microbatch health counts: the valid count is the
             # write's own observed metric (no second scan); counts
@@ -409,6 +421,16 @@ def _run_streaming_ingest(
                 batch_id,
                 health,
             )
+            if crash["pending"] and crash["pending"][0] == "full":
+                # crash point 2: the WHOLE fan-out is on disk but the
+                # batch is uncommitted — the replay re-executes all
+                # three writes, which must overwrite (the health
+                # ledger's own overwrite-on-replay path is exercised
+                # here; crash point 1 leaves it unwritten)
+                crash["pending"].pop(0)
+                raise RuntimeError(
+                    "injected full-fan-out crash (ingest replay row)"
+                )
         finally:
             batch_df.unpersist()
 
@@ -631,19 +653,23 @@ def orders_streaming_ingest_redrive(
     "verdict's top structural gap closed and GRADED (the "
     "cdc_mux_restart_recovery construction on the ingest runtime): "
     "the same two-drain corrupted-feed split, but the FIRST "
-    "microbatch writes the valid and dead-letter sinks and then dies "
-    "BEFORE the health-ledger write and before the checkpoint commit "
-    "— a partial fan-out, the hardest crash point: two of three "
-    "sinks on disk, batch uncommitted.  The supervision loop reopens "
-    "from the same checkpoint; the replayed batch re-executes the "
-    "whole fan-out against idempotent_batch_sink (batchId-keyed "
-    "dynamic partition overwrite — Structured Streaming's prescribed "
-    "foreachBatch exactly-once recipe), so the two already-written "
-    "partitions are REWRITTEN, not double-appended, and the health "
-    "ledger lands once.  Graded output aggregates both data sinks "
+    "microbatch is killed TWICE: the original attempt writes the "
+    "valid and dead-letter sinks and dies BEFORE the health-ledger "
+    "write (partial fan-out — two of three sinks on disk, batch "
+    "uncommitted), and its first replay completes ALL THREE writes "
+    "and dies before the commit (full fan-out — the health ledger's "
+    "own overwrite-on-replay path exercised).  The supervision loop "
+    "reopens from the same checkpoint each time; the twice-replayed "
+    "batch re-executes the whole fan-out against "
+    "idempotent_batch_sink (batchId-keyed dynamic partition "
+    "overwrite — Structured Streaming's prescribed foreachBatch "
+    "exactly-once recipe), so already-written partitions are "
+    "REWRITTEN, not double-appended, under a different on-disk sink "
+    "state per replay.  Graded output aggregates both data sinks "
     "and hash-matches the same single-pass oracle as the no-crash "
-    "quarantine row; replay_exact additionally folds in (a) >= 1 "
-    "restart actually happened and (b) the summed health ledger "
+    "quarantine row; replay_exact additionally folds in (a) >= 2 "
+    "restarts actually happened (both crash points fired) and (b) "
+    "the summed health ledger "
     "equals the sink-derived per-reason truth exactly — under plain "
     "append sinks the replayed batch double-counts and this row "
     "goes red (the reference's <= 5 s replay window, "
@@ -687,7 +713,7 @@ def orders_streaming_ingest_crash_replay(
         ledger.exceptAll(from_sinks).count() == 0
         and from_sinks.exceptAll(ledger).count() == 0
     )
-    replay_exact = F.lit(bool(restarts >= 1 and consistent))
+    replay_exact = F.lit(bool(restarts >= 2 and consistent))
     good = valid.groupBy(F.col("prio").alias("bucket")).agg(
         F.count("*").cast("long").alias("n"),
         F.sum(F.col("price").cast("decimal(18,4)"))
