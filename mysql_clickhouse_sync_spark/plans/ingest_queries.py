@@ -549,7 +549,13 @@ def orders_streaming_ingest_health(
     "priority plus the still-dead reason counts and hash-matches the "
     "same uncorrupted-feed oracle as the batch re-drive row: a "
     "recovery that loses a line between streams, double-applies a "
-    "microbatch, or revives a genuinely-bad line goes red.  Untimed "
+    "microbatch, or revives a genuinely-bad line goes red.  The "
+    "re-drive stream is ALSO crash-injected (r11): its first "
+    "microbatch dies after the recovered write but before the "
+    "dead_gen2 write and the commit; the supervised restart replays "
+    "it against the idempotent sinks, and an assert keeps the "
+    "injection honest — so every streaming-ingest stream in the "
+    "registry carries replay evidence.  Untimed "
     "drain row (correctness surface), disclosed in "
     "tests/test_bench_contract.py",
 )
@@ -580,6 +586,16 @@ def orders_streaming_ingest_redrive(
     shutil.rmtree(sink_rec, ignore_errors=True)
     shutil.rmtree(sink_dead2, ignore_errors=True)
 
+    # one-shot crash on the RE-DRIVE stream too, so every streaming-
+    # ingest stream carries replay evidence: the first microbatch
+    # writes the recovered sink, then dies before the dead_gen2 write
+    # and the commit; the replay must overwrite recovered and
+    # first-write dead_gen2.  The oracle is unchanged — the recovery
+    # is absorbed by the idempotent sinks, and the assert below keeps
+    # the injection honest (a run where the crash silently stopped
+    # firing fails loudly instead of quietly weakening the row)
+    crash = {"armed": True, "restarts": 0}
+
     def redrive(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.cache()
         try:
@@ -590,21 +606,40 @@ def orders_streaming_ingest_redrive(
                 fix=F.regexp_replace(F.col("raw"), "USD ", ""),
             )
             idempotent_batch_sink(recovered, batch_id, sink_rec)
+            if crash["armed"]:
+                crash["armed"] = False
+                raise RuntimeError(
+                    "injected mid-fan-out crash (streaming re-drive row)"
+                )
             idempotent_batch_sink(still_dead, batch_id, sink_dead2)
         finally:
             batch_df.unpersist()
 
-    dlq_stream = (
-        spark.readStream.schema(spark.read.parquet(sink_q).schema)
-        .parquet(sink_q)
-    )
-    q = (
-        dlq_stream.writeStream.foreachBatch(redrive)
-        .option("checkpointLocation", ckpt_r)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from pyspark.errors import StreamingQueryException
+
+    while True:
+        dlq_stream = (
+            spark.readStream.schema(spark.read.parquet(sink_q).schema)
+            .parquet(sink_q)
+        )
+        q = (
+            dlq_stream.writeStream.foreachBatch(redrive)
+            .option("checkpointLocation", ckpt_r)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+            break
+        except StreamingQueryException:
+            crash["restarts"] += 1
+            if crash["restarts"] > 2:
+                raise
+    if crash["restarts"] < 1:
+        raise RuntimeError(
+            "streaming re-drive crash injection did not fire — the "
+            "replay path went ungraded"
+        )
 
     merged = read_batch_sink(spark, sink_v).unionByName(
         read_batch_sink(spark, sink_rec)
