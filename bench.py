@@ -172,7 +172,8 @@ EXTENDED = (
     # machine-checked)
     "emb_dedup_append_chain_raw",
     # r9: the stored-index MAINTENANCE row (rebuild-and-swap;
-    # audit-carrying graded version — no _raw twin exists yet)
+    # audit-carrying graded version — its maintenance-only cost is
+    # recorded by the r11 emb_index_rebuild_swap_raw twin below)
     "emb_index_rebuild_swap",
     # r9: the first non-PCM audio codec (G.711 mu-law decode)
     "media_audio_ulaw",
@@ -358,6 +359,7 @@ def _movers_vs_prev(
         warm = d.get("warm_spread", d["spread"])
         cleared = abs(delta) <= warm
         extra = None
+        orig_best = d["best"]
         if not cleared and remeasure is not None:
             # one targeted re-run, DIRECTION-AWARE: adjudicate with
             # whichever sample sits closer to the prior best — a
@@ -381,6 +383,13 @@ def _movers_vs_prev(
             # longer counts toward clearance
             "warm_spread": warm,
             "remeasured_sec": extra,
+            # the best-of-all-samples figure the queries map and the
+            # headline total publish for this row — may differ from
+            # `now` when the adjudication picked the sample closer
+            # to prev (e.g. a refuted one-off fast fluke stays the
+            # published best; it is a real measurement)
+            "published_best": min(orig_best, extra)
+            if extra is not None else orig_best,
             "jitter_cleared": cleared,
         })
     movers.sort(key=lambda m: -abs(m["delta_pct"]))
@@ -659,11 +668,15 @@ def main() -> None:
     def _remeasure(name: str) -> float:
         t = round(_timed(lambda: registry[name].fn(spark, sf_dir).count()), 3)
         print(f"# mover re-measure {name}: {t}s", file=sys.stderr)
-        # the fresh sample joins the row's record so the figure of
-        # record and the movers ledger cannot disagree: a re-measure
-        # that beats this run's best becomes the best (best-of-n over
-        # ALL samples), and the headline total — computed after this
-        # adjudication — picks it up
+        # the fresh sample joins the row's record: a re-measure that
+        # beats this run's best becomes the best (best-of-n over ALL
+        # samples — min is the right plan-cost estimator; a too-fast
+        # sample is warm caches, not measurement error), and the
+        # headline total — computed after this adjudication — picks
+        # it up.  The movers ledger's `now` is the ADJUDICATION
+        # sample (closest to prev), which may differ from the
+        # published best; `published_best` in each mover entry makes
+        # the pairing explicit in the artifact
         dd = detail_head[name]
         dd["runs"] = [*dd["runs"], t]
         s = sorted(dd["runs"])

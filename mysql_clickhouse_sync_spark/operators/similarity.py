@@ -1707,6 +1707,17 @@ def pq_code_stats(codebooks: DataFrame, codes: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
     _books, m, ksub = _stored_codebooks(codebooks)
+    # Row-expression guards never fire on a ZERO-ROW relation, so an
+    # emptied/lost codes store would otherwise return empty stats and
+    # crash the caller's max(skew) gate with a bare TypeError instead
+    # of the contract's diagnosis (r11 review); the limit-1 probe is
+    # the _stored_codebooks empty-table rule applied to the codes side
+    if codes.limit(1).isEmpty():
+        raise ValueError(
+            "pq_code_stats: empty codes relation — nothing to monitor "
+            "(build or append the index first; an unexpectedly empty "
+            "store means the codes dir was emptied or mis-addressed)"
+        )
     # posexplode_OUTER: a vector with an EMPTY (or null) _codes array
     # must not silently vanish from the histogram — it surfaces as a
     # null (j, c) bin and trips the per-bin guard below (a plain

@@ -102,6 +102,49 @@ def _corrupted_feed(
     )
 
 
+class _ParquetStreamJob:
+    """Adapter giving a parquet-file-stream foreachBatch job the
+    ``.start()`` shape ``run_stream_with_restart`` supervises (the
+    helper is deliberately duck-typed over .start — pinned in
+    tests/test_streaming.py), so the ingest rows reuse the SAME
+    tested restart loop as the CDC pipelines instead of hand-rolled
+    while/except copies that had already drifted on caps and backoff
+    (r11 review)."""
+
+    def __init__(self, spark: SparkSession, src: str, ckpt: str, apply_fn):
+        self._spark = spark
+        self._src = src
+        self._ckpt = ckpt
+        self._apply = apply_fn
+
+    def start(self, _changelog_dir=None, available_now=True):
+        stream = (
+            self._spark.readStream.schema(
+                self._spark.read.parquet(self._src).schema
+            ).parquet(self._src)
+        )
+        return (
+            stream.writeStream.foreachBatch(self._apply)
+            .option("checkpointLocation", self._ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+
+def _scratch_dir(spark: SparkSession, sf_dir: str, tag: str) -> str:
+    """Session+SF-scoped scratch dir for the ingestion rows (the
+    _semantic_index_dir convention; previously hand-built in three
+    places — r11 review)."""
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"{tag}_{spark.sparkContext.applicationId}_"
+        + os.path.basename(sf_dir.rstrip("/")),
+    )
+
+
 def _split_corrupted_feed(spark: SparkSession, sf_dir: str):
     """The corrupted feed split by the production operator — shared
     by the batch quarantine and health rows."""
@@ -151,9 +194,6 @@ def _split_corrupted_feed(spark: SparkSession, sf_dir: str):
     "rejects replay, not the whole feed",
 )
 def orders_ingest_redrive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
-
     from ..sources.ingest import (
         parse_csv_with_quarantine,
         redrive_quarantine,
@@ -169,11 +209,7 @@ def orders_ingest_redrive(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The re-drive consumes the DLQ SINK, not the in-flight relation:
     # write the quarantine to real storage and read it back, so the
     # graded path proves the stored raw line round-trips byte-exactly.
-    dlq = os.path.join(
-        tempfile.gettempdir(),
-        f"orders_ingest_redrive_{spark.sparkContext.applicationId}_"
-        + os.path.basename(sf_dir.rstrip("/")),
-    )
+    dlq = _scratch_dir(spark, sf_dir, "orders_ingest_redrive")
     quarantine.write.mode("overwrite").parquet(dlq)
     recovered, still_dead = redrive_quarantine(
         spark.read.parquet(dlq),
@@ -339,23 +375,18 @@ def _run_streaming_ingest(
     crash-replay rows cannot drift."""
     import os
     import shutil
-    import tempfile
 
-    from pyspark.errors import StreamingQueryException
     from pyspark.sql import Observation
 
     from ..sources.ingest import (
         idempotent_batch_sink,
         parse_csv_with_quarantine,
     )
+    from ..streaming.cdc_pipeline import run_stream_with_restart
 
     raw = _corrupted_feed(spark, sf_dir, recoverable_malformed)
     key = F.col("k")
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"{tag}_{spark.sparkContext.applicationId}_"
-        + os.path.basename(sf_dir.rstrip("/")),
-    )
+    base = _scratch_dir(spark, sf_dir, tag)
     src, ckpt, sink_v, sink_q, health = (
         os.path.join(base, d)
         for d in ("src", "ckpt", "valid", "dead", "health")
@@ -371,10 +402,11 @@ def _run_streaming_ingest(
         "overwrite"
     ).parquet(src)
 
-    # two one-shot crash points when injection is on: "partial"
-    # (after valid+DLQ, before health — drain 1) then "full" (after
-    # all three writes — drain 2); each fires once, on that drain's
-    # first microbatch
+    # two one-shot crash points when injection is on, BOTH against
+    # drain 1's first microbatch: the original attempt fires
+    # "partial" (after valid+DLQ, before health); its first replay
+    # fires "full" (after all three writes); the second replay
+    # commits.  Drain 2 runs clean.
     crash = {
         "pending": ["partial", "full"] if crash_first_batch else [],
         "restarts": 0,
@@ -435,31 +467,19 @@ def _run_streaming_ingest(
             batch_df.unpersist()
 
     def drain() -> None:
-        # supervision: reopen from the SAME checkpoint on a crashed
-        # query (the run_stream_with_restart construction) — the
-        # uncommitted batch replays against the idempotent sinks.
-        # Retries exist ONLY for the crash-injection row; the plain
-        # rows re-raise immediately so a genuine transient failure
-        # stays loud instead of silently grading green on a re-run
-        # (r11 review finding)
-        while True:
-            stream = (
-                spark.readStream.schema(spark.read.parquet(src).schema)
-                .parquet(src)
-            )
-            q = (
-                stream.writeStream.foreachBatch(apply)
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            try:
-                q.awaitTermination()
-                return
-            except StreamingQueryException:
-                crash["restarts"] += 1
-                if not crash_first_batch or crash["restarts"] > 3:
-                    raise
+        # supervision through the SAME tested restart helper the CDC
+        # family uses (reopen from the checkpoint; the uncommitted
+        # batch replays against the idempotent sinks).  Retries exist
+        # ONLY for the crash-injection row — plain rows pass
+        # max_restarts=0 so a genuine transient failure re-raises
+        # immediately instead of silently grading green on a re-run
+        crash["restarts"] += run_stream_with_restart(
+            _ParquetStreamJob(spark, src, ckpt, apply),
+            src,
+            available_now=True,
+            max_restarts=3 if crash_first_batch else 0,
+            sleep=lambda _s: None,
+        )
 
     drain()
     raw.filter(key % 2 == 1).select("line").repartition(4).write.mode(
@@ -615,26 +635,15 @@ def orders_streaming_ingest_redrive(
         finally:
             batch_df.unpersist()
 
-    from pyspark.errors import StreamingQueryException
+    from ..streaming.cdc_pipeline import run_stream_with_restart
 
-    while True:
-        dlq_stream = (
-            spark.readStream.schema(spark.read.parquet(sink_q).schema)
-            .parquet(sink_q)
-        )
-        q = (
-            dlq_stream.writeStream.foreachBatch(redrive)
-            .option("checkpointLocation", ckpt_r)
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            q.awaitTermination()
-            break
-        except StreamingQueryException:
-            crash["restarts"] += 1
-            if crash["restarts"] > 2:
-                raise
+    crash["restarts"] = run_stream_with_restart(
+        _ParquetStreamJob(spark, sink_q, ckpt_r, redrive),
+        sink_q,
+        available_now=True,
+        max_restarts=2,
+        sleep=lambda _s: None,
+    )
     if crash["restarts"] < 1:
         raise RuntimeError(
             "streaming re-drive crash injection did not fire — the "
@@ -807,7 +816,6 @@ def orders_ingest_redrive_gen2(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     import os
-    import tempfile
 
     from ..sources.ingest import (
         parse_csv_with_quarantine,
@@ -823,11 +831,7 @@ def orders_ingest_redrive_gen2(
         schema,
         validators=strict,
     )
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"orders_redrive_gen2_{spark.sparkContext.applicationId}_"
-        + os.path.basename(sf_dir.rstrip("/")),
-    )
+    base = _scratch_dir(spark, sf_dir, "orders_redrive_gen2")
     dlq0, dlq1 = os.path.join(base, "gen0"), os.path.join(base, "gen1")
     quarantine.write.mode("overwrite").parquet(dlq0)
     # generation 1: the parser fix — strip the prefix; the negative

@@ -459,12 +459,14 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 # verdict's top structural gap closed AND graded: all three
 # streaming-ingest sinks now write through idempotent_batch_sink
 # (batchId-keyed dynamic partition overwrite, the foreachBatch
-# exactly-once recipe), and the row KILLS the first microbatch after
-# two of the three sink writes but before the checkpoint commit; the
-# supervised restart replays the batch, which must OVERWRITE, not
-# double-append — hash-matched against the same no-crash oracle,
-# with replay_exact folding in >= 1 restart + exact health-ledger
-# consistency.  OUT: orders_streaming_ingest_health (green r10; the
+# exactly-once recipe), and the row KILLS the first microbatch TWICE
+# — the original attempt dies after two of the three sink writes
+# (partial fan-out), its first replay dies after all three writes
+# but before the checkpoint commit (full fan-out), the second replay
+# commits; every replay must OVERWRITE, not double-append —
+# hash-matched against the same no-crash oracle, with replay_exact
+# folding in >= 2 restarts (both crash points fired) + exact
+# health-ledger consistency.  OUT: orders_streaming_ingest_health (green r10; the
 # SAME observe()-ledgered health machinery is verified INSIDE the
 # crash row's consistency guard — one shared scenario builder — and
 # the shares row stays hash-checked every round).

@@ -179,8 +179,12 @@ def test_movers_adjudicate_against_warm_spread_with_remeasure():
     by3 = {m["query"]: m for m in movers3}
     assert by3["f"]["jitter_cleared"] is True      # refuted fluke
     assert by3["f"]["now"] == 1.0
+    # ...but the published figure stays best-of-all-samples (min is
+    # the right plan-cost estimator); the pairing is explicit
+    assert by3["f"]["published_best"] == 0.85
     assert by3["g"]["jitter_cleared"] is False     # confirmed speedup
     assert by3["g"]["now"] == 0.85
+    assert by3["g"]["published_best"] == 0.84
     # under the OLD full-range spread both would have been vacuously
     # cleared (spread 2.0 > delta 0.5) — the exact vacuity fixed here
     # a warm-spread-covered mover is cleared WITHOUT a re-measure

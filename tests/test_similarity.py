@@ -1628,3 +1628,24 @@ def test_pq_rebuild_swap_raw_matches_fresh_search(spark):
     )
     assert raw.exceptAll(want).count() == 0
     assert want.exceptAll(raw).count() == 0
+
+
+def test_pq_code_stats_rejects_empty_codes_relation(spark):
+    """A zero-row codes relation (emptied or mis-addressed store)
+    fails with the contract's diagnosis instead of returning empty
+    stats that crash callers' max(skew) gates (r11 review)."""
+    import pytest
+
+    from mysql_clickhouse_sync_spark.operators.similarity import (
+        pq_code_stats,
+    )
+
+    books = spark.createDataFrame(
+        [(j, c, [float(j), float(c)]) for j in range(2) for c in range(4)],
+        "j int, c int, centroid array<double>",
+    )
+    none = spark.createDataFrame(
+        [], "vec_id long, _codes array<int>, _norm double"
+    )
+    with pytest.raises(ValueError, match="empty codes relation"):
+        pq_code_stats(books, none)
