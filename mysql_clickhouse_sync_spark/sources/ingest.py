@@ -237,10 +237,86 @@ def idempotent_batch_sink(
     )
 
 
+def _sink_fs(spark, path: str):
+    """Hadoop FileSystem + Path for a sink dir — the manifest helpers
+    go through the Hadoop FS API (not ``os``) so the sink contract
+    holds on HDFS/S3A exactly as on local disk."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+_COMMITTED = "_committed"
+
+
+def init_batch_sink(spark, path: str) -> None:
+    """Create a sink's (empty) committed-batch manifest dir BEFORE the
+    stream starts writing.  This is what closes the dirty-read window
+    :func:`idempotent_batch_sink` alone leaves open: between a crash
+    and its replay, an uncommitted ``_batch_id=<n>`` partition is on
+    disk, and a reader with no manifest cannot tell it from a
+    committed one.  With the manifest initialized at sink creation,
+    :func:`read_batch_sink` filters to marker-listed batches — a
+    batch whose fan-out died mid-way is invisible until its replay
+    completes and marks it.  The dir name starts with ``_`` so Spark's
+    file listing (batch reads AND file-stream sources over the sink)
+    ignores it."""
+    fs, jpath = _sink_fs(spark, f"{path.rstrip('/')}/{_COMMITTED}")
+    fs.mkdirs(jpath)
+
+
+def mark_batch_committed(spark, path: str, batch_id: int) -> None:
+    """Record that ``batch_id``'s fan-out completed: an empty marker
+    file ``<path>/_committed/<batch_id>``.  Call it as the LAST step
+    of a ``foreachBatch`` fan-out, after every data write — a crash
+    anywhere earlier leaves the batch unmarked (invisible to
+    :func:`read_batch_sink`), and the replay re-runs the whole
+    fan-out and re-marks idempotently (marker creation overwrites).
+    A crash in the mark-to-checkpoint-commit gap is benign: the
+    replayed batch content is determined by the checkpoint's offsets,
+    so the overwrite rewrites identical rows under an already-visible
+    marker."""
+    fs, jpath = _sink_fs(
+        spark, f"{path.rstrip('/')}/{_COMMITTED}/{int(batch_id)}"
+    )
+    fs.create(jpath, True).close()
+
+
+def committed_batch_ids(spark, path: str) -> list[int] | None:
+    """Batch ids listed in a sink's committed manifest, or ``None``
+    when the sink has no manifest (a legacy sink written before
+    :func:`init_batch_sink` existed).  Driver-side FS listing, bounded
+    by the number of microbatches ever committed."""
+    fs, jpath = _sink_fs(spark, f"{path.rstrip('/')}/{_COMMITTED}")
+    if not fs.exists(jpath):
+        return None
+    return sorted(
+        int(st.getPath().getName()) for st in fs.listStatus(jpath)
+    )
+
+
 def read_batch_sink(spark, path: str) -> DataFrame:
     """Read an :func:`idempotent_batch_sink` table as its logical
-    relation (the ``_batch_id`` bookkeeping partition dropped)."""
-    return spark.read.parquet(path).drop("_batch_id")
+    relation (the ``_batch_id`` bookkeeping partition dropped).
+
+    When the sink carries a committed-batch manifest
+    (:func:`init_batch_sink` / :func:`mark_batch_committed`), only
+    marker-listed partitions are visible — so a reader racing a
+    crashed stream never observes a half-fan-out batch that the
+    restart is about to rewrite (pinned in tests/test_ingest.py).
+    A manifest-less legacy sink reads whole, as before; that weaker
+    contract ("exactly-once at rest AFTER a completed restart, dirty
+    reads possible in the crash window") is documented in README.md's
+    crash-replay section."""
+    df = spark.read.parquet(path)
+    ids = committed_batch_ids(spark, path)
+    if ids is not None:
+        df = df.filter(
+            F.col("_batch_id").isin([int(i) for i in ids])
+            if ids
+            else F.lit(False)
+        )
+    return df.drop("_batch_id")
 
 
 def health_shares(counts: DataFrame) -> DataFrame:

@@ -311,3 +311,80 @@ def test_idempotent_batch_sink_partition_pruning(spark, tmp_path):
     assert [r.k for r in df.collect()] == [1]
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "_batch_id" in plan
+
+
+def test_committed_manifest_hides_crashed_batch(spark, tmp_path):
+    """THE DIRTY-READ WINDOW, closed at the read (r11 verdict item 4):
+    between a crash and its replay, the crashed batch's _batch_id
+    partition is on disk but UNMARKED — read_batch_sink over a
+    manifest-carrying sink must not surface it; after the replay
+    completes and marks, the batch becomes visible exactly once."""
+    from mysql_clickhouse_sync_spark.sources.ingest import (
+        committed_batch_ids,
+        idempotent_batch_sink,
+        init_batch_sink,
+        mark_batch_committed,
+        read_batch_sink,
+    )
+
+    path = str(tmp_path / "sink")
+    init_batch_sink(spark, path)
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    # committed batch 0: data write + manifest mark (the full fan-out)
+    idempotent_batch_sink(b0, 0, path)
+    mark_batch_committed(spark, path, 0)
+    # batch 1 CRASHES mid-fan-out: data on disk, no mark — the state
+    # an external reader racing a crashed stream observes
+    b1 = spark.createDataFrame([(3, "c")], "k long, v string")
+    idempotent_batch_sink(b1, 1, path)
+    assert committed_batch_ids(spark, path) == [0]
+    got = sorted(tuple(r) for r in read_batch_sink(spark, path).collect())
+    assert got == [(1, "a"), (2, "b")], "uncommitted batch leaked"
+    # the raw partition IS physically there (this is a read-side
+    # filter, not a write-side rollback)
+    assert spark.read.parquet(path).count() == 3
+    # replay: re-execute the whole fan-out, then mark — now visible
+    idempotent_batch_sink(b1, 1, path)
+    mark_batch_committed(spark, path, 1)
+    got = sorted(tuple(r) for r in read_batch_sink(spark, path).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+    # marking is idempotent under a second replay
+    mark_batch_committed(spark, path, 1)
+    assert committed_batch_ids(spark, path) == [0, 1]
+
+
+def test_manifest_less_sink_reads_whole(spark, tmp_path):
+    """Legacy contract: a sink written before init_batch_sink existed
+    has no manifest dir — read_batch_sink reads every partition (the
+    weaker exactly-once-at-rest-after-restart contract the README
+    scopes)."""
+    from mysql_clickhouse_sync_spark.sources.ingest import (
+        committed_batch_ids,
+        idempotent_batch_sink,
+        read_batch_sink,
+    )
+
+    path = str(tmp_path / "sink")
+    idempotent_batch_sink(
+        spark.createDataFrame([(1,)], "k long"), 0, path
+    )
+    assert committed_batch_ids(spark, path) is None
+    assert [r.k for r in read_batch_sink(spark, path).collect()] == [1]
+
+
+def test_empty_manifest_sink_reads_empty(spark, tmp_path):
+    """An initialized sink whose only batch crashed before its mark
+    reads as EMPTY rows (not a scan error): the zero-committed state
+    is a legal, visible sink state."""
+    from mysql_clickhouse_sync_spark.sources.ingest import (
+        idempotent_batch_sink,
+        init_batch_sink,
+        read_batch_sink,
+    )
+
+    path = str(tmp_path / "sink")
+    init_batch_sink(spark, path)
+    idempotent_batch_sink(
+        spark.createDataFrame([(1,)], "k long"), 0, path
+    )
+    assert read_batch_sink(spark, path).count() == 0
