@@ -309,6 +309,26 @@ EXTENDED_ROTATED_OUT = {
         "emb_pq_rebuild_swap_raw, equality machine-checked; the row "
         "stays driver-window graded"
     ),
+    # r12 (never timed — disclosed here on entry, the
+    # emb_index_compacted_search precedent applied at birth instead
+    # of one round late): the graded semantic-store compaction row is
+    # lifecycle-fixture mass BY DESIGN — day-0 build, three
+    # append-delta waves, TWO full dedup-vs-index runs (the
+    # before/after row-equality audit), connected components twice,
+    # plus the compaction itself.  Its recurring costs are already
+    # timed separately: the daily semantic ingest via
+    # emb_dedup_append_chain_raw / emb_dedup_incremental_raw, and the
+    # bin-pack maintenance via emb_index_compacted_search_raw (the
+    # same plan_table_compaction/execute_compaction operator).  The
+    # row stays DRIVER-WINDOW graded with a full recursive-CTE hash
+    # oracle every round.
+    "emb_semantic_compacted_dedup": (
+        "lifecycle-fixture mass (build + 3 delta waves + 2 full "
+        "dedup runs + components x2 + the equality audit); daily "
+        "ingest cost timed via emb_dedup_append_chain_raw, bin-pack "
+        "maintenance via emb_index_compacted_search_raw; the row "
+        "stays driver-window graded with a full hash oracle"
+    ),
 }
 
 _HEADLINE_REPEATS = 3   # round-4 verdict: best-of-3 minimum, in-artifact

@@ -491,21 +491,79 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 # MORE strongly by emb_dedup_append_chain — build -> append -> dedup
 # against the GROWN persisted chain — and the row stays hash-checked
 # every round; similarity keeps 8 graded rows).
+#
+# ROUND-12 ROTATION (ledgered in PARITY.md "Round 12 deltas").
+# Enter-on-add: cdc_initial_sync_crash_recovery — the last
+# crash-shaped gap (r11 verdict item 2): the chunked snapshot copy
+# killed mid-table AND after-copy-before-stream, production-path
+# resync each time, recovered live view vs the no-crash oracle.
+# OUT: cdc_streaming_live (green r5-r11, the CDC family's
+# freshest-evidence row; the new crash row runs the IDENTICAL
+# construction — run_initial_sync_then_stream + availableNow drain +
+# live view against the SAME oracle — plus two injected crashes, so
+# the no-crash path executes inside it as attempt 3; the row stays
+# hash-checked every round).
+# Enter-on-add: emb_semantic_compacted_dedup — semantic-store
+# compaction parity (r11 verdict item 3, the third stored-index
+# family): per-wave append-only delta write-back degrades the
+# persisted assignments (partitioned) + pairs (flat) dirs, bin-pack
+# compaction must drop files in BOTH and be row-for-row invisible to
+# the day-2 dedup, full recursive-CTE hash oracle.  OUT:
+# emb_semantic_dedup (green r3-r11, the similarity family's
+# freshest-evidence row; the from-scratch two-level assignment +
+# pair kernel + components run IDENTICALLY inside the chain and
+# compaction rows — same operators, stored-quantizer shaped — and
+# the row stays hash-checked every round; similarity keeps 8 graded
+# rows).
+# RECENCY REFRESH (r11 verdict item 5: the enter-on-add policy left
+# rows rotated out in r4-r6 undriven for 5+ rounds; rotate the
+# longest-out back IN for a round, evicting same-family rows with
+# the freshest evidence — everything evicted stays hash-checked by
+# ci_gate every round):
+# IN order_priority_overlap_all (set-ops family, out since r4 —
+# INTERSECT ALL bag semantics, last driver-green r3) / OUT
+# media_audio_ulaw (green r9-r11; G.711 stays driver-graded via
+# media_audio_alaw — the same registry WAV walk, differing in three
+# integer details — and the mu-law row stays hash-checked; media
+# keeps 8 graded rows).
+# IN docs_top_words (out since r4, last green r3) / OUT
+# docs_repetition_stats (green r5-r11, the text family's
+# freshest-evidence row; the Gopher repetition filter stays
+# hash-checked every round; text keeps 4 graded rows).
+# IN events_funnel (out since r6, last green r5) / OUT
+# events_skew_salted_stats (green r10-r11, the events family's
+# freshest-evidence row; the salted-join flattening EFFECT stays
+# pinned in tests/test_skew.py — distribution + plan — and the row
+# stays hash-checked every round).
+# IN q1_pricing_summary (out since late r6, last green r5) / OUT
+# lineitem_cube_stats (green r6-r11, the analytics family's
+# freshest-evidence row; the cube/Expand shape stays hash-checked
+# every round; analytics keeps orders_in_promo_windows +
+# customer_order_gaps + q1).
+# IN sql_region_revenue (out since r4, last green r3 — also the
+# bench canary, so its driver evidence should not be 9 rounds old) /
+# OUT sql_live_segment_stats (green r1-r11, the SQL surface's
+# freshest-evidence row; stays hash-checked every round; the SQL
+# family keeps one graded row).
 DRIVER_WINDOW = (
     # CDC sentinels (8 graded rows incl. the r8 multi-table mux +
-    # mid-stream schema evolution)
+    # mid-stream schema evolution; r12: the initial-sync crash row
+    # subsumes cdc_streaming_live's construction)
     "cdc_live_orders",
-    "cdc_streaming_live",
+    "cdc_initial_sync_crash_recovery",
     "cdc_streaming_upsert",
     "cdc_multi_table_mux",
     "cdc_mux_restart_recovery",
     "cdc_mux_schema_evolution",
     "cdc_mux_schema_drop",
     "cdc_reconciliation",
-    # representative analytics shapes
+    # representative analytics shapes (r12 recency refresh: q1 back
+    # in after 6 rounds out; funnel + set-ops below likewise)
     "orders_in_promo_windows",
-    "lineitem_cube_stats",
+    "q1_pricing_summary",
     "customer_order_gaps",
+    "events_funnel",
+    "order_priority_overlap_all",
     # event analytics + raw-feed ingestion (batch split graded inside
     # the r10 re-drive row; health monitor graded on the streaming
     # runtime with observe()-ledgered per-microbatch counts)
@@ -520,8 +578,9 @@ DRIVER_WINDOW = (
     "events_streaming_dedup",
     "events_streaming_interval_join_outer",
     "events_streaming_interval_join_full",
-    # text / dedup pipeline
-    "docs_repetition_stats",
+    # text / dedup pipeline (r12 recency refresh: top_words back in
+    # after 8 rounds out)
+    "docs_top_words",
     "docs_top_jaccard_pairs_capped",
     "docs_dedup_incremental",
     "docs_curation_pipeline",
@@ -538,27 +597,25 @@ DRIVER_WINDOW = (
     "emb_index_append_search",
     "emb_pq_vs_index",
     "emb_dedup_append_chain",
-    "emb_semantic_dedup",
+    "emb_semantic_compacted_dedup",
     "emb_index_compacted_search",
     "emb_pq_compacted_search",
     "emb_pq_rebuild_swap",
     "emb_index_rebuild_swap",
-    # multimodal (the real-codec paths: PNG, JPEG, GIF, WAV + mu-law,
-    # AVI demux + in-frame BMP decode)
+    # multimodal (the real-codec paths: PNG, JPEG, GIF, A-law + both
+    # ADPCM machines, AVI demux + in-frame BMP decode; r12: mu-law
+    # cedes to the set-ops recency slot, G.711 stays via A-law)
     "media_decode_jpeg",
     "media_decode_jpeg_prog",
     "media_decode_gif",
-    "media_audio_ulaw",
     "media_audio_alaw",
     "media_audio_adpcm",
     "media_audio_adpcm_stereo",
     "media_video_mjpeg",
     "media_video_rle_delta",
-    # SQL surface
-    "sql_live_segment_stats",
-    # skew mitigation (r10: salted join + two-phase agg over a
-    # deliberately hot key, plain-join oracle)
-    "events_skew_salted_stats",
+    # SQL surface (r12 recency refresh: region_revenue — the bench
+    # canary — back in after 8 rounds out)
+    "sql_region_revenue",
 )
 
 

@@ -91,11 +91,17 @@ def test_untimed_streaming_surfaces_are_only_the_disclosed_ones():
 
     timed = set(bench.HEADLINE) | set(bench.EXTENDED)
     streaming_rows = {
-        n for n in all_queries() if "streaming" in n or "_mux" in n
+        n for n in all_queries()
+        if "streaming" in n or "_mux" in n or "initial_sync" in n
     }
     untimed_streaming = streaming_rows - timed
     assert untimed_streaming == {
         "cdc_streaming_live",
+        # r12: the initial-sync crash row — two injected kills of the
+        # chunked snapshot copy + three full cold-start attempts; its
+        # cost is drain/checkpoint machinery plus deliberate crash
+        # fixtures, graded by the driver window, not timed
+        "cdc_initial_sync_crash_recovery",
         "events_streaming_hourly",
         "events_streaming_append",
         "events_streaming_dedup",

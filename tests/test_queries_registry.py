@@ -75,14 +75,35 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
     assert names[:50] == list(DRIVER_WINDOW)
     window = set(DRIVER_WINDOW)
     required = {
-        "cdc_live_orders", "cdc_streaming_live",
+        "cdc_live_orders",
+        # r12: cdc_streaming_live (green r5-r11) cedes its slot to the
+        # initial-sync crash row, which runs the IDENTICAL
+        # construction (run_initial_sync_then_stream + drain + live
+        # view vs the same oracle) plus two injected crashes — the
+        # no-crash path executes inside it as attempt 3
+        "cdc_initial_sync_crash_recovery",
         "docs_curation_pipeline", "docs_top_jaccard_pairs_capped",
         # round-5 rotation: SCD-2 history, repetition filter, domain
         # mixture, quantile sketch enter the round they were added
         # (cdc_scd2_history entered r5, rotated out r10 for
         # cdc_mux_schema_drop — stays hash-checked every round)
-        "docs_repetition_stats",
+        # (docs_repetition_stats entered r5, rotated out r12 for the
+        # docs_top_words recency refresh — stays hash-checked)
         "docs_domain_mixture",
+        # r12 recency refresh (r11 verdict item 5): the longest-out
+        # rows rotate back IN for a round — docs_top_words +
+        # sql_region_revenue (out since r4), events_funnel (r6),
+        # q1_pricing_summary (late r6), order_priority_overlap_all
+        # (set-ops family, out since r4); ledger: PARITY.md "Round 12
+        # deltas"
+        "docs_top_words",
+        "sql_region_revenue",
+        "events_funnel",
+        "q1_pricing_summary",
+        "order_priority_overlap_all",
+        # r12 enter-on-add: semantic-store compaction parity (the
+        # third stored-index family; full recursive-CTE hash oracle)
+        "emb_semantic_compacted_dedup",
         # round-4 rotation: the corpus-prep family is driver-graded
         "corpus_pii_scrub",
         "corpus_contamination",
@@ -95,7 +116,9 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         "events_streaming_append",
         "events_streaming_dedup",
         "cdc_reconciliation",
-        "lineitem_cube_stats",
+        # (lineitem_cube_stats entered r6, rotated out r12 for the
+        # q1_pricing_summary recency refresh — cube/Expand shape
+        # stays hash-checked every round)
         "customer_order_gaps",
         # late-r6: the final 6 never-driver-graded oracled queries
         # land a round early — after this round only the 3
@@ -187,8 +210,10 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         # compacted/append rows), corpus_pack_assignments
         # (pack_documents stays graded inside corpus_pack_incremental),
         # q2_min_cost_supplier (green r1-r8, longest-green)
+        # (media_audio_ulaw entered r9, rotated out r12 for the
+        # set-ops recency slot — G.711 stays driver-graded via
+        # media_audio_alaw, the same registry WAV walk)
         "emb_index_rebuild_swap", "emb_index_compacted_search",
-        "media_audio_ulaw",
         # r9: the full-outer interval join completes the stream-stream
         # family (the inner row cedes its slot — its match set is
         # graded identically inside the full row via the one shared
@@ -256,9 +281,9 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
     rotated_out = {
         # (docs_top_jaccard_pairs and docs_char_bigram_profile, rotated
         # out in earlier rounds, re-entered the window late in r6)
-        "docs_top_words",            # r4: green r3; slot to corpus family
+        # (docs_top_words and sql_region_revenue, rotated out in r4,
+        # re-entered the window in the r12 recency refresh)
         "docs_subword_tokens",       # r4: green r3; slot to corpus family
-        "sql_region_revenue",        # r4: green r3; slot to corpus family
         "docs_weighted_sample",      # r4: green r3; slot to corpus family
         "doc_sources_except_all",    # r4: green r3; slot to corpus family
         "docs_lang_source_profile",  # r4: green r3; slot to new r4 queries
@@ -410,6 +435,23 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         # against the grown persisted chain) and the row stays
         # hash-checked by check_oracle/ci_gate every round
         "emb_dedup_incremental",
+        # r12: slot ceded to emb_semantic_compacted_dedup (enter-on-
+        # add); the from-scratch two-level assignment + pair kernel +
+        # connected components run IDENTICALLY inside the chain and
+        # compaction rows (same operators under a stored quantizer),
+        # and the row stays hash-checked every round
+        "emb_semantic_dedup",
+        # r12 recency refresh evictions (r11 verdict item 5; ledger:
+        # PARITY.md "Round 12 deltas") — each was its family's
+        # FRESHEST-evidence row, evicted so the family's longest-out
+        # row could re-enter; all stay hash-checked every round:
+        # G.711 stays driver-graded via media_audio_alaw
+        "media_audio_ulaw",
+        # Gopher repetition filter, green r5-r11; stays bench-timed
+        "docs_repetition_stats",
+        # live-view SQL registration, green r1-r11; the sql_ surface
+        # keeps sql_region_revenue driver-graded
+        "sql_live_segment_stats",
     }
     surface = {
         n for n in qs
