@@ -375,43 +375,59 @@ _MOVER_FRACTION = 0.10
 
 def _movers_vs_prev(
     prior: dict, now: dict[str, dict], promote: set[str],
-    remeasure=None,
+    remeasure=None, scale_now: float = 1.0, scale_prev: float = 1.0,
 ) -> list[dict]:
+    """Headline movers, adjudicated on CANARY-NORMALIZED seconds (r11
+    verdict item 1: BENCH_r11's raw-seconds ledger flagged 25/27 rows
+    as 15-60% "slower" purely because the driver session ran on a
+    contended host — the canary read 65.6% in-session drift — so raw
+    round-over-round deltas were host state, not per-query moves).
+    ``scale_now``/``scale_prev`` map this run's and the prior
+    artifact's seconds to the pinned clean-host canary level; both
+    default to 1.0 (raw compare) when either side lacks canary data.
+    Raw prev/now stay in every entry alongside the normalized pair."""
     prev = prior.get("headline") or {}
     movers: list[dict] = []
     for name, d in now.items():
         p = (prev.get(name) or {}).get("best")
         if not p:
             continue
-        delta = d["best"] - p
-        if abs(delta) <= _MOVER_FRACTION * p:
+        p_n = p * scale_prev
+        best_n = d["best"] * scale_now
+        delta = best_n - p_n
+        if abs(delta) <= _MOVER_FRACTION * p_n:
             continue
+        # warm-run jitter band (r10 nit 1), expressed at the same
+        # normalized level as the delta it must cover
         warm = d.get("warm_spread", d["spread"])
-        cleared = abs(delta) <= warm
+        cleared = abs(delta) <= warm * scale_now
         extra = None
         orig_best = d["best"]
+        now_raw = d["best"]
         if not cleared and remeasure is not None:
             # one targeted re-run, DIRECTION-AWARE: adjudicate with
-            # whichever sample sits closer to the prior best — a
-            # fresh sample landing back near prev refutes the move
-            # in EITHER direction (a one-off fast fluke is jitter
-            # exactly like a one-off slow one); a sample confirming
-            # the new level leaves the mover flagged
+            # whichever sample sits closer to the prior (normalized)
+            # best — a fresh sample landing back near prev refutes
+            # the move in EITHER direction (a one-off fast fluke is
+            # jitter exactly like a one-off slow one); a sample
+            # confirming the new level leaves the mover flagged
             extra = remeasure(name)
-            pick = extra if abs(extra - p) < abs(d["best"] - p) else d["best"]
-            delta = pick - p
-            cleared = abs(delta) <= _MOVER_FRACTION * p
-            d = {**d, "best": pick}
+            extra_n = extra * scale_now
+            if abs(extra_n - p_n) < abs(best_n - p_n):
+                best_n, now_raw = extra_n, extra
+            delta = best_n - p_n
+            cleared = abs(delta) <= _MOVER_FRACTION * p_n
         movers.append({
             "query": name,
             "prev": p,
-            "now": d["best"],
-            "delta_pct": round(100.0 * delta / p, 1),
+            "now": now_raw,
+            # the canary-normalized pair the adjudication ran on
+            "prev_norm": round(p_n, 3),
+            "now_norm": round(best_n, 3),
+            "delta_pct": round(100.0 * delta / p_n, 1),
             "n": d["n"],
             "spread_promoted": name in promote,
-            # warm-run jitter band (r10 nit 1): cold-run spread no
-            # longer counts toward clearance
-            "warm_spread": warm,
+            "warm_spread": d.get("warm_spread", d["spread"]),
             "remeasured_sec": extra,
             # the best-of-all-samples figure the queries map and the
             # headline total publish for this row — may differ from
@@ -436,8 +452,30 @@ def _movers_vs_prev(
 # canary under a drifted headline means the engine.  The query has
 # been plan-identical since r1 and costs ~0.1-0.3 s, so three probes
 # add < 3 s to the session.
+#
+# DISCLOSED BIAS (r11 ADVICE): the canary is itself a HEADLINE row,
+# and the session-start probe runs it best-of-3 BEFORE the headline
+# loop — so its headline timing never includes a cold-start sample
+# and its own movers comparison vs pre-canary rounds (r10 and
+# earlier) reads slightly fast.  Kept deliberately: the canary needs
+# cross-round continuity (r11 already recorded it), and the artifact
+# records the pre-warm (`canary.prewarms_headline_row`) so the bias
+# is visible where the numbers are read.
 _CANARY_QUERY = "sql_region_revenue"
 _CANARY_REPEATS = 3
+
+# The canary's CLEAN-HOST level, pinned r12 (r11 verdict item 1: the
+# artifact carried everything needed to normalize but published only
+# raw seconds, so the movers ledger flagged 25/27 rows as "slower"
+# from pure host state).  Measured on this host at 1-min load 0.69:
+# warm best-of-3 probes read 0.79-0.99 s (six consecutive warm runs
+# [1.183, 0.988, 0.842, 0.825, 0.792]); the r11 clean sessions'
+# probes read 0.779-1.03.  Normalization maps any session's figures
+# to this level: norm = raw * (_CANARY_REF_SEC / canary_session), so
+# a session whose canary ran 2x slow (contended host) halves its
+# published normalized figures.  The REF is a constant by design —
+# changing it rescales every round identically and is ledgered here.
+_CANARY_REF_SEC = 0.85
 
 
 def _canary_probe(registry, spark, sf_dir: str) -> float:
@@ -449,6 +487,22 @@ def _canary_probe(registry, spark, sf_dir: str) -> float:
         ),
         3,
     )
+
+
+def _median(xs) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
+
+
+def _canary_scale(canary_values) -> float:
+    """Host-state correction factor for a session: multiply the
+    session's raw seconds by this to express them at the pinned
+    clean-host canary level.  Median over the session's probes (the
+    middle probe of a warming host is the honest session level;
+    min would under-correct a session that degraded mid-run)."""
+    med = _median([v for v in canary_values if v and v > 0] or [1.0])
+    return _CANARY_REF_SEC / med
 
 
 def throughput_metrics(spark, sf_dir: str) -> dict[str, float]:
@@ -713,10 +767,31 @@ def main() -> None:
         dd["best"] = s[0]
         dd["median"] = s[len(s) // 2]
         dd["spread"] = round(s[-1] - s[0], 3)
+        # warm_spread stays the max-min of runs[1:] INCLUDING the
+        # fresh sample (r11 ADVICE: the old code left it stale, so
+        # the published warm_spread no longer matched the run list)
+        warm = dd["runs"][1:] if len(dd["runs"]) > 1 else dd["runs"]
+        dd["warm_spread"] = round(max(warm) - min(warm), 3)
         dd["n"] = len(s)
         return t
 
-    movers = _movers_vs_prev(prior, detail_head, promote, _remeasure)
+    # canary-normalized movers (r11 verdict item 1): this run's scale
+    # comes from the two probes BRACKETING the headline loop; the
+    # prior run's from its recorded full-session probes.  A prior
+    # artifact without canary data (or with a different canary query)
+    # compares raw on both sides, disclosed via scale_prev=1.0.
+    scale_now = _canary_scale([canary_start, canary_mid])
+    prior_canary = prior.get("canary") or {}
+    scale_prev = (
+        _canary_scale(prior_canary.get("sec") or [])
+        if prior_canary.get("query") == _CANARY_QUERY
+        and prior_canary.get("sec")
+        else 1.0
+    )
+    movers = _movers_vs_prev(
+        prior, detail_head, promote, _remeasure,
+        scale_now=scale_now, scale_prev=scale_prev,
+    )
     detail_ext = _time_queries(
         registry, EXTENDED, spark, sf_dir, _EXTENDED_REPEATS, "extended",
         promote=promote,
@@ -739,10 +814,20 @@ def main() -> None:
     ext_total = round(sum(d["best"] for d in detail_ext.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     floor = min(floor_pre, floor_post)
+    # THE NORMALIZED FIGURE OF RECORD (r11 verdict item 1): the raw
+    # headline total expressed at the pinned clean-host canary level,
+    # using the full-session canary median — round-over-round engine
+    # comparisons should read THIS, with the raw figure alongside for
+    # ground truth.  (r11's raw 21.876 s under a 65.6%-drift canary
+    # was 17.4-19.9 s on a clean host — pure contention the raw
+    # figure could not say out loud.)
+    session_scale = _canary_scale(canary)
+    total_norm = round(total * session_scale, 3)
 
     detail = {
         "sf": sf_val,
         "headline_total_sec": total,
+        "headline_canary_normalized_sec": total_norm,
         "extended_total_sec": ext_total,
         # Load stamps make the artifact self-describing (r6 verdict
         # item 2): a loaded host shows up HERE, not only in prose.
@@ -786,6 +871,19 @@ def main() -> None:
             "query": _CANARY_QUERY,
             "sec": canary,
             "drift_pct": canary_drift_pct,
+            # the pinned clean-host level every normalized figure is
+            # expressed at, and the scales this session used: the
+            # headline normalization uses the full-session median,
+            # the movers ledger the two probes bracketing the
+            # headline loop (vs the prior artifact's own scale)
+            "ref_sec": _CANARY_REF_SEC,
+            "session_scale": round(session_scale, 4),
+            "movers_scale_now": round(scale_now, 4),
+            "movers_scale_prev": round(scale_prev, 4),
+            # r11 ADVICE disclosure: the canary is a headline row and
+            # the session-start probe pre-warms it, so its own
+            # headline timing never includes a cold-start sample
+            "prewarms_headline_row": True,
         },
         # the timing rows rotated out of EXTENDED this round and why
         # (r10 verdict item 6) — all stay registered + hash-checked
@@ -807,6 +905,11 @@ def main() -> None:
         "sf": sf_val,
         "queries": timings,
         "extended_total": ext_total,
+        # the canary-normalized headline (r11 verdict item 1): the
+        # raw total expressed at the pinned clean-host canary level
+        # (canary_ref) — THE round-over-round comparison figure
+        "norm": total_norm,
+        "canary_ref": _CANARY_REF_SEC,
         "floor": floor,
         "minus_floor": detail["headline_minus_floor_sec"],
         # 1-min load at headline start/end + whether the idle gate was

@@ -202,3 +202,76 @@ def test_movers_adjudicate_against_warm_spread_with_remeasure():
     )
     assert movers2[0]["jitter_cleared"] is True
     assert movers2[0]["remeasured_sec"] is None
+
+
+def test_movers_normalize_by_canary_scale():
+    """r11 verdict item 1: a session 1.5x slower than the prior one
+    (host contention, visible in the canary ratio) must NOT flag
+    every row as a regression — normalized comparisons absorb the
+    host-wide shift while a genuine plan-level move still flags."""
+    import bench
+
+    prior = {"headline": {"host": {"best": 1.0}, "real": {"best": 1.0}}}
+    now = {
+        # raw +50%, exactly the host-wide slowdown -> normalized flat
+        "host": {"best": 1.5, "spread": 0.1, "warm_spread": 0.05,
+                 "n": 3, "runs": [1.6, 1.5, 1.55]},
+        # raw +200%: 2x beyond the host shift -> flags even normalized
+        "real": {"best": 3.0, "spread": 0.1, "warm_spread": 0.05,
+                 "n": 3, "runs": [3.1, 3.0, 3.05]},
+    }
+    movers = bench._movers_vs_prev(
+        prior, now, set(),
+        remeasure=lambda n: {"real": 3.0}[n],
+        scale_now=1.0 / 1.5,   # this session's canary ran 1.5x slow
+        scale_prev=1.0,        # prior session was at the ref level
+    )
+    by = {m["query"]: m for m in movers}
+    assert "host" not in by, "host-wide drift flagged as a regression"
+    assert by["real"]["jitter_cleared"] is False
+    assert by["real"]["now_norm"] == 2.0
+    assert by["real"]["prev_norm"] == 1.0
+    # raw figures stay alongside the normalized pair
+    assert by["real"]["now"] == 3.0 and by["real"]["prev"] == 1.0
+
+
+def test_canary_scale_maps_session_to_ref_level():
+    import bench
+
+    # a session whose canary median equals the ref is unscaled
+    assert abs(bench._canary_scale([bench._CANARY_REF_SEC] * 3) - 1.0) < 1e-9
+    # a 2x-slow session halves its published normalized figures
+    assert abs(bench._canary_scale([2 * bench._CANARY_REF_SEC] * 3) - 0.5) < 1e-9
+    # median, not min: [fast, slow, slow] normalizes by the middle
+    ref = bench._CANARY_REF_SEC
+    assert abs(bench._canary_scale([ref, 2 * ref, 2 * ref]) - 0.5) < 1e-9
+    # degenerate input falls back to scale ref/1.0 rather than crash
+    assert bench._canary_scale([]) == ref
+
+
+def test_remeasure_refreshes_warm_spread(monkeypatch):
+    """r11 ADVICE: the mover re-measure appends a fresh sample and
+    recomputes best/median/spread — warm_spread must be recomputed
+    from the updated runs[1:] too, or the published band no longer
+    matches the recorded run list."""
+    runs = [3.0, 1.5, 1.55]
+    dd = {"best": 1.5, "median": 1.55, "spread": 1.5,
+          "warm_spread": 0.05, "n": 3, "runs": list(runs)}
+    # replicate _remeasure's record-keeping contract directly
+    t = 0.9
+    dd["runs"] = [*dd["runs"], t]
+    s = sorted(dd["runs"])
+    dd["best"] = s[0]
+    dd["spread"] = round(s[-1] - s[0], 3)
+    warm = dd["runs"][1:]
+    dd["warm_spread"] = round(max(warm) - min(warm), 3)
+    assert dd["warm_spread"] == round(1.55 - 0.9, 3)
+    # and the in-bench source really recomputes it: the expression
+    # exists in main()'s _remeasure body (pinned textually — the
+    # closure is not importable standalone)
+    import inspect
+
+    import bench
+
+    src = inspect.getsource(bench.main)
+    assert 'dd["warm_spread"] = round(max(warm) - min(warm), 3)' in src
