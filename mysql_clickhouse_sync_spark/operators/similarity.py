@@ -1703,6 +1703,18 @@ def pq_code_stats(codebooks: DataFrame, codes: DataFrame) -> DataFrame:
     into BOTH ``frac`` and ``skew`` so a caller projecting either
     column still executes it — Catalyst prunes unreferenced columns,
     so a single-column guard protects only that column's readers.
+
+    EAGER AT CALL TIME (documented contract, r11 ADVICE): unlike most
+    plan builders in this module, this function runs TWO small Spark
+    jobs before returning — the ``_stored_codebooks`` 1-row probe and
+    a ``limit(1)`` emptiness probe of the codes relation — so it can
+    raise the empty-store/mismatched-store diagnosis AT THE CALL SITE
+    instead of deep inside a later action (where the row-expression
+    guards never fire on a zero-row relation and the caller's
+    ``max(skew)`` gate would die with a bare ``TypeError``).  Callers
+    constructing monitoring plans ahead of time should call this at
+    monitor-execution time, not plan-declaration time; both probes
+    are O(1) reads, not scans.
     """
     from pyspark.sql import Window
 

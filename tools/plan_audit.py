@@ -108,6 +108,9 @@ def main() -> None:
             "emb_pq_compacted_search",
             "emb_index_rebuild_swap_raw",
             "emb_pq_rebuild_swap_raw",
+            # r12: semantic-store compaction (append-delta write-back
+            # + bin-pack over BOTH planner branches + day-2 dedup)
+            "emb_semantic_compacted_dedup",
         )
         if n not in bench.HEADLINE
     ]

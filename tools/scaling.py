@@ -107,6 +107,9 @@ SWEEP = (
     "emb_pq_compacted_search",       # append waves -> flat-dir compact -> ADC
     "emb_index_rebuild_swap_raw",    # maintenance-only rebuild + swap
     "emb_pq_rebuild_swap_raw",       # maintenance-only PQ rebuild + swap
+    # r12: semantic-store compaction lifecycle (append-delta waves ->
+    # bin-pack both dirs -> day-2 dedup + equality audit)
+    "emb_semantic_compacted_dedup",
 )
 
 
