@@ -177,7 +177,14 @@ def main() -> None:
         "similarly show 0 scans: their assignment/pair inputs are "
         "localCheckpoint-pinned (the multi-consumer rule "
         "emb_semantic_dedup follows); the pre-checkpoint stages are "
-        "the audited semantic-dedup shapes.",
+        "the audited semantic-dedup shapes.  "
+        "`emb_semantic_compacted_dedup` returns the checkpoint-"
+        "pinned post-compaction dedup (the before/after row-equality "
+        "audit forces both sides eager), so its row too reads an "
+        "in-memory scan; the store-side plans it executes are the "
+        "same audited shapes — parquet scans of the partitioned "
+        "assignments dir (cell-pruned at the scan) + the "
+        "emb_dedup_append_chain pair/components stages.",
         "",
         "Join skew (q18 shape, planted-hot-key tests in "
         "tests/test_skew.py): at harness scale every q18 dim join is "
