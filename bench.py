@@ -596,6 +596,21 @@ def _overhead_floor(spark, repeats: int = 5) -> float:
     )
 
 
+def _cpu_stat() -> tuple[int, int]:
+    """``(steal_ticks, total_ticks)`` from the aggregate /proc/stat
+    line.  Hypervisor CPU STEAL is the one host-contention mechanism
+    the load-average gate cannot see (a guest at loadavg 0.1 can
+    still lose a quarter of its cycles to the hypervisor under load
+    — measured 22% on this host during the r12 session that read
+    25.1 s raw on a load_ok=true run), so the artifact records the
+    timed session's steal share directly: 'host contention' becomes
+    a measurement, not an inference from canary drift alone."""
+    parts = open("/proc/stat").readline().split()
+    vals = [int(x) for x in parts[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
 def _await_idle_host(
     gate: float | None = None, max_wait: int | None = None, poll: int = 15
 ) -> dict:
@@ -740,6 +755,7 @@ def main() -> None:
             file=sys.stderr,
         )
     floor_pre = _overhead_floor(spark)
+    steal0 = _cpu_stat()
     canary_start = _canary_probe(registry, spark, sf_dir)
     load_before = round(os.getloadavg()[0], 2)
     detail_head = _time_queries(
@@ -799,6 +815,11 @@ def main() -> None:
     floor_post = _overhead_floor(spark)
     tp = throughput_metrics(spark, sf_dir)
     canary_end = _canary_probe(registry, spark, sf_dir)
+    steal1 = _cpu_stat()
+    steal_pct = round(
+        100.0 * (steal1[0] - steal0[0])
+        / max(1, steal1[1] - steal0[1]), 2,
+    )
     # the gate (minutes of non-timed correctness work) runs LAST so
     # every timed figure is captured in the shortest possible session
     # (r10 verdict item 6)
@@ -841,6 +862,13 @@ def main() -> None:
         "load_1m_before_headline": load_before,
         "load_1m_after_headline": load_after_headline,
         "load_1m_end": load_end,
+        # hypervisor CPU steal across the TIMED session (canary to
+        # canary, gate excluded), as % of all cpu ticks: the
+        # contention channel loadavg cannot see.  ~0-2% is a quiet
+        # host; >10% means the hypervisor took a material cycle share
+        # and the raw figures are inflated accordingly (read the
+        # canary-normalized figure instead)
+        "cpu_steal_pct_timed_session": steal_pct,
         # Fixed job-overhead floor and the floor-corrected headline:
         # engine-work deltas across rounds should be read off
         # headline_minus_floor_sec (the floor is harness-scale noise a
@@ -916,6 +944,8 @@ def main() -> None:
         # met: a loaded-host run is self-describing in THIS line
         "load": [load_before, load_after_headline],
         "load_ok": idle["load_ok"],
+        # hypervisor steal share of the timed session (see detail)
+        "steal_pct": steal_pct,
         "repeats": _HEADLINE_REPEATS,
         # >10% headline movers vs the prior artifact, adjudicated
         # in-artifact: [query, prev_s, now_s, jitter_cleared] where
