@@ -759,6 +759,21 @@ def main() -> None:
     spark.range(0, 1024, 1, 32).mapInPandas(
         lambda it: it, "id long"
     ).count()
+    # Warm the PAGE CACHE for every harness table (one full-scan
+    # count each, ~100 MB total at sf0.1): every r11/r12 session's
+    # canary showed the same signature — first probe ~1.05 s, later
+    # probes ~0.70 s — because the headline loop ran while parquet
+    # was still cold on disk.  The bench times PLAN cost (a cluster
+    # reads from distributed storage with its own cache tiers); cold
+    # local page cache is harness noise, and warming it is what makes
+    # best-of-3 converge in 3 repeats instead of drifting across the
+    # session.  Disclosed here; throughput timings below are
+    # unaffected in meaning (they always scanned warm inputs — each
+    # counts its input before timing the write).
+    from mysql_clickhouse_sync_spark.sources.parquet import load_table
+    for _tbl in ("lineitem", "orders", "customer", "part", "supplier",
+                 "events", "documents", "embeddings"):
+        load_table(spark, sf_dir, _tbl).count()
 
     # prior artifact is read BEFORE this run overwrites it: it feeds
     # the high-spread promotion set AND the movers-vs-prev ledger
