@@ -545,6 +545,42 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 # OUT sql_live_segment_stats (green r1-r11, the SQL surface's
 # freshest-evidence row; stays hash-checked every round; the SQL
 # family keeps one graded row).
+#
+# ROUND-13 ROTATION (ledgered in PARITY.md "Round 13 deltas").
+# RECENCY REFRESH COMPLETED (r12 verdict item 1): the LAST five
+# r3-green rows — the whole remaining tail whose driver evidence
+# predates r4 — rotate in, so after this round's grade no registry
+# row's last driver-green round is older than ~r5.  Everything
+# evicted was driver-green in r12 and stays hash-checked every round
+# by check_oracle/ci_gate; evictions are same-family rows with the
+# freshest/deepest green history:
+# IN docs_subword_tokens (text/tokenization, out since r4, last
+# green r3) / OUT docs_top_words (green r12 — the r12 recency slot,
+# its refresh purpose served; the word-ranking shape stays
+# hash-checked every round).
+# IN docs_lang_source_profile (text/language-ID, out since r4, last
+# green r3) / OUT docs_curation_pipeline (green r4-r12 continuously,
+# the window's deepest evidence run; its composited gates stay
+# graded — the quality gate inside corpus_curation_v2, still
+# in-window, and the language gate via the entering
+# docs_lang_source_profile — and the pipeline stays bench-timed +
+# hash-checked every round).
+# IN docs_tfidf_top_terms (text/term-ranking, out since r4, last
+# green r3) / OUT docs_top_jaccard_pairs_capped (green r9-r12; the
+# row stays a bench HEADLINE query timed every round — also on the
+# r13 movers-adjudication list, so its timing record continues
+# uninterrupted — and hash-checked every round; text keeps 4 graded
+# rows incl. docs_dedup_incremental, the minhash/banding
+# representative).
+# IN docs_weighted_sample (sampling family, out since r4, last green
+# r3) / OUT docs_domain_mixture (green r5-r12, the sampling family's
+# freshest-evidence row; both rows drive operators/sampling.py — the
+# mixture row stays hash-checked every round).
+# IN doc_sources_except_all (set-ops family, out since r4, last
+# green r3 — EXCEPT ALL bag semantics) / OUT
+# order_priority_overlap_all (green r12 — the r12 recency slot for
+# this same family, its refresh purpose served; INTERSECT ALL stays
+# hash-checked every round; set-ops keeps one graded row).
 DRIVER_WINDOW = (
     # CDC sentinels (8 graded rows incl. the r8 multi-table mux +
     # mid-stream schema evolution; r12: the initial-sync crash row
@@ -557,13 +593,13 @@ DRIVER_WINDOW = (
     "cdc_mux_schema_evolution",
     "cdc_mux_schema_drop",
     "cdc_reconciliation",
-    # representative analytics shapes (r12 recency refresh: q1 back
-    # in after 6 rounds out; funnel + set-ops below likewise)
+    # representative analytics shapes (r13 recency refresh: EXCEPT
+    # ALL takes the set-ops slot from r12's INTERSECT ALL)
     "orders_in_promo_windows",
     "q1_pricing_summary",
     "customer_order_gaps",
     "events_funnel",
-    "order_priority_overlap_all",
+    "doc_sources_except_all",
     # event analytics + raw-feed ingestion (batch split graded inside
     # the r10 re-drive row; health monitor graded on the streaming
     # runtime with observe()-ledgered per-microbatch counts)
@@ -578,19 +614,20 @@ DRIVER_WINDOW = (
     "events_streaming_dedup",
     "events_streaming_interval_join_outer",
     "events_streaming_interval_join_full",
-    # text / dedup pipeline (r12 recency refresh: top_words back in
-    # after 8 rounds out)
-    "docs_top_words",
-    "docs_top_jaccard_pairs_capped",
+    # text / dedup pipeline (r13 recency refresh: the last three
+    # r3-green text rows back in; minhash stays via dedup_incremental)
+    "docs_subword_tokens",
+    "docs_lang_source_profile",
+    "docs_tfidf_top_terms",
     "docs_dedup_incremental",
-    "docs_curation_pipeline",
-    # corpus preparation (rotated in, round 4)
+    # corpus preparation (rotated in, round 4; r13: weighted_sample
+    # takes the sampling slot from domain_mixture)
     "corpus_pii_scrub",
     "corpus_contamination",
     "corpus_pack_incremental",
     "corpus_curation_v2",
     "docs_leakage_safe_splits",
-    "docs_domain_mixture",
+    "docs_weighted_sample",
     # embeddings / similarity search: the stored-index incremental
     # lifecycle (r7 read half, r8 append/write half, r9 maintenance:
     # rebuild-and-swap + compaction)

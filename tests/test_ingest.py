@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -351,6 +353,105 @@ def test_committed_manifest_hides_crashed_batch(spark, tmp_path):
     # marking is idempotent under a second replay
     mark_batch_committed(spark, path, 1)
     assert committed_batch_ids(spark, path) == [0, 1]
+
+
+def test_manifest_rollup_preserves_crash_window(spark, tmp_path):
+    """compact_manifest (r12 verdict item 3) rolls contiguous
+    per-batch markers into a range marker WITHOUT changing what a
+    reader sees: a gap — the uncommitted batch a crashed stream left
+    between or after committed ones — must stay invisible across the
+    rollup, become visible when its replay marks it, and merge into
+    the range on the NEXT rollup."""
+    from mysql_clickhouse_sync_spark.sources.ingest import (
+        committed_batch_ids,
+        committed_batch_ranges,
+        compact_manifest,
+        idempotent_batch_sink,
+        init_batch_sink,
+        mark_batch_committed,
+        read_batch_sink,
+    )
+
+    path = str(tmp_path / "sink")
+    init_batch_sink(spark, path)
+    # batches 0-3 committed; batch 4 CRASHED (data on disk, unmarked);
+    # batch 6 committed (a later stream generation) — so the manifest
+    # holds a contiguous run (0-3), a gap (4-5), and a single (6)
+    for i in (0, 1, 2, 3, 4, 6):
+        idempotent_batch_sink(
+            spark.createDataFrame([(i,)], "k long"), i, path
+        )
+        if i != 4:
+            mark_batch_committed(spark, path, i)
+    before = sorted(r.k for r in read_batch_sink(spark, path).collect())
+    assert before == [0, 1, 2, 3, 6]
+    removed = compact_manifest(spark, path)
+    # 0-3 rolled into one range marker (4 singles deleted); 6 stays a
+    # single (a 1-marker run never rewrites)
+    assert removed == 4
+    assert committed_batch_ranges(spark, path) == [(0, 3), (6, 6)]
+    assert committed_batch_ids(spark, path) == [0, 1, 2, 3, 6]
+    after = sorted(r.k for r in read_batch_sink(spark, path).collect())
+    assert after == before, "rollup changed the visible relation"
+    # the crashed batch stays invisible through the rollup; its
+    # replay marks it, and the next rollup absorbs it into the range
+    idempotent_batch_sink(
+        spark.createDataFrame([(4,)], "k long"), 4, path
+    )
+    mark_batch_committed(spark, path, 4)
+    assert sorted(
+        r.k for r in read_batch_sink(spark, path).collect()
+    ) == [0, 1, 2, 3, 4, 6]
+    compact_manifest(spark, path)
+    assert committed_batch_ranges(spark, path) == [(0, 4), (6, 6)]
+    # idempotent: a second rollup with nothing to merge is a no-op
+    assert compact_manifest(spark, path) == 0
+
+
+def test_manifest_rollup_crash_mid_rollup_is_redundant_not_lost(
+    spark, tmp_path
+):
+    """Rollup crash-safety by ordering: the range marker is created
+    BEFORE the per-batch markers it subsumes are deleted, so the
+    worst mid-rollup crash state is range + singles COEXISTING —
+    readers merge overlapping markers, and a re-run converges."""
+    from mysql_clickhouse_sync_spark.sources.ingest import (
+        _COMMITTED,
+        committed_batch_ranges,
+        compact_manifest,
+        idempotent_batch_sink,
+        init_batch_sink,
+        mark_batch_committed,
+        read_batch_sink,
+    )
+
+    path = str(tmp_path / "sink")
+    init_batch_sink(spark, path)
+    for i in range(3):
+        idempotent_batch_sink(
+            spark.createDataFrame([(i,)], "k long"), i, path
+        )
+        mark_batch_committed(spark, path, i)
+    # simulate the crash state: range marker written, singles NOT yet
+    # deleted (exactly what dying between create and the delete loop
+    # leaves)
+    open(os.path.join(path, _COMMITTED, "0-2"), "w").close()
+    assert committed_batch_ranges(spark, path) == [(0, 2)]
+    assert sorted(
+        r.k for r in read_batch_sink(spark, path).collect()
+    ) == [0, 1, 2]
+    # re-running the rollup converges: singles subsumed by the range
+    # are deleted, the range marker survives
+    compact_manifest(spark, path)
+    assert committed_batch_ranges(spark, path) == [(0, 2)]
+    # only the range marker remains (hidden .crc sidecars of the
+    # local checksummed FS are not markers and are ignored by parse)
+    markers = [
+        n
+        for n in os.listdir(os.path.join(path, _COMMITTED))
+        if not n.startswith(".")
+    ]
+    assert markers == ["0-2"]
 
 
 def test_manifest_less_sink_reads_whole(spark, tmp_path):

@@ -82,25 +82,35 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         # view vs the same oracle) plus two injected crashes — the
         # no-crash path executes inside it as attempt 3
         "cdc_initial_sync_crash_recovery",
-        "docs_curation_pipeline", "docs_top_jaccard_pairs_capped",
+        # r13 recency refresh completes (r12 verdict item 1): the last
+        # five r3-green rows rotate in, evicting same-family rows with
+        # the freshest/deepest green history — docs_top_words +
+        # order_priority_overlap_all (the r12 recency slots, purpose
+        # served), docs_curation_pipeline (r4-r12, deepest run; its
+        # quality gate stays graded inside corpus_curation_v2),
+        # docs_top_jaccard_pairs_capped (stays a bench HEADLINE row),
+        # docs_domain_mixture (sampling keeps docs_weighted_sample);
+        # ledger: PARITY.md "Round 13 deltas"
+        "docs_subword_tokens",
+        "docs_lang_source_profile",
+        "docs_tfidf_top_terms",
+        "docs_weighted_sample",
+        "doc_sources_except_all",
         # round-5 rotation: SCD-2 history, repetition filter, domain
         # mixture, quantile sketch enter the round they were added
         # (cdc_scd2_history entered r5, rotated out r10 for
         # cdc_mux_schema_drop — stays hash-checked every round)
         # (docs_repetition_stats entered r5, rotated out r12 for the
         # docs_top_words recency refresh — stays hash-checked)
-        "docs_domain_mixture",
         # r12 recency refresh (r11 verdict item 5): the longest-out
-        # rows rotate back IN for a round — docs_top_words +
+        # rows rotated back IN for a round — docs_top_words +
         # sql_region_revenue (out since r4), events_funnel (r6),
         # q1_pricing_summary (late r6), order_priority_overlap_all
-        # (set-ops family, out since r4); ledger: PARITY.md "Round 12
-        # deltas"
-        "docs_top_words",
+        # (set-ops family, out since r4); r13 keeps the three whose
+        # family slot wasn't reclaimed by this round's refresh
         "sql_region_revenue",
         "events_funnel",
         "q1_pricing_summary",
-        "order_priority_overlap_all",
         # r12 enter-on-add: semantic-store compaction parity (the
         # third stored-index family; full recursive-CTE hash oracle)
         "emb_semantic_compacted_dedup",
@@ -452,6 +462,19 @@ def test_driver_window_is_first_50_and_covers_llm_surface():
         # live-view SQL registration, green r1-r11; the sql_ surface
         # keeps sql_region_revenue driver-graded
         "sql_live_segment_stats",
+        # r13 recency-refresh evictions (r12 verdict item 1; ledger:
+        # PARITY.md "Round 13 deltas") — the last five r3-green rows
+        # re-enter, evicting same-family rows with the freshest or
+        # deepest green history; all stay hash-checked every round:
+        # the r12 recency slot, refresh purpose served (green r12)
+        "docs_top_words",
+        # green r4-r12 continuously, the window's deepest evidence
+        # run; the quality gate stays graded inside corpus_curation_v2
+        "docs_curation_pipeline",
+        # green r9-r12; stays a bench HEADLINE row timed every round
+        "docs_top_jaccard_pairs_capped",
+        # green r5-r12; sampling keeps docs_weighted_sample graded
+        "docs_domain_mixture",
     }
     surface = {
         n for n in qs
