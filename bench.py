@@ -482,6 +482,26 @@ _CANARY_REPEATS = 3
 # identically and is ledgered here.
 _CANARY_REF_SEC = 0.70
 
+# THE HEADLINE WINDOW'S OWN REF LEVEL (r13): the published `norm`
+# anchors the headline loop at the clean-host level of ITS OWN
+# session position, not the late-session level.  Why: the in-session
+# canary decline ([~1.13, ~0.9-1.0, ~0.64-0.80] in every clean r12/r13
+# session) is JVM-WIDE WARM-UP, not host contention — measured
+# directly in r13: 18 consecutive canary runs at session start
+# plateau at ~1.07 s (the canary alone can NEVER reach the 0.64-0.70
+# late-session level; only cumulative session work gets there), so
+# anchoring the headline at the late level (_CANARY_REF_SEC) made a
+# perfectly clean session look ~30% "contended" and published a norm
+# ~30% below raw.  The headline loop runs between probes [0] and [1];
+# its clean-host window mean is ~1.0 (r12 driver session: 0.988; r13
+# clean builder session: 1.053 — both steal <0.4%, load_ok).  Movers
+# are UNAFFECTED by either ref (the ref cancels in the two-sided
+# scale ratio); only the headline figure's anchor changes.  The
+# pre-r13 session-median rule is still computed and published
+# alongside (`norm_session_median_rule`) so r12's figures remain
+# comparable.
+_CANARY_HEADLINE_REF_SEC = 1.0
+
 
 def _canary_probe(registry, spark, sf_dir: str) -> float:
     q = registry[_CANARY_QUERY]
@@ -500,25 +520,86 @@ def _median(xs) -> float:
     return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
 
 
+# Sanity band for the normalization anchor (r12 ADVICE): a session
+# canary outside [ref/ _CANARY_BAND_HI slow .. _CANARY_BAND_LO fast]
+# of the pinned ref means the canary itself is suspect — its plan
+# changed, the warmup changed, or the host is in a state the linear
+# model cannot correct — so normalization falls back to RAW (scale
+# 1.0) with a loud stderr warning instead of silently publishing a
+# misanchored figure.  NOTE for readers of old artifacts: pre-r12
+# probe[0] values include a ~1 s COLD page-cache read (the table
+# warmup landed in r12, the untimed canary warm-up in r13), so
+# pre-r12 first probes are not comparable to warm probes.
+_CANARY_BAND_LO = 0.5   # canary faster than ref/2 -> suspect
+_CANARY_BAND_HI = 3.0   # canary slower than 3x ref -> suspect
+
+
+def _canary_sane(med: float) -> bool:
+    return (
+        _CANARY_REF_SEC * _CANARY_BAND_LO
+        <= med
+        <= _CANARY_REF_SEC * _CANARY_BAND_HI
+    )
+
+
 def _canary_scale(canary_values) -> float:
     """Host-state correction factor for a session: multiply the
     session's raw seconds by this to express them at the pinned
     clean-host canary level.  Median over the session's probes (the
     middle probe of a warming host is the honest session level;
-    min would under-correct a session that degraded mid-run)."""
-    med = _median([v for v in canary_values if v and v > 0] or [1.0])
+    min would under-correct a session that degraded mid-run).
+
+    Missing/invalid probes return 1.0 — RAW, unscaled — matching
+    _movers_vs_prev's documented raw-compare fallback (r12 ADVICE:
+    the old `or [1.0]` fallback silently published a ~30%-fast
+    normalized headline when probes were absent).  A median outside
+    the sanity band likewise falls back to raw with a warning."""
+    vals = [v for v in canary_values if v and v > 0]
+    if not vals:
+        return 1.0
+    med = _median(vals)
+    if not _canary_sane(med):
+        print(
+            f"# WARNING: canary median {med:.3f}s outside sane band "
+            f"[{_CANARY_REF_SEC * _CANARY_BAND_LO:.2f}, "
+            f"{_CANARY_REF_SEC * _CANARY_BAND_HI:.2f}] of ref "
+            f"{_CANARY_REF_SEC}s — normalization misanchored; "
+            "publishing RAW (scale 1.0)",
+            file=sys.stderr,
+        )
+        return 1.0
     return _CANARY_REF_SEC / med
 
 
 def _headline_window_scale(canary_values) -> float:
     """Correction factor for the HEADLINE LOOP specifically: the loop
     runs between the session's first two probes, so its host level is
-    their mean — applied identically to THIS run and to the prior
-    artifact's recorded probes, so the movers comparison uses the
-    same rule on both sides (a median-of-3 prev vs bracket-mean now
-    would skew every delta when either session drifted late)."""
-    vals = [v for v in canary_values if v and v > 0][:2] or [1.0]
-    return _CANARY_REF_SEC / (sum(vals) / len(vals))
+    their mean, anchored at the headline window's OWN clean-host ref
+    (_CANARY_HEADLINE_REF_SEC — the session-position-fair anchor;
+    see the constant's ledger note).  Applied identically to THIS run
+    and to the prior artifact's recorded probes, so the movers
+    comparison uses the same rule on both sides (the ref cancels in
+    the two-sided ratio; a median-of-3 prev vs bracket-mean now would
+    skew every delta when either session drifted late).
+    Missing/invalid probes -> 1.0 (raw compare), same contract as
+    _canary_scale."""
+    vals = [v for v in canary_values if v and v > 0][:2]
+    if not vals:
+        return 1.0
+    mean = sum(vals) / len(vals)
+    if not (
+        _CANARY_HEADLINE_REF_SEC * _CANARY_BAND_LO
+        <= mean
+        <= _CANARY_HEADLINE_REF_SEC * _CANARY_BAND_HI
+    ):
+        print(
+            f"# WARNING: headline-window canary mean {mean:.3f}s "
+            f"outside sane band of ref {_CANARY_HEADLINE_REF_SEC}s — "
+            "publishing RAW (scale 1.0)",
+            file=sys.stderr,
+        )
+        return 1.0
+    return _CANARY_HEADLINE_REF_SEC / mean
 
 
 def throughput_metrics(spark, sf_dir: str) -> dict[str, float]:
@@ -624,7 +705,10 @@ def _cpu_stat() -> tuple[int, int]:
     parts = open("/proc/stat").readline().split()
     vals = [int(x) for x in parts[1:]]
     steal = vals[7] if len(vals) > 7 else 0
-    return steal, sum(vals)
+    # fields 0-7 only (user..steal): guest/guest_nice are already
+    # accounted inside user/nice, so summing them double-counts guest
+    # time and understates the steal share (r12 ADVICE)
+    return steal, sum(vals[:8])
 
 
 def _await_idle_host(
@@ -787,6 +871,13 @@ def main() -> None:
         )
     floor_pre = _overhead_floor(spark)
     steal0 = _cpu_stat()
+    # one UNTIMED canary execution before the first timed probe (r12
+    # verdict item 5): every r11/r12 session's probe[0] carried
+    # cold-start state the page-cache warmup above did not cover
+    # (canary plan codegen + its join-side structures), skewing
+    # session_scale whenever the middle probe was also disturbed —
+    # the canary should measure host state, never its own cold start
+    registry[_CANARY_QUERY].fn(spark, sf_dir).count()
     canary_start = _canary_probe(registry, spark, sf_dir)
     load_before = round(os.getloadavg()[0], 2)
     detail_head = _time_queries(
@@ -866,20 +957,31 @@ def main() -> None:
     ext_total = round(sum(d["best"] for d in detail_ext.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     floor = min(floor_pre, floor_post)
-    # THE NORMALIZED FIGURE OF RECORD (r11 verdict item 1): the raw
-    # headline total expressed at the pinned clean-host canary level,
-    # using the full-session canary median — round-over-round engine
-    # comparisons should read THIS, with the raw figure alongside for
-    # ground truth.  (r11's raw 21.876 s under a 65.6%-drift canary
+    # THE NORMALIZED FIGURE OF RECORD (r11 verdict item 1, re-anchored
+    # r13): the raw headline total expressed at the clean-host level
+    # of the headline loop's OWN session window (the mean of the two
+    # probes bracketing it, vs _CANARY_HEADLINE_REF_SEC) — the
+    # session-median/late-ref rule made clean sessions look ~30%
+    # contended because the in-session canary decline is JVM warm-up,
+    # not host state (see the ref constants' ledger notes).  The
+    # pre-r13 rule's value is published alongside for r12
+    # comparability.  (r11's raw 21.876 s under a 65.6%-drift canary
     # was 17.4-19.9 s on a clean host — pure contention the raw
     # figure could not say out loud.)
     session_scale = _canary_scale(canary)
-    total_norm = round(total * session_scale, 3)
+    total_norm = round(total * scale_now, 3)
+    total_norm_median_rule = round(total * session_scale, 3)
 
     detail = {
         "sf": sf_val,
         "headline_total_sec": total,
         "headline_canary_normalized_sec": total_norm,
+        # the pre-r13 normalization rule (session median vs the
+        # late-session ref), published for r12-and-earlier
+        # comparability — it reads JVM warm-up as host contention,
+        # which is why r13 re-anchored (see _CANARY_HEADLINE_REF_SEC)
+        "headline_canary_normalized_sec_median_rule":
+            total_norm_median_rule,
         "extended_total_sec": ext_total,
         # Load stamps make the artifact self-describing (r6 verdict
         # item 2): a loaded host shows up HERE, not only in prose.
@@ -930,12 +1032,25 @@ def main() -> None:
             "query": _CANARY_QUERY,
             "sec": canary,
             "drift_pct": canary_drift_pct,
-            # the pinned clean-host level every normalized figure is
-            # expressed at, and the scales this session used: the
-            # headline normalization uses the full-session median,
-            # the movers ledger the two probes bracketing the
-            # headline loop (vs the prior artifact's own scale)
+            # the pinned clean-host levels and the scales this
+            # session used: the headline normalization uses the two
+            # probes bracketing the headline loop vs the window's own
+            # clean-host ref (r13 re-anchor — the session-median/
+            # late-ref rule read JVM warm-up as contention); the
+            # movers ledger uses the same window rule on both sides
             "ref_sec": _CANARY_REF_SEC,
+            "headline_ref_sec": _CANARY_HEADLINE_REF_SEC,
+            "headline_window_mean": round(
+                sum(canary[:2]) / 2, 3
+            ) if all(canary[:2]) else None,
+            # stability of the timed headline window itself: the
+            # spread between its two bracketing probes (the
+            # start-to-END drift is dominated by JVM warm-up and is
+            # NOT a headline-window quality signal)
+            "headline_window_spread_pct": round(
+                100.0 * abs(canary[0] - canary[1])
+                / min(canary[0], canary[1]), 1
+            ) if all(canary[:2]) else None,
             "session_scale": round(session_scale, 4),
             "movers_scale_now": round(scale_now, 4),
             "movers_scale_prev": round(scale_prev, 4),
@@ -943,6 +1058,20 @@ def main() -> None:
             # the session-start probe pre-warms it, so its own
             # headline timing never includes a cold-start sample
             "prewarms_headline_row": True,
+            # r12 verdict item 5: probe[0] is preceded by one untimed
+            # canary execution, so no probe carries the canary's own
+            # cold start.  Pre-r12 artifacts' probe[0] values include
+            # a ~1 s cold page-cache read and are NOT comparable to
+            # warm probes (r12 ADVICE disclosure).
+            "untimed_warmup_before_probe0": True,
+            "pre_r12_probe0_includes_cold_cache": True,
+            # normalization sanity band (r12 ADVICE): a session
+            # median outside this band publishes RAW (scale 1.0)
+            # with a stderr warning instead of a misanchored figure
+            "sane_band_sec": [
+                round(_CANARY_REF_SEC * _CANARY_BAND_LO, 3),
+                round(_CANARY_REF_SEC * _CANARY_BAND_HI, 3),
+            ],
         },
         # the timing rows rotated out of EXTENDED this round and why
         # (r10 verdict item 6) — all stay registered + hash-checked
@@ -964,11 +1093,14 @@ def main() -> None:
         "sf": sf_val,
         "queries": timings,
         "extended_total": ext_total,
-        # the canary-normalized headline (r11 verdict item 1): the
-        # raw total expressed at the pinned clean-host canary level
-        # (canary_ref) — THE round-over-round comparison figure
+        # the canary-normalized headline (r11 verdict item 1; r13:
+        # anchored at the headline window's own clean-host level —
+        # norm_rule discloses which rule produced it, norm_median the
+        # pre-r13 rule's value for cross-round continuity)
         "norm": total_norm,
-        "canary_ref": _CANARY_REF_SEC,
+        "norm_rule": "headline-window",
+        "norm_median": total_norm_median_rule,
+        "canary_ref": _CANARY_HEADLINE_REF_SEC,
         "floor": floor,
         "minus_floor": detail["headline_minus_floor_sec"],
         # 1-min load at headline start/end + whether the idle gate was

@@ -245,8 +245,28 @@ def test_canary_scale_maps_session_to_ref_level():
     # median, not min: [fast, slow, slow] normalizes by the middle
     ref = bench._CANARY_REF_SEC
     assert abs(bench._canary_scale([ref, 2 * ref, 2 * ref]) - 0.5) < 1e-9
-    # degenerate input falls back to scale ref/1.0 rather than crash
-    assert bench._canary_scale([]) == ref
+    # degenerate input -> 1.0, the RAW-compare fallback (r12 ADVICE:
+    # the old ref/1.0 fallback silently published a ~30%-fast
+    # normalized headline when probes were missing)
+    assert bench._canary_scale([]) == 1.0
+    assert bench._canary_scale([0.0, None]) == 1.0
+    assert bench._headline_window_scale([]) == 1.0
+    # sanity band (r12 ADVICE): a canary median outside 0.5x-3x of
+    # the pinned ref cannot anchor normalization -> raw fallback
+    assert bench._canary_scale([10 * ref] * 3) == 1.0
+    assert bench._canary_scale([0.1 * ref] * 3) == 1.0
+    assert bench._headline_window_scale([10 * ref, 10 * ref]) == 1.0
+    # just inside the band still scales
+    assert abs(bench._canary_scale([2.9 * ref] * 3) - 1 / 2.9) < 1e-9
+    # r13 re-anchor: the headline window normalizes against ITS OWN
+    # clean-host ref (~1.0 — the level both clean r12/r13 sessions'
+    # bracketing probes actually read), not the late-session 0.70 —
+    # a clean window must publish ~raw, a 2x-contended window halves
+    href = bench._CANARY_HEADLINE_REF_SEC
+    assert abs(bench._headline_window_scale([href, href]) - 1.0) < 1e-9
+    assert abs(
+        bench._headline_window_scale([2 * href, 2 * href]) - 0.5
+    ) < 1e-9
 
 
 def test_remeasure_refreshes_warm_spread(monkeypatch):
