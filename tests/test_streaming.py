@@ -200,6 +200,33 @@ def test_chunked_copy_is_one_source_scan(spark, dirs):
     assert p.table_df().filter("_version = 0").count() == 8
 
 
+def test_chunked_copy_tolerates_empty_buckets(spark, dirs):
+    """copy_chunks larger than the snapshot's distinct PK-hash
+    buckets leaves some chunks EMPTY — the staged partition dir for
+    an empty bucket never exists, the commit loop must skip it (and
+    still fire on_chunk_copied for crash-point stability), and the
+    union of committed chunks must still be exactly the snapshot."""
+    base_dir, changelog_dir = dirs
+    _write_events(
+        changelog_dir,
+        [{"op": "U", "seq": 1, "id": 1, "email": "a@x", "name": "A2"}],
+    )
+    snapshot = spark.createDataFrame(
+        [(1, "a@x", "A"), (2, "b@x", "B")],
+        "id long, email string, name string",
+    )
+    p = CDCStreamPipeline(spark, "users", ["id"], CHANGELOG_SCHEMA, base_dir)
+    fired = []
+    run_initial_sync_then_stream(
+        p, snapshot, changelog_dir,
+        copy_chunks=7, on_chunk_copied=lambda i, t: fired.append((i, t)),
+    )
+    assert fired == [(i, 7) for i in range(7)]
+    live = {r["id"]: r["name"] for r in p.live().collect()}
+    assert live == {1: "A2", 2: "B"}
+    assert p.table_df().filter("_version = 0").count() == 2
+
+
 def test_stream_restart_processes_only_new_files(spark, dirs):
     """Checkpoint recovery: restarting the stream must not re-append
     already-processed files (the reference's position-file semantics,
