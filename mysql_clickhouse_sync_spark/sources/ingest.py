@@ -376,20 +376,31 @@ def compact_manifest(spark, path: str) -> int:
     if not fs.exists(jdir):
         return 0
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    # pure-Python sort key: two markers parsing to the same range
+    # (e.g. a stray '7-7' next to '7') must not fall through to
+    # comparing py4j JavaObjects, which raises TypeError
     markers = sorted(
-        (rng[0], rng[1], st.getPath())
-        for st in fs.listStatus(jdir)
-        if (rng := _parse_marker(st.getPath().getName())) is not None
+        (
+            (rng[0], rng[1], st.getPath())
+            for st in fs.listStatus(jdir)
+            if (rng := _parse_marker(st.getPath().getName())) is not None
+        ),
+        key=lambda t: (t[0], t[1], str(t[2])),
     )
     removed = 0
     run: list = []
+    run_hi = -1  # running max of the current run's hi — keeps the
+    # contiguity check O(1) per marker, so a never-before-compacted
+    # multi-million-marker manifest (the function's motivating case)
+    # rolls up in O(n), not O(n^2)
 
     def flush() -> None:
-        nonlocal removed
+        nonlocal removed, run_hi
         if len(run) < 2:
             run.clear()
+            run_hi = -1
             return
-        lo, hi = run[0][0], max(r[1] for r in run)
+        lo, hi = run[0][0], run_hi
         new_name = f"{lo}-{hi}"
         # the subsuming marker lands first; deletes follow — a crash
         # between the two leaves redundant (merged-at-read) markers
@@ -399,11 +410,13 @@ def compact_manifest(spark, path: str) -> int:
                 fs.delete(jp, False)
                 removed += 1
         run.clear()
+        run_hi = -1
 
     for lo, hi, jp in markers:
-        if run and lo > max(r[1] for r in run) + 1:
+        if run and lo > run_hi + 1:
             flush()
         run.append((lo, hi, jp))
+        run_hi = max(run_hi, hi)
     flush()
     return removed
 

@@ -522,3 +522,38 @@ def test_empty_manifest_sink_reads_empty(spark, tmp_path):
         spark.createDataFrame([(1,)], "k long"), 0, path
     )
     assert read_batch_sink(spark, path).count() == 0
+
+
+def test_manifest_rollup_tolerates_duplicate_range_markers(
+    spark, tmp_path
+):
+    """Two markers parsing to the SAME (lo, hi) — e.g. a stray '7-7'
+    file next to '7', which a crashed 1-marker-run rollup or a manual
+    touch can leave — must sort on a pure-Python key (r13 ADVICE: a
+    tuple tie used to fall through to comparing py4j JavaObjects and
+    raise TypeError, aborting the rollup) and merge cleanly."""
+    from mysql_clickhouse_sync_spark.sources.ingest import (
+        _COMMITTED,
+        committed_batch_ranges,
+        compact_manifest,
+        idempotent_batch_sink,
+        init_batch_sink,
+        mark_batch_committed,
+        read_batch_sink,
+    )
+
+    path = str(tmp_path / "sink")
+    init_batch_sink(spark, path)
+    for i in range(3):
+        idempotent_batch_sink(
+            spark.createDataFrame([(i,)], "k long"), i, path
+        )
+        mark_batch_committed(spark, path, i)
+    # duplicate-range marker: identical (1, 1) span as marker '1'
+    open(os.path.join(path, _COMMITTED, "1-1"), "w").close()
+    removed = compact_manifest(spark, path)  # must not raise
+    assert removed == 4  # '0', '1', '1-1', '2' all subsumed by '0-2'
+    assert committed_batch_ranges(spark, path) == [(0, 2)]
+    assert sorted(
+        r.k for r in read_batch_sink(spark, path).collect()
+    ) == [0, 1, 2]
