@@ -421,7 +421,7 @@ def compact_manifest(spark, path: str) -> int:
     return removed
 
 
-def read_batch_sink(spark, path: str) -> DataFrame:
+def read_batch_sink(spark, path: str, schema=None) -> DataFrame:
     """Read an :func:`idempotent_batch_sink` table as its logical
     relation (the ``_batch_id`` bookkeeping partition dropped).
 
@@ -436,8 +436,19 @@ def read_batch_sink(spark, path: str) -> DataFrame:
     :func:`compact_manifest` rollup).  A manifest-less legacy sink
     reads whole, as before; that weaker contract ("exactly-once at
     rest AFTER a completed restart, dirty reads possible in the crash
-    window") is documented in README.md's crash-replay section."""
-    df = spark.read.parquet(path)
+    window") is documented in README.md's crash-replay section.
+
+    ``schema`` — optional EXPLICIT read schema (must include the
+    ``_batch_id`` partition column; it is still dropped from the
+    result).  The CDC cold start's chunk store reads through here
+    with its stamped schema so files predating an additive evolution
+    or safe type widening promote exactly like the streamed files
+    (``streaming/cdc_pipeline.py::table_df``); plain ingest sinks
+    leave it ``None`` and infer."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.parquet(path)
     ranges = committed_batch_ranges(spark, path)
     if ranges is not None:
         pred = F.lit(False)
