@@ -754,46 +754,100 @@ def _await_idle_host(
     }
 
 
+# Burst robustness (r13 verdict item 1): a run whose own steal share
+# exceeds this is BURST-FLAGGED and excluded from the published
+# best-of-n (min over burst-clean runs; if every run of a query is
+# flagged, min over all runs with the fallback disclosed).  The
+# threshold is deliberately above the 0-2% quiet-host band and below
+# the 20%+ spikes profiling showed during contended windows.
+_BURST_STEAL_PCT = float(os.environ.get("SPARK_GRAFT_BURST_STEAL", "5.0"))
+
+
 def _time_queries(
     registry, names, spark, sf_dir: str, repeats: int, tag: str,
     promote: frozenset | set = frozenset(),
 ) -> dict[str, dict]:
-    """Per query: run `repeats` times, keep every wall-clock sample.
+    """Per query: ``repeats`` wall-clock samples, every sample kept.
     The min reflects the plan cost on a shared host (single runs show
     up to 5x transient jitter); spread = max-min distinguishes
     contention from regression without out-of-band re-runs.  Names in
     ``promote`` (the prior artifact's high-spread rows) run at least
-    ``_HIGH_SPREAD_REPEATS`` times."""
-    out: dict[str, dict] = {}
-    for name in names:
-        q = registry[name]
-        runs: list[float] = []
-        n_rows = 0
-        n_reps = (
+    ``_HIGH_SPREAD_REPEATS`` times.
+
+    Repeats are INTERLEAVED round-robin across queries (r13 verdict
+    item 1: the grouped loop let one multi-second host burst hit
+    EVERY repeat of one query, so its best-of-n was contaminated with
+    no clean sample left — the exact channel behind the r12/r13
+    official-raw divergence on identical code).  Round-robin spreads
+    a burst across one repeat of MANY queries, each of which still
+    has burst-free repeats for the min to pick up.  Run order within
+    a round is the caller's list order, so each query's FIRST sample
+    is still its cold/codegen run (runs[0] — the warm_spread
+    convention is unchanged).  Each run also records its OWN
+    /proc/stat steal delta; runs flagged over _BURST_STEAL_PCT are
+    excluded from the published best (see ``burst_excluded``)."""
+    n_reps = {
+        name: (
             max(repeats, _HIGH_SPREAD_REPEATS)
             if name in promote
             else repeats
         )
-        for _ in range(n_reps):
+        for name in names
+    }
+    runs: dict[str, list[float]] = {n: [] for n in names}
+    steal_runs: dict[str, list[float]] = {n: [] for n in names}
+    rows: dict[str, int] = {}
+    for rep in range(max(n_reps.values(), default=0)):
+        for name in names:
+            if rep >= n_reps[name]:
+                continue
+            q = registry[name]
+            s0 = _cpu_stat()
             t0 = time.time()
-            n_rows = q.fn(spark, sf_dir).count()
-            runs.append(round(time.time() - t0, 3))
-        s = sorted(runs)
-        warm = runs[1:] if len(runs) > 1 else runs
+            rows[name] = q.fn(spark, sf_dir).count()
+            dt = round(time.time() - t0, 3)
+            s1 = _cpu_stat()
+            runs[name].append(dt)
+            steal_runs[name].append(
+                round(
+                    100.0 * (s1[0] - s0[0]) / max(1, s1[1] - s0[1]), 2
+                )
+            )
+    out: dict[str, dict] = {}
+    for name in names:
+        rs = runs[name]
+        s = sorted(rs)
+        warm = rs[1:] if len(rs) > 1 else rs
+        clean = [
+            t
+            for t, st in zip(rs, steal_runs[name])
+            if st <= _BURST_STEAL_PCT
+        ]
+        excluded = len(rs) - len(clean)
+        # min over burst-clean runs; a query whose every run was
+        # burst-flagged falls back to min-over-all, disclosed via
+        # burst_excluded == n
+        best = round(min(clean) if clean else s[0], 3)
         out[name] = {
-            "best": s[0],
+            "best": best,
             "median": s[len(s) // 2],
             "spread": round(s[-1] - s[0], 3),
             # jitter band EXCLUDING the cold first run (r10 verdict
             # nit 1): the movers ledger adjudicates against this
             "warm_spread": round(max(warm) - min(warm), 3),
-            "n": n_reps,
-            "runs": runs,
-            "rows": n_rows,
+            "n": len(rs),
+            "runs": rs,
+            # per-run hypervisor steal share (%), same order as runs
+            "steal_pct_runs": steal_runs[name],
+            # runs excluded from the published best by the burst rule
+            "burst_excluded": excluded,
+            "rows": rows[name],
         }
         print(
-            f"# {name}: best={s[0]}s median={s[len(s) // 2]}s "
-            f"spread={out[name]['spread']}s ({n_rows} rows, {tag})",
+            f"# {name}: best={best}s median={s[len(s) // 2]}s "
+            f"spread={out[name]['spread']}s"
+            + (f" burst_excluded={excluded}" if excluded else "")
+            + f" ({rows[name]} rows, {tag})",
             file=sys.stderr,
         )
     return out
@@ -888,21 +942,33 @@ def main() -> None:
     canary_mid = _canary_probe(registry, spark, sf_dir)
 
     def _remeasure(name: str) -> float:
+        s0 = _cpu_stat()
         t = round(_timed(lambda: registry[name].fn(spark, sf_dir).count()), 3)
+        s1 = _cpu_stat()
+        run_steal = round(
+            100.0 * (s1[0] - s0[0]) / max(1, s1[1] - s0[1]), 2
+        )
         print(f"# mover re-measure {name}: {t}s", file=sys.stderr)
         # the fresh sample joins the row's record: a re-measure that
-        # beats this run's best becomes the best (best-of-n over ALL
-        # samples — min is the right plan-cost estimator; a too-fast
-        # sample is warm caches, not measurement error), and the
-        # headline total — computed after this adjudication — picks
-        # it up.  The movers ledger's `now` is the ADJUDICATION
+        # beats this run's best becomes the best (best-of-n over the
+        # BURST-CLEAN samples — min is the right plan-cost estimator;
+        # a too-fast sample is warm caches, not measurement error),
+        # and the headline total — computed after this adjudication —
+        # picks it up.  The movers ledger's `now` is the ADJUDICATION
         # sample (closest to prev), which may differ from the
         # published best; `published_best` in each mover entry makes
         # the pairing explicit in the artifact
         dd = detail_head[name]
         dd["runs"] = [*dd["runs"], t]
+        dd["steal_pct_runs"] = [*dd["steal_pct_runs"], run_steal]
         s = sorted(dd["runs"])
-        dd["best"] = s[0]
+        clean = [
+            r
+            for r, st in zip(dd["runs"], dd["steal_pct_runs"])
+            if st <= _BURST_STEAL_PCT
+        ]
+        dd["best"] = round(min(clean) if clean else s[0], 3)
+        dd["burst_excluded"] = len(dd["runs"]) - len(clean)
         dd["median"] = s[len(s) // 2]
         dd["spread"] = round(s[-1] - s[0], 3)
         # warm_spread stays the max-min of runs[1:] INCLUDING the
@@ -910,7 +976,7 @@ def main() -> None:
         # the published warm_spread no longer matched the run list)
         warm = dd["runs"][1:] if len(dd["runs"]) > 1 else dd["runs"]
         dd["warm_spread"] = round(max(warm) - min(warm), 3)
-        dd["n"] = len(s)
+        dd["n"] = len(dd["runs"])
         return t
 
     # canary-normalized movers (r11 verdict item 1): BOTH sides use
@@ -972,9 +1038,22 @@ def main() -> None:
     total_norm = round(total * scale_now, 3)
     total_norm_median_rule = round(total * session_scale, 3)
 
+    burst_excluded_total = sum(
+        d.get("burst_excluded", 0)
+        for sect in (detail_head, detail_ext)
+        for d in sect.values()
+    )
     detail = {
         "sf": sf_val,
         "headline_total_sec": total,
+        # burst robustness (r13 verdict item 1): repeats interleave
+        # round-robin across queries, every run carries its own
+        # /proc/stat steal delta, and each published best is the min
+        # over burst-clean runs — this counts the runs the burst rule
+        # excluded across headline+extended (0 on a quiet host)
+        "burst_excluded_runs": burst_excluded_total,
+        "burst_steal_threshold_pct": _BURST_STEAL_PCT,
+        "repeats_interleaved": True,
         "headline_canary_normalized_sec": total_norm,
         # the pre-r13 normalization rule (session median vs the
         # late-session ref), published for r12-and-earlier
@@ -1083,7 +1162,24 @@ def main() -> None:
     detail_path = os.path.join(_ROOT, "bench_detail.json")
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1)
-    print(f"# full per-query detail -> {detail_path}", file=sys.stderr)
+    # per-session archive (r13 verdict nit 3: bench_detail.json is a
+    # single mutable slot, so a judge re-run silently destroyed the
+    # driver session's detail).  The stable pointer above keeps the
+    # committed/prior-artifact contract; every session ALSO lands a
+    # timestamped copy that nothing overwrites.
+    sessions_dir = os.path.join(_ROOT, "bench_sessions")
+    os.makedirs(sessions_dir, exist_ok=True)
+    stamp = time.strftime("%Y%m%dT%H%M%S")
+    archive_path = os.path.join(
+        sessions_dir, f"bench_detail_{stamp}.json"
+    )
+    with open(archive_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    print(
+        f"# full per-query detail -> {detail_path} "
+        f"(session archive: {archive_path})",
+        file=sys.stderr,
+    )
 
     # FINAL stdout line: one compact JSON object, < 2,000 chars.
     compact = {
@@ -1098,8 +1194,18 @@ def main() -> None:
         # norm_rule discloses which rule produced it, norm_median the
         # pre-r13 rule's value for cross-round continuity)
         "norm": total_norm,
+        # r13 ADVICE: `norm` changed rules between r12 (session-
+        # median) and r13 (headline-window); from r13 on it is the
+        # headline-window rule and stays there — `norm_window` is the
+        # unambiguous alias consumers should prefer, `norm_median`
+        # carries the pre-r13 rule for old-artifact comparisons, and
+        # `norm_rule` names the rule behind `norm` in every artifact
+        "norm_window": total_norm,
         "norm_rule": "headline-window",
         "norm_median": total_norm_median_rule,
+        # burst robustness (r13 verdict item 1): interleaved repeats,
+        # per-run steal, best = min over burst-clean runs
+        "burst_excluded": burst_excluded_total,
         "canary_ref": _CANARY_HEADLINE_REF_SEC,
         "floor": floor,
         "minus_floor": detail["headline_minus_floor_sec"],
