@@ -754,13 +754,33 @@ def _await_idle_host(
     }
 
 
-# Burst robustness (r13 verdict item 1): a run whose own steal share
-# exceeds this is BURST-FLAGGED and excluded from the published
-# best-of-n (min over burst-clean runs; if every run of a query is
-# flagged, min over all runs with the fallback disclosed).  The
-# threshold is deliberately above the 0-2% quiet-host band and below
-# the 20%+ spikes profiling showed during contended windows.
+# Burst robustness (r13 verdict item 1): a run is BURST-FLAGGED and
+# excluded from the published best-of-n (min over burst-clean runs;
+# if every run of a query is flagged, min over all runs with the
+# fallback disclosed) when either of two independent channels trips:
+#  * its own /proc/stat STEAL share exceeds _BURST_STEAL_PCT — the
+#    hypervisor channel loadavg cannot see (threshold deliberately
+#    above the 0-2% quiet-host band, below the 20%+ spikes profiling
+#    showed during contended windows);
+#  * the instantaneous runnable-process count sampled immediately
+#    BEFORE the run (procs_running, /proc/stat) is at or above
+#    _BURST_PROCS — the IN-GUEST channel steal cannot see (another
+#    process bursting on this box inflates wall clock with zero
+#    steal; between queries this box idles at procs_running 1-3, so
+#    >= 6 means real concurrent runnable work at launch instant).
 _BURST_STEAL_PCT = float(os.environ.get("SPARK_GRAFT_BURST_STEAL", "5.0"))
+_BURST_PROCS = int(os.environ.get("SPARK_GRAFT_BURST_PROCS", "6"))
+
+
+def _procs_running() -> int:
+    """Instantaneous runnable-process count from /proc/stat."""
+    try:
+        for line in open("/proc/stat"):
+            if line.startswith("procs_running"):
+                return int(line.split()[1])
+    except OSError:
+        pass
+    return 0
 
 
 def _time_queries(
@@ -796,12 +816,14 @@ def _time_queries(
     }
     runs: dict[str, list[float]] = {n: [] for n in names}
     steal_runs: dict[str, list[float]] = {n: [] for n in names}
+    procs_runs: dict[str, list[int]] = {n: [] for n in names}
     rows: dict[str, int] = {}
     for rep in range(max(n_reps.values(), default=0)):
         for name in names:
             if rep >= n_reps[name]:
                 continue
             q = registry[name]
+            procs_runs[name].append(_procs_running())
             s0 = _cpu_stat()
             t0 = time.time()
             rows[name] = q.fn(spark, sf_dir).count()
@@ -820,8 +842,10 @@ def _time_queries(
         warm = rs[1:] if len(rs) > 1 else rs
         clean = [
             t
-            for t, st in zip(rs, steal_runs[name])
-            if st <= _BURST_STEAL_PCT
+            for t, st, pr in zip(
+                rs, steal_runs[name], procs_runs[name]
+            )
+            if st <= _BURST_STEAL_PCT and pr < _BURST_PROCS
         ]
         excluded = len(rs) - len(clean)
         # min over burst-clean runs; a query whose every run was
@@ -839,6 +863,9 @@ def _time_queries(
             "runs": rs,
             # per-run hypervisor steal share (%), same order as runs
             "steal_pct_runs": steal_runs[name],
+            # runnable-process count sampled just before each run
+            # (the in-guest burst channel), same order as runs
+            "procs_pre_runs": procs_runs[name],
             # runs excluded from the published best by the burst rule
             "burst_excluded": excluded,
             "rows": rows[name],
@@ -942,6 +969,7 @@ def main() -> None:
     canary_mid = _canary_probe(registry, spark, sf_dir)
 
     def _remeasure(name: str) -> float:
+        procs_pre = _procs_running()
         s0 = _cpu_stat()
         t = round(_timed(lambda: registry[name].fn(spark, sf_dir).count()), 3)
         s1 = _cpu_stat()
@@ -961,11 +989,14 @@ def main() -> None:
         dd = detail_head[name]
         dd["runs"] = [*dd["runs"], t]
         dd["steal_pct_runs"] = [*dd["steal_pct_runs"], run_steal]
+        dd["procs_pre_runs"] = [*dd["procs_pre_runs"], procs_pre]
         s = sorted(dd["runs"])
         clean = [
             r
-            for r, st in zip(dd["runs"], dd["steal_pct_runs"])
-            if st <= _BURST_STEAL_PCT
+            for r, st, pr in zip(
+                dd["runs"], dd["steal_pct_runs"], dd["procs_pre_runs"]
+            )
+            if st <= _BURST_STEAL_PCT and pr < _BURST_PROCS
         ]
         dd["best"] = round(min(clean) if clean else s[0], 3)
         dd["burst_excluded"] = len(dd["runs"]) - len(clean)
@@ -1053,6 +1084,7 @@ def main() -> None:
         # excluded across headline+extended (0 on a quiet host)
         "burst_excluded_runs": burst_excluded_total,
         "burst_steal_threshold_pct": _BURST_STEAL_PCT,
+        "burst_procs_threshold": _BURST_PROCS,
         "repeats_interleaved": True,
         "headline_canary_normalized_sec": total_norm,
         # the pre-r13 normalization rule (session median vs the
