@@ -67,6 +67,7 @@ def with_global_rank(
     order_cols: list[Column],
     rank_col: str = "global_rank",
     num_partitions: int | None = None,
+    known_total: int | None = None,
 ) -> tuple[DataFrame, int]:
     """Dense global ``row_number`` over a TOTAL order, no global exchange.
 
@@ -79,6 +80,17 @@ def with_global_rank(
     callers that know the row count can right-size the shuffle so a
     small relation costs small jobs while a huge one fans out.
 
+    ``known_total`` is the caller-supplied exact row count of ``df``
+    (callers sizing ``num_partitions`` via ``partitions_for`` already
+    paid that count job).  With ``num_partitions == 1`` it enables the
+    ZERO-EXTRA-JOB fast path: a single range partition needs no offset
+    table (the only offset is 0) and no materialization barrier (no
+    second job reads the partitioning), so the checkpoint + the
+    per-partition-counts collect — two driver barriers per ranking —
+    vanish.  At scale ``partitions_for`` yields > 1 partition and the
+    general path below runs unchanged; semantics are identical either
+    way (pinned in tests/test_rank.py).
+
     The ranged+sorted input is ``localCheckpoint``-ed so the offsets
     job and the final query read the *same* materialized partitioning;
     on a real cluster with reliable checkpoint storage this would be
@@ -87,6 +99,18 @@ def with_global_rank(
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if num_partitions == 1 and known_total is not None:
+        ranged = (
+            df.repartitionByRange(1, *order_cols)
+            .sortWithinPartitions(*order_cols)
+            .withColumn("_mid", F.monotonically_increasing_id())
+        )
+        local_rank = F.col("_mid").bitwiseAND(F.lit(_MID_MASK)) + F.lit(1)
+        return (
+            ranged.withColumn(rank_col, local_rank.cast("long"))
+            .drop("_mid"),
+            int(known_total),
+        )
     ranged = (
         df.repartitionByRange(num_partitions, *order_cols)
         .sortWithinPartitions(*order_cols)
@@ -168,12 +192,15 @@ def with_equal_freq_bucket(
     bucket_col: str,
     n: int,
     num_partitions: int | None = None,
+    known_total: int | None = None,
 ) -> DataFrame:
     """``NTILE(n) OVER (ORDER BY order_cols)`` without the
     SinglePartition exchange: global rank (range-partitioned) + the
-    closed-form bucket assignment."""
+    closed-form bucket assignment.  ``known_total`` (the caller's
+    exact row count, if already paid for) feeds the single-partition
+    zero-extra-job fast path of :func:`with_global_rank`."""
     ranked, total = with_global_rank(
-        df, order_cols, "_grank", num_partitions
+        df, order_cols, "_grank", num_partitions, known_total=known_total
     )
     return ranked.withColumn(
         bucket_col, ntile_from_rank(F.col("_grank"), total, n)

@@ -363,6 +363,7 @@ def theta_set_estimate(
     b: DataFrame,
     group_cols: list[str] | None = None,
     k: int = 256,
+    pinned: bool = False,
 ) -> DataFrame:
     """Per-group union / intersection / difference distinct estimates
     from two theta sketches — the operation HLL structurally cannot do
@@ -386,46 +387,64 @@ def theta_set_estimate(
     # case (caught by tools/plan_audit.py).  A sketch is bounded at
     # |groups| * k rows BY DESIGN, so eager materialization is O(k)
     # — same precedent as the edge list in operators/graph.py.
-    a = a.localCheckpoint(eager=True)
-    b = b.localCheckpoint(eager=True)
-    sa = _theta_state(a, group_cols, k, "_a")
-    sb = _theta_state(b, group_cols, k, "_b")
-    thetas = (
-        sa.join(sb, on=on, how="outer")
-        if on
-        else sa.crossJoin(sb)
-    ).select(
+    # ``pinned=True`` = the caller already materialized both inputs
+    # (e.g. slices of one checkpointed grouped build) — re-pinning
+    # would add two no-op barrier jobs.
+    if not pinned:
+        a = a.localCheckpoint(eager=True)
+        b = b.localCheckpoint(eager=True)
+    # Both side states from ONE aggregation over the tagged union
+    # (r14): the per-side _theta_state pair + outer join/cross join
+    # cost three exchanges over relations this function just pinned;
+    # conditional aggregates over a side tag produce the identical
+    # (n, theta) per side in one.  An absent side has _n = 0 < k ->
+    # theta = sentinel, exactly the old outer-join coalesce.
+    tagged = a.select(
+        *group_cols, "hv", F.lit(1).alias("_ia"), F.lit(0).alias("_ib")
+    ).unionByName(
+        b.select(
+            *group_cols, "hv", F.lit(0).alias("_ia"), F.lit(1).alias("_ib")
+        )
+    )
+
+    def _side_theta(n_col: str, mx_col: str):
+        return (
+            F.when(F.col(n_col) < k, F.lit(_HV_SENTINEL))
+            .otherwise(F.col(mx_col))
+            .cast("long")
+        )
+
+    st = tagged.groupBy(*group_cols).agg(
+        F.sum("_ia").alias("_n_a"),
+        F.sum("_ib").alias("_n_b"),
+        F.max(F.when(F.col("_ia") == 1, F.col("hv"))).alias("_mx_a"),
+        F.max(F.when(F.col("_ib") == 1, F.col("hv"))).alias("_mx_b"),
+    )
+    thetas = st.select(
         *group_cols,
         F.least(
-            F.coalesce("_theta_a", F.lit(_HV_SENTINEL)),
-            F.coalesce("_theta_b", F.lit(_HV_SENTINEL)),
+            _side_theta("_n_a", "_mx_a"), _side_theta("_n_b", "_mx_b")
         ).alias("_theta"),
     )
 
-    def below(s: DataFrame, tag: str) -> DataFrame:
-        j = (
-            s.join(F.broadcast(thetas), on=on, how="inner")
-            if on
-            else s.crossJoin(F.broadcast(thetas))
-        )
-        return j.filter(F.col("hv") < F.col("_theta")).select(
-            *group_cols, "hv", F.lit(1).alias(tag)
-        )
-
-    # Membership via union + two-level aggregation, NOT a full-outer
-    # join: a full outer cannot broadcast either side, so Spark plans
-    # a sort-merge join (two sorts) even for these bounded sketch
-    # relations; the union form is one hash aggregation keyed on
-    # (group, hv) with map-side combine and no sort at all —
-    # identical (in_a, in_b) membership per retained hash.
-    ka = below(a, "_flag_a").withColumn("_flag_b", F.lit(0))
-    kb = below(b, "_flag_b").withColumn("_flag_a", F.lit(0))
+    # Membership via the SAME tagged union + two-level aggregation,
+    # NOT a full-outer join: a full outer cannot broadcast either
+    # side, so Spark plans a sort-merge join (two sorts) even for
+    # these bounded sketch relations; the union form is one hash
+    # aggregation keyed on (group, hv) with map-side combine and no
+    # sort at all — identical (in_a, in_b) membership per retained
+    # hash.  The theta cut runs BEFORE the aggregation, as the old
+    # per-side `below` joins did.
+    cut = (
+        tagged.join(F.broadcast(thetas), on=on, how="inner")
+        if on
+        else tagged.crossJoin(F.broadcast(thetas))
+    ).filter(F.col("hv") < F.col("_theta"))
     merged = (
-        ka.unionByName(kb)
-        .groupBy(*group_cols, "hv")
+        cut.groupBy(*group_cols, "hv")
         .agg(
-            F.max("_flag_a").alias("_in_a"),
-            F.max("_flag_b").alias("_in_b"),
+            F.max("_ia").alias("_in_a"),
+            F.max("_ib").alias("_in_b"),
         )
     )
     counts = merged.groupBy(*group_cols).agg(

@@ -354,18 +354,23 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Size the three range shuffles to the per-customer relation (one
     # cheap agg-count job) so harness-scale inputs pay harness-scale
     # jobs while billions of customers fan out across the cluster.
-    p = partitions_for(rfm.count())
+    # The count doubles as known_total: at num_partitions == 1 each
+    # bucketing takes the zero-extra-job fast path (no checkpoint, no
+    # offsets collect — 6 driver barriers gone per run at harness
+    # scale; > 1M customers still fan out through the general path).
+    n = rfm.count()
+    p = partitions_for(n)
     out = with_equal_freq_bucket(
         rfm, [F.col("last_order").desc(), F.col("o_custkey")],
-        "r_quartile", 4, num_partitions=p,
+        "r_quartile", 4, num_partitions=p, known_total=n,
     )
     out = with_equal_freq_bucket(
         out, [F.col("frequency").desc(), F.col("o_custkey")],
-        "f_quartile", 4, num_partitions=p,
+        "f_quartile", 4, num_partitions=p, known_total=n,
     )
     out = with_equal_freq_bucket(
         out, [F.col("monetary").desc(), F.col("o_custkey")],
-        "m_quartile", 4, num_partitions=p,
+        "m_quartile", 4, num_partitions=p, known_total=n,
     )
     return out.select(
         "o_custkey", "last_order", "frequency", "monetary",

@@ -446,11 +446,25 @@ def events_theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     k = 4096
-    a = theta_build(ev.filter(F.col("event_type") == "view"), "user_id", k=k)
-    b = theta_build(
-        ev.filter(F.col("event_type") == "purchase"), "user_id", k=k
-    )
-    return theta_set_estimate(a, b, k=k)
+    # ONE grouped build for both sketches (r14): a per-group theta
+    # sketch is definitionally the per-filter sketch of each group —
+    # distinct on (event_type, hv) + per-group bottom-k produce
+    # row-identical relations to two independent builds (pinned in
+    # tests/test_sketch.py) — so the two-filter formulation paid the
+    # events scan, the distinct shuffle, the prefilter aggregation and
+    # the bottom-k window TWICE for the same rows.  Checkpoint the
+    # bounded (<= 2k rows) grouped sketch once; the slices fed to
+    # theta_set_estimate are trivial filters over the materialized
+    # relation.
+    both = theta_build(
+        ev.filter(F.col("event_type").isin("view", "purchase")),
+        "user_id",
+        group_cols=["event_type"],
+        k=k,
+    ).localCheckpoint(eager=True)
+    a = both.filter(F.col("event_type") == "view").select("hv")
+    b = both.filter(F.col("event_type") == "purchase").select("hv")
+    return theta_set_estimate(a, b, k=k, pinned=True)
 
 
 @register(

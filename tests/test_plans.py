@@ -150,14 +150,30 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
             spark.conf.set(k, v)
 
 
-def test_rfm_has_no_single_partition_exchange(spark):
-    """The registered RFM plan must never funnel all customers through
-    one task: quartiles come from range-partitioned global ranks
-    (operators/rank.py), so the plan contains range exchanges and
-    partition-local windows but NO SinglePartition exchange."""
+def test_rfm_has_no_single_partition_exchange(spark, monkeypatch):
+    """At SCALE the registered RFM plan must never funnel all
+    customers through one task: quartiles come from range-partitioned
+    global ranks (operators/rank.py) sized by ``partitions_for``, so
+    with more customers than one range partition holds the plan
+    contains multi-partition range exchanges and NO SinglePartition
+    exchange (and never a Window — rank comes from sorted-partition
+    ids).  At harness scale ``partitions_for`` yields 1 and the
+    single-partition fast path runs — one correctly-SIZED range
+    partition (that exchange is the sizing working, not a scale
+    funnel; pre-r14 the same 1-partition exchange existed but was
+    hidden behind the fast path's removed localCheckpoint)."""
+    import mysql_clickhouse_sync_spark.operators.rank as rank_mod
+
+    # harness sizing: fast path — still no Window operator anywhere
+    plan = _plan(all_queries()["customer_rfm_segments"].fn(spark, SF_DIR))
+    assert "Window" not in plan, plan
+    # scale sizing: force >1 range partitions (as if customers >
+    # ROWS_PER_RANGE_PARTITION) -> general path, no SinglePartition
+    monkeypatch.setattr(
+        rank_mod, "partitions_for", lambda n, rows_per_partition=0: 4
+    )
     plan = _plan(all_queries()["customer_rfm_segments"].fn(spark, SF_DIR))
     assert "SinglePartition" not in plan, plan
-    # rank comes from sorted-partition ids, not a window at all
     assert "Window" not in plan, plan
 
 

@@ -150,3 +150,58 @@ def test_global_rank_broadcast_join_path_matches(spark, values, monkeypatch):
     ]
     assert got == expected
     assert total == 997
+
+
+def test_single_partition_fast_path_matches_general(spark, values):
+    """num_partitions == 1 + known_total takes the zero-extra-job fast
+    path (no checkpoint, no offsets collect); ranks and buckets must be
+    bit-identical to both the general path and the ntile window."""
+    order = [F.col("v").desc(), F.col("id")]
+    ranked, total = with_global_rank(
+        values, order, "r", num_partitions=1, known_total=997
+    )
+    assert total == 997
+    expected = values.withColumn(
+        "r_exp", F.row_number().over(Window.orderBy(*order)).cast("long")
+    )
+    diff = (
+        ranked.join(expected.select("id", "r_exp"), "id")
+        .filter(F.col("r") != F.col("r_exp"))
+        .count()
+    )
+    assert diff == 0
+    got = with_equal_freq_bucket(
+        values, order, "b", 4, num_partitions=1, known_total=997
+    )
+    exp_b = values.withColumn(
+        "b_exp", F.ntile(4).over(Window.orderBy(*order))
+    )
+    diff_b = (
+        got.join(exp_b.select("id", "b_exp"), "id")
+        .filter(F.col("b") != F.col("b_exp"))
+        .count()
+    )
+    assert diff_b == 0
+
+
+def test_single_partition_fast_path_plan_has_no_barrier(spark, values):
+    """The fast path's plan must contain neither a checkpointed RDD
+    scan (ExistingRDD) nor a Window — one range exchange, nothing
+    else; and the general path still runs when num_partitions > 1
+    even with known_total supplied."""
+    order = [F.col("v").desc(), F.col("id")]
+    ranked, _ = with_global_rank(
+        values, order, "r", num_partitions=1, known_total=997
+    )
+    plan = ranked._sc._jvm.PythonSQLUtils.explainString(
+        ranked._jdf.queryExecution(), "formatted"
+    )
+    assert "ExistingRDD" not in plan, plan
+    assert "Window" not in plan, plan
+    general, _ = with_global_rank(
+        values, order, "r", num_partitions=2, known_total=997
+    )
+    gplan = general._sc._jvm.PythonSQLUtils.explainString(
+        general._jdf.queryExecution(), "formatted"
+    )
+    assert "ExistingRDD" in gplan, gplan

@@ -238,3 +238,44 @@ def test_theta_grouped_build_and_set_ops(spark):
         # B subset of A: diff_b must be (near) zero, intersect ~ |B|
         assert r[g].est_diff_b == 0
         assert abs(r[g].est_intersect - 500) < 0.45 * 500
+
+
+def test_grouped_theta_build_equals_per_filter_builds(spark):
+    """A per-group theta sketch slices to exactly the per-filter
+    sketch of each group — the identity events_theta_user_overlap's
+    one-pass grouped build (r14) relies on."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mysql_clickhouse_sync_spark.operators.sketch import theta_build
+
+    pdf = pd.DataFrame(
+        {
+            "user_id": [i % 37 for i in range(500)],
+            "event_type": [
+                ("view", "purchase", "click")[i % 3] for i in range(500)
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    k = 16
+    grouped = theta_build(
+        df.filter(F.col("event_type").isin("view", "purchase")),
+        "user_id",
+        group_cols=["event_type"],
+        k=k,
+    )
+    for etype in ("view", "purchase"):
+        single = sorted(
+            r["hv"]
+            for r in theta_build(
+                df.filter(F.col("event_type") == etype), "user_id", k=k
+            ).collect()
+        )
+        sliced = sorted(
+            r["hv"]
+            for r in grouped.filter(
+                F.col("event_type") == etype
+            ).collect()
+        )
+        assert sliced == single, etype
