@@ -105,11 +105,40 @@ def connected_components(
             sym.join(labels, sym["_a"] == labels["id"])
             .select(F.col("_b").alias("id"), "component")
         )
-        labels = (
+        mins = (
             labels.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-        ).localCheckpoint(eager=True)
+        )
+        # POINTER JUMP (r14, guide §1.2 — fix the distributed
+        # algorithm first): follow each label one hop — component <-
+        # the component node's own current label.  Plain min-
+        # propagation needs O(diameter) rounds (the sf0.1 semantic
+        # pair graph measured EIGHTEEN — chains, not just cliques);
+        # with the jump the propagation distance roughly doubles per
+        # round, so convergence is O(log diameter) (~5 rounds on the
+        # same graph) — the alternating-algorithm idea of Kiveris et
+        # al. applied as path compression.  Every component value is
+        # a vertex id (min over member ids), so the self-join always
+        # finds its row; labels still only ever DECREASE (the jumped
+        # label is the component node's label <= its id), keeping the
+        # monotone label-sum convergence test exact.
+        # materialize the round's min-labels ONCE; the jump self-join
+        # reads the pinned RDD twice (plan-shared lineage through the
+        # union+agg subtree trips Catalyst's self-join dedup, and the
+        # convergence sum reads it anyway).  NAME-based rename + join
+        # (no df["col"]/alias-qualified refs): plan-id-tagged column
+        # references across a checkpointed self-join trip lazy
+        # resolution ("key not found" at optimization).
+        mins = mins.localCheckpoint(eager=True)
+        parent = mins.withColumnRenamed("id", "_pid").withColumnRenamed(
+            "component", "_pc"
+        )
+        labels = (
+            mins.join(parent, F.col("component") == F.col("_pid"))
+            .select("id", F.col("_pc").alias("component"))
+            .localCheckpoint(eager=True)
+        )
         cur_sum = label_sum(labels)
         if cur_sum == prev_sum:
             break

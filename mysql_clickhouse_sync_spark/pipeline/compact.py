@@ -215,23 +215,53 @@ def plan_table_compaction(
     return CompactionPlan(table_path, bins, skipped)
 
 
+def _parquet_meta_rows(spark: SparkSession, path: str) -> int:
+    """Row count from the parquet FOOTER (pure metadata read — one
+    footer fetch, no Spark job, no data scan; the same number a
+    count(*) over the file returns)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    conf = spark._jsc.hadoopConfiguration()
+    footer = jvm.org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+        conf, jpath
+    )
+    blocks = footer.getBlocks()
+    return sum(
+        blocks.get(i).getRowCount() for i in range(blocks.size())
+    )
+
+
 def _compact_one_bin(
     spark: SparkSession, bin_: CompactionBin, staging_root: str
 ) -> tuple[CompactionBin, str, int]:
     """Read exactly the bin's files -> one compacted file in staging.
-    Returns (bin, staged file path, row count) — no destructive step."""
+    Returns (bin, staged file path, row count) — no destructive step.
+
+    ONE Spark job per bin (r14; was three): the input row count rides
+    the write itself via an ``Observation`` (zero extra pass — the
+    rows are streaming through anyway), and the output count is read
+    from the staged file's parquet footer (pure metadata).  The
+    row-count verification is unchanged: a write that drops or
+    duplicates rows still fails here with the real cause (pinned in
+    tests/test_compaction.py)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     paths = [f.path for f in bin_.files]
-    df = spark.read.parquet(*paths)
-    n_in = df.count()
+    obs = Observation()
+    df = spark.read.parquet(*paths).observe(
+        obs, F.count(F.lit(1)).alias("n_in")
+    )
     out_dir = os.path.join(staging_root, uuid.uuid4().hex)
     df.coalesce(1).write.mode("overwrite").parquet(out_dir)
+    n_in = int(obs.get["n_in"])
     part_files = [
         os.path.join(out_dir, n)
         for n in os.listdir(out_dir)
         if n.endswith(".parquet")
     ]
     assert len(part_files) == 1, part_files
-    n_out = spark.read.parquet(part_files[0]).count()
+    n_out = _parquet_meta_rows(spark, part_files[0])
     if n_out != n_in:
         raise RuntimeError(
             f"compaction row-count mismatch: {n_in} in, {n_out} out"

@@ -35,18 +35,25 @@ from .registry import register
 def _docs_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> MEDIA_SCHEMA-shaped frame: payload = UTF-8 bytes of
     the text, metadata typed, kind assigned deterministically."""
+    from ..util import carry_scan_hint
+
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.element_at(
-            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.col("doc_id") % 3 + 1).cast("int"),
-        ).alias("kind"),
-        F.lit("application/octet-stream").alias("mime"),
-        F.encode(F.col("text"), "UTF-8").alias("payload"),
-        F.lit(None).cast("int").alias("width"),
-        F.lit(None).cast("int").alias("height"),
-        ((F.col("doc_id") % 5 + 1) * 1000).cast("int").alias("duration_ms"),
+    return carry_scan_hint(
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.element_at(
+                F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ).alias("kind"),
+            F.lit("application/octet-stream").alias("mime"),
+            F.encode(F.col("text"), "UTF-8").alias("payload"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            ((F.col("doc_id") % 5 + 1) * 1000)
+            .cast("int")
+            .alias("duration_ms"),
+        ),
+        docs,
     )
 
 

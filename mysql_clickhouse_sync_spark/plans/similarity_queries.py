@@ -20,9 +20,23 @@ from ..operators.similarity import (
     _to_double,
 )
 from ..sources.parquet import load_table
+from ..util import carry_scan_hint
 from .registry import register
 
 _DIM = 64
+
+
+def _emb_slice(emb: DataFrame, cond) -> DataFrame:
+    """A parity/modulo slice of the embeddings scan with the parent's
+    scan-split hint carried along (r14): the slice is a NARROW filter,
+    so the scan partitioning is unchanged and downstream ``spread()``
+    calls can skip their ~0.15 s driver-side plan->RDD probe (see
+    util.SCAN_HINT_ATTR).  Pure metadata — never changes rows."""
+    from ..util import carry_scan_hint
+
+    return carry_scan_hint(emb.filter(cond), emb)
+
+
 
 # DuckDB: identical sequential left-fold dot product over
 # double-widened floats (list_reduce folds left like F.aggregate).
@@ -73,7 +87,7 @@ def _sql_cosine(a: str, b: str) -> str:
 )
 def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    queries = _emb_slice(emb, F.col("vec_id") % 25 == 0)
     return brute_force_topk(emb, queries, k=5)
 
 
@@ -205,7 +219,7 @@ _ANN_AUDIT_ORACLE = """
 )
 def emb_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    planted = emb.filter(F.col("vec_id") % 25 == 0)
+    planted = _emb_slice(emb, F.col("vec_id") % 25 == 0)
     twins = planted.select(
         (F.col("vec_id") + F.lit(_TWIN_OFFSET)).alias("vec_id"),
         "embedding",
@@ -243,7 +257,7 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import brute_force_topk_vectorized
 
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    queries = _emb_slice(emb, F.col("vec_id") % 25 == 0)
     ann = _ivf_search_stage(emb, queries)
     exact = brute_force_topk_vectorized(emb, queries, k=5)
     return _ann_recall_audit(ann, exact, min_matched=2, mean_min_matched=4.0)
@@ -273,7 +287,7 @@ def _ivf_search_stage(emb: DataFrame, queries: DataFrame) -> DataFrame:
 )
 def emb_ivf_topk_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    queries = _emb_slice(emb, F.col("vec_id") % 25 == 0)
     return _ivf_search_stage(emb, queries)
 
 
@@ -319,7 +333,7 @@ def emb_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import brute_force_topk_vectorized
 
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    queries = _emb_slice(emb, F.col("vec_id") % 25 == 0)
     cand = brute_force_topk_vectorized(emb, queries, k=5).select(
         "query_id", "neighbor_id"
     )
@@ -422,7 +436,7 @@ def emb_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    queries = _emb_slice(emb, F.col("vec_id") % 25 == 0)
     ann = quantized_topk(emb, queries, k=5)
     exact = brute_force_topk_vectorized(emb, queries, k=5)
     return _ann_recall_audit(ann, exact, min_matched=4, mean_min_matched=4.5)
@@ -533,6 +547,19 @@ def emb_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _semantic_dedup_impl(load_table(spark, sf_dir, "embeddings"))
+
+
+
+def _bags_equal_pinned(a, b) -> bool:
+    """Bag equality of two MATERIALIZED (localCheckpoint'd) relations
+    in ONE exceptAll pass: |A| == |B| and A exceptAll B empty  <=>
+    bag-equal (bag containment from the empty diff + equal
+    cardinalities).  The counts are near-free over pinned RDDs; the
+    second exceptAll join of the two-sided form was redundant (r14,
+    guide §1.2: don't compute things you throw away)."""
+    return (
+        a.count() == b.count() and a.exceptAll(b).count() == 0
+    )
 
 
 def _semantic_centroid_count(
@@ -1234,8 +1261,8 @@ def semantic_ingest(
 )
 def emb_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    old = emb.filter(F.col("vec_id") % 2 == 0)
-    new = emb.filter(F.col("vec_id") % 2 == 1)
+    old = _emb_slice(emb, F.col("vec_id") % 2 == 0)
+    new = _emb_slice(emb, F.col("vec_id") % 2 == 1)
     idx = semantic_index_build(old)
     return semantic_dedup_vs_index(
         idx["centroids"], idx["assigned"], idx["pairs"], new
@@ -1280,8 +1307,8 @@ def emb_topk_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    corpus = emb.filter(F.col("vec_id") % 2 == 0)
-    queries = emb.filter(F.col("vec_id") % 50 == 1)
+    corpus = _emb_slice(emb, F.col("vec_id") % 2 == 0)
+    queries = _emb_slice(emb, F.col("vec_id") % 50 == 1)
     centroids, postings = ivf_build_index(corpus, n_centroids=16)
     # localCheckpoint: the postings relation is the STORED artifact —
     # pin it so the search below reads materialized postings (the
@@ -1320,7 +1347,7 @@ def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    queries = _emb_slice(emb, F.col("vec_id") % 25 == 0)
     # Corpus-proportional ADC shortlist: a FIXED rerank*k shortlist
     # thins as the corpus grows (50 candidates was 10% of sf0.01 but
     # 2.5% of sf0.1 — measured recall min dropped 3 -> 2/5, breaking
@@ -1367,9 +1394,9 @@ def emb_index_append_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    old = emb.filter(F.col("vec_id") % 4 == 0)
-    batch = emb.filter(F.col("vec_id") % 4 == 2)
-    queries = emb.filter(F.col("vec_id") % 50 == 1)
+    old = _emb_slice(emb, F.col("vec_id") % 4 == 0)
+    batch = _emb_slice(emb, F.col("vec_id") % 4 == 2)
+    queries = _emb_slice(emb, F.col("vec_id") % 50 == 1)
     centroids, postings = ivf_build_index(old, n_centroids=16)
     # localCheckpoint: the stored relations — pin so the append below
     # reads materialized postings (the reloaded-parquet shape), and
@@ -1380,7 +1407,7 @@ def emb_index_append_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = ivf_topk_vs_index(
         centroids, grown, queries, k=5, nprobe=12, prune_cells=False
     )
-    union = emb.filter(F.col("vec_id") % 2 == 0)
+    union = _emb_slice(emb, F.col("vec_id") % 2 == 0)
     exact = brute_force_topk_vectorized(union, queries, k=5)
     return _ann_recall_audit(
         ann, exact, min_matched=2, mean_min_matched=3.75
@@ -1413,10 +1440,10 @@ def emb_pq_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    old = emb.filter(F.col("vec_id") % 4 == 0)
-    batch = emb.filter(F.col("vec_id") % 4 == 2)
-    queries = emb.filter(F.col("vec_id") % 50 == 1)
-    union = emb.filter(F.col("vec_id") % 2 == 0)
+    old = _emb_slice(emb, F.col("vec_id") % 4 == 0)
+    batch = _emb_slice(emb, F.col("vec_id") % 4 == 2)
+    queries = _emb_slice(emb, F.col("vec_id") % 50 == 1)
+    union = _emb_slice(emb, F.col("vec_id") % 2 == 0)
     codebooks, codes = pq_build_index(old, m=8, ksub=64)
     grown = pq_index_append(
         codebooks, codes.localCheckpoint(), batch
@@ -1548,9 +1575,9 @@ def _chain_oracle(extra_cols: str = "") -> str:
 )
 def emb_dedup_append_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.filter(F.col("vec_id") % 4 == 0)
-    b = emb.filter(F.col("vec_id") % 4 == 2)
-    c = emb.filter(F.col("vec_id") % 2 == 1)
+    a = _emb_slice(emb, F.col("vec_id") % 4 == 0)
+    b = _emb_slice(emb, F.col("vec_id") % 4 == 2)
+    c = _emb_slice(emb, F.col("vec_id") % 2 == 1)
     idx = semantic_index_build(a)
     grown = semantic_index_append(
         idx["centroids"], idx["assigned"], idx["pairs"], b
@@ -1585,8 +1612,8 @@ def emb_dedup_incremental_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     emb = load_table(spark, sf_dir, "embeddings")
-    old = emb.filter(F.col("vec_id") % 2 == 0)
-    new = emb.filter(F.col("vec_id") % 2 == 1)
+    old = _emb_slice(emb, F.col("vec_id") % 2 == 0)
+    new = _emb_slice(emb, F.col("vec_id") % 2 == 1)
     base = os.path.join(
         tempfile.gettempdir(),
         f"emb_dedup_idx_{spark.sparkContext.applicationId}_"
@@ -1643,7 +1670,7 @@ def emb_dedup_append_chain_raw(
     import os
 
     emb = load_table(spark, sf_dir, "embeddings")
-    c = emb.filter(F.col("vec_id") % 2 == 1)
+    c = _emb_slice(emb, F.col("vec_id") % 2 == 1)
     from ..util import parquet_complete
 
     base = _semantic_index_dir(spark, sf_dir, "emb_chain_idx")
@@ -1652,8 +1679,8 @@ def emb_dedup_append_chain_raw(
     # accept a partial interrupted write); overwrite re-drives
     marker = os.path.join(base, "pairs")
     if not parquet_complete(marker):
-        a = emb.filter(F.col("vec_id") % 4 == 0)
-        b = emb.filter(F.col("vec_id") % 4 == 2)
+        a = _emb_slice(emb, F.col("vec_id") % 4 == 0)
+        b = _emb_slice(emb, F.col("vec_id") % 4 == 2)
         idx = semantic_index_build(a)
         grown = semantic_index_append(
             idx["centroids"], idx["assigned"], idx["pairs"], b
@@ -1751,8 +1778,8 @@ def emb_index_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_cell_stats
 
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.filter(F.col("vec_id") % 4 == 0)
-    b = emb.filter(F.col("vec_id") % 4 == 2)
+    a = _emb_slice(emb, F.col("vec_id") % 4 == 0)
+    b = _emb_slice(emb, F.col("vec_id") % 4 == 2)
     idx = semantic_index_build(a)
     grown = semantic_index_append(
         idx["centroids"], idx["assigned"], idx["pairs"], b
@@ -1869,7 +1896,7 @@ def emb_pq_rebuild_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.compact import swap_directory
 
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.filter(F.col("vec_id") % 4 == 0).select("vec_id", "embedding")
+    a = _emb_slice(emb, F.col("vec_id") % 4 == 0).select("vec_id", "embedding")
     # skewed ingest batch: every % 12 = 2 id carries A's min-id vector
     # (the emb_index_rebuild_swap construction — a shifted
     # distribution by design, so every subquantizer develops one hot
@@ -1879,7 +1906,7 @@ def emb_pq_rebuild_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("embedding").alias("_e0"))
     )
     b = (
-        emb.filter(F.col("vec_id") % 12 == 2)
+        _emb_slice(emb, F.col("vec_id") % 12 == 2)
         .select("vec_id")
         .crossJoin(F.broadcast(u0))
         .select("vec_id", F.col("_e0").alias("embedding"))
@@ -1899,7 +1926,7 @@ def emb_pq_rebuild_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift_tripped = max_skew >= 8.0
     # the rebuild the trigger demands: retrain on the grown corpus,
     # stage, promote via the production atomic swap
-    union = a.unionByName(b)
+    union = carry_scan_hint(a.unionByName(b), emb)
     staging = os.path.join(base, "staging")
     fresh_books, fresh_codes = pq_build_index(union, m=8, ksub=64)
     _write_pq_index(fresh_books, fresh_codes, staging)
@@ -1913,7 +1940,7 @@ def emb_pq_rebuild_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
         and fresh_codes.exceptAll(sw_codes).count() == 0
     )
     # post-rebuild recall-audited search over the swapped index
-    queries = emb.filter(F.col("vec_id") % 50 == 1)
+    queries = _emb_slice(emb, F.col("vec_id") % 50 == 1)
     rerank = max(10, union.count() // 50)
     ann = pq_topk_vs_index(
         sw_books, sw_codes, union, queries, k=5, rerank=rerank
@@ -2043,14 +2070,14 @@ def emb_index_rebuild_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_cell_stats
 
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.filter(F.col("vec_id") % 4 == 0).select("vec_id", "embedding")
+    a = _emb_slice(emb, F.col("vec_id") % 4 == 0).select("vec_id", "embedding")
     # skewed ingest batch: every % 12 = 2 id carries A's min-id vector
     u0 = (
         a.orderBy("vec_id").limit(1)
         .select(F.col("embedding").alias("_e0"))
     )
     b = (
-        emb.filter(F.col("vec_id") % 12 == 2)
+        _emb_slice(emb, F.col("vec_id") % 12 == 2)
         .select("vec_id")
         .crossJoin(F.broadcast(u0))
         .select("vec_id", F.col("_e0").alias("embedding"))
@@ -2078,7 +2105,7 @@ def emb_index_rebuild_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (rename-before-delete; crash contract documented on the helper)
     from ..pipeline.compact import swap_directory
 
-    union = a.unionByName(b)
+    union = carry_scan_hint(a.unionByName(b), emb)
     staging = os.path.join(base, "staging")
     _write_semantic_index(semantic_index_build(union), staging)
     swap_directory(cur, staging)
@@ -2156,8 +2183,8 @@ def emb_index_compacted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    old = emb.filter(F.col("vec_id") % 4 == 0)
-    queries = emb.filter(F.col("vec_id") % 50 == 1)
+    old = _emb_slice(emb, F.col("vec_id") % 4 == 0)
+    queries = _emb_slice(emb, F.col("vec_id") % 50 == 1)
     base = _semantic_index_dir(spark, sf_dir, "emb_compact")
     if os.path.isdir(base):
         shutil.rmtree(base)
@@ -2168,7 +2195,7 @@ def emb_index_compacted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three daily waves: assign under the STORED centroids, append
     # ONLY the new rows into the partition dirs (history untouched)
     for w in (2, 6, 10):
-        wave = emb.filter(F.col("vec_id") % 12 == w)
+        wave = _emb_slice(emb, F.col("vec_id") % 12 == w)
         new_rows = ivf_index_append(
             centroids_stored,
             spark.read.parquet(pdir).limit(0),
@@ -2198,11 +2225,8 @@ def emb_index_compacted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids_stored, spark.read.parquet(pdir), queries,
         k=5, nprobe=12, prune_cells=True,
     ).localCheckpoint()
-    equal = (
-        before.exceptAll(after).count() == 0
-        and after.exceptAll(before).count() == 0
-    )
-    union = emb.filter(F.col("vec_id") % 2 == 0)
+    equal = _bags_equal_pinned(before, after)
+    union = _emb_slice(emb, F.col("vec_id") % 2 == 0)
     exact = brute_force_topk_vectorized(union, queries, k=5)
     audit = _ann_recall_audit(
         after, exact, min_matched=2, mean_min_matched=3.75
@@ -2260,7 +2284,7 @@ def emb_index_compacted_search_raw(
     from ..util import parquet_complete
 
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 50 == 1)
+    queries = _emb_slice(emb, F.col("vec_id") % 50 == 1)
     base = _semantic_index_dir(spark, sf_dir, "emb_compact_raw")
     degraded = os.path.join(base, "degraded")
     cdir = os.path.join(base, "centroids")
@@ -2268,14 +2292,14 @@ def emb_index_compacted_search_raw(
     # whole degraded fixture completed (a bare isdir would accept a
     # partial interrupted write); overwrite re-drives
     if not parquet_complete(cdir):
-        old = emb.filter(F.col("vec_id") % 4 == 0)
+        old = _emb_slice(emb, F.col("vec_id") % 4 == 0)
         centroids, postings = ivf_build_index(old, n_centroids=16)
         shutil.rmtree(degraded, ignore_errors=True)
         postings.write.partitionBy("_cid").parquet(degraded)
         empty = spark.read.parquet(degraded).limit(0)
         for w in (2, 6, 10):
             ivf_index_append(
-                centroids, empty, emb.filter(F.col("vec_id") % 12 == w)
+                centroids, empty, _emb_slice(emb, F.col("vec_id") % 12 == w)
             ).write.mode("append").partitionBy("_cid").parquet(degraded)
         centroids.write.mode("overwrite").parquet(cdir)
     work = os.path.join(base, "work")
@@ -2348,8 +2372,8 @@ def emb_pq_compacted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    old = emb.filter(F.col("vec_id") % 4 == 0)
-    queries = emb.filter(F.col("vec_id") % 50 == 1)
+    old = _emb_slice(emb, F.col("vec_id") % 4 == 0)
+    queries = _emb_slice(emb, F.col("vec_id") % 50 == 1)
     base = _semantic_index_dir(spark, sf_dir, "emb_pq_compact")
     if os.path.isdir(base):
         shutil.rmtree(base)
@@ -2363,11 +2387,11 @@ def emb_pq_compacted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # empty stored side = the ivf_index_append wave construction)
     empty_codes = spark.read.parquet(cdir).limit(0)
     for w in (2, 6, 10):
-        wave = emb.filter(F.col("vec_id") % 12 == w)
+        wave = _emb_slice(emb, F.col("vec_id") % 12 == w)
         pq_index_append(
             books_stored, empty_codes, wave
         ).write.mode("append").parquet(cdir)
-    union = emb.filter(F.col("vec_id") % 2 == 0)
+    union = _emb_slice(emb, F.col("vec_id") % 2 == 0)
     rerank = max(10, union.count() // 50)
     # the baseline the compacted read must reproduce row-for-row
     before = pq_topk_vs_index(
@@ -2391,10 +2415,7 @@ def emb_pq_compacted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         books_stored, spark.read.parquet(cdir), union, queries,
         k=5, rerank=rerank,
     ).localCheckpoint()
-    equal = (
-        before.exceptAll(after).count() == 0
-        and after.exceptAll(before).count() == 0
-    )
+    equal = _bags_equal_pinned(before, after)
     exact = brute_force_topk_vectorized(union, queries, k=5)
     audit = _ann_recall_audit(
         after, exact, min_matched=2, mean_min_matched=4.0
@@ -2457,8 +2478,8 @@ def emb_semantic_compacted_dedup(
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.filter(F.col("vec_id") % 4 == 0)
-    c = emb.filter(F.col("vec_id") % 2 == 1)
+    a = _emb_slice(emb, F.col("vec_id") % 4 == 0)
+    c = _emb_slice(emb, F.col("vec_id") % 2 == 1)
     base = _semantic_index_dir(spark, sf_dir, "emb_sem_compact")
     if os.path.isdir(base):
         shutil.rmtree(base)
@@ -2489,7 +2510,7 @@ def emb_semantic_compacted_dedup(
         s = stored()
         delta = semantic_index_append_delta(
             s["centroids"], s["assigned"], s["pairs"],
-            emb.filter(F.col("vec_id") % 12 == w),
+            _emb_slice(emb, F.col("vec_id") % 12 == w),
         )
         if delta["over_cap"].limit(1).count() > 0:
             raise RuntimeError(
@@ -2524,10 +2545,7 @@ def emb_semantic_compacted_dedup(
     after = semantic_dedup_vs_index(
         s["centroids"], s["assigned"], s["pairs"], c
     ).localCheckpoint()
-    equal = (
-        before.exceptAll(after).count() == 0
-        and after.exceptAll(before).count() == 0
-    )
+    equal = _bags_equal_pinned(before, after)
     return after.select(
         "vec_id",
         "centroid_id",
@@ -2574,13 +2592,13 @@ def emb_index_rebuild_swap_raw(
     from ..util import parquet_complete
 
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.filter(F.col("vec_id") % 4 == 0).select("vec_id", "embedding")
+    a = _emb_slice(emb, F.col("vec_id") % 4 == 0).select("vec_id", "embedding")
     u0 = (
         a.orderBy("vec_id").limit(1)
         .select(F.col("embedding").alias("_e0"))
     )
     b = (
-        emb.filter(F.col("vec_id") % 12 == 2)
+        _emb_slice(emb, F.col("vec_id") % 12 == 2)
         .select("vec_id")
         .crossJoin(F.broadcast(u0))
         .select("vec_id", F.col("_e0").alias("embedding"))
@@ -2617,7 +2635,7 @@ def emb_index_rebuild_swap_raw(
             "rebuild trigger did not fire — the raw twin would be "
             "timing a no-op maintenance pass"
         )
-    union = a.unionByName(b)
+    union = carry_scan_hint(a.unionByName(b), emb)
     staging = os.path.join(base, "staging")
     shutil.rmtree(staging, ignore_errors=True)
     _write_semantic_index(semantic_index_build(union), staging)
@@ -2671,13 +2689,13 @@ def emb_pq_rebuild_swap_raw(
     from ..util import parquet_complete
 
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.filter(F.col("vec_id") % 4 == 0).select("vec_id", "embedding")
+    a = _emb_slice(emb, F.col("vec_id") % 4 == 0).select("vec_id", "embedding")
     u0 = (
         a.orderBy("vec_id").limit(1)
         .select(F.col("embedding").alias("_e0"))
     )
     b = (
-        emb.filter(F.col("vec_id") % 12 == 2)
+        _emb_slice(emb, F.col("vec_id") % 12 == 2)
         .select("vec_id")
         .crossJoin(F.broadcast(u0))
         .select("vec_id", F.col("_e0").alias("embedding"))
@@ -2701,14 +2719,14 @@ def emb_pq_rebuild_swap_raw(
             "PQ rebuild trigger did not fire — the raw twin would be "
             "timing a no-op maintenance pass"
         )
-    union = a.unionByName(b)
+    union = carry_scan_hint(a.unionByName(b), emb)
     staging = os.path.join(base, "staging")
     shutil.rmtree(staging, ignore_errors=True)
     fresh_books, fresh_codes = pq_build_index(union, m=8, ksub=64)
     _write_pq_index(fresh_books, fresh_codes, staging)
     swap_directory(work, staging)
     sw_books, sw_codes = _read_pq_index(spark, work)
-    queries = emb.filter(F.col("vec_id") % 50 == 1)
+    queries = _emb_slice(emb, F.col("vec_id") % 50 == 1)
     rerank = max(10, union.count() // 50)
     return pq_topk_vs_index(
         sw_books, sw_codes, union, queries, k=5, rerank=rerank

