@@ -91,6 +91,17 @@ def with_global_rank(
     general path below runs unchanged; semantics are identical either
     way (pinned in tests/test_rank.py).
 
+    PRECONDITION of the fast path (r14 ADVICE): because it drops the
+    ``localCheckpoint`` barrier the general path keeps, ``order_cols``
+    being a STRICT total order is load-bearing, not just recommended —
+    if two rows tie, separate actions over the returned DataFrame may
+    re-sort them differently and assign different ranks per action.
+    Under a strict total order the sort is deterministic, so every
+    action reproduces identical ranks without a pin.  Current callers
+    all pass a unique tie-break column; a future caller that consumes
+    the result from multiple actions WITHOUT one must either add the
+    tie-break or ``localCheckpoint`` the result itself.
+
     The ranged+sorted input is ``localCheckpoint``-ed so the offsets
     job and the final query read the *same* materialized partitioning;
     on a real cluster with reliable checkpoint storage this would be

@@ -745,7 +745,7 @@ def ivf_build_index(
 
 
 def ivf_topk_vs_index(
-    centroids: DataFrame,
+    centroids,
     postings: DataFrame,
     queries: DataFrame,
     k: int = 5,
@@ -785,10 +785,18 @@ def ivf_topk_vs_index(
     )
 
 
-def _stored_centroids(centroids: DataFrame, what: str) -> list[list[float]]:
+def _stored_centroids(centroids, what: str) -> list[list[float]]:
     """Collect + validate a stored centroid table (bounded by
     contract): dense cids 0..k-1, because the folded probe expression
-    indexes cells by position."""
+    indexes cells by position.
+
+    Accepts either the centroid DataFrame or an already-collected
+    centroid list from a previous call (r15, guide §5: callers driving
+    several appends/searches against ONE stored index were paying a
+    driver collect job per operator call — collect once, thread the
+    list through)."""
+    if isinstance(centroids, list):
+        return centroids
     rows = _collect_bounded(
         centroids.select("cid", "cu").orderBy("cid"),
         MAX_CENTROIDS,
@@ -856,7 +864,7 @@ def _enforce_dim(df: DataFrame, vec_col: str, expected: int,
 
 
 def ivf_index_append(
-    centroids: DataFrame,
+    centroids,
     postings: DataFrame,
     batch: DataFrame,
     id_col: str = "vec_id",
@@ -1564,10 +1572,18 @@ def pq_build_index(
     return codebooks, codes
 
 
-def _stored_codebooks(codebooks: DataFrame):
+def _stored_codebooks(codebooks):
     """Collect + validate a stored codebook table: dense (j, c) grid
     0..m-1 x 0..ksub-1, uniform subvector width.  Returns
-    ``(books, m, ksub)``."""
+    ``(books, m, ksub)``.
+
+    Accepts either the codebook DataFrame or an already-collected
+    ``(books, m, ksub)`` tuple from a previous call (r15, guide §5:
+    callers driving several appends/searches against ONE stored index
+    were paying a driver collect job per operator call — collect and
+    validate once, thread the tuple through)."""
+    if isinstance(codebooks, tuple):
+        return codebooks
     rows = _collect_bounded(
         codebooks.select("j", "c", "centroid").orderBy("j", "c"),
         MAX_CENTROIDS,
@@ -1599,7 +1615,7 @@ def _stored_codebooks(codebooks: DataFrame):
 
 
 def pq_index_append(
-    codebooks: DataFrame,
+    codebooks,
     codes: DataFrame,
     batch: DataFrame,
     id_col: str = "vec_id",
@@ -1636,7 +1652,7 @@ def pq_index_append(
 
 
 def pq_topk_vs_index(
-    codebooks: DataFrame,
+    codebooks,
     codes: DataFrame,
     corpus: DataFrame,
     queries: DataFrame,

@@ -414,9 +414,14 @@ def theta_set_estimate(
             .cast("long")
         )
 
+    # coalesce(sum, 0): the ungrouped BOTH-EMPTY case aggregates zero
+    # rows into one row whose sums are SQL NULL — the side-count must
+    # read 0 there so the side theta takes the under-full (exact)
+    # sentinel branch (r14 ADVICE pin: two empty inputs are exact
+    # sketches of empty sets, result = one all-zero exact row).
     st = tagged.groupBy(*group_cols).agg(
-        F.sum("_ia").alias("_n_a"),
-        F.sum("_ib").alias("_n_b"),
+        F.coalesce(F.sum("_ia"), F.lit(0)).alias("_n_a"),
+        F.coalesce(F.sum("_ib"), F.lit(0)).alias("_n_b"),
         F.max(F.when(F.col("_ia") == 1, F.col("hv"))).alias("_mx_a"),
         F.max(F.when(F.col("_ib") == 1, F.col("hv"))).alias("_mx_b"),
     )
@@ -447,19 +452,33 @@ def theta_set_estimate(
             F.max("_ib").alias("_in_b"),
         )
     )
+    # coalesce(sum, 0): the ungrouped BOTH-EMPTY case aggregates zero
+    # rows into one row — count(*) is 0 but SQL sums are NULL there,
+    # and the intended contract (r14 ADVICE pin) is an all-zero EXACT
+    # row (two empty inputs are under-full sketches of empty sets).
+    # Non-empty groups never hit the coalesce.
     counts = merged.groupBy(*group_cols).agg(
         F.count("*").alias("_n_union"),
-        F.sum(
-            F.when((F.col("_in_a") == 1) & (F.col("_in_b") == 1), 1)
-            .otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when((F.col("_in_a") == 1) & (F.col("_in_b") == 1), 1)
+                .otherwise(0)
+            ),
+            F.lit(0),
         ).alias("_n_inter"),
-        F.sum(
-            F.when((F.col("_in_a") == 1) & (F.col("_in_b") == 0), 1)
-            .otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when((F.col("_in_a") == 1) & (F.col("_in_b") == 0), 1)
+                .otherwise(0)
+            ),
+            F.lit(0),
         ).alias("_n_only_a"),
-        F.sum(
-            F.when((F.col("_in_b") == 1) & (F.col("_in_a") == 0), 1)
-            .otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when((F.col("_in_b") == 1) & (F.col("_in_a") == 0), 1)
+                .otherwise(0)
+            ),
+            F.lit(0),
         ).alias("_n_only_b"),
     )
     out = counts.join(F.broadcast(thetas), on=on) if on else counts.crossJoin(

@@ -612,64 +612,77 @@ def register(name: str, oracle: str | None = None, description: str = ""):
 # tests/test_queries_registry.py ratchets the bound to 8 at r15,
 # which the artifact math shows is feasible (r4+r5+r6 cohorts = 30
 # rows < 42 refresh slots).
+# ROUND-15 ROTATION (optimization round 2): the staleness bound
+# ratchets to 8 (the phase-in schedule coded in r14), so the r4-r6
+# cohorts — exactly the 30 rows the artifact ledger shows last
+# driver-green in rounds 4-6 — rotate in, plus the r7 cohort (11
+# rows, which would hit the bound at r16 otherwise), plus 9
+# OPTIMIZATION SENTINELS: the graded twins of every row whose plan
+# this round's optimizations change (the semantic-dedup family, the
+# PQ graded family, the shared-index compacted/append rows per r14
+# verdict items 2/3/6, and the two codec-audit canaries per item 7).
+# Everything rotated OUT was driver-green in r14 — the freshest
+# evidence a row can carry — and stays registered, unit-tested,
+# hash-checked by tools/check_oracle.py + ci_gate, and bench-timed
+# (headline rows) every round.  After this round's grade the worst
+# staleness is the r8 cohort (8 rounds at r16 — exactly at the
+# bound, rotating in next round).
 DRIVER_WINDOW = (
-    # kept sentinels: r14-changed code paths + crash/evolution rows
-    "cdc_live_orders",
-    "cdc_initial_sync_crash_recovery",
-    "cdc_streaming_upsert",
-    "cdc_mux_restart_recovery",
-    "cdc_mux_schema_evolution",
-    "cdc_mux_schema_drop",
-    "orders_streaming_ingest_redrive",
-    "orders_streaming_ingest_crash_replay",
-    # the 42-row full-backlog recency refresh (last driver-green
-    # r2/r3; every row re-verified against the DuckDB oracle at
-    # sf0.01 before the swap).  TPC-H analytics core:
-    "q3_shipping_priority",
-    "q4_late_shipment_orders",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_margin",
-    "q10_returned_items",
-    "q11_part_value_concentration",
-    "q12_priority_by_linestatus",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q20_dominant_promo_suppliers",
-    "q21_last_shipper_in_shared_orders",
-    "q22_idle_rich_customers",
-    # set ops / semi-antijoin shapes (r2-green)
-    "repeat_status_customers",
-    "exclusive_status_customers",
-    "customers_without_big_orders",
-    "big_spender_customers",
-    "active_nation_keys_union",
-    "nations_with_customers_and_suppliers",
-    "parts_never_bulk_ordered",
-    # window / rollup / ranking shapes (r2-green)
-    "top_orders",
-    "segment_order_stats",
-    "priority_order_profile",
-    "customer_order_momentum",
-    "customer_running_spend",
-    "cheapest_supplier_per_part",
-    "sales_rollup",
-    # events shapes (r2-green)
-    "events_daily_type_stats",
-    "events_hourly_windows",
-    "events_incremental_rollup",
-    "events_session_windows",
-    "events_sliding_windows",
-    "events_theta_user_overlap",
-    "events_top_users",
-    "events_type_share",
+    # r4 cohort (staleness 11)
+    "cdc_versions_per_key",
+    "events_user_count_sketch",
+    "docs_token_stats",
+    "docs_quality_score",
+    "docs_language_id",
+    "emb_label_near_pairs",
+    "media_exact_dedup",
+    "lineitem_grouping_sets",
+    # r5 cohort (staleness 10)
+    "cdc_live_agg",
+    "customer_top_orders",
+    "events_sessionization",
+    "events_last_purchase_asof",
+    "events_user_hll_distinct",
+    "docs_simhash_pairs",
+    "docs_fingerprints",
+    "docs_dup_clusters",
+    "emb_lsh_pairs",
+    "emb_cosine_topk_vectorized",
+    "emb_near_dup_keeper",
+    "emb_quantized_topk",
+    "media_decode_features",
+    "media_frame_sample",
+    # r6 cohort (staleness 9)
+    "media_decode_real",
+    "media_resized_images",
+    "events_type_pivot",
+    "orders_value_histogram",
+    "events_hourly_gapfill",
+    "events_daily_anomaly_zscore",
+    "customer_rfm_segments",
+    "docs_duplicate_chunks",
+    # r7 cohort (would hit the bound at r16)
+    "cdc_compacted_state",
+    "events_value_quantiles",
+    "docs_exact_dedup",
+    "docs_bpe_first_merges",
+    "emb_cosine_topk",
+    "emb_ivf_topk",
+    "emb_pq_topk",
+    "events_retention_cohorts",
+    "corpus_doc_chunks",
+    "corpus_lm_quality",
+    "events_streaming_hourly",
+    # r15 optimization sentinels: rows whose plans this round changes
+    "emb_semantic_dedup",
+    "emb_semantic_compacted_dedup",
+    "emb_pq_compacted_search",
+    "emb_pq_vs_index",
+    "emb_pq_rebuild_swap",
+    "emb_index_compacted_search",
+    "emb_index_append_search",
+    "media_decode_jpeg",
+    "media_video_rle_delta",
 )
 
 

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
-from ..util import SCAN_HINT_ATTR
+from ..util import ROWS_HINT_ATTR, SCAN_HINT_ATTR
 
 TABLES = (
     "region",
@@ -61,6 +61,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     hint = scan_splits_estimate(spark, path)
     if hint is not None:
         setattr(df, SCAN_HINT_ATTR, hint)
+    rows = parquet_rows_exact(spark, path)
+    if rows is not None:
+        setattr(df, ROWS_HINT_ATTR, rows)
     return df
 
 
@@ -76,7 +79,14 @@ def _size_conf_bytes(spark: SparkSession, key: str, default: int) -> int:
     try:
         raw = str(spark.conf.get(key)).strip().lower()
         units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
-        if raw.endswith("b") and raw[:-1] and raw[:-1][-1] in units:
+        # strip a trailing 'b' in BOTH suffixed forms: '128mb' -> '128m'
+        # AND the canonical bare-bytes form spark.conf.get returns for
+        # bytesConf values, '134217728b' -> '134217728' (r14 ADVICE:
+        # the old unit-letter-only strip made the bare form raise and
+        # silently fall back to the default, ignoring user tuning)
+        if raw.endswith("b") and raw[:-1] and (
+            raw[:-1][-1] in units or raw[:-1].isdigit()
+        ):
             raw = raw[:-1]
         if raw and raw[-1] in units:
             return int(float(raw[:-1]) * units[raw[-1]])
@@ -123,6 +133,90 @@ def scan_splits_estimate(spark: SparkSession, path: str) -> int | None:
         return max(1, -(-total // max(1, max_split)))
     except Exception:  # noqa: BLE001 — estimate only, never fatal
         return None
+
+
+#: (path -> exact row count) — parquet footer row counts, memoized per
+#: process.  The harness tables are immutable inputs; this is METADATA
+#: caching only (the exact number count(*) returns), never results.
+_FOOTER_ROWS_CACHE: dict[str, int] = {}
+
+
+def parquet_rows_exact(
+    spark: SparkSession, path: str, cached: bool = True
+) -> int | None:
+    """EXACT row count of a parquet file/directory from the footers
+    (pure driver-side metadata, no Spark job) — the scan-hint pattern
+    extended to row counts (r14 verdict item 6): callers that size
+    shapes from ``count()`` of an unfiltered table scan (quantizer k,
+    rerank shortlists, partition counts) get the identical number for
+    zero jobs.  Returns None on any filesystem error — callers fall
+    back to the exact count() job.
+
+    ``cached=False`` bypasses the memo for MUTABLE paths (index
+    scratch dirs that gain/lose files within a run) — only the
+    immutable harness tables may use the process-wide memo."""
+    try:
+        if not cached:
+            _FOOTER_ROWS_CACHE.pop(path, None)
+        if path not in _FOOTER_ROWS_CACHE:
+            _FOOTER_ROWS_CACHE[path] = _footer_rows(spark, path)
+        return _FOOTER_ROWS_CACHE[path]
+    except Exception:  # noqa: BLE001 — metadata only, never fatal
+        return None
+
+
+def _footer_rows(spark: SparkSession, path: str) -> int:
+    """Sum of footer row counts under ``path``.  pyarrow first (local
+    paths: one C++ footer parse per file, ~ms total) — the py4j
+    Hadoop walk costs ~0.5 s of driver gateway round-trips per call,
+    which would eat most of the count job it replaces — falling back
+    to the Hadoop FS walk for non-local filesystems."""
+    local = path[7:] if path.startswith("file://") else path
+    if not local.startswith(("hdfs://", "s3://", "s3a://", "abfs")):
+        import pyarrow.parquet as pq
+
+        if os.path.isfile(local):
+            return int(pq.ParquetFile(local).metadata.num_rows)
+        total = 0
+        for root, _dirs, files in os.walk(local):
+            for name in files:
+                if name.endswith(".parquet") and not name.startswith(
+                    ("_", ".")
+                ):
+                    total += int(
+                        pq.ParquetFile(
+                            os.path.join(root, name)
+                        ).metadata.num_rows
+                    )
+        return total
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = 0
+    stack = [jpath]
+    while stack:
+        p = stack.pop()
+        for st in fs.listStatus(p):
+            if st.isDirectory():
+                stack.append(st.getPath())
+                continue
+            name = st.getPath().getName()
+            if not name.endswith(".parquet") or name.startswith(
+                ("_", ".")
+            ):
+                continue
+            footer = (
+                jvm.org.apache.parquet.hadoop.ParquetFileReader
+                .readFooter(
+                    spark._jsc.hadoopConfiguration(), st.getPath()
+                )
+            )
+            blocks = footer.getBlocks()
+            total += sum(
+                blocks.get(i).getRowCount()
+                for i in range(blocks.size())
+            )
+    return int(total)
 
 
 def register_tables(spark: SparkSession, sf_dir: str) -> None:

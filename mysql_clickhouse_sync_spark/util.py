@@ -40,6 +40,40 @@ def carry_scan_hint(child: DataFrame, parent: DataFrame) -> DataFrame:
     return child
 
 
+def union_scan_hint(child: DataFrame, *parents: DataFrame) -> DataFrame:
+    """Scan-partition hint for a ``unionByName`` of narrow slices: the
+    union's partition count is the SUM of its children's, not either
+    child's (r14 ADVICE: carrying one parent's hint across a union
+    underestimates ~2x, and spread() may then add a repartition the
+    data does not need).  The hint is attached only when EVERY parent
+    carries one — a missing side falls back to the exact probe."""
+    hints = [getattr(p, SCAN_HINT_ATTR, None) for p in parents]
+    if all(h is not None for h in hints):
+        setattr(child, SCAN_HINT_ATTR, sum(int(h) for h in hints))
+    return child
+
+
+#: attribute name for an EXACT caller-known row count (set by
+#: ``sources.parquet.load_table`` from the parquet footers — the same
+#: number count(*) over the unfiltered scan returns).  NEVER propagate
+#: through filters; unlike the split-count hint this feeds exact
+#: decisions (quantizer sizing k = N // bucket), so only the unfiltered
+#: scan may carry it.
+ROWS_HINT_ATTR = "_spark_graft_exact_rows"
+
+
+def exact_rows_or_count(df: DataFrame) -> int:
+    """The DataFrame's exact row count: the footer-derived hint when
+    the caller is an unfiltered harness-table scan (zero Spark jobs),
+    else one count() job — the ``known_total`` pattern
+    (operators/rank.py) extended to every count-then-shape site
+    (r14 verdict item 6)."""
+    hint = getattr(df, ROWS_HINT_ATTR, None)
+    if hint is not None:
+        return int(hint)
+    return df.count()
+
+
 def spread(df: DataFrame, min_factor: int = 1) -> DataFrame:
     """Ensure CPU-bound narrow stages get full parallelism.
 

@@ -295,3 +295,57 @@ def test_remeasure_refreshes_warm_spread(monkeypatch):
 
     src = inspect.getsource(bench.main)
     assert 'dd["warm_spread"] = round(max(warm) - min(warm), 3)' in src
+
+
+def test_shrink_guard_keeps_queries_map(monkeypatch):
+    """r14 verdict item 1: the final stdout line must keep the
+    per-query map under the 1900-char tail guard — the old shrink
+    order dropped "queries" first and starved the driver's PERF
+    per-query/scaling tables for two rounds.  Build a realistic
+    compact dict (31 headline rows with real-length names, a full
+    movers ledger, every alias field) and require the shrunk line to
+    keep "queries" intact and fit the cap."""
+    import json
+
+    import bench
+
+    queries = {
+        f"emb_index_compacted_search_row_{i:02d}": round(0.1 * i + 0.123, 3)
+        for i in range(31)
+    }
+    compact = {
+        "metric": "headline_queries_total",
+        "value": 29.013,
+        "unit": "sec",
+        "sf": 0.1,
+        "queries": dict(queries),
+        "extended_total": 83.135,
+        "norm": 30.444,
+        "norm_window": 30.444,
+        "norm_rule": "headline-window",
+        "norm_median": 23.865,
+        "burst_excluded": 46,
+        "canary_ref": 1.0,
+        "floor": 0.0808,
+        "minus_floor": 26.508,
+        "load": [1.9, 8.91],
+        "load_ok": True,
+        "steal_pct": 3.96,
+        "repeats": 3,
+        "movers_vs_prev": [
+            [f"docs_dedup_incremental_raw_{i}", 1.774, 2.18, True]
+            for i in range(13)
+        ],
+        "canary": [1.096, 0.81, 0.851],
+        "gate": {"mode": "window", "status": "ALL_PASS", "sec": 103.7},
+        "detail": "bench_detail.json",
+        "snapshot_rows_per_sec": 342902,
+        "cdc_events_per_sec": 137354,
+    }
+    line = bench._shrink_line(compact)
+    assert len(line) <= 1900
+    parsed = json.loads(line)
+    assert parsed["queries"] == queries, "shrink guard dropped/mangled queries"
+    # the driver-contract skeleton always survives
+    for key in ("metric", "value", "unit", "sf"):
+        assert key in parsed

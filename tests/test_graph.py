@@ -100,3 +100,82 @@ def test_pointer_jump_two_chains_distinct_components(spark):
     out = {r["id"]: r["component"] for r in connected_components(edges).collect()}
     assert all(out[i] == 10 for i in range(10, 41))
     assert all(out[i] == 100 for i in range(100, 141))
+
+
+def test_cell_components_matches_connected_components(spark):
+    """r15 fast path: on a CELL-CONFINED pair graph (every edge inside
+    one cell — the semantic family's single-assignment buckets), the
+    one-pass per-cell union-find must return exactly what the
+    iterative global propagation returns."""
+    import random
+
+    from mysql_clickhouse_sync_spark.operators.graph import cell_components
+
+    rng = random.Random(7)
+    # 6 cells x 40 nodes; random within-cell edges incl. chains
+    cells, edges = [], []
+    for c in range(6):
+        ids = [c * 1000 + i for i in range(40)]
+        cells += [(i, c) for i in ids]
+        for i in range(len(ids) - 1):
+            if rng.random() < 0.35:
+                edges.append((ids[i], ids[i + 1]))          # chain bits
+        for _ in range(15):
+            a, b = rng.sample(ids, 2)
+            edges.append((min(a, b), max(a, b)))
+    cdf = spark.createDataFrame(cells, "vec_id long, cid int")
+    edf = spark.createDataFrame(edges, "id_a long, id_b long")
+    want = sorted(
+        (r["id"], r["component"])
+        for r in connected_components(
+            edf, src="id_a", dst="id_b", unique_edges=False
+        ).collect()
+    )
+    got = sorted(
+        (r["id"], r["component"])
+        for r in cell_components(
+            cdf, edf, id_col="vec_id", cell_col="cid"
+        ).collect()
+    )
+    assert got == want
+
+
+def test_cell_components_rejects_cross_cell_edge(spark):
+    """The cell-confinement invariant is VERIFIED, not trusted: a
+    cross-cell edge must fail the job with the real cause, never
+    silently return a wrong clustering."""
+    import pytest
+
+    from mysql_clickhouse_sync_spark.operators.graph import cell_components
+
+    cdf = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1)], "vec_id long, cid int"
+    )
+    edf = spark.createDataFrame([(1, 3)], "id_a long, id_b long")
+    with pytest.raises(Exception, match="cell-confinement"):
+        cell_components(
+            cdf, edf, id_col="vec_id", cell_col="cid"
+        ).collect()
+
+
+def test_dedup_clusters_cells_fast_path_equals_iterative(spark):
+    """dedup_clusters(cells=...) — the full-corpus contract (keeper
+    flags, singleton fallthrough) is identical through the fast path."""
+    docs = spark.range(4000).withColumnRenamed("id", "doc_id")
+    cells = docs.selectExpr("doc_id", "CAST(doc_id % 7 AS INT) AS cell")
+    # within-cell pairs only: link i to i+7 (same residue class)
+    pairs = spark.createDataFrame(
+        [(i, i + 7) for i in range(0, 2000, 13)], "id_a long, id_b long"
+    )
+    base = sorted(
+        tuple(r) for r in dedup_clusters(
+            docs, pairs, id_col="doc_id", unique_pairs=True
+        ).collect()
+    )
+    fast = sorted(
+        tuple(r) for r in dedup_clusters(
+            docs, pairs, id_col="doc_id", unique_pairs=True,
+            cells=cells, cell_col="cell",
+        ).collect()
+    )
+    assert fast == base

@@ -411,3 +411,86 @@ def test_scan_splits_hint_matches_actual_partitions(spark):
     # parallelism (row content untouched)
     s = spread(filtered)
     assert s.count() == filtered.count()
+
+
+def test_size_conf_parses_spark_canonical_byte_form(spark):
+    """r14 ADVICE: spark.conf.get returns bytesConf values in the
+    canonical '<n>b' form (e.g. '134217728b'); _size_conf_bytes must
+    parse it — not silently fall back to the default and ignore user
+    tuning — alongside the suffixed and bare-number forms."""
+    from mysql_clickhouse_sync_spark.sources.parquet import (
+        _size_conf_bytes,
+    )
+
+    class _Conf:
+        def __init__(self, v):
+            self._v = v
+
+        def get(self, key):
+            return self._v
+
+    class _Spark:
+        def __init__(self, v):
+            self.conf = _Conf(v)
+
+    for raw, want in (
+        ("134217728b", 134217728),        # canonical bytesConf form
+        ("128m", 128 << 20),
+        ("128mb", 128 << 20),
+        ("1g", 1 << 30),
+        ("4194304", 4194304),
+        ("  64K ", 64 << 10),
+    ):
+        got = _size_conf_bytes(_Spark(raw), "k", -1)
+        assert got == want, (raw, got)
+    # garbage still falls back to the default
+    assert _size_conf_bytes(_Spark("not-a-size"), "k", 42) == 42
+
+
+def test_exact_rows_hint_matches_count(spark):
+    """load_table's footer-derived ROWS_HINT_ATTR must equal count()
+    exactly for every harness table (it feeds exact shape decisions:
+    quantizer k, rerank shortlists), and must NOT survive a filter."""
+    from mysql_clickhouse_sync_spark.sources.parquet import (
+        TABLES,
+        load_table,
+    )
+    from mysql_clickhouse_sync_spark.util import (
+        ROWS_HINT_ATTR,
+        exact_rows_or_count,
+    )
+
+    for t in TABLES:
+        df = load_table(spark, SF_DIR, t)
+        hint = getattr(df, ROWS_HINT_ATTR, None)
+        assert hint is not None, t
+        assert hint == df.count(), t
+        assert exact_rows_or_count(df) == hint
+        filtered = df.limit(3)
+        assert getattr(filtered, ROWS_HINT_ATTR, None) is None
+
+
+def test_union_scan_hint_sums_children(spark):
+    """r14 ADVICE: a unionByName of two narrow slices has the SUM of
+    the children's scan partitions — carrying one side's hint
+    underestimates ~2x and can make spread() add a useless
+    repartition."""
+    from pyspark.sql import functions as F
+
+    from mysql_clickhouse_sync_spark.sources.parquet import load_table
+    from mysql_clickhouse_sync_spark.util import (
+        SCAN_HINT_ATTR,
+        carry_scan_hint,
+        union_scan_hint,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    a = carry_scan_hint(emb.filter(F.col("vec_id") % 2 == 0), emb)
+    b = carry_scan_hint(emb.filter(F.col("vec_id") % 2 == 1), emb)
+    u = union_scan_hint(a.unionByName(b), a, b)
+    assert getattr(u, SCAN_HINT_ATTR) == 2 * getattr(emb, SCAN_HINT_ATTR)
+    assert getattr(u, SCAN_HINT_ATTR) == a.unionByName(b).rdd.getNumPartitions()
+    # a hint-less side -> no hint on the union (fall back to the probe)
+    bare = emb.filter(F.col("vec_id") % 2 == 1).select("*")
+    u2 = union_scan_hint(a.unionByName(bare), a, bare)
+    assert getattr(u2, SCAN_HINT_ATTR, None) is None

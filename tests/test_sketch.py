@@ -279,3 +279,39 @@ def test_grouped_theta_build_equals_per_filter_builds(spark):
             ).collect()
         )
         assert sliced == single, etype
+
+
+def test_theta_set_ops_empty_side_and_both_empty(spark):
+    """r14 ADVICE pin: the tagged-union rewrite changed the ungrouped
+    edge cases — an empty side now returns ONE row (the old per-side
+    crossJoin returned zero), and two empty sides return one row of
+    exact zeros.  Pin the INTENDED semantics: an empty side is an
+    exact (under-full) sketch of the empty set, so the result row is
+    exact counts, never an estimate."""
+    from mysql_clickhouse_sync_spark.operators.sketch import (
+        theta_build,
+        theta_set_estimate,
+    )
+
+    vals = spark.createDataFrame(
+        [(i,) for i in range(100)], "v long"
+    )
+    empty = vals.filter("v < 0")
+    sk_a = theta_build(vals, "v")
+    sk_e = theta_build(empty, "v")
+    # one side empty: union == |A| exactly, intersect == 0, diffs exact
+    rows = theta_set_estimate(sk_a, sk_e).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["est_union"] == 100
+    assert r["est_intersect"] == 0
+    assert r["est_diff_a"] == 100
+    assert r["est_diff_b"] == 0
+    # both sides empty: one all-zero exact row
+    rows = theta_set_estimate(sk_e, sk_e.filter("1=1")).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (
+        r["est_union"] == 0 and r["est_intersect"] == 0
+        and r["est_diff_a"] == 0 and r["est_diff_b"] == 0
+    )
