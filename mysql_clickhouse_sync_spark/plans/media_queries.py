@@ -28,6 +28,7 @@ from ..operators.multimodal import (
 )
 from ..sources.changelog import ORDERS_PK
 from ..sources.parquet import load_table
+from ..util import carry_scan_hint, spread
 from .cdc_queries import _applied_orders
 from .registry import register
 
@@ -135,7 +136,15 @@ def _gradient_media(docs: DataFrame, mime: str) -> DataFrame:
                     rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
                 )
 
-    return docs.select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+    # spread() the fixture-encode stage (r15, guide §2.5 "input
+    # skew"): the docs table is one ~MB parquet split, so this
+    # per-payload codec kernel otherwise runs on ONE task — measured
+    # 14 s single-task vs the same work spread over the cores at
+    # sf1.0 (the missing fan-out every sibling kernel in
+    # operators/multimodal.py already has)
+    return spread(carry_scan_hint(docs.select("doc_id"), docs)).mapInPandas(
+        run, MEDIA_SCHEMA
+    )
 
 
 def _gradient_bmp_media(docs: DataFrame) -> DataFrame:
@@ -294,7 +303,15 @@ def _mosaic_jpeg_media(docs: DataFrame) -> DataFrame:
                     rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
                 )
 
-    return docs.select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+    # spread() the fixture-encode stage (r15, guide §2.5 "input
+    # skew"): the docs table is one ~MB parquet split, so this
+    # per-payload codec kernel otherwise runs on ONE task — measured
+    # 14 s single-task vs the same work spread over the cores at
+    # sf1.0 (the missing fan-out every sibling kernel in
+    # operators/multimodal.py already has)
+    return spread(carry_scan_hint(docs.select("doc_id"), docs)).mapInPandas(
+        run, MEDIA_SCHEMA
+    )
 
 
 @register(
@@ -398,7 +415,15 @@ def _pcm_wav_media(docs: DataFrame) -> DataFrame:
                     rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
                 )
 
-    return docs.select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+    # spread() the fixture-encode stage (r15, guide §2.5 "input
+    # skew"): the docs table is one ~MB parquet split, so this
+    # per-payload codec kernel otherwise runs on ONE task — measured
+    # 14 s single-task vs the same work spread over the cores at
+    # sf1.0 (the missing fan-out every sibling kernel in
+    # operators/multimodal.py already has)
+    return spread(carry_scan_hint(docs.select("doc_id"), docs)).mapInPandas(
+        run, MEDIA_SCHEMA
+    )
 
 
 @register(
@@ -490,7 +515,15 @@ def _ulaw_wav_media(docs: DataFrame) -> DataFrame:
                     rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
                 )
 
-    return docs.select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+    # spread() the fixture-encode stage (r15, guide §2.5 "input
+    # skew"): the docs table is one ~MB parquet split, so this
+    # per-payload codec kernel otherwise runs on ONE task — measured
+    # 14 s single-task vs the same work spread over the cores at
+    # sf1.0 (the missing fan-out every sibling kernel in
+    # operators/multimodal.py already has)
+    return spread(carry_scan_hint(docs.select("doc_id"), docs)).mapInPandas(
+        run, MEDIA_SCHEMA
+    )
 
 
 @register(
@@ -596,7 +629,15 @@ def _alaw_wav_media(docs: DataFrame) -> DataFrame:
                     rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
                 )
 
-    return docs.select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+    # spread() the fixture-encode stage (r15, guide §2.5 "input
+    # skew"): the docs table is one ~MB parquet split, so this
+    # per-payload codec kernel otherwise runs on ONE task — measured
+    # 14 s single-task vs the same work spread over the cores at
+    # sf1.0 (the missing fan-out every sibling kernel in
+    # operators/multimodal.py already has)
+    return spread(carry_scan_hint(docs.select("doc_id"), docs)).mapInPandas(
+        run, MEDIA_SCHEMA
+    )
 
 
 @register(
@@ -702,7 +743,15 @@ def _adpcm_wav_media(docs: DataFrame) -> DataFrame:
                     rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
                 )
 
-    return docs.select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+    # spread() the fixture-encode stage (r15, guide §2.5 "input
+    # skew"): the docs table is one ~MB parquet split, so this
+    # per-payload codec kernel otherwise runs on ONE task — measured
+    # 14 s single-task vs the same work spread over the cores at
+    # sf1.0 (the missing fan-out every sibling kernel in
+    # operators/multimodal.py already has)
+    return spread(carry_scan_hint(docs.select("doc_id"), docs)).mapInPandas(
+        run, MEDIA_SCHEMA
+    )
 
 
 _IMA_STEP_SQL = (
@@ -843,7 +892,15 @@ def _adpcm_stereo_wav_media(docs: DataFrame) -> DataFrame:
                     rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
                 )
 
-    return docs.select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+    # spread() the fixture-encode stage (r15, guide §2.5 "input
+    # skew"): the docs table is one ~MB parquet split, so this
+    # per-payload codec kernel otherwise runs on ONE task — measured
+    # 14 s single-task vs the same work spread over the cores at
+    # sf1.0 (the missing fan-out every sibling kernel in
+    # operators/multimodal.py already has)
+    return spread(carry_scan_hint(docs.select("doc_id"), docs)).mapInPandas(
+        run, MEDIA_SCHEMA
+    )
 
 
 @register(
@@ -995,7 +1052,15 @@ def _avi_bmp_media(docs: DataFrame) -> DataFrame:
                     rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
                 )
 
-    return docs.select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+    # spread() the fixture-encode stage (r15, guide §2.5 "input
+    # skew"): the docs table is one ~MB parquet split, so this
+    # per-payload codec kernel otherwise runs on ONE task — measured
+    # 14 s single-task vs the same work spread over the cores at
+    # sf1.0 (the missing fan-out every sibling kernel in
+    # operators/multimodal.py already has)
+    return spread(carry_scan_hint(docs.select("doc_id"), docs)).mapInPandas(
+        run, MEDIA_SCHEMA
+    )
 
 
 @register(
@@ -1151,7 +1216,15 @@ def _avi_rle_delta_media(docs: DataFrame) -> DataFrame:
                     rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
                 )
 
-    return docs.select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+    # spread() the fixture-encode stage (r15, guide §2.5 "input
+    # skew"): the docs table is one ~MB parquet split, so this
+    # per-payload codec kernel otherwise runs on ONE task — measured
+    # 14 s single-task vs the same work spread over the cores at
+    # sf1.0 (the missing fan-out every sibling kernel in
+    # operators/multimodal.py already has)
+    return spread(carry_scan_hint(docs.select("doc_id"), docs)).mapInPandas(
+        run, MEDIA_SCHEMA
+    )
 
 
 @register(
@@ -1428,7 +1501,15 @@ def _palette_gif_media(docs: DataFrame) -> DataFrame:
                     rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
                 )
 
-    return docs.select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+    # spread() the fixture-encode stage (r15, guide §2.5 "input
+    # skew"): the docs table is one ~MB parquet split, so this
+    # per-payload codec kernel otherwise runs on ONE task — measured
+    # 14 s single-task vs the same work spread over the cores at
+    # sf1.0 (the missing fan-out every sibling kernel in
+    # operators/multimodal.py already has)
+    return spread(carry_scan_hint(docs.select("doc_id"), docs)).mapInPandas(
+        run, MEDIA_SCHEMA
+    )
 
 
 @register(
@@ -1541,7 +1622,15 @@ def _avi_mjpeg_media(docs: DataFrame) -> DataFrame:
                     rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
                 )
 
-    return docs.select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+    # spread() the fixture-encode stage (r15, guide §2.5 "input
+    # skew"): the docs table is one ~MB parquet split, so this
+    # per-payload codec kernel otherwise runs on ONE task — measured
+    # 14 s single-task vs the same work spread over the cores at
+    # sf1.0 (the missing fan-out every sibling kernel in
+    # operators/multimodal.py already has)
+    return spread(carry_scan_hint(docs.select("doc_id"), docs)).mapInPandas(
+        run, MEDIA_SCHEMA
+    )
 
 
 @register(
@@ -1708,7 +1797,15 @@ def _mosaic_jpeg_prog_media(docs: DataFrame) -> DataFrame:
                     rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
                 )
 
-    return docs.select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+    # spread() the fixture-encode stage (r15, guide §2.5 "input
+    # skew"): the docs table is one ~MB parquet split, so this
+    # per-payload codec kernel otherwise runs on ONE task — measured
+    # 14 s single-task vs the same work spread over the cores at
+    # sf1.0 (the missing fan-out every sibling kernel in
+    # operators/multimodal.py already has)
+    return spread(carry_scan_hint(docs.select("doc_id"), docs)).mapInPandas(
+        run, MEDIA_SCHEMA
+    )
 
 
 @register(
